@@ -1,0 +1,195 @@
+"""4mc/4mz file reader: footer index, block decode, split-aware line iteration.
+
+Re-implements the read path of the reference
+(`FourMcInputStream.java:163-332`, `FourMcLineRecordReader.java:58-163`):
+
+* the footer index is read with one ranged read from the file tail
+  (4 KiB read-ahead, re-read when the footer is larger) — this is the only
+  planning-time I/O, so a 100 TB directory costs one tail read per file;
+* blocks are self-delimiting (12-byte header carries both sizes), so an
+  executor can stream a split *without* the index — the index is only used
+  by the planner to align splits to block boundaries;
+* every block payload is verified with xxh32 before decode (fail fast on
+  corruption), with stored-raw passthrough when compressedSize ==
+  uncompressedSize;
+* line splitting follows Hadoop `LineRecordReader` semantics (S5 in
+  SURVEY.md §2.1): a split that does not start at the first block discards
+  everything up to and including the first newline, and the owner of a line
+  is the split owning the byte *before* its first byte — so the union of
+  all splits is exactly the whole file, each line exactly once.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import BinaryIO, Iterator
+
+from . import core
+from .native import lz4_decompress, zstd_decompress
+
+__all__ = [
+    "read_index",
+    "iter_block_payloads",
+    "decompress_file",
+    "iter_lines_for_split",
+    "scan_file_info",
+]
+
+_FOOTER_READAHEAD = 4096  # FourMcInputStream.java:183
+
+
+def read_index(f: BinaryIO, file_size: int | None = None) -> tuple[int, core.BlockIndex]:
+    """Read header magic + footer block index. Returns (magic, index)."""
+    if file_size is None:
+        f.seek(0, os.SEEK_END)
+        file_size = f.tell()
+    f.seek(0)
+    magic = core.decode_header(f.read(core.HEADER_SIZE))
+    tail_size = min(_FOOTER_READAHEAD, file_size)
+    f.seek(file_size - tail_size)
+    tail = f.read(tail_size)
+    if len(tail) >= 12:
+        (footer_size,) = struct.unpack(">I", tail[-12:-8])
+        if footer_size > len(tail) and footer_size <= file_size:
+            f.seek(file_size - footer_size)
+            tail = f.read(footer_size)
+    offsets = core.decode_footer(tail, magic, file_size)
+    return magic, core.BlockIndex(offsets)
+
+
+def _decode_payload(
+    codec: str, payload: bytes, uncompressed_size: int, stored_raw: bool, verify: bool,
+    checksum: int,
+) -> bytes:
+    from .native import xxh32
+
+    if verify and xxh32(payload) != checksum:
+        raise core.BadBlockError("block checksum mismatch")
+    if stored_raw:
+        return payload
+    if codec == "lz4":
+        return lz4_decompress(payload, uncompressed_size)
+    return zstd_decompress(payload, uncompressed_size)
+
+
+def iter_block_payloads(
+    f: BinaryIO,
+    codec: str,
+    start_offset: int = core.HEADER_SIZE,
+    verify: bool = True,
+) -> Iterator[tuple[int, bytes]]:
+    """Yield (block_offset, uncompressed_bytes) streaming from *start_offset*.
+
+    Stops at the EOS marker (12 zero bytes, `4mc-format-spec:11`). Blocks are
+    self-delimiting so no index is needed — O(1) state per stream.
+    """
+    f.seek(start_offset)
+    pos = start_offset
+    while True:
+        hdr = f.read(core.BLOCK_HEADER_SIZE)
+        if len(hdr) < core.BLOCK_HEADER_SIZE:
+            raise core.BadBlockError("truncated block header (missing EOS marker?)")
+        usize, csize, checksum = struct.unpack(">III", hdr)
+        if usize == 0 and csize == 0 and checksum == 0:
+            return  # EOS
+        if usize > core.MAX_BLOCK_SIZE:
+            raise core.BadBlockError(
+                f"block uncompressed size {usize} exceeds 4 MiB cap"
+            )
+        if csize > core.MAX_BLOCK_SIZE:
+            raise core.BadBlockError(f"block compressed size {csize} exceeds cap")
+        payload = f.read(csize)
+        if len(payload) != csize:
+            raise core.BadBlockError("truncated block payload")
+        data = _decode_payload(codec, payload, usize, csize == usize, verify, checksum)
+        yield pos, data
+        pos += core.BLOCK_HEADER_SIZE + csize
+
+
+def decompress_file(path: str, verify: bool = True) -> bytes:
+    """Whole-file decompression (CLI / verification path)."""
+    with open(path, "rb") as f:
+        f.seek(0, os.SEEK_END)
+        size = f.tell()
+        magic, _ = read_index(f, size)
+        codec = core.codec_for_magic(magic)
+        out = bytearray()
+        for _, chunk in iter_block_payloads(f, codec, verify=verify):
+            out.extend(chunk)
+        return bytes(out)
+
+
+def scan_file_info(path: str) -> tuple[str, int, list[int]]:
+    """Planner helper: one tail read -> (codec, file_size, block_offsets)."""
+    with open(path, "rb") as f:
+        f.seek(0, os.SEEK_END)
+        size = f.tell()
+        magic, index = read_index(f, size)
+        return core.codec_for_magic(magic), size, index.offsets
+
+
+def iter_lines_for_split(
+    f: BinaryIO,
+    codec: str,
+    split_start: int,
+    split_end: int,
+    verify: bool = True,
+) -> Iterator[tuple[int, bytes]]:
+    """Yield (owner_block_offset, line_bytes) for one block-aligned split.
+
+    ``split_start``/``split_end`` are compressed offsets aligned to block
+    boundaries by the planner (``BlockIndex.align_slice_*``).  Ownership rule
+    (equivalent to Hadoop LineRecordReader's skip-first/read-past-end,
+    `FourMcLineRecordReader.java:137-163`): a line belongs to this split iff
+    the byte preceding its first byte (the previous line's ``\\n``, or the
+    start of file) lies in a block within [split_start, split_end).  The
+    reader streams past split_end just far enough to finish the last owned
+    line, then stops.
+
+    Lines are terminated by LF; a trailing CR is stripped (CRLF).  The
+    yielded offset is the compressed offset of the block owning the line.
+    """
+    first_block = core.HEADER_SIZE
+    if split_start < first_block:
+        # a split starting at 0 covers the 12-byte file header; block 0
+        # starts right after it (align_slice_start leaves start==0 untouched,
+        # FourMcBlockIndex.java:142-153)
+        split_start = first_block
+    # owner of the next line to be assembled: for the very first line of the
+    # file it is the first block; otherwise the block holding the previous \n
+    # (-1 = a block before split_start, i.e. the line is not ours to emit).
+    owner = first_block if split_start == first_block else -1
+    carry = bytearray()
+    for boff, payload in iter_block_payloads(f, codec, split_start, verify=verify):
+        if owner >= split_end:
+            return
+        parts = payload.split(b"\n")
+        n_complete = len(parts) - 1
+        for k in range(n_complete):
+            if k == 0:
+                line = (bytes(carry) + parts[0]) if carry else parts[0]
+                carry.clear()
+                line_owner = owner
+            else:
+                line = parts[k]
+                line_owner = boff
+            if line_owner >= split_end:
+                return
+            if line_owner >= split_start:
+                if line.endswith(b"\r"):
+                    line = line[:-1]
+                yield line_owner, line
+            # the terminating newline of this line lives in the current
+            # block, so the *next* line is owned by this block
+            owner = boff
+        if n_complete == 0:
+            carry.extend(payload)
+        else:
+            carry = bytearray(parts[-1])
+    # EOF: emit the final unterminated line if owned
+    if carry and split_start <= owner < split_end:
+        line = bytes(carry)
+        if line.endswith(b"\r"):
+            line = line[:-1]
+        yield owner, line

@@ -1,0 +1,165 @@
+"""4mc/4mz file writer.
+
+Mirrors the reference sink semantics (`FourMcOutputStream.java:69-223`,
+K1/K2 in SURVEY.md §2.1): buffer input into <= 4 MiB blocks, compress each
+independently, frame with sizes + xxh32, store raw when compression does
+not shrink the payload, then emit the EOS marker and the delta-encoded
+footer index at close.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import BinaryIO
+
+from . import core
+from .native import (
+    LZ4_LEVELS,
+    ZSTD_LEVELS,
+    lz4_compress,
+    zstd_compress,
+)
+
+__all__ = ["FourMcWriter", "write_file", "normalize_codec", "normalize_level"]
+
+
+def normalize_codec(codec: str) -> str:
+    c = codec.lower()
+    if c in ("lz4", "4mc"):
+        return "lz4"
+    if c in ("zstd", "4mz", "zst"):
+        return "zstd"
+    raise ValueError(f"unknown codec {codec!r} (expected lz4/4mc or zstd/4mz)")
+
+
+def normalize_level(level: str | int) -> str:
+    names = ["fast", "medium", "high", "ultra"]
+    if isinstance(level, int):
+        if 1 <= level <= 4:
+            return names[level - 1]
+        raise ValueError(f"level int must be 1..4, got {level}")
+    lv = str(level).lower()
+    if lv in names:
+        return lv
+    if lv.isdigit() and 1 <= int(lv) <= 4:
+        return names[int(lv) - 1]
+    raise ValueError(f"unknown level {level!r}")
+
+
+class FourMcWriter:
+    """Streaming writer producing a spec-conformant .4mc / .4mz file.
+
+    Parameters
+    ----------
+    out : binary file-like (or path via :func:`write_file`)
+    codec : "lz4" (-> .4mc) or "zstd" (-> .4mz)
+    level : fast | medium | high | ultra (or 1..4)
+    block_size : uncompressed block granule, <= 4 MiB
+    """
+
+    def __init__(
+        self,
+        out: BinaryIO,
+        codec: str = "lz4",
+        level: str | int = "fast",
+        block_size: int = core.MAX_BLOCK_SIZE,
+    ) -> None:
+        if block_size <= 0 or block_size > core.MAX_BLOCK_SIZE:
+            raise ValueError(
+                f"block_size must be in (0, {core.MAX_BLOCK_SIZE}], got {block_size}"
+            )
+        self._out = out
+        self.codec = normalize_codec(codec)
+        self.level_name = normalize_level(level)
+        self._magic = core.magic_for_codec(self.codec)
+        if self.codec == "lz4":
+            lvl = LZ4_LEVELS[self.level_name]
+            self._compress = lambda b: lz4_compress(b, lvl)
+        else:
+            lvl = ZSTD_LEVELS[self.level_name]
+            self._compress = lambda b: zstd_compress(b, lvl)
+        self.block_size = block_size
+        self._buf = bytearray()
+        self.block_offsets: list[int] = []
+        self._pos = 0
+        self._closed = False
+        self._write_raw(core.encode_header(self._magic))
+
+    # -- internals ---------------------------------------------------------
+
+    def _write_raw(self, data: bytes) -> None:
+        self._out.write(data)
+        self._pos += len(data)
+
+    def _flush_block(self, chunk: bytes) -> None:
+        """Compress-or-passthrough one block (FourMcOutputStream.java:195-223)."""
+        if not chunk:
+            return
+        self.block_offsets.append(self._pos)
+        compressed = self._compress(chunk)
+        if compressed is None:  # incompressible: store raw
+            self._write_raw(core.encode_block(len(chunk), chunk, compressed=False))
+        else:
+            self._write_raw(core.encode_block(len(chunk), compressed, compressed=True))
+
+    # -- public API ---------------------------------------------------------
+
+    def write(self, data: bytes) -> None:
+        if self._closed:
+            raise ValueError("writer is closed")
+        self._buf.extend(data)
+        while len(self._buf) >= self.block_size:
+            self._flush_block(bytes(self._buf[: self.block_size]))
+            del self._buf[: self.block_size]
+
+    def write_line(self, line: bytes | str) -> None:
+        if isinstance(line, str):
+            line = line.encode("utf-8")
+        self.write(line + b"\n")
+
+    @property
+    def bytes_written(self) -> int:
+        return self._pos
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        if self._buf:
+            self._flush_block(bytes(self._buf))
+            self._buf.clear()
+        self._write_raw(core.encode_eos())
+        self._write_raw(core.encode_footer(self._magic, self.block_offsets))
+        self._closed = True
+
+    def __enter__(self) -> "FourMcWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def write_file(
+    path: str,
+    data: bytes,
+    codec: str = "lz4",
+    level: str | int = "fast",
+    block_size: int = core.MAX_BLOCK_SIZE,
+) -> list[int]:
+    """Compress *data* into a 4mc/4mz file; returns block offsets."""
+    with open(path, "wb") as f:
+        with FourMcWriter(f, codec=codec, level=level, block_size=block_size) as w:
+            w.write(data)
+        return w.block_offsets
+
+
+def compress_bytes(
+    data: bytes,
+    codec: str = "lz4",
+    level: str | int = "fast",
+    block_size: int = core.MAX_BLOCK_SIZE,
+) -> bytes:
+    """In-memory variant of :func:`write_file` (used by the Spark sink)."""
+    buf = io.BytesIO()
+    with FourMcWriter(buf, codec=codec, level=level, block_size=block_size) as w:
+        w.write(data)
+    return buf.getvalue()
