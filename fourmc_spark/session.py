@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults chosen for 100 TB posture (AQE on, skew handling on, partition
+coalescing on) while remaining correct on local[N] test runs.  Tests and
+bench share this builder so plans are comparable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "register_fourmc"]
+
+
+def get_spark(
+    app_name: str = "fourmc-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or int(os.environ.get("FOURMC_SHUFFLE_PARTITIONS", cpus))
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime partition coalescing, skew-join splitting, plan switch
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        # arrow-accelerated Python<->JVM transfer for pandas UDFs / DS API
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # the driver oracle (DuckDB) uses non-ANSI overflow/cast semantics;
+        # queries are written to be ANSI-safe regardless
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("FOURMC_DRIVER_MEM", "8g"))
+    )
+    spark = b.getOrCreate()
+    register_fourmc(spark)
+    return spark
+
+
+def register_fourmc(spark: SparkSession) -> None:
+    """Register the 'fourmc' splittable-compressed DataSource."""
+    from fourmc_spark.sources.datasource import FourMcDataSource
+
+    try:
+        spark.dataSource.register(FourMcDataSource)
+    except Exception:
+        # already registered in this session
+        pass

@@ -1,0 +1,276 @@
+"""Spark Python DataSource for splittable 4mc/4mz files.
+
+The PySpark-native equivalent of the reference's Hadoop input/output
+formats (SURVEY.md §2.1 S1-S8 / K1-K3):
+
+* **planning** (driver): one ranged tail read per file loads the footer
+  block index (`FourMcInputFormat.getSplits`,
+  `FourMcInputFormat.java:126-173`); byte-range splits of
+  ``maxPartitionBytes`` are aligned to block boundaries with the
+  reference's arithmetic (`FourMcBlockIndex.java:142-173`).  Planning cost
+  is O(files), never O(bytes) — the 100 TB posture.
+* **scan** (executors): each partition streams its block range directly
+  (blocks are self-delimiting), verifies xxh32 per block, decompresses
+  with native lz4/zstd, splits lines with Hadoop LineRecordReader
+  ownership semantics, and yields Arrow record batches
+  (zero-copy into Spark's columnar pipeline).
+* **sink**: per-task writers produce independent .4mc/.4mz files
+  (header + <=4 MiB framed blocks + EOS + footer index) into a staging
+  directory; a commit on the driver atomically renames them into place —
+  the FileCommitProtocol pattern.
+
+Usage::
+
+    spark.dataSource.register(FourMcDataSource)
+    df = spark.read.format("fourmc").load("/data/logs")        # offset, value
+    df.write.format("fourmc").option("codec", "zstd") \
+        .option("level", "medium").save("/data/out")
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+_EXTS = (".4mc", ".4mz")
+
+
+def _list_files(path: str) -> list[str]:
+    """Recursive listing, skipping hidden/_ files like
+    FourMcInputFormat.listStatus (FourMcInputFormat.java:70-118)."""
+    if os.path.isfile(path):
+        return [path]
+    out: list[str] = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for fn in sorted(files):
+            if fn.startswith((".", "_")):
+                continue
+            if fn.endswith(_EXTS):
+                out.append(os.path.join(root, fn))
+    return out
+
+
+@dataclass
+class FourMcInputPartition(InputPartition):
+    """One block-aligned slice of one file. Carries no block list — the
+    reader streams self-delimiting blocks, so partition metadata stays O(1)
+    regardless of file size."""
+
+    path: str
+    codec: str
+    start: int
+    end: int
+
+
+class FourMcDataSource(DataSource):
+    """name: ``fourmc``; schema: ``offset bigint, value string``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fourmc"
+
+    def schema(self) -> StructType:
+        return StructType(
+            [
+                StructField("offset", LongType(), nullable=False),
+                StructField("value", StringType(), nullable=True),
+            ]
+        )
+
+    def reader(self, schema: StructType) -> "FourMcDataSourceReader":
+        return FourMcDataSourceReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "FourMcDataSourceWriter":
+        return FourMcDataSourceWriter(self.options, schema, overwrite)
+
+
+class FourMcDataSourceReader(DataSourceReader):
+    def __init__(self, options, schema: StructType) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("fourmc source requires a path")
+        self.max_partition_bytes = int(
+            options.get("maxpartitionbytes", DEFAULT_MAX_PARTITION_BYTES)
+        )
+        self.verify = str(options.get("verify", "true")).lower() != "false"
+        self.columns = [f.name for f in schema.fields]
+
+    def partitions(self) -> list[FourMcInputPartition]:
+        # driver-side planning: one footer read per file (S1/X6)
+        from fourmc_spark.format import core
+        from fourmc_spark.format.reader import scan_file_info
+
+        parts: list[FourMcInputPartition] = []
+        for path in _list_files(self.path):
+            codec, fsize, offsets = scan_file_info(path)
+            if not offsets:
+                continue  # empty file
+            idx = core.BlockIndex(offsets)
+            step = max(self.max_partition_bytes, 1)
+            raw_start = 0
+            while raw_start < fsize:
+                raw_end = min(raw_start + step, fsize)
+                astart = idx.align_slice_start(raw_start, raw_end)
+                if astart != core.NOT_FOUND:
+                    aend = idx.align_slice_end(raw_end, fsize)
+                    astart = max(astart, core.HEADER_SIZE)
+                    if astart < aend:
+                        parts.append(FourMcInputPartition(path, codec, astart, aend))
+                raw_start = raw_end
+        if not parts:
+            # empty dataset still needs one no-op partition
+            parts.append(FourMcInputPartition("", "lz4", 0, 0))
+        return parts
+
+    def read(self, partition: FourMcInputPartition):
+        import pyarrow as pa
+
+        from fourmc_spark.format.reader import iter_lines_for_split
+
+        if not partition.path:
+            return
+        want_offset = "offset" in self.columns
+        want_value = "value" in self.columns
+        batch_rows = 16384
+        offsets: list[int] = []
+        lines: list[bytes] = []
+
+        def flush():
+            arrays = []
+            names = []
+            if want_offset:
+                arrays.append(pa.array(offsets, type=pa.int64()))
+                names.append("offset")
+            if want_value:
+                bin_arr = pa.array(lines, type=pa.binary())
+                try:
+                    arrays.append(bin_arr.cast(pa.string()))
+                except pa.ArrowInvalid:
+                    arrays.append(
+                        pa.array([b.decode("utf-8", "replace") for b in lines])
+                    )
+                names.append("value")
+            return pa.RecordBatch.from_arrays(arrays, names=names)
+
+        with open(partition.path, "rb") as f:
+            for owner, line in iter_lines_for_split(
+                f, partition.codec, partition.start, partition.end, verify=self.verify
+            ):
+                offsets.append(owner)
+                lines.append(line)
+                if len(lines) >= batch_rows:
+                    yield flush()
+                    offsets.clear()
+                    lines.clear()
+        if lines or offsets:
+            yield flush()
+
+
+@dataclass
+class FourMcCommitMessage(WriterCommitMessage):
+    staged: str
+    final: str
+
+
+class FourMcDataSourceWriter(DataSourceArrowWriter):
+    """Arrow-batch sink: writes each task's rows as one .4mc/.4mz file.
+
+    Mirrors FourMcOutputStream (K1/K2) per task; commit() promotes staged
+    files, abort() discards them (FileCommitProtocol-style atomicity).
+    """
+
+    def __init__(self, options, schema: StructType, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("fourmc sink requires a path")
+        self.codec_raw = options.get("codec", "lz4")
+        self.level = options.get("level", "fast")
+        self.block_size = int(options.get("blocksize", 4 * 1024 * 1024))
+        self.overwrite = overwrite
+        # snapshot pre-existing output (driver side, plan time); on commit
+        # with overwrite these are removed *after* staged files are ready,
+        # so failed jobs never destroy existing data
+        self.existing: list[str] = []
+        if overwrite and self.path and os.path.isdir(self.path):
+            self.existing = [
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith(_EXTS) or f == "_SUCCESS"
+            ]
+        # pick the string column to serialize as lines
+        names = [f.name for f in schema.fields]
+        if "value" in names:
+            self.value_col = "value"
+        else:
+            str_cols = [f.name for f in schema.fields if isinstance(f.dataType, StringType)]
+            if len(schema.fields) == 1:
+                self.value_col = names[0]
+            elif len(str_cols) >= 1:
+                self.value_col = str_cols[0]
+            else:
+                raise ValueError(
+                    "fourmc sink needs a 'value' string column "
+                    f"(got schema {names})"
+                )
+
+    def write(self, iterator: Iterator["pa.RecordBatch"]) -> FourMcCommitMessage:
+        import pyarrow as pa  # noqa: F811
+
+        from fourmc_spark.format.writer import FourMcWriter, normalize_codec
+
+        codec = normalize_codec(self.codec_raw)
+        ext = ".4mc" if codec == "lz4" else ".4mz"
+        fname = f"part-{uuid.uuid4().hex}{ext}"
+        staging = os.path.join(self.path, "_temporary")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, fname)
+        final = os.path.join(self.path, fname)
+        with open(staged, "wb") as f:
+            with FourMcWriter(
+                f, codec=codec, level=self.level, block_size=self.block_size
+            ) as w:
+                for batch in iterator:
+                    col = batch.column(self.value_col)
+                    # vectorized join: cast to binary, add newline separators
+                    buf = b"\n".join(
+                        v.as_py() or b"" for v in col.cast(pa.binary())
+                    )
+                    if len(batch) > 0:
+                        w.write(buf + b"\n")
+        return FourMcCommitMessage(staged=staged, final=final)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for old in self.existing:
+                try:
+                    os.remove(old)
+                except FileNotFoundError:
+                    pass
+        for m in messages:
+            if m is not None:
+                os.replace(m.staged, m.final)
+        staging = os.path.join(self.path, "_temporary")
+        try:
+            os.rmdir(staging)
+        except OSError:
+            pass
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages) -> None:
+        for m in messages or []:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)

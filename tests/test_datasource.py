@@ -1,0 +1,82 @@
+"""Spark DataSource round-trips: write df -> .4mc/.4mz -> read back,
+multi-partition split planning, and value equality with spark.read.text."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_read(spark, tmp_path, codec, level, n=20000, block_size=8192,
+                max_part=64 * 1024):
+    out = str(tmp_path / f"ds_{codec}_{level}")
+    df = spark.range(n).select(
+        F.concat(F.lit("row "), F.col("id"), F.lit(" payload words words")).alias("value")
+    )
+    (
+        df.coalesce(2)
+        .write.format("fourmc")
+        .option("codec", codec)
+        .option("level", level)
+        .option("blocksize", block_size)
+        .mode("overwrite")
+        .save(out)
+    )
+    ext = ".4mc" if codec in ("lz4", "4mc") else ".4mz"
+    files = glob.glob(os.path.join(out, f"*{ext}"))
+    assert files, "sink produced no files"
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    back = (
+        spark.read.format("fourmc")
+        .option("maxpartitionbytes", max_part)
+        .load(out)
+    )
+    return df, back
+
+
+@pytest.mark.parametrize("codec,level", [("lz4", "fast"), ("zstd", "medium")])
+def test_roundtrip_through_spark(spark, tmp_path, codec, level):
+    df, back = _write_read(spark, tmp_path, codec, level)
+    assert back.count() == df.count()
+    missing = df.select("value").exceptAll(back.select("value"))
+    extra = back.select("value").exceptAll(df.select("value"))
+    assert missing.count() == 0
+    assert extra.count() == 0
+
+
+def test_split_planning_produces_multiple_partitions(spark, tmp_path):
+    _, back = _write_read(
+        spark, tmp_path, "lz4", "fast", n=50000, block_size=4096, max_part=32 * 1024
+    )
+    nparts = back.rdd.getNumPartitions()
+    assert nparts > 4, f"expected many block-aligned splits, got {nparts}"
+    # union over many small splits must still be exactly the dataset
+    assert back.count() == 50000
+    assert back.select("value").distinct().count() == 50000
+
+
+def test_schema(spark, tmp_path):
+    _, back = _write_read(spark, tmp_path, "lz4", "fast", n=100)
+    assert [f.name for f in back.schema.fields] == ["offset", "value"]
+    assert back.schema["offset"].dataType.typeName() == "long"
+    assert back.schema["value"].dataType.typeName() == "string"
+
+
+def test_read_reference_cli_file(spark, tmp_path):
+    """Scan a file produced by the reference CLI binary through Spark."""
+    cli = "/root/reference/tool/linux/amd64/4mc"
+    if not os.path.exists(cli):
+        pytest.skip("reference CLI unavailable")
+    import subprocess
+
+    plain = tmp_path / "plain.txt"
+    lines = [f"ref line {i}" for i in range(5000)]
+    plain.write_text("\n".join(lines) + "\n")
+    d = tmp_path / "refdata"
+    d.mkdir()
+    subprocess.run([cli, "-f", str(plain), str(d / "ref.4mc")], check=True,
+                   capture_output=True)
+    back = spark.read.format("fourmc").load(str(d))
+    got = sorted(r.value for r in back.collect())
+    assert got == sorted(lines)
