@@ -1,0 +1,227 @@
+"""Deduplication operators for large-scale text corpora.
+
+Five strategies, each a composition of built-in DataFrame ops (JVM-side,
+whole-stage-codegen) — no Python UDFs in any hot path:
+
+* exact        — md5 group (or dropDuplicates); one shuffle on the hash.
+* minhash      — k universal hashes over 3-word shingles; signatures via a
+                 single groupBy with k min() aggregates (one shuffle).
+* minhash LSH  — band signatures, bucket self-join for candidates, exact
+                 Jaccard confirm. At 100 TB the candidate join shuffles only
+                 (band, bucket) keys; bucket skew is handled by AQE skew
+                 splitting. Banding (k=16, bands of 2) gives detection prob
+                 1-(1-J^2)^8 (≈1-1e-11 at J=0.9).
+* simhash      — 48-bit signature from per-bit majorities, computed with 48
+                 conditional aggregates (no row explosion); near-dup pairs
+                 via 4x12-bit band join — pigeonhole guarantees recall 1.0
+                 for hamming distance <= 3.
+* ngram-jaccard — exact pairwise Jaccard restricted to shingle-sharing
+                 pairs (inverted-index join, never a cross join).
+
+The reference has no dedup operators (it is an I/O library); these are the
+LLM-pipeline extensions mandated by BASELINE.json, designed Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from fourmc_spark.functions import (
+    HASH_PRIME,
+    minhash_params,
+    shingles_spark,
+    token_hash_spark,
+    tokens_spark,
+)
+
+__all__ = [
+    "exact_dedup",
+    "shingle_sets",
+    "minhash_signatures",
+    "jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_signatures",
+    "simhash_pairs",
+]
+
+MINHASH_K = 16
+SIMHASH_BITS = 48
+SIMHASH_BANDS = 4  # 12 bits each -> recall 1.0 for hamming <= 3
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: content hash -> group size + kept id.
+
+    One hash-shuffle; at 100 TB prefer this over dropDuplicates(text) since
+    the shuffle key is a 32-char digest, not the document body.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 n: int = 3) -> DataFrame:
+    """(id, shingle) distinct pairs — the inverted index every other
+    operator builds on."""
+    toks = tokens_spark(text_col)
+    return (
+        df.select(F.col(id_col), F.explode(F.expr(shingles_spark(toks, n))).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = MINHASH_K) -> DataFrame:
+    """k-permutation MinHash signature, one column per hash (mh00..).
+
+    Single wide aggregation: explode shingles once, k min() aggregates in
+    one pass — one shuffle keyed by id regardless of k.
+    """
+    sh = shingle_sets(df, text_col, id_col)
+    h = token_hash_spark("shingle")
+    aggs = [
+        F.min(F.expr(f"({a} * {h} + {b}) % {HASH_PRIME}")).alias(f"mh{i:02d}")
+        for i, (a, b) in enumerate(minhash_params(k))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def jaccard_pairs(df: DataFrame, threshold: float, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Exact shingle-Jaccard pairs >= threshold via inverted-index join.
+
+    Optionally restricted to a candidate pair set (LSH pre-filter). Output:
+    (a_id, b_id, jaccard) with a_id < b_id, jaccard rounded to 4 places.
+    """
+    sh = shingle_sets(df, text_col, id_col)
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.withColumnRenamed(id_col, "a_id")
+    b = sh.withColumnRenamed(id_col, "b_id")
+    common = (
+        a.join(b, on="shingle")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, on=["a_id", "b_id"], how="left_semi")
+    na = counts.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("n_a"))
+    nb = counts.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(na, "a_id")
+        .join(nb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      k: int = MINHASH_K, rows_per_band: int = 2) -> DataFrame:
+    """Near-dup pairs: LSH banding for candidates + exact-Jaccard confirm.
+
+    The scale path: candidate generation touches only (band, bucket) keys;
+    the exact confirm join runs on the (small) candidate set.
+    """
+    sig = minhash_signatures(df, text_col, id_col, k)
+    n_bands = k // rows_per_band
+    band_cols = []
+    for j in range(n_bands):
+        cols = [f"mh{i:02d}" for i in range(j * rows_per_band, (j + 1) * rows_per_band)]
+        # exact combine: mh0 * P + mh1 stays < 2^62
+        expr = cols[0]
+        for c in cols[1:]:
+            expr = f"({expr}) * {HASH_PRIME} + {c}"
+        band_cols.append(F.struct(F.lit(j).alias("band"), F.expr(expr).alias("bucket")))
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+    left = buckets.withColumnRenamed(id_col, "a_id")
+    right = buckets.withColumnRenamed(id_col, "b_id")
+    candidates = (
+        left.join(right, on=["band", "bucket"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    return jaccard_pairs(df, threshold, text_col, id_col, candidates=candidates)
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash over distinct tokens: bit b of the signature is the majority
+    of bit b across token hashes. Computed as `bits` conditional aggregates
+    in ONE groupBy — no per-bit row explosion, so it scales linearly."""
+    toks = tokens_spark(text_col)
+    th = token_hash_spark("tok")
+    exploded = (
+        df.select(F.col(id_col), F.explode(F.expr(toks)).alias("tok"))
+        .distinct()
+        .withColumn("th", F.expr(th))
+    )
+    bit_sums = [
+        F.sum(F.expr(f"shiftright(th, {b}) & 1")).alias(f"c{b}")
+        for b in range(bits)
+    ]
+    counted = exploded.groupBy(id_col).agg(F.count("*").alias("n_tok"), *bit_sums)
+    sig_expr = " + ".join(
+        f"CASE WHEN 2 * c{b} > n_tok THEN shiftleft(CAST(1 AS BIGINT), {b}) ELSE 0 END"
+        for b in range(bits)
+    )
+    return counted.select(F.col(id_col), F.expr(sig_expr).alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id", bits: int = SIMHASH_BITS,
+                  n_bands: int = SIMHASH_BANDS) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance <= max_hamming.
+
+    Band join: split the signature into n_bands bit-slices; any pair within
+    hamming <= n_bands-1 shares at least one exact slice (pigeonhole), so
+    recall is exactly 1.0 — no probabilistic miss. Output
+    (a_id, b_id, hamming)."""
+    assert max_hamming <= n_bands - 1, "pigeonhole guarantee needs bands > hamming"
+    sig = simhash_signatures(df, text_col, id_col, bits)
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    bands = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.expr(f"shiftright(simhash, {j * width}) & {mask}").alias("bucket"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bucket")
+    a = bands.select(
+        F.col(id_col).alias("a_id"), F.col("simhash").alias("sig_a"), "band", "bucket"
+    )
+    b = bands.select(
+        F.col(id_col).alias("b_id"), F.col("simhash").alias("sig_b"), "band", "bucket"
+    )
+    return (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.expr("bit_count(sig_a ^ sig_b)").alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,826 @@
+"""Declared query corpus: SURVEY.md §2.3 Q1-Q20 relational queries plus the
+LLM-pipeline operator extensions (dedup / similarity / text analysis /
+multimodal / as-of / range join).
+
+Contract (driver gate): ``QUERIES[name](spark, sf_dir) -> DataFrame`` and
+``ORACLE[name]`` = equivalent DuckDB SQL over the same parquet tables.
+Every computed column is aliased identically on both sides; int widths and
+float rounding are pinned so the value-hash comparison is stable.
+
+Spark implementations are DataFrame-first: broadcast hints on dimension
+tables, single-pass wide aggregations, window functions for ranking —
+the physical plans Catalyst should pick at 100 TB (see PLANS.md).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from fourmc_spark.functions import (
+    HASH_PRIME,
+    minhash_params,
+    shingles_duck,
+    token_hash_duck,
+    tokens_duck,
+)
+from fourmc_spark.operators import dedup, joins, multimodal, similarity, text
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read as long and truncate to microseconds with
+        # exact integer arithmetic (ts div 1000 — never float division).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# DuckDB-side mirror of the nanos->micros truncation (floor division)
+_EV = ("(SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, "
+       "user_id, event_type, value, props FROM events)")
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle.replace("{EV}", _EV)
+        return fn
+
+    return deco
+
+
+# =========================================================================
+# Relational corpus (SURVEY.md §2.3) — all Catalyst-native
+# =========================================================================
+
+@query(
+    "q01_filter_project",
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+       WHERE l_quantity > 30 ORDER BY l_orderkey, l_linenumber""",
+)
+def q01(spark, sf):
+    # predicate + projection push down to the parquet scan (2-col ReadSchema)
+    return (
+        _t(spark, sf, "lineitem")
+        .where(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q02_string_funcs",
+    """SELECT o_orderkey, upper(substr(o_orderpriority, 1, 1)) AS pri,
+              CAST(length(o_orderpriority) AS BIGINT) AS lp,
+              concat(o_orderstatus, '-', o_orderpriority) AS tag
+       FROM orders ORDER BY o_orderkey""",
+)
+def q02(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 1)).alias("pri"),
+        F.length("o_orderpriority").cast("long").alias("lp"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("tag"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "q03_date_math",
+    """SELECT l_orderkey, l_linenumber,
+              round(l_extendedprice * (1 - l_discount), 4) AS net,
+              date_trunc('month', l_shipdate) AS ship_month
+       FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+)
+def q03(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net"),
+            F.date_trunc("month", "l_shipdate").alias("ship_month"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q04_tpch_q1_agg",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+              round(avg(l_quantity), 4) AS avg_qty,
+              round(avg(l_extendedprice), 4) AS avg_price,
+              CAST(count(*) AS BIGINT) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+)
+def q04(spark, sf):
+    # partial (map-side) aggregation is automatic for hash aggregates
+    return (
+        _t(spark, sf, "lineitem")
+        .where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q05_count_distinct",
+    """SELECT CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+              CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part
+       FROM lineitem""",
+)
+def q05(spark, sf):
+    return _t(spark, sf, "lineitem").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_supp"),
+        F.countDistinct("l_partkey").cast("long").alias("n_part"),
+    )
+
+
+@query(
+    "q06_rollup",
+    """SELECT n_regionkey, n_nationkey, CAST(count(*) AS BIGINT) AS n
+       FROM nation GROUP BY ROLLUP(n_regionkey, n_nationkey)
+       ORDER BY n_regionkey NULLS FIRST, n_nationkey NULLS FIRST""",
+)
+def q06(spark, sf):
+    return (
+        _t(spark, sf, "nation")
+        .rollup("n_regionkey", "n_nationkey")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(
+            F.col("n_regionkey").asc_nulls_first(),
+            F.col("n_nationkey").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q07_join_topk",
+    """SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS cnt
+       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+       GROUP BY c.c_custkey ORDER BY cnt DESC, c.c_custkey LIMIT 100""",
+)
+def q07(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    # customer is the small side -> broadcast hash join, no shuffle of orders
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "c_custkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q08_multijoin_revenue",
+    """SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+       FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+         JOIN customer c ON c.c_nationkey = n.n_nationkey
+         JOIN orders o ON o.o_custkey = c.c_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+       WHERE r.r_name = 'ASIA'
+         AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY n.n_name ORDER BY revenue DESC, n.n_name""",
+)
+def q08(spark, sf):
+    r = _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    l = _t(spark, sf, "lineitem")
+    # dimensions broadcast; the single big shuffle is lineitem x orders
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "q09_left_join",
+    """SELECT c.c_custkey, round(coalesce(sum(o.o_totalprice), 0), 2) AS total
+       FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+       GROUP BY c.c_custkey ORDER BY c.c_custkey""",
+)
+def q09(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("total"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q10_semi_join",
+    """SELECT CAST(count(*) AS BIGINT) AS n FROM part p
+       WHERE EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)""",
+)
+def q10(spark, sf):
+    p = _t(spark, sf, "part")
+    l = _t(spark, sf, "lineitem").where(F.col("l_quantity") > 45)
+    return (
+        p.join(l, p.p_partkey == l.l_partkey, "left_semi")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+@query(
+    "q11_anti_join",
+    """SELECT CAST(count(*) AS BIGINT) AS n FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def q11(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+@query(
+    "q12_theta_join",
+    """SELECT CAST(count(*) AS BIGINT) AS n
+       FROM lineitem l JOIN orders o
+       ON l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate""",
+)
+def q12(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    # equi key + residual range predicate: stays a hash join, not a NL join
+    return (
+        l.join(o, (l.l_orderkey == o.o_orderkey) & (l.l_shipdate > o.o_orderdate))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+@query(
+    "q13_window_rank",
+    """SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
+         SELECT o_custkey, o_orderkey,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS rn
+         FROM orders) t
+       WHERE rn <= 3 ORDER BY o_custkey, rn""",
+)
+def q13(spark, sf):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        _t(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@query(
+    "q14_window_frame",
+    """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+              round(sum(l_quantity) OVER (
+                PARTITION BY l_suppkey
+                ORDER BY l_shipdate, l_orderkey, l_linenumber
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS qty_7
+       FROM lineitem ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""",
+)
+def q14(spark, sf):
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-6, 0)
+    )
+    return (
+        _t(spark, sf, "lineitem")
+        .select(
+            "l_suppkey",
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.sum("l_quantity").over(w), 2).alias("qty_7"),
+        )
+        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q15_topk",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
+)
+def q15(spark, sf):
+    # Spark plans TakeOrderedAndProject: per-partition top-25, no full sort
+    return (
+        _t(spark, sf, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
+    )
+
+
+@query(
+    "q16_intersect",
+    """SELECT l_suppkey FROM lineitem INTERSECT SELECT s_suppkey FROM supplier
+       ORDER BY l_suppkey""",
+)
+def q16(spark, sf):
+    l = _t(spark, sf, "lineitem").select("l_suppkey")
+    s = _t(spark, sf, "supplier").select(F.col("s_suppkey").alias("l_suppkey"))
+    return l.intersect(s).orderBy("l_suppkey")
+
+
+@query(
+    "q16b_except",
+    """SELECT s_suppkey FROM supplier EXCEPT
+       SELECT l_suppkey FROM lineitem WHERE l_quantity > 49
+       ORDER BY s_suppkey""",
+)
+def q16b(spark, sf):
+    s = _t(spark, sf, "supplier").select("s_suppkey")
+    l = (
+        _t(spark, sf, "lineitem")
+        .where(F.col("l_quantity") > 49)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return s.subtract(l).orderBy("s_suppkey")
+
+
+@query(
+    "q17_explode_count",
+    """SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+         SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+       GROUP BY tok ORDER BY c DESC, tok""",
+)
+def q17(spark, sf):
+    # the reference's one real query shape: explode -> count -> sort
+    # (TestProtobufInput.java:88-115)
+    return (
+        _t(spark, sf, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+        .orderBy(F.desc("c"), "tok")
+    )
+
+
+@query(
+    "q18_time_bucket",
+    """SELECT date_trunc('hour', ts) AS h, event_type, CAST(count(*) AS BIGINT) AS n,
+              round(sum(value), 2) AS sum_value
+       FROM {EV} e GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def q18(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"), F.col("event_type"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("h", "event_type")
+    )
+
+
+@query(
+    "q19_distinct_dedup",
+    """SELECT CAST(count(*) AS BIGINT) AS n FROM (
+         SELECT DISTINCT user_id, event_type FROM {EV} e) t""",
+)
+def q19(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+@query(
+    "q20_correlated_subquery",
+    """SELECT p_partkey FROM part p
+       WHERE p_retailprice > (SELECT 1.2 * avg(l.l_extendedprice / l.l_quantity)
+                              FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+       ORDER BY p_partkey""",
+)
+def q20(spark, sf):
+    _t(spark, sf, "part").createOrReplaceTempView("part")
+    _t(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """SELECT p_partkey FROM part p
+           WHERE p_retailprice > (SELECT 1.2 * avg(l.l_extendedprice / l.l_quantity)
+                                  FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+           ORDER BY p_partkey"""
+    )
+
+
+@query(
+    "q21_json_extract",
+    """SELECT event_type,
+              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+              CAST(count(*) AS BIGINT) AS n
+       FROM {EV} e GROUP BY event_type ORDER BY event_type""",
+)
+def q21(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .select("event_type", F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("long").alias("k_sum"), F.count("*").cast("long").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q22_cube",
+    """SELECT event_type, date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS n
+       FROM {EV} e GROUP BY CUBE(event_type, date_trunc('day', ts))
+       ORDER BY event_type NULLS FIRST, d NULLS FIRST""",
+)
+def q22(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .cube(F.col("event_type"), F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("event_type").asc_nulls_first(), F.col("d").asc_nulls_first())
+    )
+
+
+@query(
+    "q23_scalar_suite",
+    """SELECT o_orderkey,
+              trim(concat('  ', o_orderstatus, '  ')) AS t1,
+              lpad(o_orderstatus, 5, '*') AS t2,
+              replace(o_orderpriority, '-', '_') AS t3,
+              coalesce(nullif(o_orderstatus, 'F'), 'FINAL') AS t4,
+              round(abs(o_totalprice - 100000.0), 2) AS m1,
+              round(sqrt(o_totalprice), 4) AS m2,
+              round(ln(o_totalprice + 1), 4) AS m3,
+              CAST(floor(o_totalprice / 1000) AS BIGINT) AS m4,
+              greatest(o_totalprice, 100000.0) AS m5,
+              CASE WHEN o_totalprice > 200000 THEN 'hi'
+                   WHEN o_totalprice > 100000 THEN 'mid' ELSE 'lo' END AS band
+       FROM orders ORDER BY o_orderkey""",
+)
+def q23(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.trim(F.concat(F.lit("  "), F.col("o_orderstatus"), F.lit("  "))).alias("t1"),
+        F.lpad("o_orderstatus", 5, "*").alias("t2"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias("t3"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("F")), F.lit("FINAL")).alias("t4"),
+        F.round(F.abs(F.col("o_totalprice") - 100000.0), 2).alias("m1"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("m2"),
+        F.round(F.log(F.col("o_totalprice") + 1), 4).alias("m3"),
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("m4"),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("m5"),
+        F.when(F.col("o_totalprice") > 200000, "hi")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("lo")
+        .alias("band"),
+    ).orderBy("o_orderkey")
+
+
+# =========================================================================
+# LLM-pipeline extensions — dedup / similarity / text / multimodal / joins
+# =========================================================================
+
+_DUCK_SHINGLES = f"""
+  SELECT DISTINCT doc_id,
+         unnest({shingles_duck(tokens_duck('text'))}) AS shingle
+  FROM documents
+"""
+
+_DUCK_JACCARD = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT a_id, b_id, round(c * 1.0 / (na.n + nb.n - c), 4) AS jaccard
+FROM common
+JOIN cnt na ON na.doc_id = a_id
+JOIN cnt nb ON nb.doc_id = b_id
+WHERE round(c * 1.0 / (na.n + nb.n - c), 4) >= {{thr}}
+ORDER BY a_id, b_id
+"""
+
+
+@query(
+    "dedup_exact",
+    """WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0)
+       SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_copies,
+              min(doc_id) AS keep_id
+       FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+       ORDER BY keep_id""",
+)
+def dedup_exact_q(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    dups = d.where(F.col("doc_id") % 20 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    corpus = d.unionByName(dups)
+    return (
+        dedup.exact_dedup(corpus)
+        .where(F.col("n_copies") > 1)
+        .orderBy("keep_id")
+    )
+
+
+def _minhash_oracle() -> str:
+    h = token_hash_duck("shingle")
+    cols = ",\n       ".join(
+        f"min(({a} * {h} + {b}) % {HASH_PRIME}) AS mh{i:02d}"
+        for i, (a, b) in enumerate(minhash_params(dedup.MINHASH_K))
+    )
+    return f"""WITH sh AS ({_DUCK_SHINGLES})
+SELECT doc_id,
+       {cols}
+FROM sh GROUP BY doc_id ORDER BY doc_id"""
+
+
+@query("dedup_minhash_signatures", _minhash_oracle())
+def dedup_minhash_sig_q(spark, sf):
+    return dedup.minhash_signatures(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+@query("dedup_minhash_pairs", _DUCK_JACCARD.format(thr=0.8))
+def dedup_minhash_pairs_q(spark, sf):
+    # LSH banding candidates + exact-Jaccard confirm; with k=16/bands of 2
+    # the detection probability at J>=0.9 is 1-1e-11, so the result equals
+    # the exhaustive oracle
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), threshold=0.8
+    ).orderBy("a_id", "b_id")
+
+
+@query("dedup_ngram_jaccard", _DUCK_JACCARD.format(thr=0.6))
+def dedup_ngram_jaccard_q(spark, sf):
+    return dedup.jaccard_pairs(_t(spark, sf, "documents"), threshold=0.6).orderBy(
+        "a_id", "b_id"
+    )
+
+
+def _simhash_oracle_core() -> str:
+    th = token_hash_duck("tok")
+    bit_sums = ",\n         ".join(
+        f"sum(CAST((th >> {b}) & 1 AS BIGINT)) AS c{b}" for b in range(dedup.SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN 2 * c{b} > n_tok THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END"
+        for b in range(dedup.SIMHASH_BITS)
+    )
+    return f"""toks AS (
+  SELECT DISTINCT doc_id, unnest({tokens_duck('text')}) AS tok FROM documents),
+th AS (SELECT doc_id, {th} AS th FROM toks),
+counted AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         {bit_sums}
+  FROM th GROUP BY doc_id),
+sig AS (SELECT doc_id, ({sig}) AS simhash FROM counted)"""
+
+
+@query(
+    "dedup_simhash_signatures",
+    f"WITH {_simhash_oracle_core()} SELECT doc_id, simhash FROM sig ORDER BY doc_id",
+)
+def dedup_simhash_sig_q(spark, sf):
+    return dedup.simhash_signatures(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+@query(
+    "dedup_simhash_pairs",
+    f"""WITH {_simhash_oracle_core()}
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY a_id, b_id""",
+)
+def dedup_simhash_pairs_q(spark, sf):
+    return (
+        dedup.simhash_pairs(_t(spark, sf, "documents"), max_hamming=3)
+        .select("a_id", "b_id", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+@query(
+    "ann_cosine_topk",
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                  FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+  FROM embeddings e, q WHERE e.vec_id != q.query_id),
+r AS (SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+)
+def ann_topk_q(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return similarity.cosine_topk(e, q, k=10).orderBy("query_id", "rank")
+
+
+@query(
+    "dedup_embedding_pairs",
+    """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) >= 0.4
+       ORDER BY a_id, b_id""",
+)
+def dedup_embedding_pairs_q(spark, sf):
+    return similarity.cosine_pairs(_t(spark, sf, "embeddings"), threshold=0.4).orderBy(
+        "a_id", "b_id"
+    )
+
+
+def _langid_oracle() -> str:
+    langs = sorted(text.STOPWORDS)
+    toks = tokens_duck("text")
+    scores = ",\n       ".join(
+        "CAST(len(list_filter({t}, t -> list_contains([{w}], t))) AS BIGINT) AS score_{l}".format(
+            t=toks, w=", ".join(f"'{w}'" for w in text.STOPWORDS[l]), l=l
+        )
+        for l in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + best + " <= 0 THEN 'und' " + " ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""WITH scored AS (
+  SELECT doc_id,
+       {scores}
+  FROM documents)
+SELECT doc_id, {", ".join(f"score_{l}" for l in langs)}, {case} AS pred_lang
+FROM scored ORDER BY doc_id"""
+
+
+@query("text_langid", _langid_oracle())
+def text_langid_q(spark, sf):
+    return text.lang_id(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+@query(
+    "text_quality",
+    """WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens, n_distinct, n_alpha,
+       round(n_alpha * 1.0 / n_chars, 4) AS alpha_ratio,
+       round(n_distinct * 1.0 / n_tokens, 4) AS distinct_ratio,
+       round((n_distinct * 1.0 / n_tokens) * (least(n_tokens, 64) / 64.0), 4) AS quality
+FROM base ORDER BY doc_id""",
+)
+def text_quality_q(spark, sf):
+    return text.quality_score(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+@query(
+    "text_token_stats",
+    r"""SELECT doc_id,
+              CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_ws_tokens,
+              CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT)
+                AS n_bpe_pieces,
+              CAST(length(text) AS BIGINT) AS n_chars
+       FROM documents ORDER BY doc_id""",
+)
+def text_token_stats_q(spark, sf):
+    return text.token_stats(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+@query(
+    "text_fingerprint",
+    f"""SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform({tokens_duck('text')}, t -> {token_hash_duck('t')})),
+         (acc, h) -> (acc * 31 + h) % {HASH_PRIME}) AS fingerprint
+FROM documents ORDER BY doc_id""",
+)
+def text_fingerprint_q(spark, sf):
+    return text.fingerprint(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+@query(
+    "multimodal_features",
+    """SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+              CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height
+       FROM documents ORDER BY doc_id""",
+)
+def multimodal_q(spark, sf):
+    d = multimodal.attach_binary_payload(_t(spark, sf, "documents"))
+    return multimodal.extract_features(d).orderBy("doc_id")
+
+
+@query(
+    "asof_join_events",
+    """WITH clicks AS (SELECT event_id, user_id, ts FROM {EV} e WHERE event_type = 'click'),
+errors AS (SELECT user_id, ts, max(event_id) AS err_id
+           FROM {EV} e WHERE event_type = 'error' GROUP BY user_id, ts)
+SELECT c.event_id, c.user_id, e.err_id AS last_error_id
+FROM clicks c ASOF LEFT JOIN errors e
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+ORDER BY c.event_id""",
+)
+def asof_q(spark, sf):
+    ev = _t(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("err_id"))
+    )
+    return (
+        joins.asof_join(clicks, errors, on="user_id", time_col="ts", right_cols=["err_id"])
+        .select("event_id", "user_id", F.col("err_id").alias("last_error_id"))
+        .orderBy("event_id")
+    )
+
+
+_BANDS = [("b0_low", 0.0, 50.0), ("b1_mid", 50.0, 100.0),
+          ("b2_high", 100.0, 150.0), ("b3_top", 150.0, 1e18)]
+
+
+@query(
+    "range_join_bands",
+    f"""WITH bands(label, lo, hi) AS (VALUES
+       {", ".join(f"('{l}', {lo}, {hi})" for l, lo, hi in _BANDS)})
+SELECT b.label, CAST(count(e.event_id) AS BIGINT) AS n, round(sum(e.value), 2) AS sum_value
+FROM {{EV}} e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.label ORDER BY b.label""",
+)
+def range_join_q(spark, sf):
+    ev = _t(spark, sf, "events")
+    bands = ev.sparkSession.createDataFrame(_BANDS, ["label", "lo", "hi"])
+    joined = joins.range_join_bands(ev, bands, "value").where(F.col("label").isNotNull())
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.count("event_id").cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("label")
+    )

