@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries + 4mc/4mz codec throughput.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "codec_mbps": {...}}
+
+Query execution is forced with the noop sink (full JVM-side execution, no
+driver collect). Codec numbers are single-threaded MB/s through the format
+core — directly comparable to BASELINE.md's single-thread Silesia tables —
+plus a parallel Spark scan MB/s over the DataSource.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+BENCH_QUERIES = [
+    "q01_filter_project",
+    "q04_tpch_q1_agg",
+    "q05_count_distinct",
+    "q07_join_topk",
+    "q08_multijoin_revenue",
+    "q12_theta_join",
+    "q13_window_rank",
+    "q14_window_frame",
+    "q15_topk",
+    "q17_explode_count",
+    "q18_time_bucket",
+    "q20_correlated_subquery",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash_signatures",
+    "ann_cosine_topk",
+    "text_quality",
+    "text_fingerprint",
+    "asof_join_events",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark) -> dict[str, float]:
+    from fourmc_spark.queries import QUERIES
+
+    out: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        _force(fn(spark, SF_DIR))  # warm (JIT, broadcast, file listing)
+        t0 = time.perf_counter()
+        _force(fn(spark, SF_DIR))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def _blob(target_mb: int = 64) -> bytes:
+    """Deterministic text blob built from the documents table."""
+    import duckdb
+
+    con = duckdb.connect()
+    texts = con.execute(
+        f"SELECT text FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    base = ("\n".join(t[0] for t in texts) + "\n").encode()
+    reps = max(1, (target_mb * 1024 * 1024) // len(base))
+    return base * reps
+
+
+def bench_codecs(tmpdir: str) -> dict[str, float]:
+    """Single-thread write/read MB/s per codec level (BASELINE.md shape)."""
+    from fourmc_spark.format import decompress_file, write_file
+
+    data = _blob(64)
+    mb = len(data) / (1024 * 1024)
+    out: dict[str, float] = {}
+    for codec in ("lz4", "zstd"):
+        for level in ("fast", "medium", "high", "ultra"):
+            ext = ".4mc" if codec == "lz4" else ".4mz"
+            path = os.path.join(tmpdir, f"bench-{codec}-{level}{ext}")
+            # warm pass (page cache, allocator), then the measured pass
+            write_file(path, data[: 8 << 20], codec=codec, level=level)
+            decompress_file(path)
+            t0 = time.perf_counter()
+            write_file(path, data, codec=codec, level=level)
+            wt = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            got = decompress_file(path)
+            rt = time.perf_counter() - t0
+            assert len(got) == len(data)
+            ratio = len(data) / os.path.getsize(path)
+            out[f"{codec}_{level}_compress_mbps"] = round(mb / wt, 1)
+            out[f"{codec}_{level}_decompress_mbps"] = round(mb / rt, 1)
+            out[f"{codec}_{level}_ratio"] = round(ratio, 3)
+    return out
+
+
+def bench_spark_scan(spark, tmpdir: str) -> dict[str, float]:
+    """Parallel DataSource scan MB/s (uncompressed bytes / wall clock)."""
+    from fourmc_spark.format import write_file
+
+    data = _blob(64)
+    mb = len(data) / (1024 * 1024)
+    out = {}
+    for codec, level in (("lz4", "fast"), ("zstd", "medium")):
+        d = os.path.join(tmpdir, f"scan-{codec}")
+        os.makedirs(d, exist_ok=True)
+        ext = ".4mc" if codec == "lz4" else ".4mz"
+        write_file(os.path.join(d, f"data{ext}"), data, codec=codec, level=level)
+        df = spark.read.format("fourmc").option("maxpartitionbytes", 4 << 20).load(d)
+        df.count()  # warm
+        t0 = time.perf_counter()
+        n = df.count()
+        dt = time.perf_counter() - t0
+        assert n > 0
+        out[f"spark_scan_{codec}_{level}_mbps"] = round(mb / dt, 1)
+    return out
+
+
+def main() -> None:
+    import shutil
+    import tempfile
+
+    from fourmc_spark.session import get_spark
+
+    tmpdir = tempfile.mkdtemp(prefix="fourmc-bench-")
+    try:
+        spark = get_spark("fourmc-bench", master=f"local[{CPUS}]")
+        spark.sparkContext.setLogLevel("ERROR")
+        t0 = time.perf_counter()
+        queries = bench_queries(spark)
+        codec = bench_codecs(tmpdir)
+        codec.update(bench_spark_scan(spark, tmpdir))
+        total = round(time.perf_counter() - t0, 3)
+        sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+        try:
+            sf_val = float(sf)
+        except ValueError:
+            sf_val = sf
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total_plus_codec_throughput",
+                    "value": round(sum(queries.values()), 3),
+                    "unit": "sec",
+                    "queries": queries,
+                    "sf": sf_val,
+                    "codec_mbps": codec,
+                    "wall_total_sec": total,
+                }
+            )
+        )
+        spark.stop()
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -190,13 +190,15 @@ if _lz4 is not None:
         return dst.raw[:n]
 
     def lz4_decompress(data: bytes, uncompressed_size: int) -> bytes:
-        dst = ctypes.create_string_buffer(uncompressed_size)
+        out = bytearray(uncompressed_size)
+        dst = (ctypes.c_char * uncompressed_size).from_buffer(out)
         n = _lz4.LZ4_decompress_safe(data, dst, len(data), uncompressed_size)
+        del dst  # release the exported buffer before returning
         if n != uncompressed_size:
             raise ValueError(
                 f"corrupt LZ4 block: decoded {n} bytes, expected {uncompressed_size}"
             )
-        return dst.raw
+        return out
 
 else:  # pragma: no cover - pyarrow fallback
     import pyarrow as _pa
@@ -253,13 +255,15 @@ if _zstd is not None:
         return dst.raw[:n]
 
     def zstd_decompress(data: bytes, uncompressed_size: int) -> bytes:
-        dst = ctypes.create_string_buffer(uncompressed_size)
+        out = bytearray(uncompressed_size)
+        dst = (ctypes.c_char * uncompressed_size).from_buffer(out)
         n = _zstd.ZSTD_decompress(dst, uncompressed_size, data, len(data))
+        del dst
         if _zstd.ZSTD_isError(n) or n != uncompressed_size:
             raise ValueError(
                 f"corrupt ZSTD block: expected {uncompressed_size} bytes"
             )
-        return dst.raw
+        return out
 
 else:  # pragma: no cover - pyarrow fallback
     import pyarrow as _pa

@@ -114,10 +114,9 @@ def decompress_file(path: str, verify: bool = True) -> bytes:
         size = f.tell()
         magic, _ = read_index(f, size)
         codec = core.codec_for_magic(magic)
-        out = bytearray()
-        for _, chunk in iter_block_payloads(f, codec, verify=verify):
-            out.extend(chunk)
-        return bytes(out)
+        return b"".join(
+            chunk for _, chunk in iter_block_payloads(f, codec, verify=verify)
+        )
 
 
 def scan_file_info(path: str) -> tuple[str, int, list[int]]:

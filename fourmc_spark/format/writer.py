@@ -107,10 +107,25 @@ class FourMcWriter:
     def write(self, data: bytes) -> None:
         if self._closed:
             raise ValueError("writer is closed")
-        self._buf.extend(data)
-        while len(self._buf) >= self.block_size:
-            self._flush_block(bytes(self._buf[: self.block_size]))
-            del self._buf[: self.block_size]
+        # slice full blocks straight from the input (zero re-buffering for
+        # large writes; only the trailing remainder is buffered) — mirrors
+        # the oversized-write chunking of FourMcOutputStream.java:163-173
+        mv = memoryview(data)
+        pos = 0
+        n = len(mv)
+        if self._buf:
+            need = self.block_size - len(self._buf)
+            take = min(need, n)
+            self._buf.extend(mv[:take])
+            pos = take
+            if len(self._buf) == self.block_size:
+                self._flush_block(bytes(self._buf))
+                self._buf.clear()
+        while n - pos >= self.block_size:
+            self._flush_block(bytes(mv[pos : pos + self.block_size]))
+            pos += self.block_size
+        if pos < n:
+            self._buf.extend(mv[pos:])
 
     def write_line(self, line: bytes | str) -> None:
         if isinstance(line, str):
