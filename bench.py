@@ -94,9 +94,13 @@ def bench_codecs(tmpdir: str) -> dict[str, float]:
             t0 = time.perf_counter()
             write_file(path, data, codec=codec, level=level)
             wt = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            got = decompress_file(path)
-            rt = time.perf_counter() - t0
+            # best-of-3: a single pass right after the 64 MB write is noisy
+            # (dirty-page writeback steals the run)
+            rt = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                got = decompress_file(path)
+                rt = min(rt, time.perf_counter() - t0)
             assert len(got) == len(data)
             ratio = len(data) / os.path.getsize(path)
             out[f"{codec}_{level}_compress_mbps"] = round(mb / wt, 1)

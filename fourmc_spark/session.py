@@ -44,11 +44,13 @@ def get_spark(
 
 
 def register_fourmc(spark: SparkSession) -> None:
-    """Register the 'fourmc' splittable-compressed DataSource."""
+    """Register the 'fourmc' and 'fourmcproto' DataSources."""
     from fourmc_spark.sources.datasource import FourMcDataSource
+    from fourmc_spark.sources.protobuf import FourMcProtoDataSource
 
-    try:
-        spark.dataSource.register(FourMcDataSource)
-    except Exception:
-        # already registered in this session
-        pass
+    for ds in (FourMcDataSource, FourMcProtoDataSource):
+        try:
+            spark.dataSource.register(ds)
+        except Exception:
+            # already registered in this session
+            pass

@@ -1,3 +1,4 @@
 from .datasource import FourMcDataSource
+from .protobuf import FourMcProtoDataSource
 
-__all__ = ["FourMcDataSource"]
+__all__ = ["FourMcDataSource", "FourMcProtoDataSource"]

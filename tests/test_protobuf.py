@@ -1,0 +1,233 @@
+"""Protobuf record model (SURVEY §2.1 S8/K4): wire codec unit tests,
+ElephantBird block framing, split-invariance over 4mc blocks, and the
+reference's Spark tag-count query (§3.3) end-to-end from protobuf input."""
+
+import glob
+import io
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fourmc_spark.format.protobuf import (
+    SYNC_MARKER,
+    USER_SCHEMA,
+    decode_eb_block,
+    decode_message,
+    decode_varint,
+    encode_eb_block,
+    encode_message,
+    encode_varint,
+    iter_eb_records_for_split,
+)
+from fourmc_spark.format.writer import FourMcWriter
+
+
+def _users(n):
+    return [
+        {
+            "userId": f"u{i:05d}",
+            "name": f"name-{i}" if i % 7 else None,
+            "type": ["free", "pro", "staff"][i % 3],
+            "birthDate": 500000000 + i * 86400,
+            "tags": [f"tag{j}" for j in range(i % 5)],
+        }
+        for i in range(n)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# wire format
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("v", [0, 1, 127, 128, 300, 2**31, 2**63 - 1, -1, -2**63])
+def test_varint_roundtrip(v):
+    buf = encode_varint(v)
+    got, pos = decode_varint(buf, 0)
+    if v < 0:
+        got = got - (1 << 64)
+    assert got == v and pos == len(buf)
+
+
+def test_message_roundtrip_all_fields():
+    for rec in _users(50):
+        back = decode_message(encode_message(rec, USER_SCHEMA), USER_SCHEMA)
+        assert back["userId"] == rec["userId"]
+        assert back["name"] == rec["name"]
+        assert back["type"] == rec["type"]
+        assert back["birthDate"] == rec["birthDate"]
+        assert back["tags"] == rec["tags"]
+
+
+def test_message_golden_bytes():
+    # hand-computed wire bytes: field 1 (tag 0x0A) "ab", field 4 varint 150,
+    # two repeated field-5 strings
+    rec = {"userId": "ab", "birthDate": 150, "tags": ["x", "yz"]}
+    expect = bytes(
+        [0x0A, 0x02, 0x61, 0x62,          # 1: "ab"
+         0x20, 0x96, 0x01,                # 4: 150
+         0x2A, 0x01, 0x78,                # 5: "x"
+         0x2A, 0x02, 0x79, 0x7A]          # 5: "yz"
+    )
+    assert encode_message(rec, USER_SCHEMA) == expect
+    back = decode_message(expect, USER_SCHEMA)
+    assert back["userId"] == "ab" and back["birthDate"] == 150
+    assert back["tags"] == ["x", "yz"]
+
+
+def test_unknown_fields_skipped():
+    # field 99 varint + field 1 string: decoder must skip 99, keep 1
+    buf = encode_varint((99 << 3) | 0) + encode_varint(7) + bytes(
+        [0x0A, 0x01, 0x71]
+    )
+    assert decode_message(buf, USER_SCHEMA)["userId"] == "q"
+
+
+def test_eb_block_roundtrip():
+    blobs = [encode_message(r, USER_SCHEMA) for r in _users(10)]
+    framed = encode_eb_block(blobs, "USER$User")
+    assert framed.startswith(SYNC_MARKER)
+    size, pos = decode_varint(framed, len(SYNC_MARKER))
+    assert size == len(framed) - pos
+    cls, back = decode_eb_block(framed[pos:])
+    assert cls == "USER$User"
+    assert back == blobs
+
+
+# ---------------------------------------------------------------------------
+# split-invariance over the 4mc container
+# ---------------------------------------------------------------------------
+
+def _proto_file(tmp_path, n_users=3000, block_size=4096, codec="lz4"):
+    path = str(tmp_path / ("users.4mc" if codec == "lz4" else "users.4mz"))
+    users = _users(n_users)
+    with open(path, "wb") as f, FourMcWriter(
+        f, codec=codec, level="fast", block_size=block_size
+    ) as w:
+        pending = []
+        for u in users:
+            pending.append(encode_message(u, USER_SCHEMA))
+            if len(pending) == 50:
+                w.write(encode_eb_block(pending, "USER$User"))
+                pending = []
+        if pending:
+            w.write(encode_eb_block(pending, "USER$User"))
+    return path, users
+
+
+@pytest.mark.parametrize("codec", ["lz4", "zstd"])
+@pytest.mark.parametrize("n_splits", [1, 2, 3, 7])
+def test_split_invariance(tmp_path, codec, n_splits):
+    from fourmc_spark.format import core
+    from fourmc_spark.format.reader import scan_file_info
+
+    path, users = _proto_file(tmp_path, codec=codec)
+    _, fsize, offsets = scan_file_info(path)
+    idx = core.BlockIndex(offsets)
+    step = max(1, fsize // n_splits)
+    got = []
+    raw = 0
+    while raw < fsize:
+        raw_end = min(raw + step, fsize)
+        astart = idx.align_slice_start(raw, raw_end)
+        if astart != core.NOT_FOUND:
+            aend = idx.align_slice_end(raw_end, fsize)
+            astart = max(astart, core.HEADER_SIZE)
+            if astart < aend:
+                with open(path, "rb") as f:
+                    got.extend(
+                        rec
+                        for _, rec in iter_eb_records_for_split(
+                            f, codec, astart, aend, USER_SCHEMA
+                        )
+                    )
+        raw = raw_end
+    assert len(got) == len(users)
+    for g, u in zip(got, users):
+        assert g["userId"] == u["userId"]
+        assert g["tags"] == u["tags"]
+
+
+# ---------------------------------------------------------------------------
+# Spark end-to-end
+# ---------------------------------------------------------------------------
+
+def test_spark_proto_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "proto_out")
+    users = _users(2000)
+    df = spark.createDataFrame(
+        [(u["userId"], u["name"], u["type"], u["birthDate"], u["tags"]) for u in users],
+        "userId string, name string, type string, birthDate long, tags array<string>",
+    )
+    (
+        df.coalesce(2)
+        .write.format("fourmcproto")
+        .option("codec", "zstd")
+        .option("level", "high")
+        .mode("overwrite")
+        .save(out)
+    )
+    assert glob.glob(os.path.join(out, "*.4mz"))
+    back = (
+        spark.read.format("fourmcproto")
+        .option("maxpartitionbytes", 64 * 1024)
+        .load(out)
+    )
+    assert back.count() == len(users)
+    assert [f.name for f in back.schema.fields] == [
+        "userId", "name", "type", "birthDate", "tags",
+    ]
+    a = sorted(df.collect(), key=lambda r: r.userId)
+    b = sorted(back.collect(), key=lambda r: r.userId)
+    for ra, rb in zip(a, b):
+        assert ra.userId == rb.userId and ra.name == rb.name
+        assert list(ra.tags) == list(rb.tags)
+
+
+def test_spark_tag_count_query(spark, tmp_path):
+    """The reference's one real Spark query (TestProtobufInput.java:88-115):
+    explode tags -> count -> sort desc, from 4mz protobuf input."""
+    out = str(tmp_path / "proto_q")
+    users = _users(1000)
+    spark.createDataFrame(
+        [(u["userId"], u["name"], u["type"], u["birthDate"], u["tags"]) for u in users],
+        "userId string, name string, type string, birthDate long, tags array<string>",
+    ).write.format("fourmcproto").option("codec", "zstd").mode("overwrite").save(out)
+
+    got = (
+        spark.read.format("fourmcproto").load(out)
+        .select(F.explode("tags").alias("tag"))
+        .groupBy("tag").count()
+        .orderBy(F.desc("count"), "tag")
+        .collect()
+    )
+    # oracle computed in Python from the same records
+    from collections import Counter
+
+    expect = Counter(t for u in users for t in u["tags"])
+    assert {r.tag: r["count"] for r in got} == dict(expect)
+    counts = [r["count"] for r in got]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_column_pruning_reads_subset(spark, tmp_path):
+    out = str(tmp_path / "proto_prune")
+    users = _users(500)
+    spark.createDataFrame(
+        [(u["userId"], u["name"], u["type"], u["birthDate"], u["tags"]) for u in users],
+        "userId string, name string, type string, birthDate long, tags array<string>",
+    ).write.format("fourmcproto").mode("overwrite").save(out)
+    only = spark.read.format("fourmcproto").load(out).select("userId")
+    assert only.columns == ["userId"]
+    assert only.count() == 500
+
+
+def test_marker_straddles_container_blocks(tmp_path):
+    """Tiny 4mc blocks force EB markers/blocks to straddle container block
+    boundaries; every record must still be produced exactly once."""
+    path, users = _proto_file(tmp_path, n_users=500, block_size=256)
+    with open(path, "rb") as f:
+        got = [r for _, r in iter_eb_records_for_split(
+            f, "lz4", 0, 10**18, USER_SCHEMA
+        )]
+    assert [g["userId"] for g in got] == [u["userId"] for u in users]
