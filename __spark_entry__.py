@@ -3,13 +3,16 @@
 entry()      — flagship query (TPC-H Q5-shaped multi-join revenue) on
                /root/testdata/sf0.001.
 queries()    — every implemented operator from SURVEY.md §2: the Q1-Q23
-               relational corpus plus the LLM-pipeline extensions (dedup x5,
+               relational corpus, the LLM-pipeline extensions (dedup x5,
                similarity search, text analysis x4, multimodal, as-of join,
-               range join).
-oracle_sql() — DuckDB-equivalent SQL for every query (all are
-               SQL-expressible; hashes are stabilized by pinned aliases,
-               explicit BIGINT casts, and rounding on exact decimal
-               lattices).
+               range join), and the Structured Streaming surface (tumbling
+               windows, session windows, watermark dedup, stateful
+               sessionization) run as real micro-batch queries.
+oracle_sql() — DuckDB-equivalent SQL for every query (hashes are
+               stabilized by pinned aliases, explicit BIGINT casts, and
+               rounding on exact decimal lattices). Only
+               stream_sessionize_stateful omits an oracle — custom
+               stateful streaming is not SQL-expressible.
 """
 
 from __future__ import annotations

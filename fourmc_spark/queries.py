@@ -824,3 +824,91 @@ def range_join_q(spark, sf):
         )
         .orderBy("label")
     )
+
+
+# =========================================================================
+# Streaming surface (SURVEY.md §2.2 Streaming / M5) — each query runs a
+# REAL micro-batch Structured Streaming query over the events parquet
+# (file source → memory sink, availableNow), then returns the
+# materialized result so the DuckDB oracle can certify the windowed
+# semantics. The stateful sessionizer is the one genuinely
+# non-SQL-expressible op (append-mode emission of *closed* sessions).
+# =========================================================================
+
+
+def _run_stream(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
+    import uuid
+
+    from fourmc_spark.streaming import run_to_memory
+
+    return run_to_memory(sdf, f"qstream_{uuid.uuid4().hex[:12]}", output_mode)
+
+
+@query(
+    "stream_tumbling_hourly",
+    """SELECT date_trunc('hour', ts) AS win_start, event_type,
+              CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS sum_value
+       FROM {EV} GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def stream_tumbling_q(spark, sf):
+    from fourmc_spark.streaming import read_events_stream, tumbling_counts
+
+    sdf = tumbling_counts(
+        read_events_stream(spark, f"{sf}/events.parquet"), window="1 hour"
+    )
+    return _run_stream(sdf).orderBy("win_start", "event_type")
+
+
+@query(
+    "stream_session_windows",
+    """WITH e AS (SELECT user_id, ts FROM {EV}),
+m AS (SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 15 MINUTE
+             THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, ts,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 15 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+)
+def stream_session_q(spark, sf):
+    # Spark session_window: end = last event + gap; sessions merge while
+    # consecutive events are STRICTLY closer than the gap. The oracle
+    # reproduces both rules (>= starts a new session).
+    from fourmc_spark.streaming import read_events_stream, session_counts
+
+    sdf = session_counts(read_events_stream(spark, f"{sf}/events.parquet"),
+                         gap="15 minutes")
+    return _run_stream(sdf).orderBy("user_id", "session_start")
+
+
+@query(
+    "stream_dedup_watermark",
+    """SELECT DISTINCT user_id, event_type FROM {EV} ORDER BY 1, 2""",
+)
+def stream_dedup_q(spark, sf):
+    from fourmc_spark.streaming import dedup_within_watermark, read_events_stream
+
+    sdf = dedup_within_watermark(
+        read_events_stream(spark, f"{sf}/events.parquet"),
+        keys=["user_id", "event_type"],
+    )
+    out = _run_stream(sdf.select("user_id", "event_type"), output_mode="append")
+    return out.distinct().orderBy("user_id", "event_type")
+
+
+@query("stream_sessionize_stateful")  # stateful: no SQL oracle (rows-only)
+def stream_sessionize_q(spark, sf):
+    from fourmc_spark.streaming import read_events_stream, sessionize_stateful
+
+    sdf = sessionize_stateful(
+        read_events_stream(spark, f"{sf}/events.parquet"), gap_minutes=15
+    )
+    return _run_stream(sdf, output_mode="append").orderBy(
+        "user_id", "session_start"
+    )

@@ -96,6 +96,16 @@ class FourMcDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> "FourMcDataSourceWriter":
         return FourMcDataSourceWriter(self.options, schema, overwrite)
 
+    def streamReader(self, schema: StructType):
+        from fourmc_spark.sources.stream import FourMcStreamReader
+
+        return FourMcStreamReader(self.options, schema)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        from fourmc_spark.sources.stream import FourMcStreamWriter
+
+        return FourMcStreamWriter(self.options, schema, overwrite)
+
 
 class FourMcDataSourceReader(DataSourceReader):
     def __init__(self, options, schema: StructType) -> None:

@@ -1,0 +1,186 @@
+"""Structured Streaming reader/writer for the 4mc/4mz DataSource.
+
+4mc files are append-only-then-sealed: the footer index is written at
+close (FourMcOutputStream.java:112-129 in the reference), so a file that
+has a valid footer is complete and immutable — a natural micro-batch
+unit. The stream reader treats *whole sealed files* as the offset
+granularity, exactly like Spark's built-in FileStreamSource:
+
+* offset = the set of files already ingested (JSON, checkpointed by the
+  engine). Spark's own FileStreamSource keeps the same seen-files log
+  (compacted); at 100 TB the per-file cost is O(name), not O(bytes),
+  and planning reads only each new file's footer.
+* each micro-batch plans the *new* files into block-aligned partitions
+  with the identical arithmetic the batch reader uses
+  (FourMcBlockIndex.java:142-173), so a single huge file still fans out
+  across the cluster.
+
+The stream writer emits one sealed .4mc/.4mz file per task per
+micro-batch into `_temporary/`, and the driver-side commit(batchId)
+promotes them — idempotent per batch id, so replayed batches after a
+failure do not double-write.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+
+def _plan_file(path: str, max_partition_bytes: int):
+    """Block-aligned partitions for one sealed file (S1/X4/X5 semantics)."""
+    from fourmc_spark.format import core
+    from fourmc_spark.format.reader import scan_file_info
+    from fourmc_spark.sources.datasource import FourMcInputPartition
+
+    codec, fsize, offsets = scan_file_info(path)
+    parts = []
+    if not offsets:
+        return parts
+    idx = core.BlockIndex(offsets)
+    step = max(max_partition_bytes, 1)
+    raw_start = 0
+    while raw_start < fsize:
+        raw_end = min(raw_start + step, fsize)
+        astart = idx.align_slice_start(raw_start, raw_end)
+        if astart != core.NOT_FOUND:
+            aend = idx.align_slice_end(raw_end, fsize)
+            astart = max(astart, core.HEADER_SIZE)
+            if astart < aend:
+                parts.append(FourMcInputPartition(path, codec, astart, aend))
+        raw_start = raw_end
+    return parts
+
+
+class FourMcStreamReader(DataSourceStreamReader):
+    """Micro-batch reader: new sealed files since the last offset."""
+
+    def __init__(self, options, schema: StructType) -> None:
+        from fourmc_spark.sources.datasource import (
+            DEFAULT_MAX_PARTITION_BYTES,
+            FourMcDataSourceReader,
+        )
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("fourmc stream source requires a path")
+        self.max_partition_bytes = int(
+            options.get("maxpartitionbytes", DEFAULT_MAX_PARTITION_BYTES)
+        )
+        # delegate row production to the batch reader (same Arrow batches)
+        self._batch_reader = FourMcDataSourceReader(options, schema)
+
+    def _list(self) -> list[str]:
+        from fourmc_spark.sources.datasource import _list_files
+
+        return _list_files(self.path) if os.path.exists(self.path) else []
+
+    def initialOffset(self) -> dict:
+        return {"seen": "[]"}
+
+    def latestOffset(self) -> dict:
+        return {"seen": json.dumps(sorted(self._list()))}
+
+    def partitions(self, start: dict, end: dict):
+        seen = set(json.loads(start.get("seen", "[]")))
+        target = json.loads(end.get("seen", "[]"))
+        parts = []
+        for path in target:
+            if path in seen:
+                continue
+            parts.extend(_plan_file(path, self.max_partition_bytes))
+        if not parts:
+            from fourmc_spark.sources.datasource import FourMcInputPartition
+
+            parts.append(FourMcInputPartition("", "lz4", 0, 0))
+        return parts
+
+    def read(self, partition) -> Iterator:
+        yield from self._batch_reader.read(partition)
+
+    def commit(self, end: dict) -> None:
+        # engine checkpoints offsets; sealed files are immutable — nothing
+        # to clean up on our side
+        pass
+
+
+@dataclass
+class FourMcStreamCommitMessage(WriterCommitMessage):
+    staged: str
+    final: str
+
+
+class FourMcStreamWriter(DataSourceStreamArrowWriter):
+    """Per-micro-batch sink: each task seals one .4mc/.4mz file.
+
+    Batch-id goes into the file name, so a replayed batch overwrites its
+    own output instead of duplicating it (the same idempotence contract
+    as FileStreamSink's per-batch manifest).
+    """
+
+    def __init__(self, options, schema: StructType, overwrite: bool) -> None:
+        from fourmc_spark.sources.datasource import FourMcDataSourceWriter
+
+        # reuse the batch writer's option parsing + value-column selection
+        self._w = FourMcDataSourceWriter(options, schema, overwrite=False)
+        self.path = self._w.path
+
+    def write(self, iterator) -> FourMcStreamCommitMessage:
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        from fourmc_spark.format.writer import FourMcWriter, normalize_codec
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        codec = normalize_codec(self._w.codec_raw)
+        ext = ".4mc" if codec == "lz4" else ".4mz"
+        fname = f"part-{pid:05d}-{uuid.uuid4().hex}{ext}"
+        staging = os.path.join(self.path, "_temporary")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, fname)
+        final = os.path.join(self.path, fname)
+        wrote = False
+        with open(staged, "wb") as f:
+            with FourMcWriter(
+                f,
+                codec=codec,
+                level=self._w.level,
+                block_size=self._w.block_size,
+            ) as w:
+                for batch in iterator:
+                    if len(batch) == 0:
+                        continue
+                    col = batch.column(self._w.value_col)
+                    buf = b"\n".join(v.as_py() or b"" for v in col.cast(pa.binary()))
+                    w.write(buf + b"\n")
+                    wrote = True
+        if not wrote:
+            os.remove(staged)
+            return FourMcStreamCommitMessage(staged="", final="")
+        return FourMcStreamCommitMessage(staged=staged, final=final)
+
+    def commit(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.staged:
+                os.replace(m.staged, m.final)
+        staging = os.path.join(self.path, "_temporary")
+        try:
+            os.rmdir(staging)
+        except OSError:
+            pass
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages or []:
+            if m is not None and m.staged and os.path.exists(m.staged):
+                os.remove(m.staged)

@@ -1,0 +1,19 @@
+from .ops import (
+    dedup_within_watermark,
+    read_events_stream,
+    run_to_memory,
+    session_counts,
+    sessionize_stateful,
+    sliding_counts,
+    tumbling_counts,
+)
+
+__all__ = [
+    "read_events_stream",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_counts",
+    "dedup_within_watermark",
+    "sessionize_stateful",
+    "run_to_memory",
+]

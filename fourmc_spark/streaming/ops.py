@@ -1,0 +1,263 @@
+"""Structured Streaming operators over the events stream.
+
+The reference is batch-only — its files are sealed by a footer at close
+(FourMcOutputStream.java:112-129), which makes a 4mc directory a clean
+micro-batch file source (see fourmc_spark.sources.stream). This module
+supplies the *engine-side* streaming surface a 4mc workload would get
+from its host engine, expressed with Structured Streaming primitives:
+
+* tumbling / sliding window aggregation (``F.window``)
+* session windows (``F.session_window``)
+* watermark-based late-data handling (``withWatermark``)
+* streaming dedup (``dropDuplicatesWithinWatermark``)
+* a custom stateful operator (``applyInPandasWithState``) —
+  per-user sessionization with gap timeout, the canonical
+  "operator Spark lacks, built on the escape hatch" example.
+
+Every operator is a pure DataFrame→DataFrame function, so it runs
+identically on a batch frame (for the DuckDB oracle) and a streaming
+frame (for the micro-batch tests) — except the stateful one, which is
+streaming-only by construction.
+
+At scale: windowed aggregations shuffle on (key, window) — state is
+partitioned across executors by the same hash; watermarks bound state
+size; `spark.sql.shuffle.partitions` sizes the state store. No
+driver-side state anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# events.parquet stores TIMESTAMP(NANOS); Spark's vectorized reader needs
+# spark.sql.legacy.parquet.nanosAsLong=true, under which ts arrives as a
+# raw int64 of nanoseconds.
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """`readStream` over events parquet (a file or a directory);
+    normalizes ts to a microsecond TIMESTAMP column."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if os.path.isfile(path):
+        # FileStreamSource requires a directory basePath: stream the
+        # parent dir filtered down to this one file
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window count+sum per event_type (streaming form of
+    q18_time_bucket)."""
+    df = events
+    if watermark is not None and events.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = "30 minutes",
+) -> DataFrame:
+    """Sliding-window event counts; each event lands in window//slide
+    overlapping windows."""
+    df = events
+    if watermark is not None and events.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "cnt")
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Session windows per user: a session extends while consecutive
+    events are < gap apart (F.session_window merges adjacent state)."""
+    df = events
+    if events.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming dedup: drops repeats of (keys) arriving within the
+    watermark horizon; state is evicted past it, bounding memory."""
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
+# --------------------------------------------------------------------------
+# Custom stateful operator: per-user sessionization with explicit state
+# --------------------------------------------------------------------------
+
+_SESSION_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+_SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def sessionize_stateful(events: DataFrame, gap_minutes: int = 15) -> DataFrame:
+    """Per-user sessionization via applyInPandasWithState.
+
+    Emits one row per *closed* session (closed when a later event
+    arrives more than `gap_minutes` after the previous one, or when the
+    group times out after the watermark passes). State per user is three
+    longs — O(users) across the cluster, hash-partitioned by user_id.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = -1
+            n = 0
+        out_rows: list[tuple[int, int, int]] = []
+        ts_us_all: list[int] = []
+        for pdf in pdf_iter:
+            ts_us_all.extend(
+                int(t.value // 1000) for t in pd.to_datetime(pdf["ts"])
+            )
+        for t in sorted(ts_us_all):
+            if start_us < 0:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > gap_us:
+                out_rows.append((start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = t, n + 1
+        state.update((start_us, last_us, n))
+        # close the open session if the group goes quiet past the gap
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last_us // 1000 + gap_minutes * 60_000, wm + 1))
+        if out_rows:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out_rows),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in out_rows],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in out_rows],
+                    "n_events": [c for _, _, c in out_rows],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_SESSION_OUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    sdf: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Run a streaming frame to completion into a memory sink and return
+    the materialized table (test/oracle harness — not a scale path)."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)

@@ -1,0 +1,284 @@
+"""Streaming surface tests (SURVEY.md §2.2 Streaming / M5).
+
+Strategy: every windowed operator is a pure DataFrame→DataFrame
+function, so each test runs it twice — once on the *batch* events frame
+(ground truth, plain Catalyst agg) and once through an actual
+micro-batch streaming query into a memory sink — and asserts identical
+results. Watermark/late-data and the stateful sessionizer are asserted
+on hand-built multi-file fixtures where arrival order is controlled.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from fourmc_spark.streaming import (
+    dedup_within_watermark,
+    read_events_stream,
+    run_to_memory,
+    session_counts,
+    sessionize_stateful,
+    sliding_counts,
+    tumbling_counts,
+)
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def _events_batch(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(EVENTS)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tumbling_counts_stream_equals_batch(spark):
+    batch = tumbling_counts(_events_batch(spark), window="1 hour")
+    stream = tumbling_counts(read_events_stream(spark, EVENTS), window="1 hour")
+    got = run_to_memory(stream, "t_tumble", output_mode="complete")
+    cols = ["win_start", "event_type", "cnt", "sum_value"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    assert len(_rows(got, cols)) > 0
+
+
+def test_sliding_counts_stream_equals_batch(spark):
+    batch = sliding_counts(_events_batch(spark))
+    stream = sliding_counts(read_events_stream(spark, EVENTS))
+    got = run_to_memory(stream, "t_slide", output_mode="complete")
+    cols = ["win_start", "event_type", "cnt"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    # each event lands in 2 overlapping windows (1h window / 30m slide)
+    total_batch = _events_batch(spark).count()
+    assert got.agg(F.sum("cnt")).collect()[0][0] == 2 * total_batch
+
+
+def test_session_counts_stream_equals_batch(spark):
+    batch = session_counts(_events_batch(spark), gap="15 minutes")
+    stream = session_counts(read_events_stream(spark, EVENTS), gap="15 minutes")
+    got = run_to_memory(stream, "t_sess", output_mode="complete")
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    # sessions partition the events: counts must add up
+    assert got.agg(F.sum("n_events")).collect()[0][0] == _events_batch(spark).count()
+
+
+def _write_events_file(spark, rows, path):
+    """Write ONE parquet file at `path` (FileStreamSource does not
+    recurse into per-write subdirectories)."""
+    import glob
+    import tempfile
+
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        staging = os.path.join(td, "w")
+        df.coalesce(1).write.parquet(staging)
+        (part,) = glob.glob(os.path.join(staging, "part-*.parquet"))
+        shutil.move(part, path)
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    d = str(tmp_path / "stream_in")
+    os.makedirs(d, exist_ok=True)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _read_simple_stream(spark, path):
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    return spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(path)
+
+
+def test_watermark_drops_late_data(spark, stream_dir, tmp_path):
+    """Append-mode tumbling agg: an event arriving 2h late (beyond the
+    30m watermark) after its window has been finalized must be ignored."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    h = dt.timedelta(hours=1)
+    # f1: events in hour 0; f2: advances watermark to 2:30; f3: triggers
+    # the batch in which the hour-0 window is finalized+evicted; f4: a
+    # straggler back in hour 0, arriving after eviction → must be dropped
+    _write_events_file(spark, [(1, base, 1, "a", 1.0), (2, base + h / 2, 1, "a", 1.0)],
+                       os.path.join(stream_dir, "f1.parquet"))
+    _write_events_file(spark, [(3, base + 3 * h, 1, "a", 1.0)],
+                       os.path.join(stream_dir, "f2.parquet"))
+    _write_events_file(spark, [(4, base + 3 * h + h / 2, 1, "a", 1.0)],
+                       os.path.join(stream_dir, "f3.parquet"))
+    _write_events_file(spark, [(5, base + h / 4, 1, "a", 99.0)],
+                       os.path.join(stream_dir, "f4.parquet"))
+
+    agg = tumbling_counts(_read_simple_stream(spark, stream_dir),
+                          window="1 hour", watermark="30 minutes")
+    ckpt = str(tmp_path / "ckpt_late")
+    q = (
+        agg.writeStream.format("memory").queryName("t_late")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    out = {(r["win_start"], r["cnt"]) for r in spark.table("t_late").collect()}
+    # hour-0 window finalized with exactly the 2 on-time events; the
+    # straggler (event 5) neither re-emitted it nor created a new one
+    hour0 = {(w, c) for (w, c) in out if w == base}
+    assert hour0 == {(base, 2)}
+
+
+def test_dedup_within_watermark(spark, stream_dir, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+    _write_events_file(
+        spark,
+        [(1, base, 1, "a", 1.0), (1, base + m, 1, "a", 1.0), (2, base + 2 * m, 1, "b", 1.0)],
+        os.path.join(stream_dir, "f1.parquet"),
+    )
+    _write_events_file(
+        spark,
+        [(1, base + 3 * m, 1, "a", 1.0), (3, base + 4 * m, 2, "c", 1.0)],
+        os.path.join(stream_dir, "f2.parquet"),
+    )
+    dd = dedup_within_watermark(_read_simple_stream(spark, stream_dir), keys=["event_id"])
+    ckpt = str(tmp_path / "ckpt_dd")
+    q = (
+        dd.writeStream.format("memory").queryName("t_dd")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    ids = sorted(r["event_id"] for r in spark.table("t_dd").collect())
+    assert ids == [1, 2, 3]
+
+
+def test_sessionize_stateful(spark, stream_dir, tmp_path):
+    """Two bursts 1h apart for user 1 → first session closes when the
+    second burst arrives; second closes via event-time timeout when a
+    later file advances the watermark."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+    _write_events_file(
+        spark,
+        [(1, base, 1, "a", 1.0), (2, base + 2 * m, 1, "a", 1.0), (3, base + 4 * m, 1, "a", 1.0)],
+        os.path.join(stream_dir, "f1.parquet"),
+    )
+    _write_events_file(
+        spark,
+        [(4, base + dt.timedelta(hours=1), 1, "a", 1.0)],
+        os.path.join(stream_dir, "f2.parquet"),
+    )
+    _write_events_file(
+        spark,
+        [(5, base + dt.timedelta(hours=3), 99, "a", 1.0)],
+        os.path.join(stream_dir, "f3.parquet"),
+    )
+    sess = sessionize_stateful(_read_simple_stream(spark, stream_dir), gap_minutes=15)
+    ckpt = str(tmp_path / "ckpt_sess")
+    q = (
+        sess.writeStream.format("memory").queryName("t_state")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("t_state").collect()
+    }
+    # first burst: 3 events spanning [base, base+4m]
+    assert (1, base, base + 4 * m, 3) in rows
+    # the 1h-later single event closed by timeout once watermark passed
+    assert (1, base + dt.timedelta(hours=1), base + dt.timedelta(hours=1), 1) in rows
+
+
+def test_fourmc_stream_source_incremental(spark, tmp_path):
+    """fourmc streaming read: files become micro-batches as they appear."""
+    from fourmc_spark.format.writer import write_file
+
+    d = str(tmp_path / "mc_in")
+    os.makedirs(d)
+    write_file(os.path.join(d, "a.4mc"), b"a1\na2\na3\n", codec="lz4", level="fast")
+
+    sdf = spark.readStream.format("fourmc").load(d)
+    assert sdf.isStreaming and sdf.schema.fieldNames() == ["offset", "value"]
+    ckpt = str(tmp_path / "ckpt_mc")
+    q = (
+        sdf.writeStream.format("memory").queryName("t_mc")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert sorted(r["value"] for r in spark.table("t_mc").collect()) == [
+            "a1", "a2", "a3",
+        ]
+        # second sealed file arrives → ingested incrementally, the first
+        # file is NOT re-read (exactly-once over the seen-files offset)
+        write_file(os.path.join(d, "b.4mz"), b"b1\nb2\n", codec="zstd", level="medium")
+        q.processAllAvailable()
+        assert sorted(r["value"] for r in spark.table("t_mc").collect()) == [
+            "a1", "a2", "a3", "b1", "b2",
+        ]
+    finally:
+        q.stop()
+
+
+def test_fourmc_stream_sink(spark, tmp_path):
+    """Streaming write into sealed 4mz files, readable by the batch scan
+    and checksum-verified by the format core."""
+    src = str(tmp_path / "sink_src")
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "ckpt_sink")
+    spark.range(500).select(
+        F.concat(F.lit("row"), F.col("id")).alias("value")
+    ).write.mode("overwrite").parquet(src)
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    sdf = spark.readStream.schema(
+        StructType([StructField("value", StringType())])
+    ).parquet(src)
+    q = (
+        sdf.writeStream.format("fourmc")
+        .option("codec", "zstd").option("level", "medium")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    back = spark.read.format("fourmc").load(out)
+    assert back.count() == 500
+    assert sorted(r["value"] for r in back.collect()) == sorted(
+        f"row{i}" for i in range(500)
+    )
+    from fourmc_spark.format.reader import decompress_file
+
+    for fn in os.listdir(out):
+        if fn.endswith(".4mz"):
+            decompress_file(os.path.join(out, fn))  # raises on bad checksum
