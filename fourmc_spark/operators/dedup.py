@@ -77,13 +77,16 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", k: int = MINHASH_K) -> DataFrame:
+                       id_col: str = "doc_id", k: int = MINHASH_K,
+                       shingles: DataFrame | None = None) -> DataFrame:
     """k-permutation MinHash signature, one column per hash (mh00..).
 
     Single wide aggregation: explode shingles once, k min() aggregates in
-    one pass — one shuffle keyed by id regardless of k.
+    one pass — one shuffle keyed by id regardless of k. Pass a prebuilt
+    (persisted) *shingles* frame to share the explosion across plan
+    branches.
     """
-    sh = shingle_sets(df, text_col, id_col)
+    sh = shingles if shingles is not None else shingle_sets(df, text_col, id_col)
     h = token_hash_spark("shingle")
     aggs = [
         F.min(F.expr(f"({a} * {h} + {b}) % {HASH_PRIME}")).alias(f"mh{i:02d}")
@@ -94,24 +97,35 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 def jaccard_pairs(df: DataFrame, threshold: float, text_col: str = "text",
                   id_col: str = "doc_id",
-                  candidates: DataFrame | None = None) -> DataFrame:
+                  candidates: DataFrame | None = None,
+                  shingles: DataFrame | None = None) -> DataFrame:
     """Exact shingle-Jaccard pairs >= threshold via inverted-index join.
 
     Optionally restricted to a candidate pair set (LSH pre-filter). Output:
     (a_id, b_id, jaccard) with a_id < b_id, jaccard rounded to 4 places.
     """
-    sh = shingle_sets(df, text_col, id_col)
+    sh = shingles if shingles is not None else shingle_sets(df, text_col, id_col)
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.withColumnRenamed(id_col, "a_id")
     b = sh.withColumnRenamed(id_col, "b_id")
-    common = (
-        a.join(b, on="shingle")
-        .where(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("n_common"))
-    )
     if candidates is not None:
-        common = common.join(candidates, on=["a_id", "b_id"], how="left_semi")
+        # Restrict BEFORE the self-join: candidates ⋈ a-shingles ⋈
+        # b-shingles touches |candidates| x avg_shingles rows, not the
+        # full inverted-index blowup — this ordering is the entire point
+        # of the LSH pre-filter at 100 TB.
+        common = (
+            candidates.join(a, on="a_id")
+            .join(b, on=["b_id", "shingle"])
+            .groupBy("a_id", "b_id")
+            .agg(F.count("*").alias("n_common"))
+        )
+    else:
+        common = (
+            a.join(b, on="shingle")
+            .where(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.count("*").alias("n_common"))
+        )
     na = counts.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("n_a"))
     nb = counts.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("n_b"))
     return (
@@ -134,9 +148,13 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8,
     """Near-dup pairs: LSH banding for candidates + exact-Jaccard confirm.
 
     The scale path: candidate generation touches only (band, bucket) keys;
-    the exact confirm join runs on the (small) candidate set.
+    the exact confirm join runs on the (small) candidate set. The shingle
+    inverted index is persisted (memory-and-disk, LRU-evicted) and shared
+    by the signature, confirm, and count branches — one explosion pass
+    instead of four.
     """
-    sig = minhash_signatures(df, text_col, id_col, k)
+    sh = shingle_sets(df, text_col, id_col).persist()
+    sig = minhash_signatures(df, text_col, id_col, k, shingles=sh)
     n_bands = k // rows_per_band
     band_cols = []
     for j in range(n_bands):
@@ -157,7 +175,8 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8,
         .select("a_id", "b_id")
         .distinct()
     )
-    return jaccard_pairs(df, threshold, text_col, id_col, candidates=candidates)
+    return jaccard_pairs(df, threshold, text_col, id_col,
+                         candidates=candidates, shingles=sh)
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",

@@ -187,9 +187,11 @@ def q06(spark, sf):
 def q07(spark, sf):
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
-    # customer is the small side -> broadcast hash join, no shuffle of orders
+    # no hint: customer scales with SF, so let size stats/AQE choose —
+    # broadcast at small SF, shuffled hash at 100 TB (hinting broadcast
+    # here would OOM the driver at scale)
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey")
         .agg(F.count("o_orderkey").cast("long").alias("cnt"))
         .orderBy(F.desc("cnt"), "c_custkey")
@@ -223,11 +225,14 @@ def q08(spark, sf):
     # dimensions broadcast; the single big shuffle is lineitem x orders
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # nation/region are constant-size -> always broadcast; customer/
+        # supplier scale with SF -> size-based planning (broadcast at
+        # small SF, shuffle at 100 TB)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .groupBy("n_name")
