@@ -279,3 +279,67 @@ else:  # pragma: no cover - pyarrow fallback
         if len(out) != uncompressed_size:
             raise ValueError("corrupt ZSTD block")
         return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming ZSTD decode (standard .zst files, reference ZstCodec.java):
+# frames from streaming writers carry no content size, so one-shot
+# ZSTD_decompress cannot size its buffer — use the DStream API.
+# ---------------------------------------------------------------------------
+
+if _zstd is not None and hasattr(_zstd, "ZSTD_createDStream"):
+
+    class _ZstdBuffer(ctypes.Structure):
+        _fields_ = [
+            ("dst", ctypes.c_void_p),
+            ("size", ctypes.c_size_t),
+            ("pos", ctypes.c_size_t),
+        ]
+
+    _zstd.ZSTD_createDStream.restype = ctypes.c_void_p
+    _zstd.ZSTD_freeDStream.argtypes = [ctypes.c_void_p]
+    _zstd.ZSTD_decompressStream.restype = ctypes.c_size_t
+    _zstd.ZSTD_decompressStream.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(_ZstdBuffer),
+        ctypes.POINTER(_ZstdBuffer),
+    ]
+
+    def zstd_stream_decompress_chunks(chunks) -> "Iterator[bytes]":
+        """Decode an iterable of compressed byte chunks into decompressed
+        chunks (handles multi-frame concatenation; O(chunk) memory)."""
+        ds = _zstd.ZSTD_createDStream()
+        if not ds:
+            raise MemoryError("ZSTD_createDStream failed")
+        try:
+            out_cap = 1 << 20
+            out_raw = ctypes.create_string_buffer(out_cap)
+            for chunk in chunks:
+                if not chunk:
+                    continue
+                src = ctypes.create_string_buffer(chunk, len(chunk))
+                inb = _ZstdBuffer(
+                    ctypes.cast(src, ctypes.c_void_p), len(chunk), 0
+                )
+                while inb.pos < inb.size:
+                    outb = _ZstdBuffer(
+                        ctypes.cast(out_raw, ctypes.c_void_p), out_cap, 0
+                    )
+                    rc = _zstd.ZSTD_decompressStream(
+                        ds, ctypes.byref(outb), ctypes.byref(inb)
+                    )
+                    if _zstd.ZSTD_isError(rc):
+                        raise ValueError("corrupt .zst stream")
+                    if outb.pos:
+                        yield out_raw.raw[: outb.pos]
+        finally:
+            _zstd.ZSTD_freeDStream(ds)
+
+else:  # pragma: no cover - pyarrow fallback (frames with content size only)
+    def zstd_stream_decompress_chunks(chunks) -> "Iterator[bytes]":
+        import pyarrow as _pa2
+
+        data = b"".join(chunks)
+        if not data:
+            return
+        yield _pa2.Codec("zstd").decompress(data).to_pybytes()

@@ -192,3 +192,43 @@ def iter_lines_for_split(
         if line.endswith(b"\r"):
             line = line[:-1]
         yield owner, line
+
+
+def iter_lines_zst(f: BinaryIO, chunk_size: int = 1 << 20) -> Iterator[tuple[int, bytes]]:
+    """Yield (decompressed_offset, line_bytes) from a standard ``.zst``
+    streaming file (reference: ZstCodec.java:47-169 — single zstd frame,
+    NOT the 4mz block format).
+
+    Non-splittable by nature (no internal index), so one partition reads
+    the whole stream; offsets are positions in the decompressed stream,
+    matching Hadoop's LineRecordReader over a compression codec.
+    """
+    from fourmc_spark.format.native import zstd_stream_decompress_chunks
+
+    def _compressed_chunks():
+        while True:
+            c = f.read(chunk_size)
+            if not c:
+                return
+            yield c
+
+    pos = 0  # decompressed offset of the next unemitted line's first byte
+    carry = bytearray()
+    for chunk in zstd_stream_decompress_chunks(_compressed_chunks()):
+        parts = chunk.split(b"\n")
+        for k in range(len(parts) - 1):
+            if k == 0:
+                line = (bytes(carry) + parts[0]) if carry else parts[0]
+                carry.clear()
+            else:
+                line = parts[k]
+            out = line[:-1] if line.endswith(b"\r") else line
+            yield pos, out
+            pos += len(line) + 1
+        if len(parts) == 1:
+            carry.extend(chunk)
+        else:
+            carry = bytearray(parts[-1])
+    if carry:
+        line = bytes(carry)
+        yield pos, line[:-1] if line.endswith(b"\r") else line

@@ -917,3 +917,125 @@ def stream_sessionize_q(spark, sf):
     return _run_stream(sdf, output_mode="append").orderBy(
         "user_id", "session_start"
     )
+
+
+# =========================================================================
+# Coverage extensions: LSH-ANN, GROUPING SETS, approx distinct, UDTF
+# =========================================================================
+
+_LSH_PLANES_SEED, _LSH_PLANES_N, _EMB_DIM = 97, 8, 64
+
+
+def _lsh_planes() -> list[list[float]]:
+    """Same construction as similarity.lsh_ann_topk (seed 97): keeps the
+    Spark operator and the DuckDB oracle on identical hyperplanes."""
+    import random
+
+    rng = random.Random(_LSH_PLANES_SEED)
+    return [[rng.gauss(0, 1) for _ in range(_EMB_DIM)]
+            for _ in range(_LSH_PLANES_N)]
+
+
+def _lsh_oracle() -> str:
+    planes = _lsh_planes()
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(x) for x in p)}]) >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    return f"""WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) AS sim
+  FROM b JOIN q USING (bucket) WHERE b.vec_id != q.query_id),
+r AS (SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
+
+
+@query("ann_lsh_topk", _lsh_oracle())
+def ann_lsh_topk_q(spark, sf):
+    # the 100 TB path: queries probe one sign-pattern bucket instead of
+    # scanning every vector (recall < 1 is the documented trade)
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return similarity.lsh_ann_topk(
+        e, q, k=10, n_planes=_LSH_PLANES_N, seed=_LSH_PLANES_SEED
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "q24_grouping_sets",
+    """SELECT n_regionkey, n_nationkey, CAST(count(*) AS BIGINT) AS c
+       FROM nation GROUP BY GROUPING SETS ((n_regionkey), (n_nationkey), ())
+       ORDER BY n_regionkey NULLS FIRST, n_nationkey NULLS FIRST""",
+)
+def q24(spark, sf):
+    # arbitrary grouping-set lattices (beyond rollup/cube) — Spark plans a
+    # single Expand + one hash agg, no per-set rescan
+    _t(spark, sf, "nation").createOrReplaceTempView("q24_nation")
+    return spark.sql(
+        """SELECT n_regionkey, n_nationkey, CAST(count(*) AS BIGINT) AS c
+           FROM q24_nation GROUP BY GROUPING SETS ((n_regionkey), (n_nationkey), ())
+           ORDER BY n_regionkey NULLS FIRST, n_nationkey NULLS FIRST"""
+    )
+
+
+@query("q25_approx_distinct", "SELECT CAST(1 AS BOOLEAN) AS within_tol")
+def q25(spark, sf):
+    # approx_count_distinct (HLL++): sketch mergeable across partitions, no
+    # exact-distinct shuffle; asserted within 10% of truth (rsd default 5%)
+    return (
+        _t(spark, sf, "lineitem")
+        .agg(
+            F.approx_count_distinct("l_suppkey").alias("approx"),
+            F.count_distinct("l_suppkey").alias("exact"),
+        )
+        .select(
+            (F.abs(F.col("approx") - F.col("exact"))
+             <= 0.1 * F.col("exact")).alias("within_tol")
+        )
+    )
+
+
+@query(
+    "udtf_sentences",
+    """WITH s AS (SELECT doc_id, generate_subscripts(parts, 1) AS i,
+                         trim(unnest(parts)) AS sent
+                  FROM (SELECT doc_id, string_split(text, '.') AS parts
+                        FROM documents))
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT)
+         AS sent_idx,
+       sent AS sentence
+FROM s WHERE sent <> '' ORDER BY doc_id, sent_idx""",
+)
+def udtf_sentences_q(spark, sf):
+    """Python UDTF (Spark 4): the engine's table-function extension point.
+
+    Row-at-a-time Python — demo of the UDTF surface (SURVEY.md §2.2
+    UDF/UDAF/UDTF), not a hot path; heavy text ops use the vectorized
+    operators in operators/text.py."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx: bigint, sentence: string")
+    class SentenceSplit:
+        def eval(self, text: str):
+            i = 0
+            for part in (text or "").split("."):
+                p = part.strip()
+                if p:
+                    i += 1
+                    yield (i, p)
+
+    spark.udtf.register("fourmc_sentence_split", SentenceSplit)
+    _t(spark, sf, "documents").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """SELECT d.doc_id, s.sent_idx, s.sentence
+           FROM udtf_docs d, LATERAL fourmc_sentence_split(d.text) s
+           ORDER BY d.doc_id, s.sent_idx"""
+    )

@@ -44,7 +44,9 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
-_EXTS = (".4mc", ".4mz")
+# .zst = standard zstd streaming format (reference ZstCodec.java:47-169):
+# readable but non-splittable (no internal index) — one partition per file
+_EXTS = (".4mc", ".4mz", ".zst")
 
 
 def _list_files(path: str) -> list[str]:
@@ -125,6 +127,11 @@ class FourMcDataSourceReader(DataSourceReader):
 
         parts: list[FourMcInputPartition] = []
         for path in _list_files(self.path):
+            if path.endswith(".zst"):
+                fsize = os.path.getsize(path)
+                if fsize:
+                    parts.append(FourMcInputPartition(path, "zst", 0, fsize))
+                continue
             codec, fsize, offsets = scan_file_info(path)
             if not offsets:
                 continue  # empty file
@@ -175,10 +182,20 @@ class FourMcDataSourceReader(DataSourceReader):
                 names.append("value")
             return pa.RecordBatch.from_arrays(arrays, names=names)
 
+        if partition.codec == "zst":
+            from fourmc_spark.format.reader import iter_lines_zst
+
+            def _lines(fh):
+                return iter_lines_zst(fh)
+        else:
+            def _lines(fh):
+                return iter_lines_for_split(
+                    fh, partition.codec, partition.start, partition.end,
+                    verify=self.verify,
+                )
+
         with open(partition.path, "rb") as f:
-            for owner, line in iter_lines_for_split(
-                f, partition.codec, partition.start, partition.end, verify=self.verify
-            ):
+            for owner, line in _lines(f):
                 offsets.append(owner)
                 lines.append(line)
                 if len(lines) >= batch_rows:

@@ -80,3 +80,46 @@ def test_read_reference_cli_file(spark, tmp_path):
     back = spark.read.format("fourmc").load(str(d))
     got = sorted(r.value for r in back.collect())
     assert got == sorted(lines)
+
+
+def test_zst_scan(spark, tmp_path):
+    """Standard .zst streaming files (reference ZstCodec) are readable —
+    non-splittable, one partition per file, mixed freely with 4mc/4mz."""
+    import pyarrow as pa
+
+    from fourmc_spark.format.writer import write_file
+
+    d = str(tmp_path / "zst_mix")
+    os.makedirs(d)
+    lines = [f"zline{i}" for i in range(1000)]
+    payload = ("\n".join(lines) + "\n").encode()
+    with open(os.path.join(d, "a.zst"), "wb") as f:
+        f.write(pa.Codec("zstd", 3).compress(payload).to_pybytes())
+    write_file(os.path.join(d, "b.4mc"), b"mc1\nmc2\n", codec="lz4", level="fast")
+
+    df = spark.read.format("fourmc").load(d)
+    got = sorted(r["value"] for r in df.collect())
+    assert got == sorted(lines + ["mc1", "mc2"])
+    # offsets for .zst are decompressed-stream positions, monotonically
+    # increasing from 0
+    offs = [r["offset"] for r in
+            spark.read.format("fourmc").load(os.path.join(d, "a.zst"))
+            .orderBy("offset").collect()]
+    assert offs[0] == 0 and offs == sorted(offs) and len(offs) == 1000
+
+
+def test_zst_multiframe(spark, tmp_path):
+    """Concatenated zstd frames in one .zst (what a streaming writer that
+    flushes produces) decode as one continuous stream."""
+    import pyarrow as pa
+
+    d = str(tmp_path / "zst_mf")
+    os.makedirs(d)
+    c = pa.Codec("zstd", 1)
+    with open(os.path.join(d, "m.zst"), "wb") as f:
+        f.write(c.compress(b"first\nsec").to_pybytes())
+        f.write(c.compress(b"ond\nthird\n").to_pybytes())
+    got = sorted(
+        r["value"] for r in spark.read.format("fourmc").load(d).collect()
+    )
+    assert got == ["first", "second", "third"]
