@@ -30,6 +30,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle))
+        # intermediate/shuffle/broadcast compression (reference C6/C7:
+        # straight LZ4/ZSTD block codecs for intermediate M/R data,
+        # Readme.md:95-96) — lz4 default; FOURMC_SHUFFLE_CODEC=zstd for
+        # better ratio on spill-heavy jobs
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("FOURMC_SHUFFLE_CODEC", "lz4"),
+        )
         # arrow-accelerated Python<->JVM transfer for pandas UDFs / DS API
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")

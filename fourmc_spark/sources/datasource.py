@@ -51,10 +51,19 @@ _EXTS = (".4mc", ".4mz", ".zst")
 
 def _list_files(path: str) -> list[str]:
     """Recursive listing, skipping hidden/_ files like
-    FourMcInputFormat.listStatus (FourMcInputFormat.java:70-118)."""
+    FourMcInputFormat.listStatus (FourMcInputFormat.java:70-118).
+    Glob patterns (Hadoop-path style: ``*``, ``?``, ``[...]``) expand to
+    every matching file/dir."""
+    if any(ch in path for ch in "*?["):
+        import glob as _glob
+
+        out: list[str] = []
+        for m in sorted(_glob.glob(path)):
+            out.extend(_list_files(m))
+        return out
     if os.path.isfile(path):
         return [path]
-    out: list[str] = []
+    out = []
     for root, dirs, files in os.walk(path):
         dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
         for fn in sorted(files):

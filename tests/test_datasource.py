@@ -123,3 +123,18 @@ def test_zst_multiframe(spark, tmp_path):
         r["value"] for r in spark.read.format("fourmc").load(d).collect()
     )
     assert got == ["first", "second", "third"]
+
+
+def test_glob_paths(spark, tmp_path):
+    """Hadoop-style glob paths expand at planning (S2 parity)."""
+    from fourmc_spark.format.writer import write_file
+
+    for sub, name, data in [("d1", "a.4mc", b"g1\n"), ("d2", "b.4mc", b"g2\n"),
+                            ("skip", "c.4mc", b"g3\n")]:
+        os.makedirs(str(tmp_path / sub), exist_ok=True)
+        write_file(str(tmp_path / sub / name), data, codec="lz4")
+    got = sorted(
+        r["value"] for r in
+        spark.read.format("fourmc").load(str(tmp_path / "d*")).collect()
+    )
+    assert got == ["g1", "g2"]
