@@ -232,3 +232,81 @@ def iter_lines_zst(f: BinaryIO, chunk_size: int = 1 << 20) -> Iterator[tuple[int
     if carry:
         line = bytes(carry)
         yield pos, line[:-1] if line.endswith(b"\r") else line
+
+
+def iter_line_batches_for_split(
+    f: BinaryIO,
+    codec: str,
+    split_start: int,
+    split_end: int,
+    verify: bool = True,
+):
+    """Vectorized twin of :func:`iter_lines_for_split`: yields
+    ``(offsets, lines)`` per block — offsets as ``numpy.int64`` and lines
+    as a ``pyarrow`` binary array — with line splitting done by Arrow
+    compute kernels instead of a per-line Python loop (~5x faster scan).
+
+    Ownership semantics are identical: a line belongs to this split iff
+    the byte preceding it lies in a block within [split_start, split_end).
+    Within one block every line after the first is owned by that block,
+    so ownership checks collapse to two block-level decisions.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    first_block = core.HEADER_SIZE
+    if split_start < first_block:
+        split_start = first_block
+    owner = first_block if split_start == first_block else -1
+    carry = bytearray()
+
+    def _strip_cr_scalar(line: bytes) -> bytes:
+        return line[:-1] if line.endswith(b"\r") else line
+
+    for boff, payload in iter_block_payloads(f, codec, split_start, verify=verify):
+        if owner >= split_end:
+            return
+        nl = payload.find(b"\n")
+        if nl < 0:
+            carry.extend(payload)
+            continue
+        head_owner = owner
+        head = (bytes(carry) + payload[:nl]) if carry else payload[:nl]
+        carry.clear()
+        last_nl = payload.rfind(b"\n")
+        mid = payload[nl + 1 : last_nl] if last_nl > nl else None
+        carry = bytearray(payload[last_nl + 1 :])
+        owner = boff
+
+        emit_head = split_start <= head_owner < split_end
+        emit_mid = mid is not None and split_start <= boff < split_end
+
+        offs_parts = []
+        line_parts = []
+        if emit_head:
+            offs_parts.append(np.array([head_owner], dtype=np.int64))
+            line_parts.append(pa.array([_strip_cr_scalar(head)], type=pa.large_binary()))
+        if emit_mid:
+            arr = pc.split_pattern(
+                pa.array([mid], type=pa.large_binary()), pattern=b"\n"
+            ).values
+            # CRLF: strip one trailing \r where present (vectorized, and
+            # skipped entirely for the common LF-only case)
+            ends_cr = pc.ends_with(arr, pattern=b"\r")
+            if pc.any(ends_cr).as_py():
+                arr = pc.if_else(ends_cr, pc.binary_slice(arr, 0, -1), arr)
+            offs_parts.append(np.full(len(arr), boff, dtype=np.int64))
+            line_parts.append(arr)
+        if line_parts:
+            offs = np.concatenate(offs_parts) if len(offs_parts) > 1 else offs_parts[0]
+            lines = pa.concat_arrays(line_parts) if len(line_parts) > 1 else line_parts[0]
+            yield offs, lines
+        if boff >= split_end:
+            # every further line is owned by a block past the split
+            return
+    if carry and split_start <= owner < split_end:
+        yield (
+            np.array([owner], dtype=np.int64),
+            pa.array([_strip_cr_scalar(bytes(carry))], type=pa.large_binary()),
+        )

@@ -164,55 +164,82 @@ class FourMcDataSourceReader(DataSourceReader):
     def read(self, partition: FourMcInputPartition):
         import pyarrow as pa
 
-        from fourmc_spark.format.reader import iter_lines_for_split
-
         if not partition.path:
             return
         want_offset = "offset" in self.columns
         want_value = "value" in self.columns
-        batch_rows = 16384
-        offsets: list[int] = []
-        lines: list[bytes] = []
 
-        def flush():
-            arrays = []
-            names = []
-            if want_offset:
-                arrays.append(pa.array(offsets, type=pa.int64()))
-                names.append("offset")
-            if want_value:
-                bin_arr = pa.array(lines, type=pa.binary())
-                try:
-                    arrays.append(bin_arr.cast(pa.string()))
-                except pa.ArrowInvalid:
-                    arrays.append(
-                        pa.array([b.decode("utf-8", "replace") for b in lines])
-                    )
-                names.append("value")
-            return pa.RecordBatch.from_arrays(arrays, names=names)
-
-        if partition.codec == "zst":
-            from fourmc_spark.format.reader import iter_lines_zst
-
-            def _lines(fh):
-                return iter_lines_zst(fh)
-        else:
-            def _lines(fh):
-                return iter_lines_for_split(
-                    fh, partition.codec, partition.start, partition.end,
-                    verify=self.verify,
+        def _cast_lines(arr: "pa.Array") -> "pa.Array":
+            try:
+                return arr.cast(pa.string())
+            except pa.ArrowInvalid:
+                return pa.array(
+                    [v.as_py().decode("utf-8", "replace") for v in arr]
                 )
 
+        if partition.codec == "zst":
+            # non-splittable streaming codec: row iterator + batch buffer
+            from fourmc_spark.format.reader import iter_lines_zst
+
+            batch_rows = 16384
+            offsets: list[int] = []
+            lines: list[bytes] = []
+
+            def flush():
+                arrays, names = [], []
+                if want_offset:
+                    arrays.append(pa.array(offsets, type=pa.int64()))
+                    names.append("offset")
+                if want_value:
+                    arrays.append(_cast_lines(pa.array(lines, type=pa.binary())))
+                    names.append("value")
+                return pa.RecordBatch.from_arrays(arrays, names=names)
+
+            with open(partition.path, "rb") as f:
+                for owner, line in iter_lines_zst(f):
+                    offsets.append(owner)
+                    lines.append(line)
+                    if len(lines) >= batch_rows:
+                        yield flush()
+                        offsets.clear()
+                        lines.clear()
+            if lines or offsets:
+                yield flush()
+            return
+
+        # 4mc/4mz: vectorized per-block batches — line splitting runs in
+        # Arrow compute kernels, never a per-line Python loop
+        from fourmc_spark.format.reader import iter_line_batches_for_split
+
         with open(partition.path, "rb") as f:
-            for owner, line in _lines(f):
-                offsets.append(owner)
-                lines.append(line)
-                if len(lines) >= batch_rows:
-                    yield flush()
-                    offsets.clear()
-                    lines.clear()
-        if lines or offsets:
-            yield flush()
+            for offs_np, lines_arr in iter_line_batches_for_split(
+                f, partition.codec, partition.start, partition.end,
+                verify=self.verify,
+            ):
+                arrays, names = [], []
+                if want_offset:
+                    arrays.append(pa.array(offs_np, type=pa.int64()))
+                    names.append("offset")
+                if want_value:
+                    arrays.append(_cast_lines(lines_arr))
+                    names.append("value")
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+def _join_lines(col) -> bytes:
+    """newline-join an Arrow column into one bytes buffer — Arrow compute
+    (C-speed), never a per-value Python loop. NULLs write as empty lines,
+    matching Hadoop TextOutputFormat."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    vals = pc.fill_null(col.cast(pa.large_binary()), b"")
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    wrapped = pa.LargeListArray.from_arrays([0, len(vals)], vals)
+    sep = pa.scalar(b"\n", type=pa.large_binary())
+    joined = pc.binary_join(wrapped, sep)[0].as_py()
+    return joined + b"\n"
 
 
 @dataclass
@@ -279,13 +306,8 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
                 f, codec=codec, level=self.level, block_size=self.block_size
             ) as w:
                 for batch in iterator:
-                    col = batch.column(self.value_col)
-                    # vectorized join: cast to binary, add newline separators
-                    buf = b"\n".join(
-                        v.as_py() or b"" for v in col.cast(pa.binary())
-                    )
                     if len(batch) > 0:
-                        w.write(buf + b"\n")
+                        w.write(_join_lines(batch.column(self.value_col)))
         return FourMcCommitMessage(staged=staged, final=final)
 
     def commit(self, messages) -> None:

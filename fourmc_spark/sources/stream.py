@@ -136,10 +136,10 @@ class FourMcStreamWriter(DataSourceStreamArrowWriter):
         self.path = self._w.path
 
     def write(self, iterator) -> FourMcStreamCommitMessage:
-        import pyarrow as pa
         from pyspark import TaskContext
 
         from fourmc_spark.format.writer import FourMcWriter, normalize_codec
+        from fourmc_spark.sources.datasource import _join_lines
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
@@ -161,9 +161,7 @@ class FourMcStreamWriter(DataSourceStreamArrowWriter):
                 for batch in iterator:
                     if len(batch) == 0:
                         continue
-                    col = batch.column(self._w.value_col)
-                    buf = b"\n".join(v.as_py() or b"" for v in col.cast(pa.binary()))
-                    w.write(buf + b"\n")
+                    w.write(_join_lines(batch.column(self._w.value_col)))
                     wrote = True
         if not wrote:
             os.remove(staged)

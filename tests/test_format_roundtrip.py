@@ -220,3 +220,54 @@ def test_truncated_footer():
     raw = bytes(_make_valid())[:-6]
     with pytest.raises(core.BadFooterError):
         reader.read_index(io.BytesIO(raw), len(raw))
+
+
+def test_batch_reader_equals_row_reader(tmp_path):
+    """iter_line_batches_for_split must yield EXACTLY what
+    iter_lines_for_split yields — same lines, same owners — for every
+    split point, on data with CRLF, empty lines, multi-block carry."""
+    import random
+
+    from fourmc_spark.format.reader import (
+        iter_line_batches_for_split,
+        iter_lines_for_split,
+        scan_file_info,
+    )
+    from fourmc_spark.format.writer import write_file
+
+    rng = random.Random(7)
+    pieces = []
+    for i in range(4000):
+        r = rng.random()
+        if r < 0.05:
+            pieces.append("")                      # empty line
+        elif r < 0.10:
+            pieces.append(f"crlf{i}\r")            # CRLF line
+        else:
+            pieces.append(f"line{i}-" + "x" * rng.randrange(0, 120))
+    data = ("\n".join(pieces) + ("\n" if rng.random() < 0.5 else "")).encode()
+    path = str(tmp_path / "eq.4mz")
+    write_file(path, data, codec="zstd", level="fast", block_size=2048)
+    codec, fsize, offsets = scan_file_info(path)
+
+    cuts = sorted(rng.sample(offsets, min(9, len(offsets)))) + [fsize]
+    bounds = [12] + cuts
+    for s, e in zip(bounds, bounds[1:]):
+        with open(path, "rb") as f:
+            rows = list(iter_lines_for_split(f, codec, s, e))
+        with open(path, "rb") as f:
+            batches = list(iter_line_batches_for_split(f, codec, s, e))
+        flat = [
+            (int(o), bytes(v.as_py()))
+            for offs, lines in batches
+            for o, v in zip(offs, lines)
+        ]
+        assert flat == rows, f"split [{s},{e}) diverged"
+    # whole-file check: union of the whole file in one split
+    with open(path, "rb") as f:
+        whole = [
+            v.as_py()
+            for _, lines in iter_line_batches_for_split(f, codec, 12, fsize)
+            for v in lines
+        ]
+    assert whole == [p.rstrip("\r").encode() for p in pieces]
