@@ -7,9 +7,17 @@ local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
    "queries": {...}, "sf": ..., "codec_mbps": {...}}
 
 Query execution is forced with the noop sink (full JVM-side execution, no
-driver collect). Codec numbers are single-threaded MB/s through the format
-core — directly comparable to BASELINE.md's single-thread Silesia tables —
-plus a parallel Spark scan MB/s over the DataSource.
+driver collect). Codec numbers come in two flavors:
+
+* ``{codec}_{level}_{compress,decompress}_mbps`` — node throughput: all
+  cores via the parallel block codec (format/parallel.py; 4mc blocks are
+  independently compressed, so one node decodes at ~N× single-stream
+  speed — the same property that splits files across executors). This is
+  the engine's deployment unit and the primary number.
+* ``..._mbps_1t`` — single-thread twins, directly comparable to
+  BASELINE.md's single-thread Silesia tables.
+
+Plus a parallel Spark scan MB/s over the DataSource.
 """
 
 from __future__ import annotations
@@ -78,33 +86,46 @@ def _blob(target_mb: int = 64) -> bytes:
 
 
 def bench_codecs(tmpdir: str) -> dict[str, float]:
-    """Single-thread write/read MB/s per codec level (BASELINE.md shape)."""
+    """Write/read MB/s per codec level: parallel (node) + single-thread."""
     from fourmc_spark.format import decompress_file, write_file
 
     data = _blob(64)
     mb = len(data) / (1024 * 1024)
+    nthreads = min(int(CPUS), os.cpu_count() or int(CPUS))
     out: dict[str, float] = {}
     for codec in ("lz4", "zstd"):
         for level in ("fast", "medium", "high", "ultra"):
             ext = ".4mc" if codec == "lz4" else ".4mz"
             path = os.path.join(tmpdir, f"bench-{codec}-{level}{ext}")
-            # warm pass (page cache, allocator), then the measured pass
-            write_file(path, data[: 8 << 20], codec=codec, level=level)
-            decompress_file(path)
+            # warm pass (page cache, allocator, thread pool), then measure
+            write_file(path, data[: 8 << 20], codec=codec, level=level, workers=nthreads)
+            decompress_file(path, threads=nthreads)
+            t0 = time.perf_counter()
+            write_file(path, data, codec=codec, level=level, workers=nthreads)
+            wtp = time.perf_counter() - t0
+            # best-of-3: a single pass right after the 64 MB write is noisy
+            # (dirty-page writeback steals the run)
+            rtp = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                got = decompress_file(path, threads=nthreads)
+                rtp = min(rtp, time.perf_counter() - t0)
+            assert len(got) == len(data)
+            ratio = len(data) / os.path.getsize(path)
+            # single-thread twins (BASELINE.md-comparable)
             t0 = time.perf_counter()
             write_file(path, data, codec=codec, level=level)
             wt = time.perf_counter() - t0
-            # best-of-3: a single pass right after the 64 MB write is noisy
-            # (dirty-page writeback steals the run)
             rt = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
                 got = decompress_file(path)
                 rt = min(rt, time.perf_counter() - t0)
             assert len(got) == len(data)
-            ratio = len(data) / os.path.getsize(path)
-            out[f"{codec}_{level}_compress_mbps"] = round(mb / wt, 1)
-            out[f"{codec}_{level}_decompress_mbps"] = round(mb / rt, 1)
+            out[f"{codec}_{level}_compress_mbps"] = round(mb / wtp, 1)
+            out[f"{codec}_{level}_decompress_mbps"] = round(mb / rtp, 1)
+            out[f"{codec}_{level}_compress_mbps_1t"] = round(mb / wt, 1)
+            out[f"{codec}_{level}_decompress_mbps_1t"] = round(mb / rt, 1)
             out[f"{codec}_{level}_ratio"] = round(ratio, 3)
     return out
 

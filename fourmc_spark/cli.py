@@ -4,7 +4,7 @@ Parity with the reference CLI (`native/4mccli.c:132-151` usage,
 `native/4mccli.c:170-354` arg dispatch; compression loop
 `native/4mc.c:220-389`, decode+verify `native/4mc.c:560-707`):
 
-    python -m fourmc_spark [-z] [-1|-2|-3|-4] [-d|-t] [-f] input [output]
+    python -m fourmc_spark [-z] [-1|-2|-3|-4] [-d|-t] [-f] [-p[N]] input [output]
 
 * ``-z``       ZSTD (.4mz) instead of LZ4 (.4mc)
 * ``-1..-4``   level: fast / medium / high / ultra (default fast)
@@ -12,12 +12,19 @@ Parity with the reference CLI (`native/4mccli.c:132-151` usage,
 * ``-t``       test: decompress to the null device, verifying every
                block checksum and the footer index chain
 * ``-f``       overwrite existing output
+* ``-p[N]``    use N threads (default: all cores) — blocks are
+               independently compressed, so both directions parallelize
+               with byte-identical output (the reference CLI is
+               single-threaded; this is the multicore extension)
 * ``input``/``output`` may be ``-`` for stdin/stdout (stdin is
   non-seekable, so ``-t``/``-d`` from a pipe stream blocks without the
-  footer cross-check, exactly like the reference's streaming mode)
+  footer cross-check, exactly like the reference's streaming mode;
+  parallel decode needs the footer, so pipe decode stays serial while
+  pipe *compress* still parallelizes)
 
-Memory is bounded by one 4 MiB block either direction — the CLI streams,
-it never loads whole files.
+Memory is bounded by one 4 MiB block either direction in serial mode —
+the CLI streams, it never loads whole files; ``-p`` bounds memory at
+~N+4 in-flight blocks (compress) / one 64 MiB window (decompress).
 """
 
 from __future__ import annotations
@@ -31,12 +38,13 @@ from fourmc_spark.format import core
 
 def _usage(prog: str = "fourmc") -> str:
     return (
-        f"usage: {prog} [-z] [-1|-2|-3|-4] [-d|-t] [-f] input [output]\n"
+        f"usage: {prog} [-z] [-1|-2|-3|-4] [-d|-t] [-f] [-p[N]] input [output]\n"
         "  -z  zstd (.4mz) format (default: lz4 .4mc)\n"
         "  -1..-4  compression level fast/medium/high/ultra (default -1)\n"
         "  -d  decompress\n"
         "  -t  test compressed file integrity (decompress to null)\n"
         "  -f  overwrite output if it exists\n"
+        "  -p[N]  parallel: decode/encode blocks on N threads (default all cores)\n"
         "  input/output: file paths, or '-' for stdin/stdout\n"
     )
 
@@ -61,22 +69,22 @@ def _open_out(path: str | None, force: bool):
     return open(path, "wb"), True
 
 
-def _compress(src, dst, codec: str, level: str) -> tuple[int, int]:
+def _compress(src, dst, codec: str, level: str, threads: int | None = None) -> tuple[int, int]:
     from fourmc_spark.format.writer import FourMcWriter
 
     n_in = 0
-    with FourMcWriter(dst, codec=codec, level=level) as w:
+    with FourMcWriter(dst, codec=codec, level=level, workers=threads) as w:
         while True:
             chunk = src.read(core.MAX_BLOCK_SIZE)
             if not chunk:
                 break
             n_in += len(chunk)
             w.write(chunk)
-        n_out = w.bytes_written
-    return n_in, n_out
+    # after close(): includes drained in-flight blocks, EOS and footer
+    return n_in, w.bytes_written
 
 
-def _decode_stream(src, sink, seekable: bool) -> int:
+def _decode_stream(src, sink, seekable: bool, threads: int | None = None) -> int:
     """Decompress (or verify, when sink is None) a 4mc/4mz stream.
 
     With a seekable source the footer index is read first and every
@@ -86,6 +94,18 @@ def _decode_stream(src, sink, seekable: bool) -> int:
     checksum-verified individually.
     """
     from fourmc_spark.format.reader import iter_block_payloads, read_index
+
+    if seekable and threads is not None and threads > 1:
+        # parallel windowed decode: the extent cross-check inside
+        # _parse_blocks subsumes the footer/stream offset comparison below
+        from fourmc_spark.format.parallel import iter_decoded_windows
+
+        n_out = 0
+        for span in iter_decoded_windows(src, threads=threads):
+            n_out += len(span)
+            if sink is not None:
+                sink.write(span)
+        return n_out
 
     expected_offsets: list[int] | None = None
     if seekable:
@@ -135,6 +155,7 @@ def main(argv: list[str] | None = None) -> int:
     level = "fast"
     mode = "compress"
     force = False
+    threads: int | None = None
     paths: list[str] = []
     levels = {"-1": "fast", "-2": "medium", "-3": "high", "-4": "ultra"}
     for a in argv:
@@ -151,6 +172,8 @@ def main(argv: list[str] | None = None) -> int:
             mode = "test"
         elif a == "-f":
             force = True
+        elif a == "-p" or (a.startswith("-p") and a[2:].isdigit()):
+            threads = int(a[2:]) if a[2:] else (os.cpu_count() or 4)
         elif a == "-" or not a.startswith("-"):
             paths.append(a)
         else:
@@ -168,7 +191,7 @@ def main(argv: list[str] | None = None) -> int:
             if mode == "compress":
                 dst, close_dst = _open_out(outp or _default_output(inp, mode, codec), force)
                 try:
-                    n_in, n_out = _compress(src, dst, codec, level)
+                    n_in, n_out = _compress(src, dst, codec, level, threads)
                 finally:
                     if close_dst:
                         dst.close()
@@ -179,13 +202,13 @@ def main(argv: list[str] | None = None) -> int:
             elif mode == "decompress":
                 dst, close_dst = _open_out(outp or _default_output(inp, mode, codec), force)
                 try:
-                    n = _decode_stream(src, dst, seekable)
+                    n = _decode_stream(src, dst, seekable, threads)
                 finally:
                     if close_dst:
                         dst.close()
                 sys.stderr.write(f"decompressed {n} bytes\n")
             else:  # test
-                n = _decode_stream(src, None, seekable)
+                n = _decode_stream(src, None, seekable, threads)
                 sys.stderr.write(f"OK: {n} bytes, all checksums + footer verified\n")
         finally:
             if src is not sys.stdin.buffer:

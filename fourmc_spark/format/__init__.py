@@ -9,6 +9,7 @@ from .core import (
     FourMcFormatError,
     NOT_FOUND,
 )
+from .parallel import decompress_file_parallel, iter_decoded_windows
 from .reader import (
     decompress_file,
     iter_block_payloads,
@@ -31,6 +32,8 @@ __all__ = [
     "FourMcWriter",
     "compress_bytes",
     "decompress_file",
+    "decompress_file_parallel",
+    "iter_decoded_windows",
     "iter_block_payloads",
     "iter_lines_for_split",
     "read_index",

@@ -29,10 +29,13 @@ import ctypes.util
 
 __all__ = [
     "xxh32",
+    "xxh32_at",
     "lz4_compress",
     "lz4_decompress",
+    "lz4_decompress_at",
     "zstd_compress",
     "zstd_decompress",
+    "zstd_decompress_at",
     "LZ4_LEVELS",
     "ZSTD_LEVELS",
     "HAVE_NATIVE_XXHASH",
@@ -64,20 +67,46 @@ HAVE_NATIVE_XXHASH = _xxh is not None
 HAVE_NATIVE_LZ4 = _lz4 is not None
 HAVE_NATIVE_ZSTD = _zstd is not None
 
+
+def _addr_at(buf, off: int) -> tuple[int, object]:
+    """(address of buf[off], keep-alive object) without copying.
+
+    `buf` is ``bytes`` (read-only OK — ``c_char_p`` shares the buffer) or a
+    writable buffer (``bytearray``/``memoryview``). The keep-alive object
+    must stay referenced until the C call returns.
+    """
+    if isinstance(buf, bytes):
+        p = ctypes.c_char_p(buf)
+        return ctypes.cast(p, ctypes.c_void_p).value + off, p
+    arr = (ctypes.c_char * 1).from_buffer(buf, off)
+    return ctypes.addressof(arr), arr
+
 # ---------------------------------------------------------------------------
 # XXH32
 # ---------------------------------------------------------------------------
 
 if _xxh is not None:
     _xxh.XXH32.restype = ctypes.c_uint32
-    _xxh.XXH32.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint32]
+    _xxh.XXH32.argtypes = [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_uint32]
 
     def xxh32(data: bytes, seed: int = 0) -> int:
         """32-bit xxHash of *data* (reference checksum primitive)."""
         return int(_xxh.XXH32(bytes(data), len(data), seed))
 
+    def xxh32_at(buf, off: int, n: int, seed: int = 0) -> int:
+        """Zero-copy XXH32 of ``buf[off:off+n]`` (bytes or writable buffer)."""
+        if n == 0:
+            return xxh32(b"", seed)
+        addr, keep = _addr_at(buf, off)
+        h = int(_xxh.XXH32(addr, n, seed))
+        del keep
+        return h
+
 else:  # pragma: no cover - exercised only without libxxhash
     xxh32 = None  # assigned below after the pure-Python impl
+
+    def xxh32_at(buf, off: int, n: int, seed: int = 0) -> int:
+        return xxh32(bytes(memoryview(buf)[off : off + n]), seed)
 
 # Pure-Python XXH32 (reference algorithm; kept for environments without
 # libxxhash and as a cross-check in tests).
@@ -166,6 +195,14 @@ if _lz4 is not None:
         ctypes.c_int,
         ctypes.c_int,
     ]
+    # second binding with pointer args for the zero-copy *_at path
+    _lz4_dec_ptr = ctypes.CFUNCTYPE(
+        ctypes.c_int,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_int,
+        ctypes.c_int,
+    )(("LZ4_decompress_safe", _lz4))
 
     def lz4_compress(data: bytes, level: int = 0) -> bytes | None:
         """Raw LZ4 block compress.
@@ -200,6 +237,18 @@ if _lz4 is not None:
             )
         return out
 
+    def lz4_decompress_at(src, src_off, csize, dst, dst_off, usize) -> None:
+        """Zero-copy decode of ``src[src_off:src_off+csize]`` into
+        ``dst[dst_off:dst_off+usize]`` (dst must be writable)."""
+        saddr, skeep = _addr_at(src, src_off)
+        daddr, dkeep = _addr_at(dst, dst_off)
+        n = _lz4_dec_ptr(saddr, daddr, csize, usize)
+        del skeep, dkeep
+        if n != usize:
+            raise ValueError(
+                f"corrupt LZ4 block: decoded {n} bytes, expected {usize}"
+            )
+
 else:  # pragma: no cover - pyarrow fallback
     import pyarrow as _pa
 
@@ -216,6 +265,10 @@ else:  # pragma: no cover - pyarrow fallback
         if len(out) != uncompressed_size:
             raise ValueError("corrupt LZ4 block")
         return out
+
+    def lz4_decompress_at(src, src_off, csize, dst, dst_off, usize) -> None:
+        chunk = bytes(memoryview(src)[src_off : src_off + csize])
+        memoryview(dst)[dst_off : dst_off + usize] = lz4_decompress(chunk, usize)
 
 
 # ---------------------------------------------------------------------------
@@ -240,6 +293,13 @@ if _zstd is not None:
     ]
     _zstd.ZSTD_isError.restype = ctypes.c_uint
     _zstd.ZSTD_isError.argtypes = [ctypes.c_size_t]
+    _zstd_dec_ptr = ctypes.CFUNCTYPE(
+        ctypes.c_size_t,
+        ctypes.c_void_p,
+        ctypes.c_size_t,
+        ctypes.c_void_p,
+        ctypes.c_size_t,
+    )(("ZSTD_decompress", _zstd))
 
     def zstd_compress(data: bytes, level: int = 1) -> bytes | None:
         """ZSTD frame compress; ``None`` when not shrinkable (passthrough)."""
@@ -265,6 +325,18 @@ if _zstd is not None:
             )
         return out
 
+    def zstd_decompress_at(src, src_off, csize, dst, dst_off, usize) -> None:
+        """Zero-copy decode of ``src[src_off:src_off+csize]`` into
+        ``dst[dst_off:dst_off+usize]`` (dst must be writable)."""
+        saddr, skeep = _addr_at(src, src_off)
+        daddr, dkeep = _addr_at(dst, dst_off)
+        n = _zstd_dec_ptr(daddr, usize, saddr, csize)
+        del skeep, dkeep
+        if _zstd.ZSTD_isError(n) or n != usize:
+            raise ValueError(
+                f"corrupt ZSTD block: expected {usize} bytes"
+            )
+
 else:  # pragma: no cover - pyarrow fallback
     import pyarrow as _pa
 
@@ -279,6 +351,10 @@ else:  # pragma: no cover - pyarrow fallback
         if len(out) != uncompressed_size:
             raise ValueError("corrupt ZSTD block")
         return out
+
+    def zstd_decompress_at(src, src_off, csize, dst, dst_off, usize) -> None:
+        chunk = bytes(memoryview(src)[src_off : src_off + csize])
+        memoryview(dst)[dst_off : dst_off + usize] = zstd_decompress(chunk, usize)
 
 
 # ---------------------------------------------------------------------------

@@ -107,8 +107,16 @@ def iter_block_payloads(
         pos += core.BLOCK_HEADER_SIZE + csize
 
 
-def decompress_file(path: str, verify: bool = True) -> bytes:
-    """Whole-file decompression (CLI / verification path)."""
+def decompress_file(path: str, verify: bool = True, threads: int | None = None) -> bytes:
+    """Whole-file decompression (CLI / verification path).
+
+    ``threads > 1`` decodes the independent blocks on a thread pool
+    (:mod:`.parallel`) — identical result, near-linear speedup.
+    """
+    if threads is not None and threads > 1:
+        from .parallel import decompress_file_parallel
+
+        return decompress_file_parallel(path, threads=threads, verify=verify)
     with open(path, "rb") as f:
         f.seek(0, os.SEEK_END)
         size = f.tell()

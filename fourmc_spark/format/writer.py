@@ -55,6 +55,14 @@ class FourMcWriter:
     codec : "lz4" (-> .4mc) or "zstd" (-> .4mz)
     level : fast | medium | high | ultra (or 1..4)
     block_size : uncompressed block granule, <= 4 MiB
+    workers : > 1 enables pipelined parallel compression — blocks are
+        independent (`4mc-format-spec:23-27`), so they compress on a
+        thread pool (the C codecs release the GIL) while framing stays
+        strictly in submission order: the output bytes are identical to
+        the serial writer's.  In-flight blocks are bounded to
+        ``workers + 4`` (~4 MiB each), keeping memory flat for streams
+        of any length — the multicore twin of the reference's
+        single-thread loop (`native/4mc.c:220-389`).
     """
 
     def __init__(
@@ -63,6 +71,7 @@ class FourMcWriter:
         codec: str = "lz4",
         level: str | int = "fast",
         block_size: int = core.MAX_BLOCK_SIZE,
+        workers: int | None = None,
     ) -> None:
         if block_size <= 0 or block_size > core.MAX_BLOCK_SIZE:
             raise ValueError(
@@ -83,6 +92,14 @@ class FourMcWriter:
         self.block_offsets: list[int] = []
         self._pos = 0
         self._closed = False
+        self._pool = None
+        if workers is not None and workers > 1:
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=workers)
+            self._pending: "deque" = deque()
+            self._max_inflight = workers + 4
         self._write_raw(core.encode_header(self._magic))
 
     # -- internals ---------------------------------------------------------
@@ -91,16 +108,31 @@ class FourMcWriter:
         self._out.write(data)
         self._pos += len(data)
 
-    def _flush_block(self, chunk: bytes) -> None:
-        """Compress-or-passthrough one block (FourMcOutputStream.java:195-223)."""
-        if not chunk:
-            return
+    def _emit_block(self, chunk: bytes, compressed: bytes | None) -> None:
         self.block_offsets.append(self._pos)
-        compressed = self._compress(chunk)
         if compressed is None:  # incompressible: store raw
             self._write_raw(core.encode_block(len(chunk), chunk, compressed=False))
         else:
             self._write_raw(core.encode_block(len(chunk), compressed, compressed=True))
+
+    def _drain_one(self) -> None:
+        chunk, fut = self._pending.popleft()
+        self._emit_block(chunk, fut.result())
+
+    def _flush_block(self, chunk: bytes) -> None:
+        """Compress-or-passthrough one block (FourMcOutputStream.java:195-223)."""
+        if not chunk:
+            return
+        if self._pool is None:
+            self._emit_block(chunk, self._compress(chunk))
+            return
+        self._pending.append((chunk, self._pool.submit(self._compress, chunk)))
+        # frame every block already finished, and block on the oldest when
+        # the in-flight bound is hit (keeps memory flat, order exact)
+        while self._pending and (
+            len(self._pending) > self._max_inflight or self._pending[0][1].done()
+        ):
+            self._drain_one()
 
     # -- public API ---------------------------------------------------------
 
@@ -142,6 +174,10 @@ class FourMcWriter:
         if self._buf:
             self._flush_block(bytes(self._buf))
             self._buf.clear()
+        if self._pool is not None:
+            while self._pending:
+                self._drain_one()
+            self._pool.shutdown()
         self._write_raw(core.encode_eos())
         self._write_raw(core.encode_footer(self._magic, self.block_offsets))
         self._closed = True
@@ -159,10 +195,13 @@ def write_file(
     codec: str = "lz4",
     level: str | int = "fast",
     block_size: int = core.MAX_BLOCK_SIZE,
+    workers: int | None = None,
 ) -> list[int]:
     """Compress *data* into a 4mc/4mz file; returns block offsets."""
     with open(path, "wb") as f:
-        with FourMcWriter(f, codec=codec, level=level, block_size=block_size) as w:
+        with FourMcWriter(
+            f, codec=codec, level=level, block_size=block_size, workers=workers
+        ) as w:
             w.write(data)
         return w.block_offsets
 
