@@ -2,7 +2,7 @@
 
 entry()      — flagship query (TPC-H Q5-shaped multi-join revenue) on
                /root/testdata/sf0.001.
-queries()    — every implemented operator from SURVEY.md §2: the Q1-Q23
+queries()    — every implemented operator from SURVEY.md §2: the Q1-Q29
                relational corpus, the LLM-pipeline extensions (dedup x5,
                similarity search, text analysis x4, multimodal, as-of join,
                range join), and the Structured Streaming surface (tumbling

@@ -131,18 +131,29 @@ def bench_codecs(tmpdir: str) -> dict[str, float]:
 
 
 def bench_spark_scan(spark, tmpdir: str) -> dict[str, float]:
-    """Parallel DataSource scan MB/s (uncompressed bytes / wall clock)."""
+    """Parallel DataSource scan MB/s (uncompressed bytes / wall clock).
+
+    4 files x 64 MB scanned at 16 MB partition granularity — enough bytes
+    that per-task overhead amortizes, the regime a real cluster scan runs
+    in (one small file measures job setup, not the reader).
+    """
     from fourmc_spark.format import write_file
 
     data = _blob(64)
-    mb = len(data) / (1024 * 1024)
+    n_files = 4
+    mb = n_files * len(data) / (1024 * 1024)
+    nthreads = min(int(CPUS), os.cpu_count() or int(CPUS))
     out = {}
     for codec, level in (("lz4", "fast"), ("zstd", "medium")):
         d = os.path.join(tmpdir, f"scan-{codec}")
         os.makedirs(d, exist_ok=True)
         ext = ".4mc" if codec == "lz4" else ".4mz"
-        write_file(os.path.join(d, f"data{ext}"), data, codec=codec, level=level)
-        df = spark.read.format("fourmc").option("maxpartitionbytes", 4 << 20).load(d)
+        for i in range(n_files):
+            write_file(
+                os.path.join(d, f"data{i}{ext}"), data,
+                codec=codec, level=level, workers=nthreads,
+            )
+        df = spark.read.format("fourmc").option("maxpartitionbytes", 16 << 20).load(d)
         df.count()  # warm
         t0 = time.perf_counter()
         n = df.count()

@@ -1039,3 +1039,116 @@ def udtf_sentences_q(spark, sf):
            FROM udtf_docs d, LATERAL fourmc_sentence_split(d.text) s
            ORDER BY d.doc_id, s.sent_idx"""
     )
+
+
+@query(
+    "q26_window_suite",
+    """SELECT o_custkey, o_orderkey,
+              CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+              round(lag(o_totalprice) OVER w, 2) AS prev_price,
+              round(lead(o_totalprice) OVER w, 2) AS next_price,
+              CAST(dense_rank() OVER
+                   (PARTITION BY o_custkey ORDER BY o_orderpriority)
+                   AS BIGINT) AS pri_rank,
+              round(first_value(o_totalprice) OVER w, 2) AS first_price
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+       ORDER BY o_custkey, o_orderkey""",
+)
+def q26(spark, sf):
+    # remaining ranking/navigation window functions (SURVEY.md §2.2):
+    # ntile / lag / lead / dense_rank / first_value in one pass — Spark
+    # plans a single sort per distinct (partition, order) spec
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return (
+        _t(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+            F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+            F.dense_rank().over(wp).cast("long").alias("pri_rank"),
+            F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "q27_pivot",
+    """SELECT o_orderstatus,
+              round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS urgent,
+              round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2) AS high,
+              round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS medium,
+              round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS notspec,
+              round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS low
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+)
+def q27(spark, sf):
+    # pivot with an EXPLICIT value list: at scale the list avoids the
+    # extra distinct-values discovery job, and the plan is one hash agg
+    # over conditional aggregates (exactly the oracle's CASE form)
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    piv = (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", pri)
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    names = ["urgent", "high", "medium", "notspec", "low"]
+    return piv.select(
+        "o_orderstatus", *[F.col(f"`{p}`").alias(n) for p, n in zip(pri, names)]
+    ).orderBy("o_orderstatus")
+
+
+@query(
+    "q28_unpivot",
+    """SELECT p_partkey, metric, value FROM (
+         SELECT p_partkey, 'retailprice' AS metric,
+                CAST(p_retailprice AS DOUBLE) AS value FROM part
+         UNION ALL
+         SELECT p_partkey, 'size' AS metric,
+                CAST(p_size AS DOUBLE) AS value FROM part)
+       ORDER BY p_partkey, metric""",
+)
+def q28(spark, sf):
+    # unpivot/melt (wide -> long): no shuffle at all — a generate-style
+    # projection, partition-local at any scale
+    return (
+        _t(spark, sf, "part")
+        .select(
+            "p_partkey",
+            F.col("p_retailprice").cast("double").alias("retailprice"),
+            F.col("p_size").cast("double").alias("size"),
+        )
+        .unpivot(["p_partkey"], ["retailprice", "size"], "metric", "value")
+        .orderBy("p_partkey", "metric")
+    )
+
+
+@query(
+    "q29_percentiles",
+    """SELECT l_returnflag,
+              quantile_disc(l_extendedprice, 0.25) AS p25,
+              quantile_disc(l_extendedprice, 0.50) AS p50,
+              quantile_disc(l_extendedprice, 0.75) AS p75,
+              quantile_disc(l_quantity, 0.50) AS med_qty
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def q29(spark, sf):
+    # discrete percentiles return actual data elements — bit-exact across
+    # engines, unlike interpolated quantile_cont where a last-ulp float
+    # difference can straddle a rounding boundary. At 100 TB prefer
+    # approx_percentile (mergeable sketch, q25-style); this pins exact
+    # semantics.
+    _t(spark, sf, "lineitem").createOrReplaceTempView("q29_li")
+    return spark.sql(
+        """SELECT l_returnflag,
+                  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+                  percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+                  percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75,
+                  percentile_disc(0.50) WITHIN GROUP (ORDER BY l_quantity) AS med_qty
+           FROM q29_li GROUP BY l_returnflag ORDER BY l_returnflag"""
+    )
