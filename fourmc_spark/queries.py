@@ -968,6 +968,53 @@ def ann_lsh_topk_q(spark, sf):
     ).orderBy("query_id", "rank")
 
 
+_IVF_STRIDE = 101
+_IVF_NPROBE = 2
+
+
+@query(
+    "ann_ivf_topk",
+    f"""WITH cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ce
+               FROM embeddings WHERE vec_id % {_IVF_STRIDE} = 0),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce) DESC,
+             c.cell) AS rn
+    FROM embeddings e, cents c) WHERE rn = 1),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.cell,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.ce) DESC,
+             c.cell) AS rn
+    FROM embeddings q, cents c WHERE q.vec_id < 5) WHERE rn <= {_IVF_NPROBE}),
+scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(qe.embedding AS DOUBLE[])) AS sim
+  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+       JOIN probes p ON a.cell = p.cell
+       JOIN embeddings qe ON qe.vec_id = p.query_id
+  WHERE e.vec_id != p.query_id),
+r AS (SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+)
+def ann_ivf_topk_q(spark, sf):
+    # the other 100 TB ANN path: IVF cells from deterministic data-point
+    # centroids; queries probe the 2 nearest cells (recall < 1 documented)
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return similarity.ivf_topk(
+        e, q, k=10, centroid_stride=_IVF_STRIDE, nprobe=_IVF_NPROBE
+    ).orderBy("query_id", "rank")
+
+
 @query(
     "q24_grouping_sets",
     """SELECT n_regionkey, n_nationkey, CAST(count(*) AS BIGINT) AS c
