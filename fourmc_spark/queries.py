@@ -780,6 +780,40 @@ def multimodal_q(spark, sf):
     return multimodal.extract_features(d).orderBy("doc_id")
 
 
+# documents.text is ASCII (asserted in tests), so DuckDB's varchar
+# substring/md5 sees the same bytes the Spark-side pandas decode slices.
+@query(
+    "multimodal_resize",
+    """SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS src_bytes,
+              CAST(320 AS BIGINT) AS width, CAST(240 AS BIGINT) AS height,
+              CAST(least(octet_length(encode(text)), 76800) AS BIGINT) AS resized_bytes,
+              md5(substring(text, 1, 76800)) AS resized_md5
+       FROM documents ORDER BY doc_id""",
+)
+def multimodal_resize_q(spark, sf):
+    d = multimodal.attach_binary_payload(_t(spark, sf, "documents"))
+    return multimodal.resize_images(d, target_w=320, target_h=240).orderBy("doc_id")
+
+
+@query(
+    "multimodal_frames",
+    """WITH p AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+f AS (SELECT doc_id, text, n,
+             unnest(range(0, CAST(ceil(n * 1.0 / 256) AS BIGINT), 4)) AS frame_idx
+      FROM p)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(least(256, n - frame_idx * 256) AS BIGINT) AS frame_len,
+       md5(substring(text, frame_idx * 256 + 1, 256)) AS frame_md5
+FROM f ORDER BY doc_id, frame_idx""",
+)
+def multimodal_frames_q(spark, sf):
+    d = multimodal.attach_binary_payload(_t(spark, sf, "documents"))
+    return multimodal.sample_frames(d, frame_bytes=256, stride=4).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
 @query(
     "asof_join_events",
     """WITH clicks AS (SELECT event_id, user_id, ts FROM {EV} e WHERE event_type = 'click'),

@@ -68,3 +68,14 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
         (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
     ]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_documents_text_is_ascii(duck):
+    # The multimodal_resize / multimodal_frames oracles slice the text with
+    # DuckDB varchar substring and md5 it; the Spark side slices utf-8
+    # BYTES. Those agree only while documents.text is pure ASCII — pin it.
+    n = duck.execute(
+        "SELECT count(*) FROM documents "
+        "WHERE octet_length(encode(text)) != length(text)"
+    ).fetchone()[0]
+    assert n == 0
