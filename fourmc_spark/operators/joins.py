@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join_bands"]
+__all__ = ["asof_join", "range_join_bands", "salted_join"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str, time_col: str,
@@ -53,6 +53,32 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, time_col: str,
         *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in right_cols],
     )
     return filled.where(F.col("_side") == 1).drop("_side")
+
+
+def salted_join(facts: DataFrame, dim: DataFrame, on: str, n_salts: int = 8,
+                how: str = "inner") -> DataFrame:
+    """Skew-mitigated equi-join: salt the fact side, replicate the dim side.
+
+    When the join key is low-cardinality or zipfian (a hot user, a hot
+    event_type), a plain shuffle join lands the hot key in ONE reducer and
+    the stage runs at the speed of its slowest task. Salting splits every
+    key into ``n_salts`` sub-keys: facts get a deterministic salt
+    (xxhash64 of the whole row, mod n), the dim side is exploded n× —
+    the hot key now spreads over n tasks, at the cost of an n× dim
+    replication (dim must be small relative to the facts; if it fits in
+    memory outright, prefer `broadcast()` and skip salting entirely).
+
+    Results are salt-invariant: identical to ``facts.join(dim, on, how)``.
+    This is the manual fallback for engines without AQE skew handling;
+    with AQE on, Spark's skew-join split covers sort-merge joins, but
+    salting also covers hash joins and bounds the worst task statically.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(n_salts))
+    salted_facts = facts.withColumn("_salt", salt)
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted_facts.join(salted_dim, [on, "_salt"], how).drop("_salt")
 
 
 def range_join_bands(facts: DataFrame, bands: DataFrame, value_col: str,

@@ -25,7 +25,14 @@ from fourmc_spark.functions import (
     token_hash_duck,
     tokens_duck,
 )
-from fourmc_spark.operators import dedup, joins, multimodal, similarity, text
+from fourmc_spark.operators import (
+    dedup,
+    joins,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -862,6 +869,88 @@ def range_join_q(spark, sf):
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
         .orderBy("label")
+    )
+
+
+_TYPE_WEIGHTS = [("click", 1.0), ("view", 0.5), ("purchase", 10.0),
+                 ("signup", 5.0), ("error", 0.0)]
+
+
+@query(
+    "q30_salted_skew_join",
+    f"""WITH dim(event_type, weight) AS (VALUES
+       {", ".join(f"('{t}', {w})" for t, w in _TYPE_WEIGHTS)})
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(e.value * d.weight), 2) AS weighted_value
+FROM {{EV}} e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type ORDER BY e.event_type""",
+)
+def q30_salted_q(spark, sf):
+    # event_type is a 5-value key — the canonical skew shape: a plain
+    # shuffle join lands each type in one task. salted_join spreads every
+    # key over 8 sub-keys; results are salt-invariant (oracle = plain join).
+    ev = _t(spark, sf, "events")
+    dim = ev.sparkSession.createDataFrame(_TYPE_WEIGHTS, ["event_type", "weight"])
+    return (
+        joins.salted_join(ev, dim, on="event_type", n_salts=8)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q31_hash_sample",
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+       WHERE substring(md5(concat_ws('-', CAST(l_orderkey AS VARCHAR),
+                                          CAST(l_linenumber AS VARCHAR))), 1, 4) < '2000'
+       ORDER BY l_orderkey, l_linenumber""",
+)
+def q31_hash_sample_q(spark, sf):
+    # deterministic ~12.5% sample (8192/65536): membership is a pure
+    # function of the key, so the sample is stable across runs, engines,
+    # and re-partitionings — and the filter is map-side, zero shuffle.
+    return (
+        sampling.hash_sample(
+            _t(spark, sf, "lineitem"), ["l_orderkey", "l_linenumber"], keep_bp=0x2000
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+_STRATA_BP = {"click": 0x2000, "view": 0x0800, "error": 0x10000, "purchase": 0x4000}
+
+
+@query(
+    "q32_stratified_sample",
+    f"""WITH rates(event_type, thr) AS (VALUES
+       {", ".join(f"('{t}', '{format(bp, '04x')}')" for t, bp in sorted(_STRATA_BP.items()))}),
+s AS (SELECT e.event_id, e.event_type
+      FROM {{EV}} e JOIN rates r ON e.event_type = r.event_type
+      WHERE substring(md5(CAST(e.event_id AS VARCHAR)), 1, 4) < r.thr)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(event_id) AS BIGINT) AS id_checksum
+FROM s GROUP BY event_type ORDER BY event_type""",
+)
+def q32_stratified_q(spark, sf):
+    # class re-balancing at ingest: keep all errors, 25% purchases, 12.5%
+    # clicks, 3% views, drop unlisted strata — one CASE-threshold filter,
+    # still map-only and deterministic (sampleBy is neither).
+    ev = _t(spark, sf, "events")
+    return (
+        sampling.stratified_hash_sample(
+            ev, "event_type", ["event_id"], _STRATA_BP, default_bp=0
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("event_type")
     )
 
 
