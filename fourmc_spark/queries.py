@@ -954,6 +954,50 @@ def q32_stratified_q(spark, sf):
     )
 
 
+@query(
+    "pipeline_curation",
+    """WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+  FROM documents),
+feat AS (SELECT doc_id, n_tokens,
+                round((n_distinct * 1.0 / n_tokens) * (least(n_tokens, 64) / 64.0), 4)
+                  AS quality
+         FROM base),
+joined AS (SELECT d.doc_id, d.lang, d.text, f.n_tokens, f.quality
+           FROM documents d JOIN feat f USING (doc_id)
+           WHERE f.quality >= 0.3 AND f.n_tokens >= 10
+             AND substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < '8000'),
+dedup AS (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          FROM joined)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       round(avg(quality), 4) AS avg_quality
+FROM dedup WHERE rn = 1 GROUP BY lang ORDER BY lang""",
+)
+def pipeline_curation_q(spark, sf):
+    # the end-to-end training-data curation shape: score -> quality gate ->
+    # deterministic sample -> exact dedup -> corpus stats. Every stage is a
+    # map-side filter or a single keyed shuffle; nothing touches the driver.
+    docs = _t(spark, sf, "documents")
+    feats = text.quality_score(docs).select("doc_id", "n_tokens", "quality")
+    joined = docs.select("doc_id", "text", "lang").join(feats, "doc_id")
+    kept = joined.where((F.col("quality") >= 0.3) & (F.col("n_tokens") >= 10))
+    sampled = sampling.hash_sample(kept, ["doc_id"], keep_bp=0x8000)
+    w = Window.partitionBy("text").orderBy("doc_id")
+    deduped = sampled.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
 # =========================================================================
 # Streaming surface (SURVEY.md §2.2 Streaming / M5) — each query runs a
 # REAL micro-batch Structured Streaming query over the events parquet
