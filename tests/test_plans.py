@@ -1,0 +1,136 @@
+"""Plan regression suite: pins the physical-plan properties PLANS.md
+claims for the 100 TB posture. If a change turns a pushed-down filter
+into a post-scan filter, a broadcast into a shuffle, or a top-k into a
+total sort, these fail — before a cluster run ever would.
+"""
+
+import pytest
+
+from fourmc_spark.plans import (
+    broadcast_join_count,
+    exchange_count,
+    has_pushed_filter,
+    physical_plan,
+    read_schema_columns,
+    wholestage_codegen_spans,
+)
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from fourmc_spark.queries import QUERIES
+
+    return QUERIES
+
+
+def test_q01_filter_and_projection_reach_the_scan(spark, sf_dir, queries):
+    df = queries["q01_filter_project"](spark, sf_dir)
+    assert has_pushed_filter(df, "GreaterThan(l_quantity")
+    schemas = read_schema_columns(df)
+    assert schemas and all(len(s) <= 3 for s in schemas), (
+        f"scan reads more than the 3 projected columns: {schemas}"
+    )
+
+
+def test_q01_runs_in_wholestage_codegen(spark, sf_dir, queries):
+    # the codegen explain reports 0 under AQE until runtime; disable it for
+    # the check so the compiled spans are visible at plan time
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = queries["q01_filter_project"](spark, sf_dir)
+        assert wholestage_codegen_spans(df) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def test_q15_topk_never_total_sorts(spark, sf_dir, queries):
+    plan = physical_plan(queries["q15_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # a range-partitioned total sort before the limit would be the 100 TB bug
+    assert "rangepartitioning" not in plan.lower().replace("takeordered", "")
+
+
+def test_q08_broadcasts_dims_and_streams_lineitem(spark, sf_dir, queries):
+    df = queries["q08_multijoin_revenue"](spark, sf_dir)
+    # at test SF everything is small so Catalyst may broadcast every side;
+    # the invariant worth pinning is: joins exist and lineitem is never
+    # the build (broadcast) side of any of them.
+    plan = physical_plan(df)
+    assert broadcast_join_count(df) >= 2
+    for line in plan.splitlines():
+        if "BroadcastExchange" in line or "BroadcastQueryStage" in line:
+            assert "lineitem" not in line.lower()
+
+
+def test_q04_agg_is_partial_then_final(spark, sf_dir, queries):
+    plan = physical_plan(queries["q04_tpch_q1_agg"](spark, sf_dir))
+    # map-side combine: two HashAggregate layers around one exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q13_window_shuffles_once_on_the_partition_key(spark, sf_dir, queries):
+    df = queries["q13_window_rank"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" in plan or "WindowGroupLimit" in plan
+    # one hash exchange for the window; the final orderBy adds one range
+    assert exchange_count(df) <= 2
+
+
+def test_q30_join_keys_carry_the_salt(spark, sf_dir, queries):
+    plan = physical_plan(queries["q30_salted_skew_join"](spark, sf_dir))
+    assert "_salt" in plan
+
+
+def test_q31_sample_is_a_scan_level_filter(spark, sf_dir, queries):
+    df = queries["q31_hash_sample"](spark, sf_dir)
+    # the md5 predicate can't push into parquet, but it must run inside
+    # the scan's codegen stage — no exchange before the filter, and the
+    # only exchange in the whole plan is the final orderBy's range one.
+    assert exchange_count(df) <= 1
+
+
+def test_q25_uses_mergeable_sketch_not_distinct_shuffle(spark, sf_dir, queries):
+    plan = physical_plan(queries["q25_approx_distinct"](spark, sf_dir))
+    assert "approx_count_distinct" in plan
+    assert "Expand" not in plan  # a count(DISTINCT) rewrite would add one
+
+
+def test_bucketed_join_needs_no_exchange(spark, sf_dir, tmp_path):
+    from fourmc_spark.plans import bucketed_join, write_bucketed
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_bucketed(cust, "b_cust", "c_custkey", n_buckets=4,
+                   path=str(tmp_path / "b_cust"))
+    write_bucketed(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), "b_ord", "c_custkey",
+        n_buckets=4, path=str(tmp_path / "b_ord"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # at test SF Catalyst would broadcast (bypassing bucketed reading
+    # entirely); force the shuffle-join path the 100 TB case would take
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "b_cust", "b_ord", "c_custkey")
+        assert exchange_count(j) == 0, physical_plan(j)
+        # and the result is still correct
+        plain = cust.join(
+            orders.withColumnRenamed("o_custkey", "c_custkey"), "c_custkey"
+        )
+        assert j.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_cust")
+        spark.sql("DROP TABLE IF EXISTS b_ord")
+
+
+def test_unbucketed_same_join_does_exchange(spark, sf_dir):
+    # control for the bucketed test: the identical join over plain parquet
+    # shuffles (or broadcasts); bucketing is what removed the Exchange.
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    j = cust.join(orders.hint("merge"), "c_custkey")
+    assert exchange_count(j) >= 1
