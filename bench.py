@@ -49,9 +49,13 @@ BENCH_QUERIES = [
     "dedup_minhash_pairs",
     "dedup_simhash_signatures",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "text_quality",
     "text_fingerprint",
     "asof_join_events",
+    "q30_salted_skew_join",
+    "q31_hash_sample",
+    "pipeline_curation",
 ]
 
 

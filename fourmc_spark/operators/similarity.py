@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["with_norm", "cosine_topk", "lsh_ann_topk", "ivf_topk", "cosine_pairs"]
@@ -144,8 +146,11 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
 
     Scale shape (the reason IVF beats brute force at 100 TB):
 
-    * candidate→cell assignment is a map-only JVM expression fold over the
-      literal centroid arrays — no join, no shuffle, whole-stage codegen;
+    * candidate→cell assignment is a map-only Arrow-batched pandas UDF —
+      one numpy ``batch × dim @ dim × cells`` matmul per Arrow batch (the
+      one place Python earns its keep: dense linear algebra the built-in
+      higher-order functions would evaluate element-by-element). No join,
+      no shuffle;
     * queries (small by contract) rank cells via a broadcast cross join and
       keep the ``nprobe`` nearest;
     * scoring touches only candidates in probed cells — the scan is cut by
@@ -162,30 +167,23 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     if not cents:
         raise ValueError("no centroids: centroid_stride larger than id range")
 
-    def nearest_cell(vec: str) -> "F.Column":
-        # argmax cosine over literal centroids; ties break to the smallest
-        # cell id (struct compare on (sim, -cell)). One expression, no join.
-        structs = []
-        for cid, cvec in cents:
-            arr = F.array(*[F.lit(x) for x in cvec])
-            cnorm = math.sqrt(sum(x * x for x in cvec))
-            d = F.aggregate(
-                F.zip_with(F.col(vec), arr, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            sim = d / (F.col("_norm") * F.lit(cnorm))
-            structs.append(
-                F.struct(sim.alias("sim"), F.lit(-cid).cast("long").alias("negcell"))
-            )
-        best = structs[0] if len(structs) == 1 else F.greatest(*structs)
-        return -best.getField("negcell")
+    cmat = np.array([v for _, v in cents], dtype=np.float64)
+    cnorms = np.sqrt((cmat * cmat).sum(axis=1))
+    cell_ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def nearest_cell(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        sims = (m @ cmat.T) / (np.linalg.norm(m, axis=1, keepdims=True) * cnorms)
+        # argmax takes the FIRST max; cell_ids ascend, so ties break to the
+        # smallest cell id — same rule as the oracle's (sim DESC, cell ASC)
+        return pd.Series(cell_ids[np.argmax(sims, axis=1)])
 
     assigned = with_norm(embeddings, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
         F.col("_norm").alias("_cnorm"),
-        nearest_cell(vec_col).alias("cell"),
+        nearest_cell(F.col(vec_col)).alias("cell"),
     )
 
     cent_df = spark.createDataFrame(

@@ -998,6 +998,26 @@ def pipeline_curation_q(spark, sf):
     )
 
 
+@query("q33_approx_percentile", "SELECT CAST(1 AS BOOLEAN) AS within_tol")
+def q33_approx_percentile_q(spark, sf):
+    # the 100 TB percentile path: approx_percentile's mergeable KLL-style
+    # sketch (one small state per partition merged at the driver) instead
+    # of q29's exact sort-based percentile_disc. Self-check oracle: the
+    # sketch must land within 1% relative error of the exact answer.
+    r = _t(spark, sf, "lineitem").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
+        ).alias("ap"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("ex"),
+    )
+    return r.select(
+        F.expr(
+            "aggregate(zip_with(ap, ex, (a, e) -> abs(a - e) / e < 0.01), "
+            "true, (acc, x) -> acc AND x)"
+        ).alias("within_tol")
+    )
+
+
 # =========================================================================
 # Streaming surface (SURVEY.md §2.2 Streaming / M5) — each query runs a
 # REAL micro-batch Structured Streaming query over the events parquet
@@ -1057,6 +1077,33 @@ def stream_session_q(spark, sf):
     sdf = session_counts(read_events_stream(spark, f"{sf}/events.parquet"),
                          gap="15 minutes")
     return _run_stream(sdf).orderBy("user_id", "session_start")
+
+
+@query(
+    "stream_sliding_windows",
+    """WITH x AS (SELECT event_type,
+        unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+          AS win_start
+      FROM {EV})
+SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS cnt
+FROM x GROUP BY win_start, event_type ORDER BY win_start, event_type""",
+)
+def stream_sliding_q(spark, sf):
+    # 1h windows sliding every 30m: each event lands in exactly 2 windows;
+    # the oracle materializes both membership slots per event. Both engines
+    # align 30m buckets on :00/:30 (epoch / 2000-01-01 origins agree mod 30m).
+    from fourmc_spark.streaming import read_events_stream, sliding_counts
+
+    sdf = sliding_counts(
+        read_events_stream(spark, f"{sf}/events.parquet"),
+        window="1 hour", slide="30 minutes",
+    )
+    return (
+        _run_stream(sdf)
+        .select("win_start", "event_type", F.col("cnt").cast("long").alias("cnt"))
+        .orderBy("win_start", "event_type")
+    )
 
 
 @query(
