@@ -17,7 +17,7 @@ from .reader import (
     read_index,
     scan_file_info,
 )
-from .writer import FourMcWriter, compress_bytes, write_file
+from .writer import FourMcWriter, ZstWriter, compress_bytes, write_file, write_zst_file
 
 __all__ = [
     "MAGIC_4MC",
@@ -30,6 +30,7 @@ __all__ = [
     "BlockIndex",
     "FourMcFormatError",
     "FourMcWriter",
+    "ZstWriter",
     "compress_bytes",
     "decompress_file",
     "decompress_file_parallel",
@@ -39,4 +40,5 @@ __all__ = [
     "read_index",
     "scan_file_info",
     "write_file",
+    "write_zst_file",
 ]

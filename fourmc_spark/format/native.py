@@ -36,6 +36,7 @@ __all__ = [
     "zstd_compress",
     "zstd_decompress",
     "zstd_decompress_at",
+    "ZstdStreamCompressor",
     "LZ4_LEVELS",
     "ZSTD_LEVELS",
     "HAVE_NATIVE_XXHASH",
@@ -419,3 +420,109 @@ else:  # pragma: no cover - pyarrow fallback (frames with content size only)
         if not data:
             return
         yield _pa2.Codec("zstd").decompress(data).to_pybytes()
+
+
+# ---------------------------------------------------------------------------
+# Streaming ZSTD encode (standard .zst sink, reference ZstCodec.java:47-169 +
+# ZstdStreamCompressor.java:41-331): one frame for the whole stream, bounded
+# buffers, level clamped like the reference (invalid conf level -> 3,
+# ZstCodec.java:118-122).
+# ---------------------------------------------------------------------------
+
+if _zstd is not None and hasattr(_zstd, "ZSTD_createCStream"):
+    _zstd.ZSTD_createCStream.restype = ctypes.c_void_p
+    _zstd.ZSTD_freeCStream.argtypes = [ctypes.c_void_p]
+    _zstd.ZSTD_initCStream.restype = ctypes.c_size_t
+    _zstd.ZSTD_initCStream.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    _zstd.ZSTD_compressStream.restype = ctypes.c_size_t
+    _zstd.ZSTD_compressStream.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(_ZstdBuffer),
+        ctypes.POINTER(_ZstdBuffer),
+    ]
+    _zstd.ZSTD_endStream.restype = ctypes.c_size_t
+    _zstd.ZSTD_endStream.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(_ZstdBuffer),
+    ]
+
+    class ZstdStreamCompressor:
+        """Incremental single-frame zstd encoder (CStream API).
+
+        ``compress(data)`` returns whatever compressed bytes are ready
+        (possibly empty — zstd buffers internally); ``finish()`` flushes
+        the epilogue. O(buffer) memory for streams of any length.
+        """
+
+        def __init__(self, level: int = 1) -> None:
+            self._cs = _zstd.ZSTD_createCStream()
+            if not self._cs:
+                raise MemoryError("ZSTD_createCStream failed")
+            rc = _zstd.ZSTD_initCStream(self._cs, int(level))
+            if _zstd.ZSTD_isError(rc):
+                raise ValueError(f"bad zstd level {level}")
+            self._out_cap = 1 << 19  # 512 KiB output granule
+            self._out_raw = ctypes.create_string_buffer(self._out_cap)
+            self._done = False
+
+        def compress(self, data: bytes) -> bytes:
+            if self._done:
+                raise ValueError("compressor finished")
+            if not data:
+                return b""
+            src = ctypes.create_string_buffer(data, len(data))
+            inb = _ZstdBuffer(ctypes.cast(src, ctypes.c_void_p), len(data), 0)
+            parts = []
+            while inb.pos < inb.size:
+                outb = _ZstdBuffer(
+                    ctypes.cast(self._out_raw, ctypes.c_void_p), self._out_cap, 0
+                )
+                rc = _zstd.ZSTD_compressStream(
+                    self._cs, ctypes.byref(outb), ctypes.byref(inb)
+                )
+                if _zstd.ZSTD_isError(rc):
+                    raise ValueError("zstd stream compress failed")
+                if outb.pos:
+                    parts.append(self._out_raw.raw[: outb.pos])
+            return b"".join(parts)
+
+        def finish(self) -> bytes:
+            if self._done:
+                return b""
+            parts = []
+            while True:
+                outb = _ZstdBuffer(
+                    ctypes.cast(self._out_raw, ctypes.c_void_p), self._out_cap, 0
+                )
+                rc = _zstd.ZSTD_endStream(self._cs, ctypes.byref(outb))
+                if _zstd.ZSTD_isError(rc):
+                    raise ValueError("zstd stream finish failed")
+                if outb.pos:
+                    parts.append(self._out_raw.raw[: outb.pos])
+                if rc == 0:
+                    break
+            self._done = True
+            _zstd.ZSTD_freeCStream(self._cs)
+            self._cs = None
+            return b"".join(parts)
+
+else:  # pragma: no cover - pyarrow fallback (buffers the whole stream)
+    class ZstdStreamCompressor:  # type: ignore[no-redef]
+        def __init__(self, level: int = 1) -> None:
+            self._level = int(level)
+            self._buf = bytearray()
+            self._done = False
+
+        def compress(self, data: bytes) -> bytes:
+            if self._done:
+                raise ValueError("compressor finished")
+            self._buf.extend(data)
+            return b""
+
+        def finish(self) -> bytes:
+            import pyarrow as _pa3
+
+            self._done = True
+            return _pa3.Codec("zstd", self._level).compress(
+                bytes(self._buf)
+            ).to_pybytes()

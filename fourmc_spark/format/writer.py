@@ -20,7 +20,15 @@ from .native import (
     zstd_compress,
 )
 
-__all__ = ["FourMcWriter", "write_file", "normalize_codec", "normalize_level"]
+__all__ = [
+    "FourMcWriter",
+    "ZstWriter",
+    "write_file",
+    "write_zst_file",
+    "normalize_codec",
+    "normalize_level",
+    "zst_level",
+]
 
 
 def normalize_codec(codec: str) -> str:
@@ -187,6 +195,92 @@ class FourMcWriter:
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+
+def zst_level(level: str | int | None) -> int:
+    """Reference ZstCodec level rule (`ZstCodec.java:118-122`): numeric
+    level from conf, default 1, out-of-range/invalid -> 3. Level names are
+    also accepted and map through the 4mz table (fast=1 .. ultra=12)."""
+    if level is None:
+        return 1
+    if isinstance(level, str) and level.lower() in ZSTD_LEVELS:
+        return ZSTD_LEVELS[level.lower()]
+    try:
+        lv = int(level)
+    except (TypeError, ValueError):
+        return 3
+    return lv if 1 <= lv <= 22 else 3
+
+
+class ZstWriter:
+    """Standard ``.zst`` streaming writer (reference C8:
+    `ZstCodec.java:47-169`, `ZstdStreamCompressor.java:41-331`): ONE zstd
+    frame for the whole stream, 256 KiB input granules, O(buffer) memory.
+
+    Unlike 4mc/4mz there is no block index — the output is not splittable
+    (one partition per file at scan time); it exists for interop with
+    plain-zstd tooling, and the scale guidance stays "write 4mz".
+    """
+
+    def __init__(self, out: BinaryIO, level: str | int | None = 1) -> None:
+        from .native import ZstdStreamCompressor
+
+        self._out = out
+        self.level = zst_level(level)
+        self._comp = ZstdStreamCompressor(self.level)
+        self._buf = bytearray()
+        self._granule = 256 * 1024  # ZstCodec.java:51 buffer size
+        self._pos = 0
+        self._closed = False
+
+    def _push(self, chunk: bytes) -> None:
+        out = self._comp.compress(chunk)
+        if out:
+            self._out.write(out)
+            self._pos += len(out)
+
+    def write(self, data: bytes) -> None:
+        if self._closed:
+            raise ValueError("writer is closed")
+        self._buf.extend(data)
+        while len(self._buf) >= self._granule:
+            self._push(bytes(self._buf[: self._granule]))
+            del self._buf[: self._granule]
+
+    def write_line(self, line: bytes | str) -> None:
+        if isinstance(line, str):
+            line = line.encode("utf-8")
+        self.write(line + b"\n")
+
+    @property
+    def bytes_written(self) -> int:
+        return self._pos
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        if self._buf:
+            self._push(bytes(self._buf))
+            self._buf.clear()
+        tail = self._comp.finish()
+        if tail:
+            self._out.write(tail)
+            self._pos += len(tail)
+        self._closed = True
+
+    def __enter__(self) -> "ZstWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def write_zst_file(path: str, data: bytes, level: str | int | None = 1) -> int:
+    """Compress *data* into a standard .zst file; returns bytes written."""
+    with open(path, "wb") as f:
+        with ZstWriter(f, level=level) as w:
+            w.write(data)
+        return w.bytes_written
 
 
 def write_file(

@@ -292,19 +292,29 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> FourMcCommitMessage:
         import pyarrow as pa  # noqa: F811
 
-        from fourmc_spark.format.writer import FourMcWriter, normalize_codec
+        from fourmc_spark.format.writer import FourMcWriter, ZstWriter, normalize_codec
 
-        codec = normalize_codec(self.codec_raw)
-        ext = ".4mc" if codec == "lz4" else ".4mz"
+        # codec=zst -> standard zstd streaming format (reference C8): one
+        # frame per task file, no block index — interop output, not the
+        # splittable scale path (that's 4mz)
+        if self.codec_raw.lower() == "zst":
+            codec, ext = "zst", ".zst"
+        else:
+            codec = normalize_codec(self.codec_raw)
+            ext = ".4mc" if codec == "lz4" else ".4mz"
         fname = f"part-{uuid.uuid4().hex}{ext}"
         staging = os.path.join(self.path, "_temporary")
         os.makedirs(staging, exist_ok=True)
         staged = os.path.join(staging, fname)
         final = os.path.join(self.path, fname)
         with open(staged, "wb") as f:
-            with FourMcWriter(
-                f, codec=codec, level=self.level, block_size=self.block_size
-            ) as w:
+            if codec == "zst":
+                w = ZstWriter(f, level=self.level)
+            else:
+                w = FourMcWriter(
+                    f, codec=codec, level=self.level, block_size=self.block_size
+                )
+            with w:
                 for batch in iterator:
                     if len(batch) > 0:
                         w.write(_join_lines(batch.column(self.value_col)))
