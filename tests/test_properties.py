@@ -1,0 +1,100 @@
+"""Hypothesis property tests for the format core (SURVEY.md §5 plan item 2:
+randomized round-trips beyond the fixed vectors — the reference's
+TestFourMcCodec.java:27-111 does 100k random KV records; hypothesis
+shrinks failures to minimal counterexamples instead).
+"""
+
+import io
+import os
+
+from hypothesis import given, settings, strategies as st
+
+from fourmc_spark.format import FourMcWriter, compress_bytes, decompress_file
+from fourmc_spark.format.writer import ZstWriter
+
+
+def _decompress_bytes(blob: bytes, tmp_path, name="blob.4mc") -> bytes:
+    p = str(tmp_path / name)
+    with open(p, "wb") as f:
+        f.write(blob)
+    try:
+        return decompress_file(p)
+    finally:
+        os.remove(p)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=200_000),
+    codec=st.sampled_from(["lz4", "zstd"]),
+    block_size=st.integers(min_value=1, max_value=70_000),
+)
+def test_roundtrip_arbitrary_bytes_and_block_sizes(
+    tmp_path_factory, data, codec, block_size
+):
+    d = tmp_path_factory.mktemp("prop_rt")
+    blob = compress_bytes(data, codec=codec, level="fast", block_size=block_size)
+    assert _decompress_bytes(blob, d) == data
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    chunks=st.lists(st.binary(min_size=0, max_size=30_000), max_size=12),
+    codec=st.sampled_from(["lz4", "zstd"]),
+)
+def test_chunked_writes_equal_one_shot(tmp_path_factory, chunks, codec):
+    # framing must not depend on write() call boundaries (the reference
+    # buffers to the block granule regardless of caller chunking,
+    # FourMcOutputStream.java:140-182)
+    whole = b"".join(chunks)
+    one = compress_bytes(whole, codec=codec, level="fast", block_size=4096)
+    buf = io.BytesIO()
+    with FourMcWriter(buf, codec=codec, level="fast", block_size=4096) as w:
+        for c in chunks:
+            w.write(c)
+    assert buf.getvalue() == one
+    d = tmp_path_factory.mktemp("prop_ck")
+    assert _decompress_bytes(buf.getvalue(), d) == whole
+
+
+@settings(max_examples=20, deadline=None)
+@given(chunks=st.lists(st.binary(min_size=0, max_size=50_000), max_size=10))
+def test_zst_stream_chunking_invariant(chunks):
+    from fourmc_spark.format.native import zstd_stream_decompress_chunks
+
+    whole = b"".join(chunks)
+    buf = io.BytesIO()
+    with ZstWriter(buf, level=1) as w:
+        for c in chunks:
+            w.write(c)
+    out = buf.getvalue()
+    assert b"".join(zstd_stream_decompress_chunks([out])) == whole
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    lines=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_characters="\r\n",
+                                   blacklist_categories=("Cs",)),
+            max_size=300,
+        ),
+        max_size=50,
+    ),
+    codec=st.sampled_from(["lz4", "zstd"]),
+)
+def test_line_roundtrip_via_split_reader(tmp_path_factory, lines, codec):
+    from fourmc_spark.format import iter_lines_for_split
+
+    d = tmp_path_factory.mktemp("prop_ln")
+    ext = ".4mc" if codec == "lz4" else ".4mz"
+    p = str(d / f"lines{ext}")
+    with open(p, "wb") as f:
+        with FourMcWriter(f, codec=codec, level="fast", block_size=8192) as w:
+            for ln in lines:
+                w.write_line(ln)
+    size = os.path.getsize(p)
+    with open(p, "rb") as f:
+        got = [ln.decode("utf-8")
+               for _, ln in iter_lines_for_split(f, codec, 0, size)]
+    assert got == lines
