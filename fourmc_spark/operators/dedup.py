@@ -65,13 +65,27 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _fanout_rebalance(df: DataFrame, id_col: str) -> DataFrame:
+    """Rebalance BEFORE a high-fanout explode when the input is coarser
+    than the cluster: exploding multiplies rows ~100-200×, and Spark can
+    never split one input partition's explosion across tasks — a 1-file
+    table would shingle on one core. The repartition moves only the small
+    pre-explosion rows; with well-partitioned input (the 100 TB case,
+    thousands of scan partitions) it is a no-op."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par, F.col(id_col))
+    return df
+
+
 def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                  n: int = 3) -> DataFrame:
     """(id, shingle) distinct pairs — the inverted index every other
     operator builds on."""
     toks = tokens_spark(text_col)
     return (
-        df.select(F.col(id_col), F.explode(F.expr(shingles_spark(toks, n))).alias("shingle"))
+        _fanout_rebalance(df, id_col)
+        .select(F.col(id_col), F.explode(F.expr(shingles_spark(toks, n))).alias("shingle"))
         .distinct()
     )
 
@@ -187,7 +201,8 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     toks = tokens_spark(text_col)
     th = token_hash_spark("tok")
     exploded = (
-        df.select(F.col(id_col), F.explode(F.expr(toks)).alias("tok"))
+        _fanout_rebalance(df, id_col)
+        .select(F.col(id_col), F.explode(F.expr(toks)).alias("tok"))
         .distinct()
         .withColumn("th", F.expr(th))
     )
