@@ -998,6 +998,50 @@ def pipeline_curation_q(spark, sf):
     )
 
 
+@query(
+    "q34_array_map_suite",
+    """SELECT doc_id,
+              CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 5))
+                AS BIGINT) AS n_long,
+              CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t)))
+                AS BIGINT) AS tok_chars,
+              list_sort(string_split(text, ' '))[1] AS first_tok,
+              array_to_string(list_sort(string_split(text, ' '))[1:3], '|') AS top3,
+              CAST(MAP {'len': length(text),
+                        'ntok': len(string_split(text, ' '))}['len'][1]
+                AS BIGINT) AS meta_len
+       FROM documents ORDER BY doc_id""",
+)
+def q34_array_map_q(spark, sf):
+    # array/map higher-order functions stay JVM expressions (transform,
+    # filter, aggregate, sort, map_from_arrays) — no UDF for collection work
+    toks = F.split(F.col("text"), " ")
+    return (
+        _t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.size(F.filter(toks, lambda t: F.length(t) > 5))
+            .cast("long")
+            .alias("n_long"),
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("tok_chars"),
+            F.sort_array(toks)[0].alias("first_tok"),
+            F.array_join(F.slice(F.sort_array(toks), 1, 3), "|").alias("top3"),
+            F.element_at(
+                F.map_from_arrays(
+                    F.array(F.lit("len"), F.lit("ntok")),
+                    F.array(F.length("text").cast("long"), F.size(toks).cast("long")),
+                ),
+                F.lit("len"),
+            ).alias("meta_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query("q33_approx_percentile", "SELECT CAST(1 AS BOOLEAN) AS within_tol")
 def q33_approx_percentile_q(spark, sf):
     # the 100 TB percentile path: approx_percentile's mergeable KLL-style
