@@ -167,6 +167,27 @@ def bench_spark_scan(spark, tmpdir: str) -> dict[str, float]:
         dt = time.perf_counter() - t0
         assert n > 0
         out[f"spark_scan_{codec}_{level}_mbps"] = round(mb / dt, 1)
+
+        # sink throughput: scan the same files and write them back through
+        # the fourmc sink (uncompressed MB / wall; includes read+compress+
+        # frame+commit — the full write path a job pays). Warm once: the
+        # first write pays Python-worker startup, not the write path.
+        sink_dir = os.path.join(tmpdir, f"sink-{codec}")
+
+        def _sink_once() -> float:
+            t0 = time.perf_counter()
+            (
+                df.select("value")
+                .write.format("fourmc")
+                .option("codec", codec)
+                .option("level", level)
+                .mode("overwrite")
+                .save(sink_dir)
+            )
+            return time.perf_counter() - t0
+
+        _sink_once()
+        out[f"spark_sink_{codec}_{level}_mbps"] = round(mb / _sink_once(), 1)
     return out
 
 

@@ -134,3 +134,30 @@ def test_unbucketed_same_join_does_exchange(spark, sf_dir):
     )
     j = cust.join(orders.hint("merge"), "c_custkey")
     assert exchange_count(j) >= 1
+
+
+def test_salted_join_correct_under_heavy_skew(spark):
+    # 90% of facts share ONE key — the shape that stalls a plain shuffle
+    # join on a single reducer. Salting must spread it AND stay
+    # result-identical to the plain join.
+    from pyspark.sql import functions as F
+
+    from fourmc_spark.operators.joins import salted_join
+
+    facts = spark.range(20_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 100))
+        ).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1.0)] + [(f"k{i}", float(i)) for i in range(100)], ["k", "w"]
+    )
+    salted = salted_join(facts, dim, on="k", n_salts=8).groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv")
+    )
+    plain = facts.join(dim, "k").groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv")
+    )
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
