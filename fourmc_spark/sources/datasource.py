@@ -84,6 +84,9 @@ class FourMcInputPartition(InputPartition):
     codec: str
     start: int
     end: int
+    # True for the partition holding the file's FIRST data block — the one
+    # that owns the file's first line (drives header skip: skipfirstline)
+    head: bool = False
 
 
 class FourMcDataSource(DataSource):
@@ -127,6 +130,11 @@ class FourMcDataSourceReader(DataSourceReader):
             options.get("maxpartitionbytes", DEFAULT_MAX_PARTITION_BYTES)
         )
         self.verify = str(options.get("verify", "true")).lower() != "false"
+        # drop the first line of each FILE (header rows); resolved per
+        # head-partition in the reader, so it is split-plan invariant
+        self.skip_first = (
+            str(options.get("skipfirstline", "false")).lower() == "true"
+        )
         self.columns = [f.name for f in schema.fields]
 
     def partitions(self) -> list[FourMcInputPartition]:
@@ -139,7 +147,9 @@ class FourMcDataSourceReader(DataSourceReader):
             if path.endswith(".zst"):
                 fsize = os.path.getsize(path)
                 if fsize:
-                    parts.append(FourMcInputPartition(path, "zst", 0, fsize))
+                    parts.append(
+                        FourMcInputPartition(path, "zst", 0, fsize, head=True)
+                    )
                 continue
             codec, fsize, offsets = scan_file_info(path)
             if not offsets:
@@ -154,7 +164,12 @@ class FourMcDataSourceReader(DataSourceReader):
                     aend = idx.align_slice_end(raw_end, fsize)
                     astart = max(astart, core.HEADER_SIZE)
                     if astart < aend:
-                        parts.append(FourMcInputPartition(path, codec, astart, aend))
+                        parts.append(
+                            FourMcInputPartition(
+                                path, codec, astart, aend,
+                                head=(astart <= offsets[0]),
+                            )
+                        )
                 raw_start = raw_end
         if not parts:
             # empty dataset still needs one no-op partition
@@ -195,8 +210,12 @@ class FourMcDataSourceReader(DataSourceReader):
                     names.append("value")
                 return pa.RecordBatch.from_arrays(arrays, names=names)
 
+            drop_first = self.skip_first and partition.head
             with open(partition.path, "rb") as f:
                 for owner, line in iter_lines_zst(f):
+                    if drop_first:
+                        drop_first = False
+                        continue
                     offsets.append(owner)
                     lines.append(line)
                     if len(lines) >= batch_rows:
@@ -211,11 +230,18 @@ class FourMcDataSourceReader(DataSourceReader):
         # Arrow compute kernels, never a per-line Python loop
         from fourmc_spark.format.reader import iter_line_batches_for_split
 
+        drop_first = self.skip_first and partition.head
         with open(partition.path, "rb") as f:
             for offs_np, lines_arr in iter_line_batches_for_split(
                 f, partition.codec, partition.start, partition.end,
                 verify=self.verify,
             ):
+                if drop_first and len(lines_arr) > 0:
+                    drop_first = False
+                    offs_np = offs_np[1:]
+                    lines_arr = lines_arr.slice(1)
+                    if len(lines_arr) == 0:
+                        continue
                 arrays, names = [], []
                 if want_offset:
                     arrays.append(pa.array(offs_np, type=pa.int64()))
