@@ -154,8 +154,9 @@ def iter_lines_for_split(
     reader streams past split_end just far enough to finish the last owned
     line, then stops.
 
-    Lines are terminated by LF; a trailing CR is stripped (CRLF).  The
-    yielded offset is the compressed offset of the block owning the line.
+    Lines terminate at LF, CRLF, or bare CR (Hadoop LineReader semantics,
+    `FourMcTextInputFormat.java:42-46`).  The yielded offset is the
+    compressed offset of the block owning the line.
     """
     first_block = core.HEADER_SIZE
     if split_start < first_block:
@@ -168,9 +169,13 @@ def iter_lines_for_split(
     # (-1 = a block before split_start, i.e. the line is not ours to emit).
     owner = first_block if split_start == first_block else -1
     carry = bytearray()
+    prev_cr = False
     for boff, payload in iter_block_payloads(f, codec, split_start, verify=verify):
         if owner >= split_end:
             return
+        payload, owner = _normalize_terminators(payload, prev_cr, owner, boff)
+        prev_cr = payload.endswith(b"\r")
+        payload = payload.replace(b"\r\n", b"\n").replace(b"\r", b"\n")
         parts = payload.split(b"\n")
         n_complete = len(parts) - 1
         for k in range(n_complete):
@@ -184,8 +189,6 @@ def iter_lines_for_split(
             if line_owner >= split_end:
                 return
             if line_owner >= split_start:
-                if line.endswith(b"\r"):
-                    line = line[:-1]
                 yield line_owner, line
             # the terminating newline of this line lives in the current
             # block, so the *next* line is owned by this block
@@ -196,10 +199,25 @@ def iter_lines_for_split(
             carry = bytearray(parts[-1])
     # EOF: emit the final unterminated line if owned
     if carry and split_start <= owner < split_end:
-        line = bytes(carry)
-        if line.endswith(b"\r"):
-            line = line[:-1]
-        yield owner, line
+        yield owner, bytes(carry)
+
+
+def _normalize_terminators(
+    payload: bytes, prev_cr: bool, owner: int, boff: int
+) -> tuple[bytes, int]:
+    """Cross-block CRLF resolution for the LF|CRLF|CR terminator rule.
+
+    When the previous block ended with ``\\r`` and this one starts with
+    ``\\n``, that LF is the second half of an already-handled CRLF (the
+    ``\\r`` was normalized to a terminator when its block was processed) —
+    drop it, and move ownership of the next line to THIS block, because the
+    terminator's last byte lives here.  A split starting at this block sees
+    the same LF as an empty "line" owned by the previous (foreign) block
+    and skips it, so the two readers agree: no duplicate, no loss.
+    """
+    if prev_cr and payload[:1] == b"\n":
+        return payload[1:], boff
+    return payload, owner
 
 
 def iter_lines_zst(f: BinaryIO, chunk_size: int = 1 << 20) -> Iterator[tuple[int, bytes]]:
@@ -223,23 +241,43 @@ def iter_lines_zst(f: BinaryIO, chunk_size: int = 1 << 20) -> Iterator[tuple[int
     pos = 0  # decompressed offset of the next unemitted line's first byte
     carry = bytearray()
     for chunk in zstd_stream_decompress_chunks(_compressed_chunks()):
-        parts = chunk.split(b"\n")
-        for k in range(len(parts) - 1):
-            if k == 0:
-                line = (bytes(carry) + parts[0]) if carry else parts[0]
-                carry.clear()
-            else:
-                line = parts[k]
-            out = line[:-1] if line.endswith(b"\r") else line
-            yield pos, out
-            pos += len(line) + 1
-        if len(parts) == 1:
-            carry.extend(chunk)
-        else:
-            carry = bytearray(parts[-1])
+        carry.extend(chunk)
+        for line, adv in _consume_terminated_lines(carry, at_eof=False):
+            yield pos, line
+            pos += adv
+    for line, adv in _consume_terminated_lines(carry, at_eof=True):
+        yield pos, line
+        pos += adv
     if carry:
-        line = bytes(carry)
-        yield pos, line[:-1] if line.endswith(b"\r") else line
+        yield pos, bytes(carry)
+
+
+def _consume_terminated_lines(buf: bytearray, at_eof: bool):
+    """Yield ``(line, advance)`` for each LF / CRLF / bare-CR terminated
+    line at the front of *buf*, consuming them; ``advance`` is the exact
+    original byte count (line + terminator), so stream offsets stay true.
+    A trailing ``\\r`` is kept pending unless ``at_eof`` (it may be half a
+    CRLF whose LF arrives in the next chunk)."""
+    start = 0
+    n = len(buf)
+    while start < n:
+        i_n = buf.find(b"\n", start)
+        i_r = buf.find(b"\r", start)
+        if i_n == -1 and i_r == -1:
+            break
+        if i_r == -1 or (0 <= i_n < i_r):
+            yield bytes(buf[start:i_n]), i_n - start + 1
+            start = i_n + 1
+        else:
+            if i_r == n - 1 and not at_eof:
+                break  # CR at buffer edge: CRLF split not yet resolvable
+            if i_r + 1 < n and buf[i_r + 1] == 0x0A:
+                yield bytes(buf[start:i_r]), i_r - start + 2
+                start = i_r + 2
+            else:
+                yield bytes(buf[start:i_r]), i_r - start + 1
+                start = i_r + 1
+    del buf[:start]
 
 
 def iter_line_batches_for_split(
@@ -268,13 +306,14 @@ def iter_line_batches_for_split(
         split_start = first_block
     owner = first_block if split_start == first_block else -1
     carry = bytearray()
-
-    def _strip_cr_scalar(line: bytes) -> bytes:
-        return line[:-1] if line.endswith(b"\r") else line
+    prev_cr = False
 
     for boff, payload in iter_block_payloads(f, codec, split_start, verify=verify):
         if owner >= split_end:
             return
+        payload, owner = _normalize_terminators(payload, prev_cr, owner, boff)
+        prev_cr = payload.endswith(b"\r")
+        payload = payload.replace(b"\r\n", b"\n").replace(b"\r", b"\n")
         nl = payload.find(b"\n")
         if nl < 0:
             carry.extend(payload)
@@ -294,16 +333,13 @@ def iter_line_batches_for_split(
         line_parts = []
         if emit_head:
             offs_parts.append(np.array([head_owner], dtype=np.int64))
-            line_parts.append(pa.array([_strip_cr_scalar(head)], type=pa.large_binary()))
+            line_parts.append(pa.array([head], type=pa.large_binary()))
         if emit_mid:
+            # terminators were normalized to LF above, so one split kernel
+            # covers LF / CRLF / bare-CR alike
             arr = pc.split_pattern(
                 pa.array([mid], type=pa.large_binary()), pattern=b"\n"
             ).values
-            # CRLF: strip one trailing \r where present (vectorized, and
-            # skipped entirely for the common LF-only case)
-            ends_cr = pc.ends_with(arr, pattern=b"\r")
-            if pc.any(ends_cr).as_py():
-                arr = pc.if_else(ends_cr, pc.binary_slice(arr, 0, -1), arr)
             offs_parts.append(np.full(len(arr), boff, dtype=np.int64))
             line_parts.append(arr)
         if line_parts:
@@ -316,5 +352,5 @@ def iter_line_batches_for_split(
     if carry and split_start <= owner < split_end:
         yield (
             np.array([owner], dtype=np.int64),
-            pa.array([_strip_cr_scalar(bytes(carry))], type=pa.large_binary()),
+            pa.array([bytes(carry)], type=pa.large_binary()),
         )

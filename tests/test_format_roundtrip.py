@@ -271,3 +271,76 @@ def test_batch_reader_equals_row_reader(tmp_path):
             for v in lines
         ]
     assert whole == [p.rstrip("\r").encode() for p in pieces]
+
+
+# --- LF / CRLF / bare-CR terminator semantics (Hadoop LineReader rule,
+# --- FourMcTextInputFormat.java:42-46) ------------------------------------
+
+def _lines_of(path, codec, start=None, end=None):
+    from fourmc_spark.format import iter_lines_for_split, scan_file_info
+
+    c, size, _ = scan_file_info(path)
+    with open(path, "rb") as f:
+        return list(iter_lines_for_split(f, c, start or 0, end or size))
+
+
+def _batch_lines_of(path, start=None, end=None):
+    from fourmc_spark.format import scan_file_info
+    from fourmc_spark.format.reader import iter_line_batches_for_split
+
+    c, size, _ = scan_file_info(path)
+    out = []
+    with open(path, "rb") as f:
+        for offs, arr in iter_line_batches_for_split(f, c, start or 0, end or size):
+            out.extend((int(o), v.as_py()) for o, v in zip(offs, arr))
+    return out
+
+
+def test_cr_and_crlf_terminators(tmp_path):
+    from fourmc_spark.format import write_file
+
+    p = str(tmp_path / "cr.4mc")
+    data = b"a\nb\r\nc\rd\r\r\ne"  # LF, CRLF, bare CR, CR then CRLF, EOF tail
+    write_file(p, data, codec="lz4")
+    want = [b"a", b"b", b"c", b"d", b"", b"e"]
+    assert [ln for _, ln in _lines_of(p, "lz4")] == want
+    assert [ln for _, ln in _batch_lines_of(p)] == want
+
+
+def test_terminator_straddles_block_boundary(tmp_path):
+    from fourmc_spark.format import scan_file_info, write_file
+
+    # block_size 4: "ab\r" | "\ncd\r" | "ef..." — CRLF split across blocks
+    # 1/2, bare CR at the end of block 2
+    p = str(tmp_path / "straddle.4mc")
+    data = b"ab\r\ncd\ref\nzz"
+    write_file(p, data, codec="lz4", block_size=4)
+    want = [b"ab", b"cd", b"ef", b"zz"]
+    assert [ln for _, ln in _lines_of(p, "lz4")] == want
+    assert [ln for _, ln in _batch_lines_of(p)] == want
+
+    # split-pair agreement at every block boundary: union of the two
+    # halves == whole, no duplicates, no losses
+    _, size, offsets = scan_file_info(p)
+    for cut in offsets[1:]:
+        left = _lines_of(p, "lz4", 0, cut)
+        right = _lines_of(p, "lz4", cut, size)
+        assert [ln for _, ln in left + right] == want, (cut, left, right)
+        bl = _batch_lines_of(p, 0, cut)
+        br = _batch_lines_of(p, cut, size)
+        assert [ln for _, ln in bl + br] == want, (cut, bl, br)
+
+
+def test_zst_cr_offsets_exact(tmp_path):
+    import pyarrow as pa
+
+    from fourmc_spark.format.reader import iter_lines_zst
+
+    p = str(tmp_path / "cr.zst")
+    data = b"aa\r\nbb\rcc\ndd"
+    with open(p, "wb") as f:
+        f.write(pa.Codec("zstd", 1).compress(data).to_pybytes())
+    with open(p, "rb") as f:
+        got = list(iter_lines_zst(f))
+    # offsets are true decompressed positions of each line start
+    assert got == [(0, b"aa"), (4, b"bb"), (7, b"cc"), (10, b"dd")]
