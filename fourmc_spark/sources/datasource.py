@@ -97,12 +97,15 @@ class FourMcDataSource(DataSource):
         return "fourmc"
 
     def schema(self) -> StructType:
-        return StructType(
-            [
-                StructField("offset", LongType(), nullable=False),
-                StructField("value", StringType(), nullable=True),
-            ]
-        )
+        fields = [
+            StructField("offset", LongType(), nullable=False),
+            StructField("value", StringType(), nullable=True),
+        ]
+        # partitioncolumns=c1[,c2...]: rebuild hive key=value path segments
+        # as string columns (cast downstream as needed)
+        for c in _partition_col_opt(self.options):
+            fields.append(StructField(c, StringType(), nullable=True))
+        return StructType(fields)
 
     def reader(self, schema: StructType) -> "FourMcDataSourceReader":
         return FourMcDataSourceReader(self.options, schema)
@@ -135,6 +138,7 @@ class FourMcDataSourceReader(DataSourceReader):
         self.skip_first = (
             str(options.get("skipfirstline", "false")).lower() == "true"
         )
+        self.pcols = _partition_col_opt(options)
         self.columns = [f.name for f in schema.fields]
 
     def partitions(self) -> list[FourMcInputPartition]:
@@ -183,6 +187,28 @@ class FourMcDataSourceReader(DataSourceReader):
             return
         want_offset = "offset" in self.columns
         want_value = "value" in self.columns
+        # hive partition columns wanted in the output: constant per file
+        want_pcols = [c for c in self.pcols if c in self.columns]
+        pvals = (
+            _partition_values_from_path(partition.path, want_pcols)
+            if want_pcols
+            else {}
+        )
+
+        def _with_pcols(batch: "pa.RecordBatch") -> "pa.RecordBatch":
+            if not want_pcols:
+                return batch
+            arrays = list(batch.columns)
+            names = list(batch.schema.names)
+            for c in want_pcols:
+                v = pvals.get(c)
+                arrays.append(
+                    pa.nulls(len(batch), type=pa.string())
+                    if v is None
+                    else pa.array([v] * len(batch), type=pa.string())
+                )
+                names.append(c)
+            return pa.RecordBatch.from_arrays(arrays, names=names)
 
         def _cast_lines(arr: "pa.Array") -> "pa.Array":
             try:
@@ -219,11 +245,11 @@ class FourMcDataSourceReader(DataSourceReader):
                     offsets.append(owner)
                     lines.append(line)
                     if len(lines) >= batch_rows:
-                        yield flush()
+                        yield _with_pcols(flush())
                         offsets.clear()
                         lines.clear()
             if lines or offsets:
-                yield flush()
+                yield _with_pcols(flush())
             return
 
         # 4mc/4mz: vectorized per-block batches — line splitting runs in
@@ -249,7 +275,68 @@ class FourMcDataSourceReader(DataSourceReader):
                 if want_value:
                     arrays.append(_cast_lines(lines_arr))
                     names.append("value")
-                yield pa.RecordBatch.from_arrays(arrays, names=names)
+                yield _with_pcols(pa.RecordBatch.from_arrays(arrays, names=names))
+
+
+def _partition_col_opt(options) -> list[str]:
+    return [
+        c.strip()
+        for c in options.get("partitioncolumns", "").split(",")
+        if c.strip()
+    ]
+
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _sanitize_pv(v) -> str:
+    if v is None:
+        return _HIVE_NULL
+    s = str(v)
+    # hive-style escaping kept minimal: path separators and NULs
+    return s.replace("/", "%2F").replace("\x00", "%00") or _HIVE_NULL
+
+
+def _split_by_partition(batch, pcols: list[str]):
+    """Yield (reldir, sub_batch) per distinct partition-column combo.
+
+    Partition columns are low-cardinality by contract, so per-batch
+    distinct+filter (Arrow compute, no Python row loop) stays cheap."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols = {c: batch.column(c) for c in pcols}
+    combos = (
+        pa.Table.from_arrays([cols[c] for c in pcols], names=pcols)
+        .group_by(pcols)
+        .aggregate([])
+        .to_pylist()
+    )
+    for row in combos:
+        mask = None
+        for c in pcols:
+            v = row[c]
+            m = (
+                pc.is_null(cols[c])
+                if v is None
+                else pc.equal(cols[c], pa.scalar(v, type=cols[c].type))
+            )
+            mask = m if mask is None else pc.and_kleene(mask, m)
+        reldir = "/".join(f"{c}={_sanitize_pv(row[c])}" for c in pcols)
+        yield reldir, batch.filter(pc.fill_null(mask, False))
+
+
+def _partition_values_from_path(path: str, pcols: list[str]) -> dict[str, str | None]:
+    """Recover hive-style key=value segments from a file path."""
+    out: dict[str, str | None] = {c: None for c in pcols}
+    for seg in path.split(os.sep):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            if k in out:
+                out[k] = None if v == _HIVE_NULL else v.replace("%2F", "/").replace(
+                    "%00", "\x00"
+                )
+    return out
 
 
 def _join_lines(col) -> bytes:
@@ -270,8 +357,9 @@ def _join_lines(col) -> bytes:
 
 @dataclass
 class FourMcCommitMessage(WriterCommitMessage):
-    staged: str
-    final: str
+    # (staged, final) path pairs — one per file this task produced
+    # (several when writing hive-partitioned output)
+    files: tuple
 
 
 class FourMcDataSourceWriter(DataSourceArrowWriter):
@@ -289,24 +377,37 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
         self.level = options.get("level", "fast")
         self.block_size = int(options.get("blocksize", 4 * 1024 * 1024))
         self.overwrite = overwrite
+        # hive-style layout: partitionby=c1[,c2...] writes key=value/ dirs —
+        # readers prune by path (glob) and can rebuild the columns with the
+        # partitioncolumns scan option
+        self.partition_cols = [
+            c.strip() for c in options.get("partitionby", "").split(",") if c.strip()
+        ]
+        names = [f.name for f in schema.fields]
+        for c in self.partition_cols:
+            if c not in names:
+                raise ValueError(f"partitionby column {c!r} not in schema {names}")
         # snapshot pre-existing output (driver side, plan time); on commit
         # with overwrite these are removed *after* staged files are ready,
         # so failed jobs never destroy existing data
         self.existing: list[str] = []
         if overwrite and self.path and os.path.isdir(self.path):
-            self.existing = [
-                os.path.join(self.path, f)
-                for f in os.listdir(self.path)
-                if f.endswith(_EXTS) or f == "_SUCCESS"
-            ]
+            self.existing = _list_files(self.path)
+            succ = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(succ):
+                self.existing.append(succ)
         # pick the string column to serialize as lines
-        names = [f.name for f in schema.fields]
-        if "value" in names:
+        data_names = [n for n in names if n not in self.partition_cols]
+        if "value" in data_names:
             self.value_col = "value"
         else:
-            str_cols = [f.name for f in schema.fields if isinstance(f.dataType, StringType)]
-            if len(schema.fields) == 1:
-                self.value_col = names[0]
+            str_cols = [
+                f.name
+                for f in schema.fields
+                if isinstance(f.dataType, StringType) and f.name in data_names
+            ]
+            if len(data_names) == 1:
+                self.value_col = data_names[0]
             elif len(str_cols) >= 1:
                 self.value_col = str_cols[0]
             else:
@@ -328,23 +429,46 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
         else:
             codec = normalize_codec(self.codec_raw)
             ext = ".4mc" if codec == "lz4" else ".4mz"
-        fname = f"part-{uuid.uuid4().hex}{ext}"
         staging = os.path.join(self.path, "_temporary")
         os.makedirs(staging, exist_ok=True)
-        staged = os.path.join(staging, fname)
-        final = os.path.join(self.path, fname)
-        with open(staged, "wb") as f:
+        task_id = uuid.uuid4().hex
+
+        streams: dict[str, tuple] = {}  # reldir -> (fileobj, writer)
+        files: list[tuple[str, str]] = []
+
+        def _writer_for(reldir: str):
+            if reldir in streams:
+                return streams[reldir][1]
+            fname = f"part-{task_id}-{len(files)}{ext}"
+            staged = os.path.join(staging, f"{len(files)}-{fname}")
+            final = os.path.join(self.path, reldir, fname) if reldir else os.path.join(
+                self.path, fname
+            )
+            f = open(staged, "wb")
             if codec == "zst":
                 w = ZstWriter(f, level=self.level)
             else:
                 w = FourMcWriter(
                     f, codec=codec, level=self.level, block_size=self.block_size
                 )
-            with w:
-                for batch in iterator:
-                    if len(batch) > 0:
-                        w.write(_join_lines(batch.column(self.value_col)))
-        return FourMcCommitMessage(staged=staged, final=final)
+            streams[reldir] = (f, w)
+            files.append((staged, final))
+            return w
+
+        try:
+            for batch in iterator:
+                if len(batch) == 0:
+                    continue
+                if not self.partition_cols:
+                    _writer_for("").write(_join_lines(batch.column(self.value_col)))
+                    continue
+                for reldir, sub in _split_by_partition(batch, self.partition_cols):
+                    _writer_for(reldir).write(_join_lines(sub.column(self.value_col)))
+        finally:
+            for f, w in streams.values():
+                w.close()
+                f.close()
+        return FourMcCommitMessage(files=tuple(files))
 
     def commit(self, messages) -> None:
         if self.overwrite:
@@ -355,7 +479,9 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
                     pass
         for m in messages:
             if m is not None:
-                os.replace(m.staged, m.final)
+                for staged, final in m.files:
+                    os.makedirs(os.path.dirname(final), exist_ok=True)
+                    os.replace(staged, final)
         staging = os.path.join(self.path, "_temporary")
         try:
             os.rmdir(staging)
@@ -366,5 +492,7 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
 
     def abort(self, messages) -> None:
         for m in messages or []:
-            if m is not None and os.path.exists(m.staged):
-                os.remove(m.staged)
+            if m is not None:
+                for staged, _ in m.files:
+                    if os.path.exists(staged):
+                        os.remove(staged)

@@ -179,3 +179,40 @@ def test_zst_writer_level_rule(tmp_path):
     assert zst_level(99) == 3
     assert zst_level("bogus") == 3
     assert zst_level("ultra") == 12
+
+
+def test_partitioned_write_and_read(spark, tmp_path):
+    """Hive-style partitionby layout: key=value dirs, path pruning, and
+    partition-column reconstruction via the partitioncolumns option."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "parted")
+    df = spark.range(10_000).select(
+        F.concat(F.lit("v"), F.col("id")).alias("value"),
+        (F.col("id") % 4).cast("string").alias("bucket"),
+    )
+    df.write.format("fourmc").option("codec", "lz4") \
+        .option("partitionby", "bucket").mode("overwrite").save(d)
+
+    subdirs = sorted(x for x in os.listdir(d) if x.startswith("bucket="))
+    assert subdirs == ["bucket=0", "bucket=1", "bucket=2", "bucket=3"]
+
+    # full read with the partition column rebuilt from paths
+    back = spark.read.format("fourmc").option("partitioncolumns", "bucket").load(d)
+    assert back.columns == ["offset", "value", "bucket"]
+    counts = {r.bucket: r.n for r in
+              back.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"0": 2500, "1": 2500, "2": 2500, "3": 2500}
+
+    # path pruning: one partition dir == one quarter of the data
+    one = spark.read.format("fourmc").load(os.path.join(d, "bucket=2"))
+    assert one.count() == 2500
+
+    # round-trip content
+    got = spark.read.format("fourmc").load(d).select("value")
+    assert df.select("value").exceptAll(got).count() == 0
+
+    # overwrite replaces partitioned output recursively (no stale files)
+    df.limit(400).write.format("fourmc").option("codec", "lz4") \
+        .option("partitionby", "bucket").mode("overwrite").save(d)
+    assert spark.read.format("fourmc").load(d).count() == 400
