@@ -192,7 +192,7 @@ class FourMcProtoWriter(DataSourceArrowWriter):
                         pending.clear()
             if pending:
                 w.write(encode_eb_block(pending, self.class_name))
-        return FourMcCommitMessage(staged=staged, final=final)
+        return FourMcCommitMessage(files=((staged, final),))
 
     def commit(self, messages) -> None:
         if self.overwrite:
@@ -203,7 +203,9 @@ class FourMcProtoWriter(DataSourceArrowWriter):
                     pass
         for m in messages:
             if m is not None:
-                os.replace(m.staged, m.final)
+                for staged, final in m.files:
+                    os.makedirs(os.path.dirname(final), exist_ok=True)
+                    os.replace(staged, final)
         try:
             os.rmdir(os.path.join(self.path, "_temporary"))
         except OSError:
@@ -213,5 +215,7 @@ class FourMcProtoWriter(DataSourceArrowWriter):
 
     def abort(self, messages) -> None:
         for m in messages or []:
-            if m is not None and os.path.exists(m.staged):
-                os.remove(m.staged)
+            if m is not None:
+                for staged, _ in m.files:
+                    if os.path.exists(staged):
+                        os.remove(staged)
