@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from fourmc_spark.sources.datasource import _list_files
 
-__all__ = ["compact", "layout_stats"]
+__all__ = ["compact", "compact_partitioned", "layout_stats"]
 
 
 def layout_stats(path: str) -> dict:
@@ -78,6 +78,43 @@ def compact(
         .write.format("fourmc")
         .option("codec", codec)
         .option("level", level)
+        .mode("overwrite")
+        .save(out_path)
+    )
+    return n_out
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    partition_cols: list[str],
+    codec: str = "zstd",
+    level: str = "high",
+    target_file_bytes: int = 512 * 1024 * 1024,
+) -> int:
+    """Partition-preserving compaction of a hive-layout dataset.
+
+    Reads with `partitioncolumns` (values rebuilt from paths), repartitions
+    by the partition columns so each output task holds whole partitions,
+    and writes back with `partitionby` — the `key=value/` layout survives,
+    small files per partition collapse. One shuffle, keyed by the partition
+    columns; AQE coalesces the output to ~target-size tasks.
+    """
+    stats = layout_stats(in_path)
+    if stats["n_files"] == 0:
+        raise ValueError(f"no 4mc/4mz/zst files under {in_path!r}")
+    n_out = max(1, math.ceil(stats["total_bytes"] / target_file_bytes))
+    df = spark.read.format("fourmc").option(
+        "partitioncolumns", ",".join(partition_cols)
+    ).load(in_path)
+    (
+        df.select("value", *partition_cols)
+        .repartition(n_out, *partition_cols)
+        .write.format("fourmc")
+        .option("codec", codec)
+        .option("level", level)
+        .option("partitionby", ",".join(partition_cols))
         .mode("overwrite")
         .save(out_path)
     )

@@ -58,3 +58,32 @@ def test_layout_stats_counts_blocks(spark, tmp_path):
     assert s["n_files"] == 2
     # ceil(300000/65536) = 5 blocks each
     assert s["n_blocks"] == 10
+
+
+def test_compact_partitioned_preserves_layout(spark, tmp_path):
+    from fourmc_spark.operators.maintenance import compact_partitioned, layout_stats
+
+    small = str(tmp_path / "psmall")
+    big = str(tmp_path / "pbig")
+    df = spark.range(8_000).select(
+        F.concat(F.lit("r"), F.col("id")).alias("value"),
+        (F.col("id") % 3).cast("string").alias("part"),
+    )
+    # 8 tasks x 3 partitions = up to 24 small files
+    df.repartition(8).write.format("fourmc").option("codec", "lz4") \
+        .option("partitionby", "part").mode("overwrite").save(small)
+    assert layout_stats(small)["n_files"] > 3
+
+    compact_partitioned(spark, small, big, ["part"],
+                        target_file_bytes=1 << 30)
+    after = layout_stats(big)
+    assert after["n_files"] == 3  # one file per partition value
+    import os as _os
+    assert sorted(
+        d for d in _os.listdir(big) if d.startswith("part=")
+    ) == ["part=0", "part=1", "part=2"]
+
+    a = spark.read.format("fourmc").option("partitioncolumns", "part").load(small)
+    b = spark.read.format("fourmc").option("partitioncolumns", "part").load(big)
+    assert b.count() == 8_000
+    assert a.select("value", "part").exceptAll(b.select("value", "part")).count() == 0
