@@ -27,6 +27,7 @@ from fourmc_spark.functions import (
 )
 from fourmc_spark.operators import (
     dedup,
+    graph,
     joins,
     multimodal,
     sampling,
@@ -622,6 +623,46 @@ def dedup_ngram_jaccard_q(spark, sf):
     return dedup.jaccard_pairs(_t(spark, sf, "documents"), threshold=0.6).orderBy(
         "a_id", "b_id"
     )
+
+
+# transitive closure of the symmetrized pair graph; component id = min
+# reachable doc id (DuckDB recursive CTE — tractable at oracle scale; the
+# Spark side uses log-bounded label propagation instead)
+_DUCK_COMPONENTS = f"""
+WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT a_id, b_id FROM common
+  JOIN cnt na ON na.doc_id = a_id
+  JOIN cnt nb ON nb.doc_id = b_id
+  WHERE round(c * 1.0 / (na.n + nb.n - c), 4) >= 0.6),
+edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+SELECT u AS doc_id, least(u, min(v)) AS component_id
+FROM reach GROUP BY u ORDER BY doc_id
+"""
+
+
+@query("dedup_components", _DUCK_COMPONENTS)
+def dedup_components_q(spark, sf):
+    # pairs -> clusters: every doc in a non-trivial duplicate set labeled
+    # with its canonical (minimum) doc id, so one keep-decision covers the
+    # whole set. Iterative min-label propagation (operators/graph.py);
+    # rounds = cluster diameter, lineage truncated per round.
+    edges = dedup.jaccard_pairs(_t(spark, sf, "documents"), threshold=0.6).select(
+        "a_id", "b_id"
+    )
+    return graph.connected_components(
+        edges, src="a_id", dst="b_id", id_out="doc_id", comp_out="component_id"
+    ).orderBy("doc_id")
 
 
 def _simhash_oracle_core() -> str:

@@ -1,0 +1,51 @@
+"""connected_components: hand-built graphs with known components."""
+
+import pytest
+
+from fourmc_spark.operators import graph
+
+
+def _cc(spark, pairs, **kw):
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    out = graph.connected_components(edges, **kw)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+def test_two_components(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_chain_and_cycle(spark):
+    # chain 1-2-3-4-5 plus cycle 20-21-22-20
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (20, 21), (21, 22), (22, 20)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 20: 20, 21: 20, 22: 20}
+
+
+def test_direction_and_duplicates_irrelevant(spark):
+    # reversed edges, repeats, and self-loops change nothing
+    got = _cc(spark, [(2, 1), (1, 2), (3, 2), (3, 3), (2, 3)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_bridge_merges_clusters(spark):
+    # two dense triangles joined by one bridge edge -> one component
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(7, 8), (8, 9), (7, 9)]
+    got = _cc(spark, tri1 + tri2 + [(3, 7)])
+    assert set(got.values()) == {1}
+    assert len(got) == 6
+
+
+def test_nonconvergence_raises(spark):
+    with pytest.raises(RuntimeError, match="no convergence"):
+        _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], max_iter=1)
+
+
+def test_output_column_names(spark):
+    edges = spark.createDataFrame([(5, 6)], "a_id long, b_id long")
+    out = graph.connected_components(
+        edges, src="a_id", dst="b_id", id_out="doc_id", comp_out="component_id"
+    )
+    assert out.columns == ["doc_id", "component_id"]
+    assert {tuple(r) for r in out.collect()} == {(5, 5), (6, 5)}
