@@ -1206,6 +1206,29 @@ def stream_dedup_q(spark, sf):
     return out.distinct().orderBy("user_id", "event_type")
 
 
+@query(
+    "stream_interval_join",
+    """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
+       FROM {EV} a JOIN {EV} b
+         ON b.user_id = a.user_id
+        AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+       WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+       ORDER BY a_id, b_id""",
+)
+def stream_interval_join_q(spark, sf):
+    # stream-stream interval join (click -> purchase funnel within 30 min):
+    # two independent stream reads of the same source; the event-time range
+    # condition bounds both sides' join state (see funnel_interval_join)
+    from fourmc_spark.streaming import funnel_interval_join, read_events_stream
+
+    sdf = funnel_interval_join(
+        read_events_stream(spark, f"{sf}/events.parquet"),
+        read_events_stream(spark, f"{sf}/events.parquet"),
+        max_delay="30 minutes",
+    )
+    return _run_stream(sdf, output_mode="append").orderBy("a_id", "b_id")
+
+
 @query("stream_sessionize_stateful")  # stateful: no SQL oracle (rows-only)
 def stream_sessionize_q(spark, sf):
     from fourmc_spark.streaming import read_events_stream, sessionize_stateful

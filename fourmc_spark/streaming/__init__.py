@@ -1,5 +1,6 @@
 from .ops import (
     dedup_within_watermark,
+    funnel_interval_join,
     read_events_stream,
     run_to_memory,
     session_counts,
@@ -14,6 +15,7 @@ __all__ = [
     "sliding_counts",
     "session_counts",
     "dedup_within_watermark",
+    "funnel_interval_join",
     "sessionize_stateful",
     "run_to_memory",
 ]

@@ -150,6 +150,49 @@ def dedup_within_watermark(
     return events.dropDuplicates(keys)
 
 
+def funnel_interval_join(
+    first: DataFrame,
+    then: DataFrame,
+    first_type: str = "click",
+    then_type: str = "purchase",
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each `first_type` event matched to
+    `then_type` events by the same user in ``(ts, ts + max_delay]``.
+
+    The event-time range condition is what makes this scale: Spark derives
+    the state-eviction horizon from it, so each side buffers only
+    ``watermark + max_delay`` of data per join-key hash partition — state
+    is bounded no matter how long the streams run. Without the range
+    bound a stream-stream join must keep both sides forever.
+
+    Pass the same frame twice for the batch form; for streams pass two
+    independently-read frames of the same source (self-join of one stream
+    frame would share the watermark node).
+    """
+    a = first.where(F.col("event_type") == first_type).select(
+        "user_id",
+        F.col("ts").alias("a_ts"),
+        F.col("event_id").alias("a_id"),
+    )
+    b = then.where(F.col("event_type") == then_type).select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_id").alias("b_id"),
+    )
+    if first.isStreaming:
+        a = a.withWatermark("a_ts", watermark)
+    if then.isStreaming:
+        b = b.withWatermark("b_ts", watermark)
+    cond = (
+        (a["user_id"] == b["b_user"])
+        & (b["b_ts"] > a["a_ts"])
+        & (b["b_ts"] <= F.expr(f"a_ts + INTERVAL {max_delay}"))
+    )
+    return a.join(b, cond).select("user_id", "a_id", "b_id")
+
+
 # --------------------------------------------------------------------------
 # Custom stateful operator: per-user sessionization with explicit state
 # --------------------------------------------------------------------------

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from fourmc_spark.streaming import (
     dedup_within_watermark,
+    funnel_interval_join,
     read_events_stream,
     run_to_memory,
     session_counts,
@@ -57,6 +58,35 @@ def test_sliding_counts_stream_equals_batch(spark):
     # each event lands in 2 overlapping windows (1h window / 30m slide)
     total_batch = _events_batch(spark).count()
     assert got.agg(F.sum("cnt")).collect()[0][0] == 2 * total_batch
+
+
+def test_interval_join_stream_equals_batch(spark):
+    b = _events_batch(spark)
+    batch = funnel_interval_join(b, b, max_delay="30 minutes")
+    stream = funnel_interval_join(
+        read_events_stream(spark, EVENTS),
+        read_events_stream(spark, EVENTS),
+        max_delay="30 minutes",
+    )
+    got = run_to_memory(stream, "t_ivjoin", output_mode="append")
+    cols = ["user_id", "a_id", "b_id"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    assert len(_rows(got, cols)) > 0
+    # every match really is a click->purchase pair within the delay
+    ev = b.select("event_id", "event_type", "ts")
+    j = (
+        batch.join(ev.withColumnsRenamed({"event_type": "a_type", "ts": "a_ts"}),
+                   F.col("a_id") == F.col("event_id")).drop("event_id")
+        .join(ev.withColumnsRenamed({"event_type": "b_type", "ts": "b_ts"}),
+              F.col("b_id") == F.col("event_id"))
+    )
+    bad = j.where(
+        (F.col("a_type") != "click")
+        | (F.col("b_type") != "purchase")
+        | (F.col("b_ts") <= F.col("a_ts"))
+        | (F.col("b_ts") > F.expr("a_ts + INTERVAL 30 minutes"))
+    )
+    assert bad.count() == 0
 
 
 def test_session_counts_stream_equals_batch(spark):
