@@ -5,13 +5,14 @@ entry()      — flagship query (TPC-H Q5-shaped multi-join revenue) on
 queries()    — every implemented operator from SURVEY.md §2: the Q1-Q33
                relational corpus (incl. salted skew join, deterministic
                hash + stratified sampling, exact + approx percentiles),
-               the LLM-pipeline extensions (dedup x5, brute-force / LSH /
+               the LLM-pipeline extensions (dedup x5 plus
+               connected-components cluster labeling, brute-force / LSH /
                IVF similarity search, text analysis x4, multimodal
                feature/resize/frame-sample, as-of join, range join,
                end-to-end curation pipeline), and the Structured
                Streaming surface (tumbling, sliding, and session windows,
-               watermark dedup, stateful sessionization) run as real
-               micro-batch queries.
+               watermark dedup, stream-stream interval join, stateful
+               sessionization) run as real micro-batch queries.
 oracle_sql() — DuckDB-equivalent SQL for every query (hashes are
                stabilized by pinned aliases, explicit BIGINT casts, and
                rounding on exact decimal lattices). Only
