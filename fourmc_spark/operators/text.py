@@ -8,16 +8,26 @@ every operator is oracle-checkable in DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-from fourmc_spark.functions import HASH_PRIME, token_hash_spark, tokens_spark
+from fourmc_spark.functions import (
+    HASH_PRIME,
+    shingles_spark,
+    token_hash_spark,
+    tokens_spark,
+)
 
 __all__ = [
     "STOPWORDS",
+    "EMAIL_RE",
+    "PHONE_RE",
     "lang_id",
     "quality_score",
     "token_stats",
     "fingerprint",
+    "repetition_stats",
+    "pii_redact",
+    "tfidf_topk",
 ]
 
 # tiny per-language stopword vocabularies (public common words)
@@ -108,4 +118,123 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             f"aggregate(transform({toks}, t -> {th}), CAST(0 AS BIGINT), "
             f"(acc, h) -> (acc * 31 + h) % {HASH_PRIME})"
         ).alias("fingerprint"),
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition features: fraction of duplicate tokens /
+    bigrams / trigrams, plus the most-frequent-token share. Map-only (no
+    shuffle); per-doc arrays are small so the O(distinct*n) top-token scan
+    stays cheap and fully deterministic."""
+    toks = tokens_spark(text_col)
+
+    def _dup_frac(arr: str, alias: str):
+        return F.round(
+            F.when(
+                F.expr(f"size({arr})") > 0,
+                1.0
+                - F.expr(f"size(array_distinct({arr}))")
+                / F.expr(f"size({arr})"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias(alias)
+
+    bi = shingles_spark(toks, 2)
+    tri = shingles_spark(toks, 3)
+    top = (
+        f"array_max(transform(array_distinct({toks}), "
+        f"d -> size(filter({toks}, t -> t = d))))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
+        _dup_frac(toks, "dup_token_frac"),
+        _dup_frac(bi, "dup_bigram_frac"),
+        _dup_frac(tri, "dup_trigram_frac"),
+        F.expr(top).cast("long").alias("top_token_count"),
+        F.round(
+            F.when(
+                F.expr(f"size({toks})") > 0,
+                F.expr(top) / F.expr(f"size({toks})"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("top_token_frac"),
+    )
+
+
+# public-pattern PII regexes (RE2-safe: run identically under Java regex
+# and DuckDB's RE2)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII scrubbing for training corpora: count and redact email / phone
+    patterns. The driver testdata contains no PII, so a deterministic
+    contact line derived from ``doc_id`` is appended first — the scrub path
+    is exercised on every row and stays oracle-checkable. Map-only."""
+    enriched = F.concat(
+        F.col(text_col),
+        F.lit(" contact user"),
+        F.col(id_col).cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col(id_col) % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(enriched, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(enriched, F.lit(EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(enriched, F.lit(PHONE_RE), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def tfidf_topk(
+    df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF.
+
+    The score is exact integer arithmetic — ``tf * (N*1_000_000 div df)``
+    — monotonic in tf and 1/df, so cross-engine ranking never hinges on a
+    float ulp. Two shuffles total (doc-term agg, term df agg); the 1-row
+    corpus count joins via broadcast."""
+    toks = tokens_spark(text_col)
+    terms = df.select(
+        F.col(id_col), F.explode(F.expr(toks)).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # tf rows are distinct (doc, term): counting them per term = doc freq
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("docfreq"))
+    total = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "tfidf",
+            (
+                F.col("tf")
+                * F.expr("(n_docs * CAST(1000000 AS BIGINT)) div docfreq")
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("docfreq").cast("long").alias("docfreq"),
+            "tfidf",
+            F.col("rank").cast("long").alias("rank"),
+        )
     )

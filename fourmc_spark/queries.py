@@ -26,6 +26,7 @@ from fourmc_spark.functions import (
     tokens_duck,
 )
 from fourmc_spark.operators import (
+    curation,
     dedup,
     graph,
     joins,
@@ -813,6 +814,121 @@ FROM documents ORDER BY doc_id""",
 )
 def text_fingerprint_q(spark, sf):
     return text.fingerprint(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+def _repetition_oracle() -> str:
+    from fourmc_spark.functions import shingles_duck
+
+    toks = tokens_duck("text")
+    bi = shingles_duck(toks, 2)
+    tri = shingles_duck(toks, 3)
+
+    def dup(arr: str, alias: str) -> str:
+        return (
+            f"round(CASE WHEN len({arr}) > 0 THEN "
+            f"1.0 - len(list_distinct({arr})) * 1.0 / len({arr}) "
+            f"ELSE 0.0 END, 4) AS {alias}"
+        )
+
+    top = (
+        f"list_max(list_transform(list_distinct({toks}), "
+        f"d -> len(list_filter({toks}, t -> t = d))))"
+    )
+    return f"""SELECT doc_id,
+       CAST(len({toks}) AS BIGINT) AS n_tokens,
+       {dup(toks, 'dup_token_frac')},
+       {dup(bi, 'dup_bigram_frac')},
+       {dup(tri, 'dup_trigram_frac')},
+       CAST({top} AS BIGINT) AS top_token_count,
+       round(CASE WHEN len({toks}) > 0 THEN {top} * 1.0 / len({toks})
+             ELSE 0.0 END, 4) AS top_token_frac
+FROM documents ORDER BY doc_id"""
+
+
+@query("text_repetition", _repetition_oracle())
+def text_repetition_q(spark, sf):
+    return text.repetition_stats(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+def _pii_oracle() -> str:
+    email, phone = text.EMAIL_RE, text.PHONE_RE
+    return f"""WITH e AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{email}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{phone}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '{email}', '<EMAIL>', 'g'),
+                          '{phone}', '<PHONE>', 'g')) AS redacted_md5
+FROM e ORDER BY doc_id"""
+
+
+@query("text_pii_redact", _pii_oracle())
+def text_pii_redact_q(spark, sf):
+    return text.pii_redact(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+@query(
+    "text_tfidf_topk",
+    f"""WITH terms AS (
+  SELECT doc_id, unnest({tokens_duck('text')}) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM terms GROUP BY doc_id, term),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS docfreq
+          FROM tf GROUP BY term),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, docfreq,
+         CAST(tf * ((n_docs * 1000000) // docfreq) AS BIGINT) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN total),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+SELECT doc_id, term, tf, docfreq, tfidf, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5 ORDER BY doc_id, rank""",
+)
+def text_tfidf_q(spark, sf):
+    return text.tfidf_topk(_t(spark, sf, "documents"), k=5).orderBy("doc_id", "rank")
+
+
+def _contamination_oracle() -> str:
+    from fourmc_spark.functions import shingles_duck
+
+    sh = shingles_duck(tokens_duck("text"), 8)
+    return f"""WITH bench AS (
+  SELECT DISTINCT unnest({sh}) AS sh FROM documents WHERE doc_id % 50 = 0),
+base AS (SELECT doc_id, list_distinct({sh}) AS shs
+         FROM documents WHERE doc_id % 50 != 0),
+hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+         FROM (SELECT doc_id, unnest(shs) AS sh FROM base) d
+         JOIN bench USING (sh) GROUP BY doc_id)
+SELECT b.doc_id, CAST(len(shs) AS BIGINT) AS n_shingles,
+       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_contaminated,
+       round(coalesce(n_hit, 0) * 1.0 / greatest(len(shs), 1), 4)
+         AS contamination_frac
+FROM base b LEFT JOIN hits USING (doc_id) ORDER BY doc_id"""
+
+
+@query("curation_contamination", _contamination_oracle())
+def curation_contamination_q(spark, sf):
+    return curation.contamination(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+@query(
+    "curation_source_stats",
+    """SELECT source, CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       round(avg(length(text)), 4) AS avg_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id
+FROM documents GROUP BY source ORDER BY source""",
+)
+def curation_source_stats_q(spark, sf):
+    return curation.source_stats(_t(spark, sf, "documents")).orderBy("source")
 
 
 @query(
