@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import ctypes
 import ctypes.util
+import threading
 
 __all__ = [
     "xxh32",
@@ -49,6 +50,25 @@ __all__ = [
 # / ZstdUltraCompressor.java:45)
 LZ4_LEVELS = {"fast": 0, "medium": 2, "high": 4, "ultra": 8}
 ZSTD_LEVELS = {"fast": 1, "medium": 3, "high": 6, "ultra": 12}
+
+
+_tls = threading.local()
+
+
+def _scratch(cap: int):
+    """Thread-local reusable compress destination buffer.
+
+    One ≤4 MiB allocation per *thread*, not per block — under a
+    multi-worker encode (writer ``workers=N``, ``parallel.py``) per-block
+    ``create_string_buffer`` calls serialize on the allocator and fault in
+    fresh pages every time, which caps fast-LZ4 throughput below the
+    single-thread rate.
+    """
+    buf = getattr(_tls, "buf", None)
+    if buf is None or ctypes.sizeof(buf) < cap:
+        buf = ctypes.create_string_buffer(cap)
+        _tls.buf = buf
+    return buf
 
 
 def _load(*names: str):
@@ -218,14 +238,14 @@ if _lz4 is not None:
         cap = len(data) - 1
         if cap <= 0:
             return None
-        dst = ctypes.create_string_buffer(cap)
+        dst = _scratch(cap)
         if level <= 0:
             n = _lz4.LZ4_compress_default(data, dst, len(data), cap)
         else:
             n = _lz4.LZ4_compress_HC(data, dst, len(data), cap, level)
         if n <= 0:
             return None
-        return dst.raw[:n]
+        return ctypes.string_at(ctypes.addressof(dst), n)
 
     def lz4_decompress(data: bytes, uncompressed_size: int) -> bytes:
         out = bytearray(uncompressed_size)
@@ -309,11 +329,11 @@ if _zstd is not None:
         cap = len(data) - 1
         if cap <= 0:
             return None
-        dst = ctypes.create_string_buffer(cap)
+        dst = _scratch(cap)
         n = _zstd.ZSTD_compress(dst, cap, data, len(data), level)
         if _zstd.ZSTD_isError(n):
             return None  # dstSize_tooSmall -> store raw
-        return dst.raw[:n]
+        return ctypes.string_at(ctypes.addressof(dst), n)
 
     def zstd_decompress(data: bytes, uncompressed_size: int) -> bytes:
         out = bytearray(uncompressed_size)
