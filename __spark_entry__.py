@@ -9,7 +9,8 @@ queries()    — every implemented operator from SURVEY.md §2: the Q1-Q33
                connected-components cluster labeling, brute-force / LSH /
                IVF similarity search, text analysis x4, multimodal
                feature/resize/frame-sample, as-of join, range join,
-               end-to-end curation pipeline), and the Structured
+               end-to-end curation pipeline), the UDTF / UDAF /
+               grouped-map (applyInPandas) extension points, and the Structured
                Streaming surface (tumbling, sliding, and session windows,
                watermark dedup, stream-stream interval join, stateful
                sessionization) run as real micro-batch queries.

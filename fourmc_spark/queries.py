@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from fourmc_spark.functions import (
@@ -1523,6 +1524,74 @@ def udtf_sentences_q(spark, sf):
         """SELECT d.doc_id, s.sent_idx, s.sentence
            FROM udtf_docs d, LATERAL fourmc_sentence_split(d.text) s
            ORDER BY d.doc_id, s.sent_idx"""
+    )
+
+
+@query(
+    "udaf_geomean",
+    """SELECT l_returnflag,
+              round(exp(avg(ln(l_extendedprice))), 2) AS geo_price
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def udaf_geomean_q(spark, sf):
+    """Pandas grouped-agg UDAF (SURVEY.md §2.2 UDF/UDAF/UDTF): geometric
+    mean of extended price per return flag — group math the built-in
+    aggregates don't offer, Arrow-batched (one numpy reduction per group).
+
+    Scale note: grouped-agg pandas UDFs have NO partial aggregation — every
+    row of a group shuffles to one task. Use them for low-cardinality
+    group-local math only; anything partial-aggregable belongs in JVM
+    aggregates (here exp(avg(ln(x))) could be one — this query exists to
+    pin the UDAF extension point). Spark also refuses to mix grouped-agg
+    pandas UDFs with JVM aggregates in one agg() — another reason they
+    stay out of hot paths.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.round(geomean("l_extendedprice"), 2).alias("geo_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "applyinpandas_zscore",
+    """SELECT event_id, event_type,
+              round((value - avg(value) OVER w)
+                    / stddev_samp(value) OVER w, 2) AS z
+       FROM events WINDOW w AS (PARTITION BY event_type)
+       ORDER BY event_id""",
+)
+def applyinpandas_zscore_q(spark, sf):
+    """Batch ``applyInPandas`` (SURVEY.md §2.2 UDF/UDAF/UDTF): per-group
+    z-score normalization of event values — the grouped-map extension
+    point, one Arrow-batched pandas call per group.
+
+    Scale note: the whole group lands in one task's memory, so the group
+    key must be bounded (5 event types here). Where SQL can express the
+    semantics (as the window-function oracle shows for this one) prefer
+    the JVM plan; applyInPandas is for genuinely imperative group logic
+    (model scoring, per-group fits).
+    """
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        out = pdf[["event_id", "event_type"]].copy()
+        out["z"] = ((v - v.mean()) / v.std(ddof=1)).round(2)
+        return out
+
+    return (
+        _t(spark, sf, "events")
+        .select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(zscore, "event_id bigint, event_type string, z double")
+        .orderBy("event_id")
     )
 
 
