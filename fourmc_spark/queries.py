@@ -1220,6 +1220,50 @@ def q33_approx_percentile_q(spark, sf):
     )
 
 
+@query(
+    "q35_session_window_batch",
+    """WITH e AS (SELECT user_id, ts, value FROM {EV}),
+m AS (SELECT user_id, ts, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, ts, value,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+)
+def q35_session_window_batch_q(spark, sf):
+    """Batch ``session_window`` aggregation — the batch twin of
+    stream_session_windows, exercising Catalyst's SessionWindow node
+    outside streaming (dynamic-gap windows merged per key in one
+    aggregation; the shuffle key is (user_id), state bounded per key).
+    Session end = last event + gap; a spacing of exactly the gap starts a
+    new session (strictly-closer events merge), same as streaming.
+    """
+    return (
+        _t(spark, sf, "events")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 # =========================================================================
 # Streaming surface (SURVEY.md §2.2 Streaming / M5) — each query runs a
 # REAL micro-batch Structured Streaming query over the events parquet
