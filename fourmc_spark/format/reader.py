@@ -174,8 +174,11 @@ def iter_lines_for_split(
         if owner >= split_end:
             return
         payload, owner = _normalize_terminators(payload, prev_cr, owner, boff)
-        prev_cr = payload.endswith(b"\r")
-        payload = payload.replace(b"\r\n", b"\n").replace(b"\r", b"\n")
+        if b"\r" in payload:  # rare: LF-only payloads skip two copy passes
+            prev_cr = payload.endswith(b"\r")
+            payload = payload.replace(b"\r\n", b"\n").replace(b"\r", b"\n")
+        else:
+            prev_cr = False
         parts = payload.split(b"\n")
         n_complete = len(parts) - 1
         for k in range(n_complete):
@@ -312,8 +315,11 @@ def iter_line_batches_for_split(
         if owner >= split_end:
             return
         payload, owner = _normalize_terminators(payload, prev_cr, owner, boff)
-        prev_cr = payload.endswith(b"\r")
-        payload = payload.replace(b"\r\n", b"\n").replace(b"\r", b"\n")
+        if b"\r" in payload:  # rare: LF-only payloads skip two copy passes
+            prev_cr = payload.endswith(b"\r")
+            payload = payload.replace(b"\r\n", b"\n").replace(b"\r", b"\n")
+        else:
+            prev_cr = False
         nl = payload.find(b"\n")
         if nl < 0:
             carry.extend(payload)
