@@ -31,6 +31,32 @@ __all__ = [
 ]
 
 
+_POOLS: dict[int, object] = {}
+_POOLS_LOCK = None
+
+
+def _shared_pool(workers: int):
+    """Process-wide encode pool per worker count.
+
+    Writers come and go (one per CLI file / bench pass); the pool and its
+    threads' thread-local scratch buffers persist, so steady-state encode
+    speed is reached once per process instead of once per file. Ordering
+    is unaffected — each writer keeps its own in-order pending queue.
+    """
+    global _POOLS_LOCK
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    if _POOLS_LOCK is None:
+        _POOLS_LOCK = threading.Lock()
+    with _POOLS_LOCK:
+        pool = _POOLS.get(workers)
+        if pool is None:
+            pool = ThreadPoolExecutor(max_workers=workers)
+            _POOLS[workers] = pool
+        return pool
+
+
 def normalize_codec(codec: str) -> str:
     c = codec.lower()
     if c in ("lz4", "4mc"):
@@ -103,9 +129,8 @@ class FourMcWriter:
         self._pool = None
         if workers is not None and workers > 1:
             from collections import deque
-            from concurrent.futures import ThreadPoolExecutor
 
-            self._pool = ThreadPoolExecutor(max_workers=workers)
+            self._pool = _shared_pool(workers)
             self._pending: "deque" = deque()
             self._max_inflight = workers + 4
         self._write_raw(core.encode_header(self._magic))
@@ -183,9 +208,9 @@ class FourMcWriter:
             self._flush_block(bytes(self._buf))
             self._buf.clear()
         if self._pool is not None:
+            # drain our queue only; the pool is shared and outlives us
             while self._pending:
                 self._drain_one()
-            self._pool.shutdown()
         self._write_raw(core.encode_eos())
         self._write_raw(core.encode_footer(self._magic, self.block_offsets))
         self._closed = True
