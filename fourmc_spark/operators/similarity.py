@@ -77,15 +77,20 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
-                 n_planes: int = 8, seed: int = 97,
+                 n_planes: int = 8, seed: int = 97, probe_bits: int = 1,
                  vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH.
+    """Approximate top-k via multi-probe random-hyperplane LSH.
 
-    Vectors hash to a sign-pattern bucket; queries probe only their own
-    bucket. Deterministic planes from a seeded RNG. Returns the same
-    (query_id, neighbor_id, rank) shape as :func:`cosine_topk` — rank is
-    within the probed bucket, so recall vs exact is < 1 (the scale/latency
-    trade)."""
+    Vectors hash to a sign-pattern bucket; each query probes its own
+    bucket plus every bucket within Hamming distance <= ``probe_bits``
+    (a true near neighbor that straddles one or two hyperplanes lands
+    one or two bit-flips away — multi-probe recovers it without the
+    recall collapse of exact-bucket probing). ``probe_bits``=1 scans
+    ~``(1+n_planes)/2**n_planes`` of the candidates. Deterministic planes
+    from a seeded RNG. Returns the same (query_id, neighbor_id, rank)
+    shape as :func:`cosine_topk`; recall vs exact is < 1 (the
+    scale/latency trade, tuned by ``probe_bits``/``n_planes``)."""
+    import itertools
     import random
 
     dim = len(embeddings.select(vec_col).first()[0])
@@ -113,11 +118,26 @@ def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         F.col("_norm").alias("_cnorm"),
         bucket_col(vec_col).alias("bucket"),
     )
-    q = with_norm(queries, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        F.col("_norm").alias("_qnorm"),
-        bucket_col(vec_col).alias("bucket"),
+    # probe masks: all bit patterns with <= probe_bits bits set
+    masks = [0]
+    for r in range(1, max(0, probe_bits) + 1):
+        for combo in itertools.combinations(range(n_planes), r):
+            m = 0
+            for j in combo:
+                m |= 1 << j
+            masks.append(m)
+
+    q = (
+        with_norm(queries, vec_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            F.col("_norm").alias("_qnorm"),
+            bucket_col(vec_col).alias("_qbucket"),
+        )
+        .withColumn("_mask", F.explode(F.array(*[F.lit(m) for m in masks])))
+        .withColumn("bucket", F.col("_qbucket").bitwiseXOR(F.col("_mask")))
+        .drop("_qbucket", "_mask")
     )
     scored = (
         cand.join(F.broadcast(q), on="bucket")

@@ -1,0 +1,52 @@
+"""Recall of the approximate ANN paths vs the exact cosine baseline
+(SURVEY.md §7 M6: "LSH: recall vs exact on sf0.001").
+
+The sf0.001 embeddings are nearly angularly uniform (true top-10 cosine
+similarities land at only 0.25-0.39, ~70 degrees), which bounds what any
+sublinear method can recall at a fixed scan fraction:
+
+* multi-probe LSH (8 planes, probe_bits=1) scans 9/256 ~ 3.5% of
+  candidates; per-plane collision for a 70-degree pair is ~0.6, so the
+  expected recall is ~0.09 — the floor below asserts the implementation
+  achieves its theoretical recall (exact-bucket probing scored 0.02;
+  multi-probe recovered 6x that).
+* IVF (stride 101 -> 5 cells, nprobe=2) scans ~40% and lands ~0.6.
+
+On clustered real-world embeddings (tight angular neighborhoods) the
+same constructions recall far higher; these floors pin the
+implementation, not a quality promise about uniform data.
+"""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def topk_sets(spark, sf_dir):
+    from fourmc_spark.queries import QUERIES
+
+    out = {}
+    for name in ("ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk"):
+        pdf = QUERIES[name](spark, sf_dir).toPandas()
+        out[name] = set(
+            map(tuple, pdf[["query_id", "neighbor_id"]].itertuples(index=False))
+        )
+    return out
+
+
+def _recall(exact: set, approx: set) -> float:
+    return len(exact & approx) / len(exact)
+
+
+def test_exact_baseline_complete(topk_sets):
+    # 5 queries x k=10
+    assert len(topk_sets["ann_cosine_topk"]) == 50
+
+
+def test_lsh_multiprobe_recall(topk_sets):
+    r = _recall(topk_sets["ann_cosine_topk"], topk_sets["ann_lsh_topk"])
+    assert r >= 0.08, f"multi-probe LSH recall {r:.3f} below theoretical floor"
+
+
+def test_ivf_recall(topk_sets):
+    r = _recall(topk_sets["ann_cosine_topk"], topk_sets["ann_ivf_topk"])
+    assert r >= 0.5, f"IVF nprobe=2 recall {r:.3f} regressed"
