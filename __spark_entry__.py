@@ -12,7 +12,8 @@ queries()    — every implemented operator from SURVEY.md §2: the Q1-Q33
                end-to-end curation pipeline), the UDTF / UDAF /
                grouped-map (applyInPandas) extension points, and the Structured
                Streaming surface (tumbling, sliding, and session windows,
-               watermark dedup, stream-stream interval join, stateful
+               watermark dedup, stream-stream interval join,
+               stream-static broadcast enrichment, stateful
                sessionization) run as real micro-batch queries.
 oracle_sql() — DuckDB-equivalent SQL for every query (hashes are
                stabilized by pinned aliases, explicit BIGINT casts, and

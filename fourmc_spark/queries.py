@@ -1390,6 +1390,38 @@ def stream_interval_join_q(spark, sf):
     return _run_stream(sdf, output_mode="append").orderBy("a_id", "b_id")
 
 
+@query(
+    "stream_static_join",
+    """SELECT date_trunc('hour', e.ts) AS win_start, c.c_mktsegment AS segment,
+              CAST(count(*) AS BIGINT) AS cnt, round(sum(e.value), 2) AS sum_value
+       FROM {EV} e JOIN customer c ON e.user_id = c.c_custkey
+       GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def stream_static_join_q(spark, sf):
+    # stream-static broadcast enrichment: the static customer dim joins
+    # into each micro-batch with no join state; only the windowed agg
+    # holds (watermark-bounded) state
+    from fourmc_spark.streaming import enrich_with_dimension, read_events_stream
+
+    dim = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    sdf = enrich_with_dimension(
+        read_events_stream(spark, f"{sf}/events.parquet"),
+        dim,
+        on=("user_id", "c_custkey"),
+        window="1 hour",
+    )
+    return (
+        _run_stream(sdf)
+        .select(
+            "win_start",
+            "segment",
+            F.col("cnt").cast("long").alias("cnt"),
+            "sum_value",
+        )
+        .orderBy("win_start", "segment")
+    )
+
+
 @query("stream_sessionize_stateful")  # stateful: no SQL oracle (rows-only)
 def stream_sessionize_q(spark, sf):
     from fourmc_spark.streaming import read_events_stream, sessionize_stateful

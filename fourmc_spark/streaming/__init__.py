@@ -1,5 +1,6 @@
 from .ops import (
     dedup_within_watermark,
+    enrich_with_dimension,
     funnel_interval_join,
     read_events_stream,
     run_to_memory,
@@ -15,6 +16,7 @@ __all__ = [
     "sliding_counts",
     "session_counts",
     "dedup_within_watermark",
+    "enrich_with_dimension",
     "funnel_interval_join",
     "sessionize_stateful",
     "run_to_memory",

@@ -97,6 +97,44 @@ def tumbling_counts(
     )
 
 
+def enrich_with_dimension(
+    events: DataFrame,
+    dim: DataFrame,
+    on: tuple[str, str],
+    window: str = "1 hour",
+    watermark: str | None = "30 minutes",
+    segment_col: str = "c_mktsegment",
+) -> DataFrame:
+    """Stream-static broadcast join: enrich the event stream with a
+    dimension table, then aggregate per (window, segment).
+
+    The canonical streaming-enrichment shape: the static side is
+    broadcast to every executor once per micro-batch plan (no stream
+    state for the join — only the windowed agg keeps state, bounded by
+    the watermark). At 100 TB the dimension must stay broadcast-sized;
+    bigger dims become a stream-static shuffled join keyed identically
+    to the stateful agg so rows shuffle once.
+    """
+    ev_key, dim_key = on
+    df = events
+    if watermark is not None and events.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    joined = df.join(F.broadcast(dim), df[ev_key] == dim[dim_key], "inner")
+    return (
+        joined.groupBy(F.window("ts", window).alias("w"), segment_col)
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col(segment_col).alias("segment"),
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
 def sliding_counts(
     events: DataFrame,
     window: str = "1 hour",
