@@ -161,24 +161,64 @@ def _signed64(value: int) -> int:
     return value - (1 << 64) if value >= (1 << 63) else value
 
 
+_DECODER_CACHE: dict[tuple, tuple] = {}
+
+
+def _decoder_tables(schema: tuple[ProtoField, ...]) -> tuple:
+    """Per-schema tables hoisted out of the per-record decode loop:
+    (field-number -> ProtoField, names of non-repeated fields, names of
+    repeated fields)."""
+    t = _DECODER_CACHE.get(schema)
+    if t is None:
+        t = (
+            {f.number: f for f in schema},
+            tuple(f.name for f in schema if not f.repeated),
+            tuple(f.name for f in schema if f.repeated),
+        )
+        _DECODER_CACHE[schema] = t
+    return t
+
+
 def decode_message(buf: bytes, schema: tuple[ProtoField, ...]) -> dict[str, Any]:
     """Parse wire bytes into a dict; unknown fields are skipped (proto rule).
 
     Missing optional fields decode as None; repeated fields as lists
     (empty list when absent — matches generated-class semantics).
     """
-    by_number = {f.number: f for f in schema}
-    rec: dict[str, Any] = {
-        f.name: ([] if f.repeated else None) for f in schema
-    }
+    by_number, plain_names, rep_names = _decoder_tables(schema)
+    rec: dict[str, Any] = dict.fromkeys(plain_names)
+    for name in rep_names:
+        rec[name] = []
     pos = 0
     n = len(buf)
+    get_field = by_number.get
     while pos < n:
-        key, pos = decode_varint(buf, pos)
+        # inline the 1-byte-varint fast path for the tag (the common case:
+        # field numbers < 16)
+        key = buf[pos]
+        pos += 1
+        if key & 0x80:
+            key &= 0x7F
+            shift = 7
+            while True:
+                if pos >= n:
+                    raise ValueError("truncated varint")
+                b = buf[pos]
+                pos += 1
+                key |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+                if shift >= 70:
+                    raise ValueError("varint too long")
         number, wire = key >> 3, key & 7
-        f = by_number.get(number)
+        f = get_field(number)
         if wire == _WIRE_VARINT:
-            raw, pos = decode_varint(buf, pos)
+            if pos < n and buf[pos] < 0x80:  # 1-byte fast path
+                raw = buf[pos]
+                pos += 1
+            else:
+                raw, pos = decode_varint(buf, pos)
             value: Any = raw
             if f is not None:
                 if f.type == "bool":
@@ -195,7 +235,11 @@ def decode_message(buf: bytes, schema: tuple[ProtoField, ...]) -> dict[str, Any]
                 else struct.unpack_from("<Q", buf, pos)[0]
             pos += 8
         elif wire == _WIRE_LEN:
-            size, pos = decode_varint(buf, pos)
+            if pos < n and buf[pos] < 0x80:  # 1-byte fast path
+                size = buf[pos]
+                pos += 1
+            else:
+                size, pos = decode_varint(buf, pos)
             if pos + size > n:
                 raise ValueError("truncated length-delimited field")
             raw_bytes = buf[pos : pos + size]
