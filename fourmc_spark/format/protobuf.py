@@ -142,18 +142,33 @@ def _encode_scalar(ftype: str, value: Any) -> bytes:
     raise ValueError(f"unsupported proto type {ftype!r}")
 
 
+_ENCODER_CACHE: dict[tuple, tuple] = {}
+
+
 def encode_message(record: dict[str, Any], schema: tuple[ProtoField, ...]) -> bytes:
     """Serialize a dict to protobuf wire bytes, fields in schema order."""
+    plan = _ENCODER_CACHE.get(schema)
+    if plan is None:
+        # hoist per-field constants (wire-tag bytes) out of the row loop
+        plan = tuple(
+            (f.name, f.repeated, f.type,
+             encode_varint((f.number << 3) | _WIRE_FOR_TYPE[f.type]))
+            for f in schema
+        )
+        _ENCODER_CACHE[schema] = plan
     out = bytearray()
-    for f in schema:
-        value = record.get(f.name)
+    get = record.get
+    for name, repeated, ftype, tag in plan:
+        value = get(name)
         if value is None:
             continue
-        tag = encode_varint((f.number << 3) | _WIRE_FOR_TYPE[f.type])
-        values = value if f.repeated else (value,)
-        for v in values:
+        if repeated:
+            for v in value:
+                out += tag
+                out += _encode_scalar(ftype, v)
+        else:
             out += tag
-            out += _encode_scalar(f.type, v)
+            out += _encode_scalar(ftype, value)
     return bytes(out)
 
 
