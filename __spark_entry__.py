@@ -2,9 +2,11 @@
 
 entry()      — flagship query (TPC-H Q5-shaped multi-join revenue) on
                /root/testdata/sf0.001.
-queries()    — every implemented operator from SURVEY.md §2: the Q1-Q33
+queries()    — every implemented operator from SURVEY.md §2: the Q1-Q38
                relational corpus (incl. salted skew join, deterministic
-               hash + stratified sampling, exact + approx percentiles),
+               hash + stratified sampling, exact + approx percentiles,
+               ROWS + RANGE window frames, session windows, EXISTS
+               subqueries, sorted array aggregation),
                the LLM-pipeline extensions (dedup x5 plus
                connected-components cluster labeling, brute-force / LSH /
                IVF similarity search, text analysis x4, multimodal

@@ -366,6 +366,107 @@ def q14(spark, sf):
 
 
 @query(
+    "q36_range_frame",
+    """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+              round(sum(l_quantity) OVER (
+                PARTITION BY l_suppkey ORDER BY l_shipdate
+                RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW), 2)
+                AS qty_3d,
+              percent_rank() OVER (
+                PARTITION BY l_suppkey ORDER BY l_quantity) AS pr,
+              cume_dist() OVER (
+                PARTITION BY l_suppkey ORDER BY l_quantity) AS cd
+       FROM lineitem
+       ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""",
+)
+def q36_range_frame_q(spark, sf):
+    # RANGE frame (value-based, vs q14's ROWS): all rows whose ship date
+    # lies within 3 days before the current row's — frame membership is
+    # set-valued under ties, so the sum is deterministic even though row
+    # order within a date isn't. percent_rank/cume_dist complete the
+    # ranking-function family (tie-stable by definition; emitted unrounded
+    # — both engines divide the same exact integers, so the doubles are
+    # bit-identical, whereas rounding a k/n rational can straddle a
+    # half-boundary). Spark needs a
+    # numeric range key: unix_date(days) with a -3..0 day frame is the
+    # exact integer twin of the oracle's RANGE INTERVAL bound (shipdates
+    # are midnight-aligned, so day granularity == timestamp granularity).
+    wr = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.unix_date(F.col("l_shipdate").cast("date")))
+        .rangeBetween(-3, 0)
+    )
+    wq = Window.partitionBy("l_suppkey").orderBy("l_quantity")
+    return (
+        _t(spark, sf, "lineitem")
+        .select(
+            "l_suppkey",
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.sum("l_quantity").over(wr), 2).alias("qty_3d"),
+            F.percent_rank().over(wq).alias("pr"),
+            F.cume_dist().over(wq).alias("cd"),
+        )
+        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q37_exists_subquery",
+    """SELECT CAST(count(*) AS BIGINT) AS n_with, (
+         SELECT CAST(count(*) AS BIGINT) FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_totalprice > 150000)) AS n_without
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_totalprice > 150000)""",
+)
+def q37_exists_subquery_q(spark, sf):
+    # correlated EXISTS / NOT EXISTS — Catalyst decorrelates to left-semi
+    # and left-anti joins with the extra predicate pushed into the join
+    # (a different rewrite path than q10/q11's IN / NOT IN)
+    _t(spark, sf, "customer").createOrReplaceTempView("q37_c")
+    _t(spark, sf, "orders").createOrReplaceTempView("q37_o")
+    return spark.sql(
+        """SELECT CAST(count(*) AS BIGINT) AS n_with, (
+             SELECT CAST(count(*) AS BIGINT) FROM q37_c c
+             WHERE NOT EXISTS (SELECT 1 FROM q37_o o
+                               WHERE o.o_custkey = c.c_custkey
+                                 AND o.o_totalprice > 150000)) AS n_without
+           FROM q37_c c
+           WHERE EXISTS (SELECT 1 FROM q37_o o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 150000)"""
+    )
+
+
+@query(
+    "q38_array_agg",
+    """SELECT o_custkey,
+              array_to_string(list_sort(list(o_orderpriority)), '|') AS pris,
+              CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct
+       FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+)
+def q38_array_agg_q(spark, sf):
+    # array aggregation: collect_list is unordered by contract (partition
+    # arrival order), so canonicalize with array_sort before joining —
+    # the only way list-valued results are stable across engines AND
+    # across partitionings at any scale
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.concat_ws("|", F.array_sort(F.collect_list("o_orderpriority"))).alias("pris"),
+            F.count_distinct("o_orderpriority").cast("long").alias("n_distinct"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@query(
     "q15_topk",
     """SELECT o_orderkey, o_totalprice FROM orders
        ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
