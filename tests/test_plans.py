@@ -77,6 +77,31 @@ def test_q13_window_shuffles_once_on_the_partition_key(spark, sf_dir, queries):
     assert exchange_count(df) <= 2
 
 
+def test_q35_session_window_partial_aggregates(spark, sf_dir, queries):
+    # batch SessionWindow: map-side partial agg, ONE hash exchange on the
+    # session key into MergingSessions (plus the output orderBy's range
+    # exchange) — a second hash exchange would re-shuffle all events
+    df = queries["q35_session_window_batch"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "MergingSessions" in plan
+    assert exchange_count(df) <= 2
+
+
+def test_q36_range_frame_single_window_exchange(spark, sf_dir, queries):
+    # both window specs partition on l_suppkey: one hash exchange feeds
+    # both Window operators (plus the final orderBy's range exchange)
+    df = queries["q36_range_frame"](spark, sf_dir)
+    assert exchange_count(df) <= 2
+
+
+def test_q37_exists_becomes_semi_and_anti_joins(spark, sf_dir, queries):
+    # EXISTS / NOT EXISTS must decorrelate to semi/anti joins — a
+    # correlated per-row subquery re-execution would be the 100 TB bug
+    plan = physical_plan(queries["q37_exists_subquery"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
 def test_q30_join_keys_carry_the_salt(spark, sf_dir, queries):
     plan = physical_plan(queries["q30_salted_skew_join"](spark, sf_dir))
     assert "_salt" in plan
