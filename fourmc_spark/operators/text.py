@@ -195,6 +195,37 @@ def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the classic cheap fluency/gibberish filter
+    (documents of rare or shuffled vocabulary score low; fluent text
+    tracks the corpus distribution).
+
+    Plan shape: one explode feeds both the unigram LM (term counts, one
+    agg) and the per-doc scoring; terms rejoin their corpus counts on the
+    term key (AQE broadcasts when the vocabulary is small), the 1-row
+    corpus total joins via broadcast, then one per-doc agg. No Python
+    anywhere.
+    """
+    toks = tokens_spark(text_col)
+    terms = df.select(F.col(id_col), F.explode(F.expr(toks)).alias("term"))
+    counts = terms.groupBy("term").agg(F.count("*").alias("term_n"))
+    total = terms.agg(F.count("*").alias("corpus_n"))
+    return (
+        terms.join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("term_n") / F.col("corpus_n"))), 6
+            ).alias("mean_logprob"),
+            F.count("*").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def tfidf_topk(
     df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -996,6 +996,23 @@ def text_tfidf_q(spark, sf):
     return text.tfidf_topk(_t(spark, sf, "documents"), k=5).orderBy("doc_id", "rank")
 
 
+@query(
+    "text_unigram_logprob",
+    f"""WITH t AS (
+  SELECT doc_id, unnest({tokens_duck('text')}) AS term FROM documents),
+c AS (SELECT term, count(*) AS term_n FROM t GROUP BY term),
+n AS (SELECT count(*) AS corpus_n FROM t)
+SELECT doc_id, round(avg(ln(term_n / corpus_n)), 6) AS mean_logprob,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM t JOIN c USING (term) CROSS JOIN n
+GROUP BY doc_id ORDER BY doc_id""",
+)
+def text_unigram_logprob_q(spark, sf):
+    # unigram-LM fluency scoring: cheap gibberish/outlier filter for
+    # curation — the corpus is its own language model
+    return text.unigram_logprob(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
 def _contamination_oracle() -> str:
     from fourmc_spark.functions import shingles_duck
 
