@@ -1904,3 +1904,9 @@ def q29(spark, sf):
                   percentile_disc(0.50) WITHIN GROUP (ORDER BY l_quantity) AS med_qty
            FROM q29_li GROUP BY l_returnflag ORDER BY l_returnflag"""
     )
+
+
+# Register the classic TPC-H suite (adapted shapes Q2-Q22; Q1/Q5 live
+# above as q04/q08). Import is at module end so tpch.py can use the
+# @query decorator without a circular-import dance.
+from fourmc_spark import tpch  # noqa: E402,F401  (registration side effect)
