@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "q17_explode_count",
     "q18_time_bucket",
     "q20_correlated_subquery",
+    "tpch_q09_profit",
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_suppliers",
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_simhash_signatures",

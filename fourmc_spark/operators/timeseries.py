@@ -1,0 +1,111 @@
+"""Time-series operators: hypertable-style rollup cascades and gap filling.
+
+The reference's workloads are batch scans of append-only event logs; at
+100 TB the standard serving pattern on top of such logs is a cascade of
+downsampled aggregates (minute -> hour -> day) plus dense, gap-filled
+series for charting/feature windows. Both are expressed as pure
+DataFrame plans:
+
+* ``rollup_cascade`` aggregates the RAW table exactly once (the only
+  full-data shuffle); every coarser granularity re-aggregates the next
+  finer level — decomposable stats only (count/sum/min/max, avg =
+  sum/count at read time), so each cascade step shuffles rows
+  proportional to the finer bucket count, not the raw data.
+* ``gap_fill`` densifies a bucketed series onto a complete time grid
+  (``sequence`` + ``explode`` of the global bucket range, broadcast from
+  a one-row bounds aggregate) and forward-fills by an ordered window per
+  key — no driver-side loop, grid size = keys x buckets regardless of
+  raw volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["rollup_cascade", "gap_fill"]
+
+# truncation units ordered fine -> coarse, as understood by date_trunc
+_UNITS = ["minute", "hour", "day", "week", "month"]
+
+
+def rollup_cascade(df: DataFrame, ts_col: str, key_cols: list[str],
+                   value_col: str, levels: tuple[str, ...] = ("hour", "day"),
+                   ) -> dict[str, DataFrame]:
+    """Cascaded rollups: raw is scanned once, coarser levels fold finer ones.
+
+    Returns ``{level: DataFrame[*key_cols, bucket, cnt, sum_value,
+    min_value, max_value]}`` with exact (unrounded) aggregates — callers
+    round at presentation time. Levels must be ordered fine -> coarse.
+    """
+    if not levels:
+        raise ValueError("need at least one level")
+    order = [u for u in _UNITS if u in levels]
+    if tuple(order) != tuple(levels):
+        raise ValueError(f"levels must be fine->coarse out of {_UNITS}")
+
+    out: dict[str, DataFrame] = {}
+    base = (
+        df.groupBy(*key_cols, F.date_trunc(levels[0], F.col(ts_col)).alias("bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+    )
+    out[levels[0]] = base
+    for lvl in levels[1:]:
+        base = (
+            base.groupBy(*key_cols, F.date_trunc(lvl, F.col("bucket")).alias("bucket"))
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.sum("sum_value").alias("sum_value"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+        )
+        out[lvl] = base
+    return out
+
+
+def gap_fill(df: DataFrame, ts_col: str, key_cols: list[str], value_col: str,
+             unit: str = "hour") -> DataFrame:
+    """Dense per-key time grid with forward fill.
+
+    Buckets ``value_col`` by ``unit`` (per-bucket avg, rounded to 4 so the
+    filled copies are bit-stable), expands every key onto the global
+    [min_bucket, max_bucket] grid, and forward-fills missing buckets from
+    the last observed value. Rows before a key's first observation keep
+    NULL. Output: ``*key_cols, bucket, value_ff, filled``.
+
+    Scale shape: the bounds aggregate is one row (broadcast); the grid is
+    keys x buckets built executor-side by ``sequence``/``explode``; the
+    fill is one window sort per key partition — nothing is proportional
+    to raw row count after the first aggregation.
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    agg = df.groupBy(*key_cols, bucket).agg(
+        F.round(F.avg(value_col), 4).alias("_v")
+    )
+    bounds = agg.agg(F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx"))
+    keys = agg.select(*key_cols).distinct()
+    grid = (
+        keys.join(F.broadcast(bounds))
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence(F.col("_mn"), F.col("_mx"), F.expr(f"INTERVAL 1 {unit}"))
+            ).alias("bucket"),
+        )
+    )
+    joined = grid.join(agg, [*key_cols, "bucket"], "left")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.withColumn("value_ff", F.last("_v", ignorenulls=True).over(w))
+        .withColumn("filled", F.col("_v").isNull())
+        .drop("_v")
+    )

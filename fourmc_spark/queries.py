@@ -35,6 +35,7 @@ from fourmc_spark.operators import (
     sampling,
     similarity,
     text,
+    timeseries,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1903,6 +1904,127 @@ def q29(spark, sf):
                   percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75,
                   percentile_disc(0.50) WITHIN GROUP (ORDER BY l_quantity) AS med_qty
            FROM q29_li GROUP BY l_returnflag ORDER BY l_returnflag"""
+    )
+
+
+_QUANT_PRUNE = 50
+
+
+@query(
+    "ann_quantized_topk",
+    f"""WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de,
+         greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> abs(x))), 1e-30) AS scale
+  FROM embeddings),
+qz AS (
+  SELECT vec_id, de,
+         list_transform(de, x -> CAST(floor(x * 127.0 / scale + 0.5)
+                                      AS BIGINT)) AS qv
+  FROM base),
+qn AS (
+  SELECT vec_id, de, qv, list_dot_product(qv, qv) AS qnorm FROM qz),
+qq AS (SELECT vec_id AS query_id, de AS qde, qv AS qqv, qnorm AS qqn
+       FROM qn WHERE vec_id < 5),
+s1 AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, c.de AS cde, q.qde,
+         row_number() OVER (PARTITION BY q.query_id ORDER BY
+           list_dot_product(c.qv, q.qqv) / sqrt(c.qnorm * q.qqn) DESC,
+           c.vec_id) AS prn
+  FROM qn c, qq q WHERE c.vec_id != q.query_id),
+s2 AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY
+           list_cosine_similarity(cde, qde) DESC, neighbor_id) AS rank
+  FROM s1 WHERE prn <= {_QUANT_PRUNE})
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM s2 WHERE rank <= 10 ORDER BY query_id, rank""",
+)
+def ann_quantized_topk_q(spark, sf):
+    # the memory-scale ANN path: int8 quantized vectors (4x smaller) rank
+    # stage 1 with exact integer dot products; only 50 candidates/query
+    # pay the float64 rescore. Integer sums are order-independent, so the
+    # prune set — unlike a float-sum ranking — is partition-stable.
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return similarity.quantized_topk(e, q, k=10, prune=_QUANT_PRUNE).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query(
+    "ts_rollup_cascade",
+    """SELECT * FROM (
+         SELECT 'hour' AS granularity, date_trunc('hour', ts) AS bucket,
+                event_type, CAST(count(*) AS BIGINT) AS cnt,
+                round(sum(value), 4) AS sum_value,
+                round(min(value), 4) AS min_value,
+                round(max(value), 4) AS max_value
+         FROM {EV} GROUP BY bucket, event_type
+         UNION ALL
+         SELECT 'day', date_trunc('day', ts), event_type,
+                CAST(count(*) AS BIGINT), round(sum(value), 4),
+                round(min(value), 4), round(max(value), 4)
+         FROM {EV} GROUP BY 2, 3)
+       ORDER BY granularity, bucket, event_type""",
+)
+def ts_rollup_cascade_q(spark, sf):
+    # hypertable-style downsample cascade: the raw table is shuffled ONCE
+    # (into hour buckets); the day level folds the hour level — at 100 TB
+    # the second shuffle moves bucket-count rows, not raw rows. The
+    # oracle recomputes each level from raw, proving the fold exact.
+    ev = _t(spark, sf, "events")
+    levels = timeseries.rollup_cascade(
+        ev, "ts", ["event_type"], "value", levels=("hour", "day")
+    )
+    outs = []
+    for name, df in levels.items():
+        outs.append(
+            df.select(
+                F.lit(name).alias("granularity"),
+                "bucket",
+                "event_type",
+                F.col("cnt").cast("long").alias("cnt"),
+                F.round("sum_value", 4).alias("sum_value"),
+                F.round("min_value", 4).alias("min_value"),
+                F.round("max_value", 4).alias("max_value"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("granularity", "bucket", "event_type")
+
+
+@query(
+    "ts_gap_fill",
+    """WITH agg AS (
+         SELECT event_type, date_trunc('hour', ts) AS bucket,
+                round(avg(value), 4) AS v
+         FROM {EV} GROUP BY event_type, bucket),
+       bounds AS (SELECT min(bucket) AS mn, max(bucket) AS mx FROM agg),
+       grid AS (
+         SELECT t.event_type, g.bucket
+         FROM (SELECT DISTINCT event_type FROM agg) t,
+              (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+                 AS bucket FROM bounds) g),
+       j AS (SELECT grid.event_type, grid.bucket, agg.v
+             FROM grid LEFT JOIN agg USING (event_type, bucket))
+       SELECT event_type, bucket,
+              last_value(v IGNORE NULLS) OVER (
+                PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff,
+              v IS NULL AS filled
+       FROM j ORDER BY event_type, bucket""",
+)
+def ts_gap_fill_q(spark, sf):
+    # dense hourly series per event type with forward fill: grid =
+    # keys x sequence(bounds) built executor-side, fill = one ordered
+    # window per key — nothing driver-side, nothing O(raw rows) after
+    # the first aggregation
+    ev = _t(spark, sf, "events")
+    return timeseries.gap_fill(ev, "ts", ["event_type"], "value", unit="hour").orderBy(
+        "event_type", "bucket"
     )
 
 

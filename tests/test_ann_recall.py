@@ -25,7 +25,9 @@ def topk_sets(spark, sf_dir):
     from fourmc_spark.queries import QUERIES
 
     out = {}
-    for name in ("ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk"):
+    for name in (
+        "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_quantized_topk",
+    ):
         pdf = QUERIES[name](spark, sf_dir).toPandas()
         out[name] = set(
             map(tuple, pdf[["query_id", "neighbor_id"]].itertuples(index=False))
@@ -50,3 +52,12 @@ def test_lsh_multiprobe_recall(topk_sets):
 def test_ivf_recall(topk_sets):
     r = _recall(topk_sets["ann_cosine_topk"], topk_sets["ann_ivf_topk"])
     assert r >= 0.5, f"IVF nprobe=2 recall {r:.3f} regressed"
+
+
+def test_quantized_recall(topk_sets):
+    # int8 prune at 50 candidates/query scans everything but rescores only
+    # 50 — on near-uniform data the quantization noise (~1/127 per
+    # component) can push a borderline true neighbor below the cut, so
+    # assert a high floor rather than exact equality
+    r = _recall(topk_sets["ann_cosine_topk"], topk_sets["ann_quantized_topk"])
+    assert r >= 0.9, f"int8-prune recall {r:.3f} regressed"

@@ -1,0 +1,73 @@
+"""Unit semantics for operators/timeseries.py on hand-built frames:
+the cascade fold must equal a direct aggregation of raw at every level,
+and gap_fill must densify, forward-fill, and leave leading gaps NULL.
+"""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def _frame(spark):
+    rows = [
+        # key "a": hours 00, 01, 03 (02 missing), two rows in hour 00
+        ("a", datetime(2024, 1, 1, 0, 10), 10.0),
+        ("a", datetime(2024, 1, 1, 0, 50), 30.0),
+        ("a", datetime(2024, 1, 1, 1, 5), 7.0),
+        ("a", datetime(2024, 1, 1, 3, 59), 1.0),
+        # key "b": first appears at hour 02
+        ("b", datetime(2024, 1, 1, 2, 30), 100.0),
+    ]
+    return spark.createDataFrame(rows, ["k", "ts", "v"])
+
+
+def test_cascade_fold_equals_direct(spark):
+    from fourmc_spark.operators.timeseries import rollup_cascade
+
+    df = _frame(spark)
+    levels = rollup_cascade(df, "ts", ["k"], "v", levels=("hour", "day"))
+    direct_day = (
+        df.groupBy("k", F.date_trunc("day", "ts").alias("bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("v").alias("sum_value"),
+            F.min("v").alias("min_value"),
+            F.max("v").alias("max_value"),
+        )
+    )
+    got = {tuple(r) for r in levels["day"].collect()}
+    want = {tuple(r) for r in direct_day.collect()}
+    assert got == want
+    hour = {(r["k"], r["bucket"].hour): (r["cnt"], r["sum_value"]) for r in levels["hour"].collect()}
+    assert hour[("a", 0)] == (2, 40.0)
+    assert hour[("a", 3)] == (1, 1.0)
+
+
+def test_cascade_rejects_bad_level_order(spark):
+    import pytest
+
+    from fourmc_spark.operators.timeseries import rollup_cascade
+
+    with pytest.raises(ValueError):
+        rollup_cascade(_frame(spark), "ts", ["k"], "v", levels=("day", "hour"))
+
+
+def test_gap_fill_semantics(spark):
+    from fourmc_spark.operators.timeseries import gap_fill
+
+    out = gap_fill(_frame(spark), "ts", ["k"], "v", unit="hour")
+    rows = {
+        (r["k"], r["bucket"].hour): (r["value_ff"], r["filled"])
+        for r in out.collect()
+    }
+    # grid is the global [min,max] bucket range for EVERY key: hours 0..3
+    assert len(rows) == 8
+    assert rows[("a", 0)] == (20.0, False)   # avg of 10, 30
+    assert rows[("a", 1)] == (7.0, False)
+    assert rows[("a", 2)] == (7.0, True)     # forward-filled
+    assert rows[("a", 3)] == (1.0, False)
+    # key b: leading gaps before its first observation stay NULL
+    assert rows[("b", 0)] == (None, True)
+    assert rows[("b", 1)] == (None, True)
+    assert rows[("b", 2)] == (100.0, False)
+    assert rows[("b", 3)] == (100.0, True)
