@@ -2028,6 +2028,35 @@ def ts_gap_fill_q(spark, sf):
     )
 
 
+def _zorder_oracle() -> str:
+    from fourmc_spark.operators.layout import zorder_key_sql
+
+    z = zorder_key_sql(["l_partkey", "l_suppkey"], bits=11)
+    return (
+        f"SELECT l_orderkey, l_linenumber, CAST({z} AS BIGINT) AS zval "
+        "FROM lineitem ORDER BY zval, l_orderkey, l_linenumber LIMIT 200"
+    )
+
+
+@query("layout_zorder_key", _zorder_oracle())
+def layout_zorder_key_q(spark, sf):
+    # pins the Morton interleave bit-for-bit against the oracle; the
+    # clustering rewrite built on it (cluster_by_zorder) is pinned by
+    # tests/test_layout.py (per-partition span shrinks on BOTH columns)
+    from fourmc_spark.operators.layout import zorder_key
+
+    return (
+        _t(spark, sf, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            zorder_key(["l_partkey", "l_suppkey"], bits=11).alias("zval"),
+        )
+        .orderBy("zval", "l_orderkey", "l_linenumber")
+        .limit(200)
+    )
+
+
 # Register the classic TPC-H suite (adapted shapes Q2-Q22; Q1/Q5 live
 # above as q04/q08). Import is at module end so tpch.py can use the
 # @query decorator without a circular-import dance.

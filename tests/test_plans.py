@@ -186,3 +186,42 @@ def test_salted_join_correct_under_heavy_skew(spark):
     )
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_tpch_q03_topk_never_total_sorts(spark, sf_dir, queries):
+    plan = physical_plan(queries["tpch_q03_shipping_priority"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q06_predicates_reach_the_scan(spark, sf_dir, queries):
+    df = queries["tpch_q06_forecast_revenue"](spark, sf_dir)
+    assert has_pushed_filter(df, "LessThan(l_quantity")
+    assert has_pushed_filter(df, "GreaterThanOrEqual(l_shipdate")
+    # 4-column ReadSchema: shipdate/discount/quantity/extendedprice
+    schemas = read_schema_columns(df)
+    assert schemas and all(len(s) <= 4 for s in schemas), schemas
+
+
+def test_tpch_q04_exists_is_a_semi_join(spark, sf_dir, queries):
+    plan = physical_plan(queries["tpch_q04_order_priority"](spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_tpch_q09_lineitem_never_broadcast(spark, sf_dir, queries):
+    df = queries["tpch_q09_profit"](spark, sf_dir)
+    assert broadcast_join_count(df) >= 2
+    for line in physical_plan(df).splitlines():
+        if "BroadcastExchange" in line or "BroadcastQueryStage" in line:
+            assert "lineitem" not in line.lower()
+
+
+def test_tpch_q18_aggregates_before_joining(spark, sf_dir, queries):
+    # lineitem must reduce to qualifying orderkeys BEFORE the orders join:
+    # partial+final HashAggregate with the having filter, then the join,
+    # then TakeOrderedAndProject — never join-then-aggregate.
+    plan = physical_plan(queries["tpch_q18_large_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    agg_pos = plan.find("HashAggregate")
+    join_pos = max(plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"),
+                   plan.find("ShuffledHashJoin"))
+    assert agg_pos != -1 and join_pos != -1
