@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from fourmc_spark.functions import shingles_spark, tokens_spark
 
-__all__ = ["contamination", "source_stats"]
+__all__ = ["contamination", "source_stats", "chunk_documents", "pack_sequences"]
 
 
 def contamination(
@@ -76,4 +76,65 @@ def source_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.countDistinct("lang").cast("long").alias("n_langs"),
         F.min("doc_id").cast("long").alias("min_doc_id"),
         F.max("doc_id").cast("long").alias("max_doc_id"),
+    )
+
+
+def chunk_documents(df: DataFrame, chunk_chars: int = 256, overlap: int = 32,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Split documents into fixed-width overlapping chunks (the standard
+    pre-tokenization step for embedding / training-window pipelines).
+
+    Chunk i covers ``[i*step, i*step + chunk_chars)`` with
+    ``step = chunk_chars - overlap``. Everything is JVM expressions —
+    ``sequence`` builds the start offsets, ``transform`` + ``substr``
+    slices, ``posexplode`` fans out — so chunking is a map-only stage: no
+    shuffle, no Python, output partitioning inherits the scan. Output:
+    ``id_col, chunk_id, chunk_text``.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    step = chunk_chars - overlap
+    text = F.col(text_col)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.length(text) - 1, F.lit(0)), F.lit(step)
+    )
+    chunks = F.transform(starts, lambda s: text.substr(s + 1, F.lit(chunk_chars)))
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+    ).select(id_col, F.col("chunk_id").cast("long").alias("chunk_id"), "chunk_text")
+
+
+def pack_sequences(df: DataFrame, capacity: int = 2048,
+                   group_col: str = "source", text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Sequential sequence packing: concatenate documents in ``id_col``
+    order and cut bins every ``capacity`` tokens (greedy with overflow —
+    the document that crosses a boundary opens the next bin, documents
+    are never split). The packing key is a running token sum, so the
+    whole operator is ONE window per group partition; packing different
+    ``group_col`` groups is embarrassingly parallel, which is how a
+    100 TB corpus packs without a global sort (per-source/per-shard
+    streams, exactly how training shards are built). Output per bin:
+    ``group_col, bin_id, n_docs, total_tokens``.
+    """
+    from pyspark.sql import Window
+
+    ntok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = df.select(group_col, id_col, ntok.alias("_tok"))
+    binned = toks.withColumn(
+        "bin_id",
+        F.floor((F.sum("_tok").over(w) - F.col("_tok")) / F.lit(capacity)).cast("long"),
+    )
+    return (
+        binned.groupBy(group_col, "bin_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_tok").cast("long").alias("total_tokens"),
+        )
     )

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["rollup_cascade", "gap_fill"]
+__all__ = ["rollup_cascade", "gap_fill", "scd2_intervals"]
 
 # truncation units ordered fine -> coarse, as understood by date_trunc
 _UNITS = ["minute", "hour", "day", "week", "month"]
@@ -108,4 +108,25 @@ def gap_fill(df: DataFrame, ts_col: str, key_cols: list[str], value_col: str,
         joined.withColumn("value_ff", F.last("_v", ignorenulls=True).over(w))
         .withColumn("filled", F.col("_v").isNull())
         .drop("_v")
+    )
+
+
+def scd2_intervals(df: DataFrame, key_cols: list[str], ts_col: str,
+                   order_tiebreak: list[str] | None = None) -> DataFrame:
+    """Slowly-changing-dimension (type 2) validity intervals from a
+    changelog: each row becomes a version valid from its own timestamp
+    until the key's next change (NULL for the current version).
+
+    One window per key partition — ``lead`` over (ts, tiebreak) — no
+    self-join, no driver work; CDC compaction at 100 TB is exactly this
+    shape. Output adds ``version`` (1-based per key), ``valid_from``,
+    ``valid_to``, ``is_current``.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_tiebreak or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("version", F.row_number().over(w).cast("long"))
+        .withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
     )

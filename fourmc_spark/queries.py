@@ -2057,6 +2057,76 @@ def layout_zorder_key_q(spark, sf):
     )
 
 
+@query(
+    "curation_chunk_documents",
+    """SELECT doc_id, CAST(s // 224 AS BIGINT) AS chunk_id,
+              substring(text, s + 1, 256) AS chunk_text
+       FROM (SELECT doc_id, text,
+                    unnest(generate_series(0, greatest(length(text) - 1, 0),
+                                           224)) AS s
+             FROM documents)
+       ORDER BY doc_id, chunk_id""",
+)
+def curation_chunk_documents_q(spark, sf):
+    # fixed-width overlapping chunks (256 chars, 32 overlap -> step 224):
+    # map-only JVM expressions (sequence/transform/posexplode), no shuffle,
+    # no Python — the pre-tokenization fan-out of an embedding pipeline
+    return curation.chunk_documents(
+        _t(spark, sf, "documents"), chunk_chars=256, overlap=32
+    ).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "curation_pack_sequences",
+    """WITH toks AS (
+         SELECT source, doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+         FROM documents),
+       binned AS (
+         SELECT source, doc_id, tok,
+                CAST(floor((sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - tok) / 512.0) AS BIGINT) AS bin_id
+         FROM toks)
+       SELECT source, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(tok) AS BIGINT) AS total_tokens
+       FROM binned GROUP BY source, bin_id
+       ORDER BY source, bin_id""",
+)
+def curation_pack_sequences_q(spark, sf):
+    # greedy sequential packing into 512-token training bins, keyed per
+    # source: one window per group partition (groups pack in parallel —
+    # no global sort), then one aggregation. Documents never split; the
+    # doc crossing a boundary opens the next bin.
+    return curation.pack_sequences(
+        _t(spark, sf, "documents"), capacity=512, group_col="source"
+    ).orderBy("source", "bin_id")
+
+
+@query(
+    "ts_scd2_intervals",
+    """SELECT user_id, event_id, version, valid_from, valid_to, is_current
+       FROM (
+         SELECT user_id, event_id,
+                CAST(row_number() OVER w AS BIGINT) AS version,
+                ts AS valid_from, lead(ts) OVER w AS valid_to,
+                lead(ts) OVER w IS NULL AS is_current
+         FROM {EV} WHERE event_type = 'signup'
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       ORDER BY user_id, version""",
+)
+def ts_scd2_intervals_q(spark, sf):
+    # CDC changelog -> SCD-type-2 validity intervals: one lead/row_number
+    # window per key partition, no self-join — each signup event becomes
+    # a version valid until the user's next one
+    ev = _t(spark, sf, "events").where(F.col("event_type") == "signup")
+    return (
+        timeseries.scd2_intervals(ev, ["user_id"], "ts", order_tiebreak=["event_id"])
+        .select("user_id", "event_id", "version", "valid_from", "valid_to", "is_current")
+        .orderBy("user_id", "version")
+    )
+
+
 # Register the classic TPC-H suite (adapted shapes Q2-Q22; Q1/Q5 live
 # above as q04/q08). Import is at module end so tpch.py can use the
 # @query decorator without a circular-import dance.
