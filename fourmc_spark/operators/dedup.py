@@ -42,6 +42,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash_signatures",
     "simhash_pairs",
+    "edit_distance_pairs",
 ]
 
 MINHASH_K = 16
@@ -258,4 +259,98 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text",
         .select("a_id", "b_id", F.expr("bit_count(sig_a ^ sig_b)").alias("hamming"))
         .distinct()
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def edit_distance_pairs(df: DataFrame, max_dist: int = 2, prefix_len: int = 48,
+                        pad_char: str = "~", text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Edit-distance similarity join over fixed-length document prefixes.
+
+    Finds all pairs whose ``prefix_len``-char prefixes (right-padded with
+    ``pad_char`` so every key is exactly ``prefix_len`` chars) are within
+    Levenshtein distance ``max_dist`` — the classic fuzzy-dedup primitive
+    for catching retyped / lightly edited boilerplate that MinHash misses
+    on short fields.
+
+    Candidate generation is PassJoin-style partition filtering (Li, Deng,
+    Feng & Wang, "PASS-JOIN: a partition-based method for similarity
+    joins", PVLDB 5(3), 2011): split each key into ``max_dist + 1``
+    segments; the pigeonhole principle guarantees that if
+    ``ed(s1, s2) <= d`` then at least one full segment of s1 occurs
+    verbatim in s2, starting within ``±d`` of its own position. So:
+
+    * chunk side — each key emits its ``d+1`` exact segments;
+    * window side — each key emits every substring that any segment could
+      match: per segment position, the ``2d+1`` shifted windows of the
+      same length (clipped to the key bounds);
+    * an equi-join on ``(segment_index, string)`` yields a candidate
+      superset with recall 1.0 — never a cross join, and the join key is a
+      short string, so the shuffle carries ids + segments only;
+    * exact ``levenshtein`` verify on the (small) candidate set. Keys are
+      re-joined for the verify so the candidate shuffle never carries both
+      full keys through the fan-out.
+
+    Skew note for 100 TB: a segment value shared by many keys (e.g. the
+    all-``pad_char`` tail segment of very short documents) is a hot join
+    key; AQE skew-join splitting handles it, and raising ``prefix_len``
+    dilutes it. Output: ``a_id < b_id, dist`` (long).
+    """
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1; use exact_dedup for 0")
+    n_seg = max_dist + 1
+    if prefix_len < n_seg:
+        raise ValueError("prefix_len must be >= max_dist + 1")
+    base, rem = divmod(prefix_len, n_seg)
+    # first `rem` segments are one char longer; starts are 1-based
+    seg_bounds: list[tuple[int, int]] = []
+    start = 1
+    for i in range(n_seg):
+        seg_len = base + (1 if i < rem else 0)
+        seg_bounds.append((start, seg_len))
+        start += seg_len
+
+    keyed = df.select(
+        F.col(id_col),
+        F.rpad(F.substring(F.col(text_col), 1, prefix_len), prefix_len, pad_char).alias("_k"),
+    )
+
+    chunks = keyed.select(
+        F.col(id_col).alias("a_id"),
+        F.posexplode(
+            F.array(*[F.substring("_k", s, ln) for s, ln in seg_bounds])
+        ).alias("seg", "piece"),
+    )
+    win_exprs = []
+    for i, (s, ln) in enumerate(seg_bounds):
+        for shift in range(-max_dist, max_dist + 1):
+            ws = s + shift
+            if 1 <= ws <= prefix_len - ln + 1:
+                win_exprs.append(
+                    F.struct(
+                        F.lit(i).alias("seg"),
+                        F.substring("_k", ws, ln).alias("piece"),
+                    )
+                )
+    windows = keyed.select(
+        F.col(id_col).alias("b_id"), F.explode(F.array(*win_exprs)).alias("w")
+    ).select("b_id", F.col("w.seg").alias("seg"), F.col("w.piece").alias("piece"))
+
+    cand = (
+        chunks.join(windows, on=["seg", "piece"])
+        .where(F.col("a_id") != F.col("b_id"))
+        .select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    ka = keyed.select(F.col(id_col).alias("a_id"), F.col("_k").alias("_ka"))
+    kb = keyed.select(F.col(id_col).alias("b_id"), F.col("_k").alias("_kb"))
+    return (
+        cand.join(ka, "a_id")
+        .join(kb, "b_id")
+        .withColumn("dist", F.levenshtein("_ka", "_kb").cast("long"))
+        .where(F.col("dist") <= max_dist)
+        .select("a_id", "b_id", "dist")
     )

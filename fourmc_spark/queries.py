@@ -729,6 +729,25 @@ def dedup_ngram_jaccard_q(spark, sf):
     )
 
 
+@query(
+    "dedup_edit_pairs",
+    """WITH k AS (SELECT doc_id, rpad(substr(text, 1, 48), 48, '~') AS p
+           FROM documents)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+FROM k a JOIN k b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.p, b.p) <= 2
+ORDER BY a_id, b_id""",
+)
+def dedup_edit_pairs_q(spark, sf):
+    # PassJoin partition filtering (segments + shifted windows, recall 1.0
+    # by pigeonhole) + exact levenshtein verify — equals the oracle's
+    # exhaustive self-join without ever building the cross product.
+    return dedup.edit_distance_pairs(
+        _t(spark, sf, "documents"), max_dist=2, prefix_len=48
+    ).orderBy("a_id", "b_id")
+
+
 # transitive closure of the symmetrized pair graph; component id = min
 # reachable doc id (DuckDB recursive CTE — tractable at oracle scale; the
 # Spark side uses log-bounded label propagation instead)

@@ -1,0 +1,84 @@
+"""Unit tests for the PassJoin edit-distance similarity join.
+
+The oracle test (test_queries_oracle.py::dedup_edit_pairs) checks the full
+pipeline against DuckDB's exhaustive self-join on real data; these pin the
+tricky candidate-generation cases — insertions/deletions SHIFT segment
+positions, which is exactly what the ±d windows must absorb.
+"""
+
+import pytest
+
+from fourmc_spark.operators import dedup
+
+
+def _pairs(spark, docs, **kw):
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = dedup.edit_distance_pairs(df, **kw).orderBy("a_id", "b_id").collect()
+    return [(r.a_id, r.b_id, r.dist) for r in rows]
+
+
+BASE = "the quick brown fox jumps over the lazy old dog."  # 48 chars
+
+
+def test_substitution_found(spark):
+    docs = [(1, BASE), (2, BASE.replace("quick", "quack"))]
+    assert _pairs(spark, docs, max_dist=2) == [(1, 2, 1)]
+
+
+def test_insertion_shifts_all_segments(spark):
+    # one char inserted at position 0 shifts EVERY segment by one — only
+    # the shifted windows can catch this pair
+    docs = [(1, BASE), (2, "X" + BASE[:-1])]
+    out = _pairs(spark, docs, max_dist=2)
+    assert [(a, b) for a, b, _ in out] == [(1, 2)]
+    assert out[0][2] == 2  # insert X + drop trailing '.'
+
+
+def test_deletion_mid_string(spark):
+    docs = [(1, BASE), (2, BASE.replace("brown ", "brown"))]  # delete 1 char
+    out = _pairs(spark, docs, max_dist=2)
+    assert [(a, b) for a, b, _ in out] == [(1, 2)]
+
+
+def test_beyond_threshold_excluded(spark):
+    docs = [(1, BASE), (2, "completely different text about other things....")]
+    assert _pairs(spark, docs, max_dist=2) == []
+
+
+def test_short_docs_padded_and_matched(spark):
+    # both shorter than prefix_len -> padded; differ by one substitution
+    docs = [(1, "hello world"), (2, "hello worle"), (3, "goodbye")]
+    out = _pairs(spark, docs, max_dist=2)
+    assert [(a, b) for a, b, _ in out] == [(1, 2)]
+
+
+def test_matches_bruteforce(spark):
+    # completeness property: PassJoin result == exhaustive O(n^2) scan
+    import itertools
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    words = ["alpha", "alphb", "aalpha", "alph", "beta", "betaa", "gamma",
+             "gamm", "gama", "delta", "delt", "dleta", "epsilon", "epsilo"]
+    docs = list(enumerate(words))
+    pad = lambda s: (s[:12] + "~" * 12)[:12]
+    want = sorted(
+        (i, j, lev(pad(a), pad(b)))
+        for (i, a), (j, b) in itertools.combinations(docs, 2)
+        if lev(pad(a), pad(b)) <= 2
+    )
+    got = _pairs(spark, docs, max_dist=2, prefix_len=12)
+    assert got == want
+
+
+def test_rejects_zero_dist(spark):
+    with pytest.raises(ValueError):
+        dedup.edit_distance_pairs(None, max_dist=0)
