@@ -1672,6 +1672,20 @@ def ann_ivf_topk_q(spark, sf):
     ).orderBy("query_id", "rank")
 
 
+@query("ann_ivf_kmeans_topk")  # iterative k-means training: no SQL oracle
+def ann_ivf_kmeans_topk_q(spark, sf):
+    # same probe plan as ann_ivf_topk over a Lloyd's-trained quantizer
+    # (operators/similarity.py kmeans_fit). Training is iterative so there
+    # is no single-SQL oracle (rows-only check); the algorithm is pinned
+    # against a single-node numpy reference and a recall floor vs the
+    # exact baseline in tests/test_ann_recall.py.
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return similarity.ivf_kmeans_topk(
+        e, q, k=10, centroid_stride=_IVF_STRIDE, nprobe=_IVF_NPROBE, n_iter=3
+    ).orderBy("query_id", "rank")
+
+
 @query(
     "q24_grouping_sets",
     """SELECT n_regionkey, n_nationkey, CAST(count(*) AS BIGINT) AS c

@@ -61,3 +61,52 @@ def test_quantized_recall(topk_sets):
     # assert a high floor rather than exact equality
     r = _recall(topk_sets["ann_cosine_topk"], topk_sets["ann_quantized_topk"])
     assert r >= 0.9, f"int8-prune recall {r:.3f} regressed"
+
+
+def test_kmeans_matches_numpy_reference(spark, sf_dir):
+    # distributed Lloyd's == single-node numpy Lloyd's (same init, same
+    # iteration count, same empty-cell rule), up to float summation order
+    import numpy as np
+
+    from fourmc_spark.operators.similarity import kmeans_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    X = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    ids = emb["vec_id"].to_numpy()
+
+    stride, n_iter = 101, 3
+    C = X[ids % stride == 0].copy()
+    for _ in range(n_iter):
+        sims = (X @ C.T) / (
+            np.linalg.norm(X, axis=1, keepdims=True) * np.linalg.norm(C, axis=1)
+        )
+        a = np.argmax(sims, axis=1)
+        for c in range(C.shape[0]):
+            if (a == c).any():
+                C[c] = X[a == c].mean(axis=0)
+
+    got = kmeans_fit(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        n_iter=n_iter, centroid_stride=stride,
+    )
+    G = np.array([v for _, v in got], dtype=np.float64)
+    assert [c for c, _ in got] == list(range(C.shape[0]))
+    assert np.allclose(G, C, rtol=1e-9, atol=1e-12)
+
+
+def test_ivf_kmeans_recall_at_least_stride(spark, sf_dir, topk_sets):
+    # the trained quantizer must not recall worse than the untrained
+    # stride quantizer it was initialized from (same nprobe budget)
+    from fourmc_spark.queries import QUERIES
+
+    pdf = QUERIES["ann_ivf_kmeans_topk"](spark, sf_dir).toPandas()
+    trained = set(
+        map(tuple, pdf[["query_id", "neighbor_id"]].itertuples(index=False))
+    )
+    exact = topk_sets["ann_cosine_topk"]
+    r_trained = _recall(exact, trained)
+    r_stride = _recall(exact, topk_sets["ann_ivf_topk"])
+    assert r_trained >= r_stride - 0.04, (
+        f"k-means IVF recall {r_trained:.3f} fell below stride IVF {r_stride:.3f}"
+    )
