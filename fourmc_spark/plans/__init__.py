@@ -15,10 +15,12 @@ from fourmc_spark.plans.audit import (
     exchange_count,
     has_pushed_filter,
     physical_plan,
+    runtime_bloom_filter_count,
     read_schema_columns,
     wholestage_codegen_spans,
 )
 from fourmc_spark.plans.bucketing import bucketed_join, write_bucketed
+from fourmc_spark.plans.runtime_filters import runtime_bloom_filters
 
 __all__ = [
     "physical_plan",
@@ -27,6 +29,8 @@ __all__ = [
     "exchange_count",
     "broadcast_join_count",
     "wholestage_codegen_spans",
+    "runtime_bloom_filter_count",
+    "runtime_bloom_filters",
     "write_bucketed",
     "bucketed_join",
 ]

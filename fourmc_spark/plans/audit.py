@@ -90,3 +90,10 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
     )
     m = re.search(r"Found (\d+) WholeStageCodegen subtrees", txt)
     return int(m.group(1)) if m else 0
+
+
+def runtime_bloom_filter_count(df: DataFrame) -> int:
+    """How many runtime Bloom-filter probes (`might_contain`) Catalyst
+    injected on the application side of joins — the semi-join reduction
+    that kills non-matching fact rows BEFORE their shuffle."""
+    return len(re.findall(r"might_contain", physical_plan(df)))

@@ -225,3 +225,39 @@ def test_tpch_q18_aggregates_before_joining(spark, sf_dir, queries):
     join_pos = max(plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"),
                    plan.find("ShuffledHashJoin"))
     assert agg_pos != -1 and join_pos != -1
+
+
+def _selective_fact_dim_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("l_quantity").alias("s"))
+    )
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    # the 100 TB selective-dim shuffle join: Catalyst must inject a Bloom
+    # `might_contain` probe on the fact side BELOW its exchange, so
+    # non-matching rows die before the shuffle. Broadcast is disabled to
+    # get the shuffle join this posture is about (at cluster scale the
+    # size estimates do that), thresholds opened so tiny local inputs
+    # qualify (the defaults gate on a >= 10 GB fact scan).
+    from fourmc_spark.plans import runtime_bloom_filter_count, runtime_bloom_filters
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        with runtime_bloom_filters(spark):
+            df = _selective_fact_dim_join(spark, sf_dir)
+            assert runtime_bloom_filter_count(df) >= 1
+        with runtime_bloom_filters(spark, enabled=False):
+            df = _selective_fact_dim_join(spark, sf_dir)
+            assert runtime_bloom_filter_count(df) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
