@@ -18,7 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["hash_sample", "stratified_hash_sample", "hash_bucket"]
+__all__ = ["hash_sample", "stratified_hash_sample", "hash_bucket",
+           "train_val_test_split"]
 
 
 def _key(cols: list[str], sep: str) -> "F.Column":
@@ -61,3 +62,29 @@ def stratified_hash_sample(df: DataFrame, strata_col: str, key_cols: list[str],
             raise ValueError("fractions_bp values must be in [0, 65536]")
         thr = F.when(F.col(strata_col) == value, F.lit(format(bp, "04x"))).otherwise(thr)
     return df.where(hash_bucket(key_cols, sep) < thr)
+
+
+def train_val_test_split(df: DataFrame, key_cols: list[str],
+                         val_bp: int = 0x0800, test_bp: int = 0x0800,
+                         sep: str = "-", out_col: str = "split") -> DataFrame:
+    """Assign every row a stable train/val/test label from its key hash.
+
+    The holdout property that matters at 100 TB: membership is a pure
+    function of the row key, so (a) re-runs, re-partitions, and engine
+    swaps reproduce the identical split; (b) when the corpus grows, old
+    rows NEVER migrate between splits — no eval contamination from
+    incremental ingest. ``val_bp``/``test_bp`` are basis points of 65536;
+    val takes [0, val), test takes [val, val+test), train the rest — a
+    map-only CASE on the hash bucket, zero shuffle.
+    """
+    if val_bp < 0 or test_bp < 0 or val_bp + test_bp > 0x10000:
+        raise ValueError("val_bp/test_bp must be >= 0 and sum to <= 65536")
+    b = hash_bucket(key_cols, sep)
+    v_thr = F.lit(format(val_bp, "04x"))
+    t_thr = F.lit(format(val_bp + test_bp, "04x"))
+    return df.withColumn(
+        out_col,
+        F.when(b < v_thr, F.lit("val"))
+        .when(b < t_thr, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )

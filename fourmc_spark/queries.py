@@ -34,6 +34,7 @@ from fourmc_spark.operators import (
     multimodal,
     sampling,
     similarity,
+    stats,
     text,
     timeseries,
 )
@@ -1248,6 +1249,46 @@ def q32_stratified_q(spark, sf):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "curation_split_assign",
+    """SELECT doc_id,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0800'
+              THEN 'val'
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1000'
+              THEN 'test'
+            ELSE 'train' END AS split
+FROM documents ORDER BY doc_id""",
+)
+def curation_split_assign_q(spark, sf):
+    # stable train/val/test assignment (~3.1% val, ~3.1% test): pure
+    # function of doc_id, so corpus growth never migrates old rows across
+    # splits — the eval-contamination guard. Map-only, zero shuffle.
+    return (
+        sampling.train_val_test_split(
+            _t(spark, sf, "documents"), ["doc_id"], val_bp=0x0800, test_bp=0x0800
+        )
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "stats_histogram",
+    """SELECT CAST(least(greatest(floor((value - 0.0) / 25.0), 0), 19) AS BIGINT)
+         AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM {EV} WHERE value IS NOT NULL
+GROUP BY 1 ORDER BY bin""",
+)
+def stats_histogram_q(spark, sf):
+    # profiling primitive: 20 equi-width bins over events.value [0, 500);
+    # binning is map-side codegen arithmetic, the shuffle carries <= 20
+    # partially-counted rows. Identical IEEE doubles in both engines.
+    return stats.equi_width_histogram(
+        _t(spark, sf, "events"), "value", lo=0.0, hi=500.0, bins=20
+    ).orderBy("bin")
 
 
 @query(
