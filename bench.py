@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_simhash_signatures",
+    "dedup_edit_pairs",
+    "dedup_incremental",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "text_quality",

@@ -43,6 +43,7 @@ __all__ = [
     "simhash_signatures",
     "simhash_pairs",
     "edit_distance_pairs",
+    "incremental_near_dedup",
 ]
 
 MINHASH_K = 16
@@ -157,6 +158,23 @@ def jaccard_pairs(df: DataFrame, threshold: float, text_col: str = "text",
     )
 
 
+def _band_buckets(sig: DataFrame, id_col: str, k: int,
+                  rows_per_band: int) -> DataFrame:
+    """(id, band, bucket) from a MinHash signature frame — one row per
+    band, bucket combined exactly (mh0 * P + mh1 stays < 2^62)."""
+    n_bands = k // rows_per_band
+    band_cols = []
+    for j in range(n_bands):
+        cols = [f"mh{i:02d}" for i in range(j * rows_per_band, (j + 1) * rows_per_band)]
+        expr = cols[0]
+        for c in cols[1:]:
+            expr = f"({expr}) * {HASH_PRIME} + {c}"
+        band_cols.append(F.struct(F.lit(j).alias("band"), F.expr(expr).alias("bucket")))
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8,
                       text_col: str = "text", id_col: str = "doc_id",
                       k: int = MINHASH_K, rows_per_band: int = 2) -> DataFrame:
@@ -170,18 +188,7 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8,
     """
     sh = shingle_sets(df, text_col, id_col).persist()
     sig = minhash_signatures(df, text_col, id_col, k, shingles=sh)
-    n_bands = k // rows_per_band
-    band_cols = []
-    for j in range(n_bands):
-        cols = [f"mh{i:02d}" for i in range(j * rows_per_band, (j + 1) * rows_per_band)]
-        # exact combine: mh0 * P + mh1 stays < 2^62
-        expr = cols[0]
-        for c in cols[1:]:
-            expr = f"({expr}) * {HASH_PRIME} + {c}"
-        band_cols.append(F.struct(F.lit(j).alias("band"), F.expr(expr).alias("bucket")))
-    buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, "bb.band", "bb.bucket")
+    buckets = _band_buckets(sig, id_col, k, rows_per_band)
     left = buckets.withColumnRenamed(id_col, "a_id")
     right = buckets.withColumnRenamed(id_col, "b_id")
     candidates = (
@@ -354,3 +361,53 @@ def edit_distance_pairs(df: DataFrame, max_dist: int = 2, prefix_len: int = 48,
         .where(F.col("dist") <= max_dist)
         .select("a_id", "b_id", "dist")
     )
+
+
+def incremental_near_dedup(corpus: DataFrame, incoming: DataFrame,
+                           threshold: float = 0.8, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = MINHASH_K,
+                           rows_per_band: int = 2) -> DataFrame:
+    """Admit only incoming rows that near-dup neither the corpus nor an
+    earlier incoming row — the daily-ingest shape of MinHash dedup.
+
+    The scale property this exists for: candidates are (corpus x incoming)
+    and (incoming x incoming) band collisions ONLY — the corpus is never
+    self-joined, so a day's ingest costs O(|incoming| x collision rate)
+    regardless of corpus size. Ids must be globally unique with incoming
+    ids ordering after their dedup peers' (append-only ingest gives both).
+
+    Semantics (deterministic, order-free): an incoming row is dropped iff
+    it confirms Jaccard >= threshold against ANY corpus row or ANY
+    incoming row with a smaller id — whether or not that partner is
+    itself dropped (drop-vs-all, not greedy chaining: no sequential
+    dependency, so the decision parallelizes). Returns surviving incoming
+    rows with their original columns. Recall caveat as
+    :func:`minhash_lsh_pairs` (detection prob ~1 at J >= threshold).
+    """
+    union = corpus.select(
+        F.col(id_col), F.col(text_col), F.lit(True).alias("_corpus")
+    ).unionByName(
+        incoming.select(F.col(id_col), F.col(text_col), F.lit(False).alias("_corpus"))
+    )
+    sh = shingle_sets(union, text_col, id_col).persist()
+    sig = minhash_signatures(union, text_col, id_col, k, shingles=sh)
+    roles = union.select(F.col(id_col), "_corpus")
+    buckets = _band_buckets(sig, id_col, k, rows_per_band).join(roles, id_col)
+    left = buckets.select(
+        F.col(id_col).alias("a_id"), F.col("_corpus").alias("a_corpus"),
+        "band", "bucket",
+    )
+    right = buckets.where(~F.col("_corpus")).select(
+        F.col(id_col).alias("b_id"), "band", "bucket"
+    )
+    candidates = (
+        left.join(right, on=["band", "bucket"])
+        .where(F.col("a_corpus") | (F.col("a_id") < F.col("b_id")))
+        .where(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    confirmed = jaccard_pairs(union, threshold, text_col, id_col,
+                              candidates=candidates, shingles=sh)
+    dropped = confirmed.select(F.col("b_id").alias(id_col)).distinct()
+    return incoming.join(dropped, on=id_col, how="left_anti")

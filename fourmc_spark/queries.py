@@ -749,6 +749,39 @@ def dedup_edit_pairs_q(spark, sf):
     ).orderBy("a_id", "b_id")
 
 
+@query(
+    "dedup_incremental",
+    f"""WITH sh AS ({_DUCK_SHINGLES}),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT a_id, b_id FROM common
+  JOIN cnt na ON na.doc_id = a_id
+  JOIN cnt nb ON nb.doc_id = b_id
+  WHERE round(c * 1.0 / (na.n + nb.n - c), 4) >= 0.8)
+SELECT doc_id, source FROM documents
+WHERE doc_id >= 250
+  AND doc_id NOT IN (SELECT b_id FROM pairs WHERE b_id >= 250)
+ORDER BY doc_id""",
+)
+def dedup_incremental_q(spark, sf):
+    # daily-ingest dedup: admit incoming docs (id >= 250) that near-dup
+    # neither the corpus (id < 250) nor an earlier incoming doc. The
+    # corpus is never self-joined — a day's ingest costs
+    # O(|incoming| x collision rate) regardless of corpus size.
+    docs = _t(spark, sf, "documents")
+    corpus = docs.where(F.col("doc_id") < 250)
+    incoming = docs.where(F.col("doc_id") >= 250)
+    return (
+        dedup.incremental_near_dedup(corpus, incoming, threshold=0.8)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 # transitive closure of the symmetrized pair graph; component id = min
 # reachable doc id (DuckDB recursive CTE — tractable at oracle scale; the
 # Spark side uses log-bounded label propagation instead)
