@@ -90,11 +90,12 @@ class FourMcWriter:
     level : fast | medium | high | ultra (or 1..4)
     block_size : uncompressed block granule, <= 4 MiB
     workers : > 1 enables pipelined parallel compression — blocks are
-        independent (`4mc-format-spec:23-27`), so they compress on a
-        thread pool (the C codecs release the GIL) while framing stays
-        strictly in submission order: the output bytes are identical to
-        the serial writer's.  In-flight blocks are bounded to
-        ``workers + 4`` (~4 MiB each), keeping memory flat for streams
+        independent (`4mc-format-spec:23-27`), so compression AND framing
+        (checksum + header) run on a thread pool (the C codec and xxh32
+        calls release the GIL); the main thread only appends the framed
+        blocks strictly in submission order, so the output bytes are
+        identical to the serial writer's.  In-flight blocks are bounded
+        to ``workers + 4`` (~4 MiB each), keeping memory flat for streams
         of any length — the multicore twin of the reference's
         single-thread loop (`native/4mc.c:220-389`).
     """
@@ -141,29 +142,33 @@ class FourMcWriter:
         self._out.write(data)
         self._pos += len(data)
 
-    def _emit_block(self, chunk: bytes, compressed: bytes | None) -> None:
-        self.block_offsets.append(self._pos)
+    def _encode_one(self, chunk: bytes) -> bytes:
+        """Compress-or-passthrough + frame one block — the whole per-block
+        pipeline (FourMcOutputStream.java:195-223), safe to run off the
+        main thread: the codec and xxh32 release the GIL."""
+        compressed = self._compress(chunk)
         if compressed is None:  # incompressible: store raw
-            self._write_raw(core.encode_block(len(chunk), chunk, compressed=False))
-        else:
-            self._write_raw(core.encode_block(len(chunk), compressed, compressed=True))
+            return core.encode_block(len(chunk), chunk, compressed=False)
+        return core.encode_block(len(chunk), compressed, compressed=True)
+
+    def _emit_framed(self, framed: bytes) -> None:
+        self.block_offsets.append(self._pos)
+        self._write_raw(framed)
 
     def _drain_one(self) -> None:
-        chunk, fut = self._pending.popleft()
-        self._emit_block(chunk, fut.result())
+        self._emit_framed(self._pending.popleft().result())
 
     def _flush_block(self, chunk: bytes) -> None:
-        """Compress-or-passthrough one block (FourMcOutputStream.java:195-223)."""
         if not chunk:
             return
         if self._pool is None:
-            self._emit_block(chunk, self._compress(chunk))
+            self._emit_framed(self._encode_one(chunk))
             return
-        self._pending.append((chunk, self._pool.submit(self._compress, chunk)))
-        # frame every block already finished, and block on the oldest when
+        self._pending.append(self._pool.submit(self._encode_one, chunk))
+        # emit every block already finished, and block on the oldest when
         # the in-flight bound is hit (keeps memory flat, order exact)
         while self._pending and (
-            len(self._pending) > self._max_inflight or self._pending[0][1].done()
+            len(self._pending) > self._max_inflight or self._pending[0].done()
         ):
             self._drain_one()
 
