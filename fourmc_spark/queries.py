@@ -47,16 +47,16 @@ ORACLE: dict[str, str] = {}
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read as long and truncate to microseconds with
-        # exact integer arithmetic (ts div 1000 — never float division).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # events.ts physical type varies by driver version (TIMESTAMP(NANOS)
+        # vs plain micros TIMESTAMP); normalize either to TimestampType.
+        from fourmc_spark.events import load_events
+
+        return load_events(spark, f"{sf_dir}/events.parquet")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-# DuckDB-side mirror of the nanos->micros truncation (floor division)
+# DuckDB-side mirror of the ts normalization (identity for micros
+# timestamps; nanos->micros floor division for TIMESTAMP_NS files)
 _EV = ("(SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, "
        "user_id, event_type, value, props FROM events)")
 

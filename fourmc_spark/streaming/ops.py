@@ -41,9 +41,9 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-# events.parquet stores TIMESTAMP(NANOS); Spark's vectorized reader needs
-# spark.sql.legacy.parquet.nanosAsLong=true, under which ts arrives as a
-# raw int64 of nanoseconds.
+# Historical schema of events.parquet under nanosAsLong (ts = raw int64
+# nanoseconds). Current driver testdata stores plain micros TIMESTAMP;
+# read_events_stream infers the actual schema from the file footer.
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -61,15 +61,19 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     normalizes ts to a microsecond TIMESTAMP column."""
     import os
 
+    from fourmc_spark.events import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    # FileStreamSource needs an explicit schema; one driver-side footer
+    # read of the static path gives the physical schema in either era.
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
     if os.path.isfile(path):
         # FileStreamSource requires a directory basePath: stream the
         # parent dir filtered down to this one file
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
-    df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(reader.parquet(path))
 
 
 def tumbling_counts(

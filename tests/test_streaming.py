@@ -31,9 +31,9 @@ EVENTS = "/root/testdata/sf0.001/events.parquet"
 
 
 def _events_batch(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(EVENTS)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from fourmc_spark.events import load_events
+
+    return load_events(spark, EVENTS)
 
 
 def _rows(df, cols):
