@@ -44,6 +44,12 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+# Cap on blocks per split: bounds a partition's UNCOMPRESSED size at
+# maxblockspersplit * 4 MiB (the format's hard block cap, MAX_BLOCK_SIZE)
+# regardless of compression ratio. Compressed-byte slicing alone is unsafe
+# at scale: 128 MB of compressed highly-compressible text can be many GB
+# uncompressed — one task, one OOM. 64 blocks => <= 256 MiB per task.
+DEFAULT_MAX_BLOCKS_PER_SPLIT = 64
 # .zst = standard zstd streaming format (reference ZstCodec.java:47-169):
 # readable but non-splittable (no internal index) — one partition per file
 _EXTS = (".4mc", ".4mz", ".zst")
@@ -132,6 +138,9 @@ class FourMcDataSourceReader(DataSourceReader):
         self.max_partition_bytes = int(
             options.get("maxpartitionbytes", DEFAULT_MAX_PARTITION_BYTES)
         )
+        self.max_blocks_per_split = int(
+            options.get("maxblockspersplit", DEFAULT_MAX_BLOCKS_PER_SPLIT)
+        )
         self.verify = str(options.get("verify", "true")).lower() != "false"
         # drop the first line of each FILE (header rows); resolved per
         # head-partition in the reader, so it is split-plan invariant
@@ -158,23 +167,32 @@ class FourMcDataSourceReader(DataSourceReader):
             codec, fsize, offsets = scan_file_info(path)
             if not offsets:
                 continue  # empty file
-            idx = core.BlockIndex(offsets)
+            # Greedy block grouping under two bounds: compressed span
+            # (maxpartitionbytes — the reference's Hadoop split-size
+            # semantics) AND block count (maxblockspersplit — caps the
+            # partition's uncompressed size at count * MAX_BLOCK_SIZE,
+            # which compressed bytes alone cannot bound).
             step = max(self.max_partition_bytes, 1)
-            raw_start = 0
-            while raw_start < fsize:
-                raw_end = min(raw_start + step, fsize)
-                astart = idx.align_slice_start(raw_start, raw_end)
-                if astart != core.NOT_FOUND:
-                    aend = idx.align_slice_end(raw_end, fsize)
-                    astart = max(astart, core.HEADER_SIZE)
-                    if astart < aend:
-                        parts.append(
-                            FourMcInputPartition(
-                                path, codec, astart, aend,
-                                head=(astart <= offsets[0]),
-                            )
+            maxb = max(self.max_blocks_per_split, 1)
+            n = len(offsets)
+            i = 0
+            while i < n:
+                j = i + 1
+                while (
+                    j < n
+                    and j - i < maxb
+                    and offsets[j] - offsets[i] < step
+                ):
+                    j += 1
+                astart = max(offsets[i], core.HEADER_SIZE)
+                aend = offsets[j] if j < n else fsize
+                if astart < aend:
+                    parts.append(
+                        FourMcInputPartition(
+                            path, codec, astart, aend, head=(i == 0),
                         )
-                raw_start = raw_end
+                    )
+                i = j
         if not parts:
             # empty dataset still needs one no-op partition
             parts.append(FourMcInputPartition("", "lz4", 0, 0))

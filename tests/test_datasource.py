@@ -56,6 +56,34 @@ def test_split_planning_produces_multiple_partitions(spark, tmp_path):
     assert back.select("value").distinct().count() == 50000
 
 
+def test_max_blocks_per_split_bounds_uncompressed_size(spark, tmp_path):
+    """maxblockspersplit caps blocks (hence uncompressed bytes) per
+    partition even when the compressed span stays tiny — the memory
+    guard compressed-byte slicing alone cannot provide."""
+    out = str(tmp_path / "blockcap")
+    df = spark.range(20000).select(
+        F.concat(F.lit("r"), F.col("id"), F.lit(" words " * 10)).alias("value")
+    )
+    (
+        df.coalesce(1)
+        .write.format("fourmc")
+        .option("codec", "zstd")
+        .option("blocksize", 16 * 1024)
+        .mode("overwrite")
+        .save(out)
+    )
+    wide = spark.read.format("fourmc").load(out)  # default: few partitions
+    capped = (
+        spark.read.format("fourmc")
+        .option("maxblockspersplit", 2)
+        .load(out)
+    )
+    assert capped.rdd.getNumPartitions() > wide.rdd.getNumPartitions()
+    # split plan never changes the data
+    assert capped.count() == 20000
+    assert wide.select("value").exceptAll(capped.select("value")).count() == 0
+
+
 def test_schema(spark, tmp_path):
     _, back = _write_read(spark, tmp_path, "lz4", "fast", n=100)
     assert [f.name for f in back.schema.fields] == ["offset", "value"]
