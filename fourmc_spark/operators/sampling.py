@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["hash_sample", "stratified_hash_sample", "hash_bucket",
-           "train_val_test_split"]
+           "train_val_test_split", "mixture_sample"]
 
 
 def _key(cols: list[str], sep: str) -> "F.Column":
@@ -87,4 +87,52 @@ def train_val_test_split(df: DataFrame, key_cols: list[str],
         F.when(b < v_thr, F.lit("val"))
         .when(b < t_thr, F.lit("test"))
         .otherwise(F.lit("train")),
+    )
+
+
+def mixture_sample(df: DataFrame, source_col: str, key_cols: list[str],
+                   sample_rows: int, alpha: float = 0.5,
+                   sep: str = "-") -> DataFrame:
+    """Temperature-flattened domain-mixture sampling (the data-mixing
+    step of LLM corpus construction): draw ~``sample_rows`` rows total,
+    allocated across ``source_col`` domains by w_s ∝ n_s^alpha instead of
+    proportionally — alpha < 1 upweights rare domains, alpha = 1 is
+    proportional, alpha = 0 is uniform-per-domain.
+
+    Engine-portable determinism: for the default alpha = 0.5 the whole
+    rate computation is integer arithmetic — w_s = floor(sqrt(n_s)),
+    per-domain quota = sample_rows * w_s div W, keep-rate in basis points
+    of 65536 — so Spark and any SQL oracle agree exactly (other alphas go
+    through float pow and may drift by one row at rate boundaries).
+    Membership itself is the [[hash-sample]] predicate: a pure function
+    of the row key, stable under re-partitioning and corpus growth.
+
+    Plan shape at scale: one partial-agg count per domain (shuffles
+    #domains rows), rates broadcast back, then a map-side filter — the
+    fact table is never shuffled. Output keeps the input schema plus
+    ``rate_bp`` (the applied per-domain rate).
+    """
+    if alpha == 0.5:
+        w = F.expr("CAST(floor(sqrt(n_s)) AS BIGINT)")
+    else:
+        w = F.expr(f"CAST(floor(power(n_s, CAST({alpha} AS DOUBLE))) AS BIGINT)")
+    counts = df.groupBy(source_col).agg(F.count("*").cast("long").alias("n_s"))
+    weights = counts.withColumn("w_s", F.greatest(w, F.lit(1).cast("long")))
+    total = weights.agg(F.sum("w_s").cast("long").alias("w_total"))
+    rates = (
+        weights.crossJoin(F.broadcast(total))
+        .withColumn(
+            "quota",
+            F.expr(f"CAST({int(sample_rows)} AS BIGINT) * w_s div w_total"),
+        )
+        .withColumn(
+            "rate_bp",
+            F.least(F.expr("quota * 65536 div n_s"), F.lit(65536).cast("long")),
+        )
+        .select(source_col, "rate_bp")
+    )
+    thr = F.lpad(F.lower(F.conv(F.col("rate_bp"), 10, 16)), 4, "0")
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .where((F.col("rate_bp") >= 65536) | (hash_bucket(key_cols, sep) < thr))
     )

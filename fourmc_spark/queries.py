@@ -1308,6 +1308,46 @@ def curation_split_assign_q(spark, sf):
 
 
 @query(
+    "curation_mixture_sample",
+    """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+             FROM documents GROUP BY source),
+w AS (SELECT source, n_s,
+             greatest(CAST(floor(sqrt(n_s)) AS BIGINT), 1) AS w_s FROM c),
+r AS (SELECT source, n_s,
+             least((CAST(120 AS BIGINT) * w_s
+                    // (SELECT CAST(sum(w_s) AS BIGINT) FROM w))
+                   * 65536 // n_s, 65536) AS rate_bp
+      FROM w),
+kept AS (SELECT d.source, d.doc_id, r.rate_bp
+         FROM documents d JOIN r USING (source)
+         WHERE r.rate_bp >= 65536
+            OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+               < lpad(lower(to_hex(rate_bp)), 4, '0'))
+SELECT source, CAST(max(rate_bp) AS BIGINT) AS rate_bp,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM kept GROUP BY source ORDER BY source""",
+)
+def curation_mixture_sample_q(spark, sf):
+    # temperature-flattened domain mixing (w_s ∝ sqrt(n_s)): rare sources
+    # sample at a higher rate than proportional, dominant ones lower —
+    # integer-exact rates, membership a pure hash of doc_id. The corpus
+    # is never shuffled: count agg + broadcast rates + map-side filter.
+    kept = sampling.mixture_sample(
+        _t(spark, sf, "documents"), "source", ["doc_id"], sample_rows=120
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.max("rate_bp").cast("long").alias("rate_bp"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "stats_histogram",
     """SELECT CAST(least(greatest(floor((value - 0.0) / 25.0), 0), 19) AS BIGINT)
          AS bin,
