@@ -133,8 +133,23 @@ def decompress_file_parallel(
         total += b[1]
     out = bytearray(total)
     if blocks:
-        with ThreadPoolExecutor(max_workers=min(threads, len(blocks))) as pool:
-            _decode_blocks_into(data, blocks, out, out_offs, codec, pool, verify)
+        if threads <= 1:
+            # sequential twin of the pool path — same zero-copy decode
+            # into the preallocated buffer, no executor dispatch
+            for i in range(len(blocks)):
+                poff, usize, csize, checksum, raw = blocks[i]
+                if verify and xxh32_at(data, poff, csize) != checksum:
+                    raise core.BadBlockError("block checksum mismatch")
+                ooff = out_offs[i]
+                if raw:
+                    out[ooff : ooff + usize] = memoryview(data)[poff : poff + csize]
+                elif codec == "lz4":
+                    lz4_decompress_at(data, poff, csize, out, ooff, usize)
+                else:
+                    zstd_decompress_at(data, poff, csize, out, ooff, usize)
+        else:
+            with ThreadPoolExecutor(max_workers=min(threads, len(blocks))) as pool:
+                _decode_blocks_into(data, blocks, out, out_offs, codec, pool, verify)
     return out
 
 

@@ -107,24 +107,20 @@ def iter_block_payloads(
         pos += core.BLOCK_HEADER_SIZE + csize
 
 
-def decompress_file(path: str, verify: bool = True, threads: int | None = None) -> bytes:
+def decompress_file(
+    path: str, verify: bool = True, threads: int | None = None
+) -> "bytes | bytearray":
     """Whole-file decompression (CLI / verification path).
 
     ``threads > 1`` decodes the independent blocks on a thread pool
-    (:mod:`.parallel`) — identical result, near-linear speedup.
+    (:mod:`.parallel`) — identical result, near-linear speedup.  The
+    single-thread path uses the same zero-copy machinery (one file read,
+    one preallocated output, in-place block decode) rather than a
+    per-block read/alloc/join loop, which costs ~3x the memory traffic.
     """
-    if threads is not None and threads > 1:
-        from .parallel import decompress_file_parallel
+    from .parallel import decompress_file_parallel
 
-        return decompress_file_parallel(path, threads=threads, verify=verify)
-    with open(path, "rb") as f:
-        f.seek(0, os.SEEK_END)
-        size = f.tell()
-        magic, _ = read_index(f, size)
-        codec = core.codec_for_magic(magic)
-        return b"".join(
-            chunk for _, chunk in iter_block_payloads(f, codec, verify=verify)
-        )
+    return decompress_file_parallel(path, threads=threads or 1, verify=verify)
 
 
 def scan_file_info(path: str) -> tuple[str, int, list[int]]:
