@@ -28,6 +28,7 @@ __all__ = [
     "repetition_stats",
     "pii_redact",
     "tfidf_topk",
+    "bm25_topk",
 ]
 
 # tiny per-language stopword vocabularies (public common words)
@@ -192,6 +193,68 @@ def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         .cast("long")
         .alias("n_phones"),
         F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 50,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents by Okapi BM25 for a fixed query-term set — the
+    classic lexical retrieval scorer (and the dense-retrieval baseline in
+    any RAG/data-curation stack).
+
+    idf(q) = ln(1 + (N - df_q + 0.5)/(df_q + 0.5)) (the Lucene variant,
+    always positive); score(d) = Σ_q idf(q) · tf·(k1+1) /
+    (tf + k1·(1 − b + b·dl/avgdl)). Scores round to 4 decimals before
+    ranking so the ordering is engine-stable.
+
+    Plan shape at scale: the explode is filtered to the query terms
+    immediately (fan-out dies in the same stage), tf/df aggregate on
+    (doc, term) — two partial-agg shuffles of matched terms only; N and
+    avgdl arrive as a broadcast 1-row join. Two corpus scans (corpus
+    stats + term match), zero corpus-size shuffles or joins.
+    """
+    toks = tokens_spark(text_col)
+    stats = df.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg(F.expr(f"size({toks})")).alias("avgdl"),
+    )
+    # dl rides along through the explode (functionally dependent on the
+    # doc id), so matched terms never rejoin a corpus-size relation
+    terms = df.select(
+        F.col(id_col),
+        F.expr(f"size({toks})").cast("long").alias("dl"),
+        F.explode(F.expr(toks)).alias("term"),
+    ).where(F.col("term").isin(list(query_terms)))
+    tf = terms.groupBy(id_col, "dl", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("dfq"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dfq") + F.lit(0.5)) / (F.col("dfq") + F.lit(0.5))
+    )
+    norm = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(idf * F.col("tf") * F.lit(k1 + 1.0) / norm), 4).alias(
+                "bm25"
+            ),
+            F.count("*").cast("long").alias("n_matched_terms"),
+        )
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
     )
 
 

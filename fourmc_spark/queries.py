@@ -511,6 +511,43 @@ def q16b(spark, sf):
 
 
 @query(
+    "q39_full_outer_join",
+    """WITH o AS (SELECT o_orderdate AS d, CAST(count(*) AS BIGINT) AS n_orders
+             FROM orders GROUP BY o_orderdate),
+l AS (SELECT l_shipdate AS d, CAST(count(*) AS BIGINT) AS n_ship
+      FROM lineitem GROUP BY l_shipdate)
+SELECT coalesce(o.d, l.d) AS d,
+       coalesce(n_orders, CAST(0 AS BIGINT)) AS n_orders,
+       coalesce(n_ship, CAST(0 AS BIGINT)) AS n_ship
+FROM o FULL OUTER JOIN l ON o.d = l.d ORDER BY d""",
+)
+def q39_full_outer(spark, sf):
+    # full outer equi-join with orphans on BOTH sides (shipments run past
+    # the last order date): per-day order vs shipment activity. Both
+    # inputs pre-aggregate before the join, so the shuffle carries one
+    # row per (side, day) — never the fact tables.
+    o = (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+    l = (
+        _t(spark, sf, "lineitem")
+        .groupBy(F.col("l_shipdate").alias("d"))
+        .agg(F.count("*").cast("long").alias("n_ship"))
+    )
+    return (
+        o.join(l, "d", "full_outer")
+        .select(
+            "d",
+            F.coalesce("n_orders", F.lit(0).cast("long")).alias("n_orders"),
+            F.coalesce("n_ship", F.lit(0).cast("long")).alias("n_ship"),
+        )
+        .orderBy("d")
+    )
+
+
+@query(
     "q17_explode_count",
     """SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
          SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
@@ -1065,6 +1102,38 @@ def text_unigram_logprob_q(spark, sf):
     # unigram-LM fluency scoring: cheap gibberish/outlier filter for
     # curation — the corpus is its own language model
     return text.unigram_logprob(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+_BM25_TERMS = ("merge", "vector", "stream")
+
+
+@query(
+    "text_bm25_topk",
+    f"""WITH stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         avg(CAST(len({tokens_duck('text')}) AS BIGINT)) AS avgdl
+  FROM documents),
+terms AS (
+  SELECT doc_id, CAST(len({tokens_duck('text')}) AS BIGINT) AS dl,
+         unnest({tokens_duck('text')}) AS term
+  FROM documents),
+tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       FROM terms WHERE term IN ('merge', 'vector', 'stream')
+       GROUP BY doc_id, dl, term),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfq FROM tf GROUP BY term)
+SELECT doc_id,
+       round(sum(ln(1.0 + (n_docs - dfq + 0.5) / (dfq + 0.5))
+                 * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4)
+         AS bm25,
+       CAST(count(*) AS BIGINT) AS n_matched_terms
+FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50""",
+)
+def text_bm25_q(spark, sf):
+    # Okapi BM25 top-50 for a fixed query — the lexical retrieval baseline
+    # of any RAG/curation stack. Fan-out dies at the explode (term filter
+    # in the same stage); only matched terms ever shuffle.
+    return text.bm25_topk(_t(spark, sf, "documents"), list(_BM25_TERMS), k=50)
 
 
 def _contamination_oracle() -> str:
