@@ -29,6 +29,7 @@ __all__ = [
     "pii_redact",
     "tfidf_topk",
     "bm25_topk",
+    "vocab_coverage",
 ]
 
 # tiny per-language stopword vocabularies (public common words)
@@ -255,6 +256,43 @@ def bm25_topk(
         )
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def vocab_coverage(
+    df: DataFrame, top_v: int = 100, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary construction for tokenizer prep: the top-V terms by
+    corpus frequency with each prefix's cumulative token coverage — the
+    curve that decides a vocab size.
+
+    Scale shape: term counting is a partial-agg shuffle of distinct terms;
+    top-V selection is a distributed TakeOrderedAndProject (never a full
+    sort); ONLY the V selected rows pass through the global-order window
+    for the running total, so the single-partition window input is V
+    rows, not the vocabulary. Coverage denominator (total tokens) joins
+    as a broadcast 1-row aggregate.
+    """
+    toks = tokens_spark(text_col)
+    terms = df.select(F.explode(F.expr(toks)).alias("term"))
+    counts = terms.groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
+    total = terms.agg(F.count("*").cast("long").alias("total_tokens"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("term")).limit(top_v)
+    w = (
+        Window.orderBy(F.desc("cnt"), F.asc("term"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("cum_cnt", F.sum("cnt").over(w).cast("long"))
+        .withColumn(
+            "cum_coverage",
+            F.round(F.col("cum_cnt") / F.col("total_tokens"), 6),
+        )
+        .select("rank", "term", "cnt", "cum_cnt", "cum_coverage")
+        .orderBy("rank")
     )
 
 

@@ -1104,6 +1104,31 @@ def text_unigram_logprob_q(spark, sf):
     return text.unigram_logprob(_t(spark, sf, "documents")).orderBy("doc_id")
 
 
+@query(
+    "text_vocab_coverage",
+    f"""WITH t AS (
+  SELECT unnest({tokens_duck('text')}) AS term FROM documents),
+c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS total_tokens FROM t),
+top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 60),
+r AS (SELECT term, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT)
+               AS rank,
+             CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_cnt
+      FROM top)
+SELECT rank, term, cnt, cum_cnt,
+       round(cum_cnt / (SELECT total_tokens FROM n), 6) AS cum_coverage
+FROM r ORDER BY rank""",
+)
+def text_vocab_coverage_q(spark, sf):
+    # tokenizer-prep vocabulary curve: top-60 terms + cumulative token
+    # coverage. Top-V selection is distributed (TakeOrderedAndProject);
+    # only the 60 survivors enter the global-order running-total window.
+    return text.vocab_coverage(_t(spark, sf, "documents"), top_v=60)
+
+
 _BM25_TERMS = ("merge", "vector", "stream")
 
 

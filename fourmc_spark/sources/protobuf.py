@@ -79,6 +79,11 @@ class FourMcProtoReader(FourMcDataSourceReader):
         self.max_partition_bytes = int(
             options.get("maxpartitionbytes", 128 * 1024 * 1024)
         )
+        from fourmc_spark.sources.datasource import DEFAULT_MAX_BLOCKS_PER_SPLIT
+
+        self.max_blocks_per_split = int(
+            options.get("maxblockspersplit", DEFAULT_MAX_BLOCKS_PER_SPLIT)
+        )
         self.verify = str(options.get("verify", "true")).lower() != "false"
         self.proto_schema = _schema_from_options(options)
         self.columns = [f.name for f in schema.fields]
