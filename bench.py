@@ -57,9 +57,11 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "text_quality",
     "text_fingerprint",
+    "text_bm25_topk",
     "asof_join_events",
     "q30_salted_skew_join",
     "q31_hash_sample",
+    "curation_mixture_sample",
     "pipeline_curation",
 ]
 
