@@ -33,6 +33,7 @@ __all__ = [
     "ivf_kmeans_topk",
     "cosine_pairs",
     "quantized_topk",
+    "label_centroids",
 ]
 
 
@@ -447,4 +448,36 @@ def cosine_pairs(embeddings: DataFrame, threshold: float,
         .withColumn("sim", _dot("_va", "_vb") / (F.col("_na") * F.col("_nb")))
         .where(F.col("sim") >= threshold)
         .select("a_id", "b_id")
+    )
+
+
+def label_centroids(embeddings: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding",
+                    round_to: int = 6) -> DataFrame:
+    """Per-label centroid, one output row per (label, dimension) — class
+    prototypes for semantic dedup / nearest-class assignment / cluster
+    profiling.
+
+    posexplode fans each vector into (label, pos, coord); a single
+    partial+final hash aggregate on (label, pos) averages coordinates, so
+    the shuffle carries labels x dim partially-aggregated rows, never
+    vectors. Exploded output (instead of an array column) keeps the
+    result exactly comparable across engines.
+    """
+    return (
+        embeddings.select(
+            F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "coord")
+        )
+        .groupBy(label_col, "pos")
+        .agg(
+            F.round(F.avg("coord"), round_to).alias("centroid"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .select(
+            F.col(label_col),
+            F.col("pos").cast("long").alias("pos"),
+            "centroid",
+            "n",
+        )
+        .orderBy(label_col, "pos")
     )

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["rollup_cascade", "gap_fill", "scd2_intervals"]
+__all__ = ["rollup_cascade", "gap_fill", "scd2_intervals", "apply_changes"]
 
 # truncation units ordered fine -> coarse, as understood by date_trunc
 _UNITS = ["minute", "hour", "day", "week", "month"]
@@ -129,4 +129,34 @@ def scd2_intervals(df: DataFrame, key_cols: list[str], ts_col: str,
         .withColumn("valid_from", F.col(ts_col))
         .withColumn("valid_to", F.lead(ts_col).over(w))
         .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+def apply_changes(snapshot: DataFrame, changes: DataFrame,
+                  key_cols: list[str], seq_cols: list[str],
+                  op_col: str = "op", delete_op: str = "delete") -> DataFrame:
+    """Latest-wins CDC MERGE: apply a changelog (upserts + deletes) to a
+    snapshot and return the new snapshot.
+
+    ``changes`` carries ``op_col`` ('upsert' or *delete_op*); the
+    snapshot needs no op column (its rows count as upserts). Per key the
+    newest row by ``seq_cols`` (descending, must be a total order — pass
+    a unique tiebreak) wins; keys whose newest row is a delete drop out.
+
+    One shuffle on the key columns (the row_number window); no
+    self-joins, no driver state. At 100 TB this is the standard
+    changelog-compaction shape — and because it is one window, AQE can
+    split a hot key's partition like any other skewed shuffle.
+    """
+    snap = snapshot
+    if op_col not in snap.columns:
+        snap = snap.withColumn(op_col, F.lit("upsert"))
+    all_rows = snap.unionByName(changes)
+    w = Window.partitionBy(*key_cols).orderBy(*[F.desc(c) for c in seq_cols])
+    return (
+        all_rows.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .where(F.col(op_col) != delete_op)
+        .drop(op_col)
     )

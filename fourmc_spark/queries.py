@@ -2368,6 +2368,77 @@ def ts_scd2_intervals_q(spark, sf):
     )
 
 
+@query(
+    "ts_apply_changes",
+    """WITH ev AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+  FROM {EV}),
+snap AS (SELECT user_id, ts, event_id, value, 'upsert' AS op FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev WHERE event_id % 2 = 0) WHERE rn = 1),
+merged AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM (SELECT * FROM snap UNION ALL
+        SELECT user_id, ts, event_id, value, op FROM ev
+        WHERE event_id % 2 = 1))
+SELECT user_id, event_id AS version_event, round(value, 2) AS last_value
+FROM merged WHERE rn = 1 AND op != 'delete'
+ORDER BY user_id""",
+)
+def ts_apply_changes_q(spark, sf):
+    # latest-wins CDC MERGE: even event_ids form the compacted snapshot,
+    # odd ones replay as a changelog (error events = deletes). One
+    # key-partitioned window over snapshot ∪ changes — no self-join; keys
+    # whose newest row is a delete vanish from the new snapshot.
+    ev = _t(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    snap = (
+        ev.where(F.col("event_id") % 2 == 0)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "op")
+    )
+    changes = ev.where(F.col("event_id") % 2 == 1)
+    return (
+        timeseries.apply_changes(
+            snap, changes, ["user_id"], ["ts", "event_id"]
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("version_event"),
+            F.round("value", 2).alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "embedding_label_centroids",
+    """SELECT label, CAST(pos AS BIGINT) AS pos,
+       round(avg(coord), 6) AS centroid, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT label,
+             unnest(range(0, len(embedding))) AS pos,
+             unnest(embedding) AS coord
+      FROM embeddings)
+GROUP BY label, pos ORDER BY label, pos""",
+)
+def embedding_label_centroids_q(spark, sf):
+    # class prototypes: per-label centroid via posexplode + one
+    # partial+final hash agg on (label, pos) — the shuffle carries
+    # labels x dim partially-averaged rows, never vectors.
+    return similarity.label_centroids(_t(spark, sf, "embeddings"))
+
+
 # Register the classic TPC-H suite (adapted shapes Q2-Q22; Q1/Q5 live
 # above as q04/q08). Import is at module end so tpch.py can use the
 # @query decorator without a circular-import dance.

@@ -71,3 +71,27 @@ def test_gap_fill_semantics(spark):
     assert rows[("b", 1)] == (None, True)
     assert rows[("b", 2)] == (100.0, False)
     assert rows[("b", 3)] == (100.0, True)
+
+
+def test_apply_changes_semantics(spark):
+    from fourmc_spark.operators.timeseries import apply_changes
+
+    snap = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 1, 20.0), ("c", 5, 30.0)],
+        "k string, seq long, v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            ("a", 2, 11.0, "upsert"),   # newer than snapshot -> wins
+            ("b", 3, 0.0, "delete"),    # newest is delete -> key drops
+            ("c", 2, 99.0, "upsert"),   # OLDER than snapshot -> loses
+            ("d", 1, 40.0, "upsert"),   # brand-new key
+            ("d", 2, 41.0, "upsert"),   # two changes, newest wins
+        ],
+        "k string, seq long, v double, op string",
+    )
+    got = {
+        r["k"]: (r["seq"], r["v"])
+        for r in apply_changes(snap, changes, ["k"], ["seq"]).collect()
+    }
+    assert got == {"a": (2, 11.0), "c": (5, 30.0), "d": (2, 41.0)}
