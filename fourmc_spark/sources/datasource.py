@@ -394,6 +394,13 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
         self.codec_raw = options.get("codec", "lz4")
         self.level = options.get("level", "fast")
         self.block_size = int(options.get("blocksize", 4 * 1024 * 1024))
+        # maxfilebytes: roll to a new file once the current one exceeds
+        # this many COMPRESSED bytes (0 = one file per task). The
+        # maxRecordsPerFile analog: without it a task holding 100 GB
+        # writes one 100 GB file; each rolled file is independently
+        # sealed (EOS + footer), so downstream split planning stays
+        # per-file and bounded.
+        self.max_file_bytes = int(options.get("maxfilebytes", 0))
         self.overwrite = overwrite
         # hive-style layout: partitionby=c1[,c2...] writes key=value/ dirs —
         # readers prune by path (glob) and can rebuild the columns with the
@@ -473,15 +480,43 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
             files.append((staged, final))
             return w
 
+        def _roll_if_needed(reldir: str) -> None:
+            if self.max_file_bytes <= 0 or reldir not in streams:
+                return
+            f, w = streams[reldir]
+            if f.tell() >= self.max_file_bytes:
+                w.close()
+                f.close()
+                del streams[reldir]  # next batch opens a fresh sealed file
+
+        def _sub_batches(batch: "pa.RecordBatch"):
+            # with rolling on, bound the roll-check granularity: a task's
+            # whole partition can arrive as one Arrow batch, which would
+            # defeat any maxfilebytes smaller than the batch
+            if self.max_file_bytes <= 0 or len(batch) <= 4096:
+                yield batch
+                return
+            for off in range(0, len(batch), 4096):
+                yield batch.slice(off, 4096)
+
         try:
-            for batch in iterator:
-                if len(batch) == 0:
+            for full_batch in iterator:
+                if len(full_batch) == 0:
                     continue
-                if not self.partition_cols:
-                    _writer_for("").write(_join_lines(batch.column(self.value_col)))
-                    continue
-                for reldir, sub in _split_by_partition(batch, self.partition_cols):
-                    _writer_for(reldir).write(_join_lines(sub.column(self.value_col)))
+                for batch in _sub_batches(full_batch):
+                    if not self.partition_cols:
+                        _writer_for("").write(
+                            _join_lines(batch.column(self.value_col))
+                        )
+                        _roll_if_needed("")
+                        continue
+                    for reldir, sub in _split_by_partition(
+                        batch, self.partition_cols
+                    ):
+                        _writer_for(reldir).write(
+                            _join_lines(sub.column(self.value_col))
+                        )
+                        _roll_if_needed(reldir)
         finally:
             for f, w in streams.values():
                 w.close()

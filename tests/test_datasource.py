@@ -84,6 +84,38 @@ def test_max_blocks_per_split_bounds_uncompressed_size(spark, tmp_path):
     assert wide.select("value").exceptAll(capped.select("value")).count() == 0
 
 
+def test_maxfilebytes_rolls_sealed_files(spark, tmp_path):
+    """maxfilebytes rolls a task's output into multiple independently
+    sealed files (each with its own EOS + footer) — the maxRecordsPerFile
+    analog for bounded file sizes at scale."""
+    from fourmc_spark.format import decompress_file
+
+    out = str(tmp_path / "rolled")
+    df = spark.range(30000).select(
+        F.concat(F.lit("row "), F.col("id"), F.lit(" filler words here")).alias("value")
+    )
+    (
+        df.coalesce(1)
+        .write.format("fourmc")
+        .option("codec", "lz4")
+        .option("blocksize", 16 * 1024)
+        .option("maxfilebytes", 24 * 1024)
+        .mode("overwrite")
+        .save(out)
+    )
+    files = glob.glob(os.path.join(out, "*.4mc"))
+    assert len(files) > 2, f"expected rolled files, got {files}"
+    # every file but the tail is bounded: past the threshold by at most
+    # one roll-granule of compressed output
+    sizes = sorted(os.path.getsize(f) for f in files)
+    assert all(s < 24 * 1024 + 64 * 1024 for s in sizes), sizes
+    for f in files:
+        decompress_file(f)  # raises unless independently sealed + valid
+    back = spark.read.format("fourmc").load(out)
+    assert back.count() == 30000
+    assert df.select("value").exceptAll(back.select("value")).count() == 0
+
+
 def test_schema(spark, tmp_path):
     _, back = _write_read(spark, tmp_path, "lz4", "fast", n=100)
     assert [f.name for f in back.schema.fields] == ["offset", "value"]
