@@ -91,12 +91,17 @@ def _decode_blocks_into(
         if verify and xxh32_at(src, poff, csize) != checksum:
             raise core.BadBlockError("block checksum mismatch")
         ooff = out_offs[i]
-        if raw:
-            out[ooff : ooff + usize] = memoryview(src)[poff : poff + csize]
-        elif codec == "lz4":
-            lz4_decompress_at(src, poff, csize, out, ooff, usize)
-        else:
-            zstd_decompress_at(src, poff, csize, out, ooff, usize)
+        try:
+            if raw:
+                out[ooff : ooff + usize] = memoryview(src)[poff : poff + csize]
+            elif codec == "lz4":
+                lz4_decompress_at(src, poff, csize, out, ooff, usize)
+            else:
+                zstd_decompress_at(src, poff, csize, out, ooff, usize)
+        except core.FourMcFormatError:
+            raise
+        except ValueError as e:
+            raise core.BadBlockError(str(e)) from e
 
     # pool.map propagates the first worker exception
     list(pool.map(work, range(len(blocks))))
@@ -141,12 +146,19 @@ def decompress_file_parallel(
                 if verify and xxh32_at(data, poff, csize) != checksum:
                     raise core.BadBlockError("block checksum mismatch")
                 ooff = out_offs[i]
-                if raw:
-                    out[ooff : ooff + usize] = memoryview(data)[poff : poff + csize]
-                elif codec == "lz4":
-                    lz4_decompress_at(data, poff, csize, out, ooff, usize)
-                else:
-                    zstd_decompress_at(data, poff, csize, out, ooff, usize)
+                try:
+                    if raw:
+                        out[ooff : ooff + usize] = memoryview(data)[
+                            poff : poff + csize
+                        ]
+                    elif codec == "lz4":
+                        lz4_decompress_at(data, poff, csize, out, ooff, usize)
+                    else:
+                        zstd_decompress_at(data, poff, csize, out, ooff, usize)
+                except core.FourMcFormatError:
+                    raise
+                except ValueError as e:
+                    raise core.BadBlockError(str(e)) from e
         else:
             with ThreadPoolExecutor(max_workers=min(threads, len(blocks))) as pool:
                 _decode_blocks_into(data, blocks, out, out_offs, codec, pool, verify)

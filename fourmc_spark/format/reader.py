@@ -68,9 +68,15 @@ def _decode_payload(
         raise core.BadBlockError("block checksum mismatch")
     if stored_raw:
         return payload
-    if codec == "lz4":
-        return lz4_decompress(payload, uncompressed_size)
-    return zstd_decompress(payload, uncompressed_size)
+    try:
+        if codec == "lz4":
+            return lz4_decompress(payload, uncompressed_size)
+        return zstd_decompress(payload, uncompressed_size)
+    except core.FourMcFormatError:
+        raise
+    except ValueError as e:
+        # codec-level failure (bad frame, size mismatch) = corrupt block
+        raise core.BadBlockError(str(e)) from e
 
 
 def iter_block_payloads(

@@ -98,3 +98,49 @@ def test_line_roundtrip_via_split_reader(tmp_path_factory, lines, codec):
         got = [ln.decode("utf-8")
                for _, ln in iter_lines_for_split(f, codec, 0, size)]
     assert got == lines
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.binary(min_size=1, max_size=30_000),
+    codec=st.sampled_from(["lz4", "zstd"]),
+    pos_seed=st.integers(min_value=0, max_value=10**9),
+    delta=st.integers(min_value=1, max_value=255),
+)
+def test_any_single_byte_flip_is_detected(
+    tmp_path_factory, data, codec, pos_seed, delta
+):
+    """Every byte of the container is covered by a check: header checksum,
+    per-block xxh32, footer checksum, EOS marker, or the block-header vs
+    footer-extent cross-check — so ANY single-byte corruption must raise
+    (mirrors FourMcInputStream.java:143-151,200-228,320-326)."""
+    import pytest
+
+    from fourmc_spark.format.core import FourMcFormatError
+
+    blob = bytearray(compress_bytes(data, codec=codec, block_size=8192))
+    pos = pos_seed % len(blob)
+    blob[pos] = blob[pos] ^ delta
+    tmp = tmp_path_factory.mktemp("flip")
+    with pytest.raises(FourMcFormatError):
+        _decompress_bytes(bytes(blob), tmp)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    data=st.binary(min_size=1, max_size=30_000),
+    codec=st.sampled_from(["lz4", "zstd"]),
+    cut_seed=st.integers(min_value=0, max_value=10**9),
+)
+def test_any_truncation_is_detected(tmp_path_factory, data, codec, cut_seed):
+    """A prefix of a sealed file is never silently accepted — the footer
+    (and its tail checksum) live at EOF."""
+    import pytest
+
+    from fourmc_spark.format.core import FourMcFormatError
+
+    blob = compress_bytes(data, codec=codec, block_size=8192)
+    cut = cut_seed % (len(blob) - 1)  # strictly shorter, possibly empty
+    tmp = tmp_path_factory.mktemp("trunc")
+    with pytest.raises(FourMcFormatError):
+        _decompress_bytes(blob[:cut], tmp)
