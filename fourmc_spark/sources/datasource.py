@@ -59,7 +59,15 @@ def _list_files(path: str) -> list[str]:
     """Recursive listing, skipping hidden/_ files like
     FourMcInputFormat.listStatus (FourMcInputFormat.java:70-118).
     Glob patterns (Hadoop-path style: ``*``, ``?``, ``[...]``) expand to
-    every matching file/dir."""
+    every matching file/dir; comma-separated paths union their listings
+    (Hadoop ``FileInputFormat.setInputPaths`` semantics)."""
+    if "," in path:
+        out: list[str] = []
+        for p in path.split(","):
+            p = p.strip()
+            if p:
+                out.extend(_list_files(p))
+        return out
     if any(ch in path for ch in "*?["):
         import glob as _glob
 

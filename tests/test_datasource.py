@@ -116,6 +116,26 @@ def test_maxfilebytes_rolls_sealed_files(spark, tmp_path):
     assert df.select("value").exceptAll(back.select("value")).count() == 0
 
 
+def test_comma_separated_multi_path_load(spark, tmp_path):
+    """Hadoop FileInputFormat.setInputPaths semantics: a comma-separated
+    path loads the union of the listed dirs/files."""
+    outs = []
+    for i in range(2):
+        out = str(tmp_path / f"multi{i}")
+        (
+            spark.range(i * 1000, (i + 1) * 1000)
+            .select(F.concat(F.lit("r"), F.col("id")).alias("value"))
+            .coalesce(1)
+            .write.format("fourmc")
+            .mode("overwrite")
+            .save(out)
+        )
+        outs.append(out)
+    both = spark.read.format("fourmc").load(",".join(outs))
+    assert both.count() == 2000
+    assert both.select("value").distinct().count() == 2000
+
+
 def test_schema(spark, tmp_path):
     _, back = _write_read(spark, tmp_path, "lz4", "fast", n=100)
     assert [f.name for f in back.schema.fields] == ["offset", "value"]
