@@ -69,7 +69,7 @@ def rollup_cascade(df: DataFrame, ts_col: str, key_cols: list[str],
 
 
 def gap_fill(df: DataFrame, ts_col: str, key_cols: list[str], value_col: str,
-             unit: str = "hour") -> DataFrame:
+             unit: str = "hour", value_scale: int = 2) -> DataFrame:
     """Dense per-key time grid with forward fill.
 
     Buckets ``value_col`` by ``unit`` (per-bucket avg, rounded to 4 so the
@@ -78,14 +78,38 @@ def gap_fill(df: DataFrame, ts_col: str, key_cols: list[str], value_col: str,
     the last observed value. Rows before a key's first observation keep
     NULL. Output: ``*key_cols, bucket, value_ff, filled``.
 
+    The bucket average is computed entirely in integers: values quantize
+    to ``value_scale`` decimals (exact for data already at that scale),
+    sum as int64, and the 4-decimal average rounds half-up with integer
+    arithmetic — ``(2n + d) div 2d``. Both ``avg(double)`` (summation
+    order drift) and float ``round`` (engines disagree on ties: shortest
+    decimal repr vs binary expansion) flip the 4th decimal once per
+    ~10^4-10^5 buckets; integer arithmetic cannot.
+
     Scale shape: the bounds aggregate is one row (broadcast); the grid is
     keys x buckets built executor-side by ``sequence``/``explode``; the
     fill is one window sort per key partition — nothing is proportional
     to raw row count after the first aggregation.
     """
+    q = 10 ** value_scale
+    up = 10_000 // q  # scale quantized units to 4-decimal units
     bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
-    agg = df.groupBy(*key_cols, bucket).agg(
-        F.round(F.avg(value_col), 4).alias("_v")
+    agg = (
+        df.groupBy(*key_cols, bucket)
+        .agg(
+            F.sum(
+                F.expr(f"CAST(round({value_col} * {q}) AS BIGINT)")
+            ).alias("_s"),
+            F.count(value_col).alias("_n"),
+        )
+        .select(
+            *key_cols,
+            "bucket",
+            # exact half-up average at 4 decimals: (2n + d) div 2d
+            (
+                F.expr(f"(2 * _s * {up} + _n) div (2 * _n)") / 10_000.0
+            ).alias("_v"),
+        )
     )
     bounds = agg.agg(F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx"))
     keys = agg.select(*key_cols).distinct()

@@ -2241,7 +2241,8 @@ def ts_rollup_cascade_q(spark, sf):
     "ts_gap_fill",
     """WITH agg AS (
          SELECT event_type, date_trunc('hour', ts) AS bucket,
-                round(avg(value), 4) AS v
+                ((2 * sum(CAST(round(value * 100) AS BIGINT)) * 100
+                  + count(value)) // (2 * count(value))) / 10000.0 AS v
          FROM {EV} GROUP BY event_type, bucket),
        bounds AS (SELECT min(bucket) AS mn, max(bucket) AS mx FROM agg),
        grid AS (

@@ -40,15 +40,16 @@ def _ts(s: str):
     "tpch_q02_min_cost_supplier",
     """WITH ps AS (
          SELECT l_partkey, l_suppkey,
-                min(round(l_extendedprice / l_quantity, 4)) AS unit_cost
+                min((CAST(round(l_extendedprice * 100) AS BIGINT) * 100)
+                    // CAST(l_quantity AS BIGINT)) AS unit_cost_e4
          FROM lineitem GROUP BY l_partkey, l_suppkey)
-       SELECT p.p_partkey, s.s_name, ps.unit_cost
+       SELECT p.p_partkey, s.s_name, ps.unit_cost_e4 / 10000.0 AS unit_cost
        FROM part p
          JOIN ps ON ps.l_partkey = p.p_partkey
          JOIN supplier s ON s.s_suppkey = ps.l_suppkey
        WHERE p.p_size < 15 AND p.p_type = 'STANDARD'
-         AND ps.unit_cost = (
-           SELECT min(ps2.unit_cost) FROM ps ps2
+         AND ps.unit_cost_e4 = (
+           SELECT min(ps2.unit_cost_e4) FROM ps ps2
            WHERE ps2.l_partkey = p.p_partkey)
        ORDER BY p.p_partkey, s.s_name""",
 )
@@ -56,23 +57,35 @@ def tpch_q02(spark, sf):
     """TPC-H Q2 shape (correlated min over a derived supplier-cost table).
 
     Correlated ``= (SELECT min ...)`` decorrelates into a window min —
-    one shuffle on l_partkey, no re-scan per part.
+    one shuffle on l_partkey, no re-scan per part. Unit cost is computed
+    in exact integer ten-thousandths (price cents × 100 div quantity):
+    float division rounded to 4 decimals sits on a rounding boundary
+    once per few hundred thousand rows, and the min-equality then flips
+    between engines — integer arithmetic cannot.
     """
     li = _t(spark, sf, "lineitem")
+    unit_cost_e4 = F.expr(
+        "(CAST(round(l_extendedprice * 100) AS BIGINT) * 100)"
+        " div CAST(l_quantity AS BIGINT)"
+    )
     ps = (
         li.groupBy("l_partkey", "l_suppkey")
-        .agg(F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4)).alias("unit_cost"))
+        .agg(F.min(unit_cost_e4).alias("unit_cost_e4"))
     )
     w = Window.partitionBy("l_partkey")
-    ps = ps.withColumn("min_cost", F.min("unit_cost").over(w)).where(
-        F.col("unit_cost") == F.col("min_cost")
+    ps = ps.withColumn("min_cost", F.min("unit_cost_e4").over(w)).where(
+        F.col("unit_cost_e4") == F.col("min_cost")
     )
     p = _t(spark, sf, "part").where((F.col("p_size") < 15) & (F.col("p_type") == "STANDARD"))
     s = _t(spark, sf, "supplier")
     return (
         ps.join(p, ps.l_partkey == p.p_partkey)
         .join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
-        .select("p_partkey", "s_name", "unit_cost")
+        .select(
+            "p_partkey",
+            "s_name",
+            (F.col("unit_cost_e4") / 10000.0).alias("unit_cost"),
+        )
         .orderBy("p_partkey", "s_name")
     )
 
