@@ -344,14 +344,20 @@ def q13(spark, sf):
     """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
               round(sum(l_quantity) OVER (
                 PARTITION BY l_suppkey
-                ORDER BY l_shipdate, l_orderkey, l_linenumber
+                ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS qty_7
        FROM lineitem ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""",
 )
 def q14(spark, sf):
+    # l_quantity closes the sort: the synthetic lineitem does NOT make
+    # (l_orderkey, l_linenumber) unique (sf0.1 has one (suppkey, shipdate,
+    # orderkey, linenumber) tie with differing quantities), and a ROWS
+    # frame over a non-total order is partition-layout-dependent. With
+    # the quantity tiebreak, any remaining ties are identical in every
+    # referenced column, so their order cannot change a frame sum.
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(-6, 0)
     )
     return (
