@@ -639,6 +639,35 @@ def q21(spark, sf):
 
 
 @query(
+    "q40_json_roundtrip",
+    """SELECT event_id,
+              CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+              to_json({'t': event_type,
+                       'k': CAST(json_extract(props, '$.k') AS BIGINT)}) AS j
+       FROM {EV} WHERE event_id % 97 = 0 ORDER BY event_id""",
+)
+def q40_json_roundtrip(spark, sf):
+    # from_json -> typed struct access -> to_json re-serialization (both
+    # engines emit compact key-ordered JSON, so the strings compare
+    # exactly). Completes the JSON family next to q21's get_json_object.
+    ev = _t(spark, sf, "events").where(F.col("event_id") % 97 == 0)
+    parsed = ev.select(
+        "event_id",
+        "event_type",
+        F.from_json("props", "k BIGINT").alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("t"), F.col("p.k").alias("k")
+            )
+        ).alias("j"),
+    ).orderBy("event_id")
+
+
+@query(
     "q22_cube",
     """SELECT event_type, date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS n
        FROM {EV} e GROUP BY CUBE(event_type, date_trunc('day', ts))
