@@ -99,6 +99,45 @@ def _blob(target_mb: int = 64) -> bytes:
     return base * reps
 
 
+def _bench_raw_codec_ceiling(data: bytes) -> dict[str, float]:
+    """This machine's PURE-C codec ceiling (no framing, no checksums):
+    raw LZ4_compress_default / LZ4_decompress_safe / ZSTD on 4 MiB
+    blocks, single thread. BASELINE.md's published numbers were measured
+    on different hardware (2.7 GHz Xeon / Core i7 + Silesia); these
+    fields establish what the same C libraries do on THIS cpu+corpus, so
+    the format-layer overhead (our numbers vs this ceiling) is separable
+    from the hardware delta (this ceiling vs BASELINE.md)."""
+    import time as _t
+
+    from fourmc_spark.format.native import (
+        lz4_compress, lz4_decompress, zstd_compress, zstd_decompress,
+    )
+
+    mb = len(data) / (1024 * 1024)
+    blk = 4 << 20
+    blocks = [data[i : i + blk] for i in range(0, len(data), blk)]
+    out: dict[str, float] = {}
+    for name, comp, dec, lvl in (
+        ("lz4", lz4_compress, lz4_decompress, 0),
+        ("zstd", zstd_compress, zstd_decompress, 3),
+    ):
+        packed = [(comp(b, lvl) or b, len(b)) for b in blocks]
+        ct = float("inf")
+        dt = float("inf")
+        for _ in range(3):
+            t0 = _t.perf_counter()
+            for b in blocks:
+                comp(b, lvl)
+            ct = min(ct, _t.perf_counter() - t0)
+            t0 = _t.perf_counter()
+            for c, usize in packed:
+                dec(c, usize)
+            dt = min(dt, _t.perf_counter() - t0)
+        out[f"raw_c_{name}_compress_mbps_1t"] = round(mb / ct, 1)
+        out[f"raw_c_{name}_decompress_mbps_1t"] = round(mb / dt, 1)
+    return out
+
+
 def bench_codecs(tmpdir: str) -> dict[str, float]:
     """Write/read MB/s per codec level: parallel (node) + single-thread."""
     from fourmc_spark.format import decompress_file, write_file
@@ -106,7 +145,7 @@ def bench_codecs(tmpdir: str) -> dict[str, float]:
     data = _blob(64)
     mb = len(data) / (1024 * 1024)
     nthreads = min(int(CPUS), os.cpu_count() or int(CPUS))
-    out: dict[str, float] = {}
+    out: dict[str, float] = dict(_bench_raw_codec_ceiling(data))
     for codec in ("lz4", "zstd"):
         for level in ("fast", "medium", "high", "ultra"):
             ext = ".4mc" if codec == "lz4" else ".4mz"

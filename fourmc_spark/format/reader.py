@@ -115,7 +115,7 @@ def iter_block_payloads(
 
 def decompress_file(
     path: str, verify: bool = True, threads: int | None = None
-) -> "bytes | bytearray":
+) -> "bytes | bytearray | memoryview":
     """Whole-file decompression (CLI / verification path).
 
     ``threads > 1`` decodes the independent blocks on a thread pool
