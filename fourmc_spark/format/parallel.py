@@ -217,7 +217,12 @@ def iter_decoded_windows(
             for k, b in enumerate(blocks):
                 out_offs[k] = total
                 total += b[1]
-            out = bytearray(total)
+            try:
+                import numpy as _np
+
+                out = _np.empty(total, dtype=_np.uint8)  # no zero-fill pass
+            except ImportError:  # pragma: no cover
+                out = bytearray(total)
             _decode_blocks_into(buf, blocks, out, out_offs, codec, pool, verify)
-            yield out
+            yield memoryview(out) if not isinstance(out, bytearray) else out
             i = j
