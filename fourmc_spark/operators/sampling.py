@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["hash_sample", "stratified_hash_sample", "hash_bucket",
-           "train_val_test_split", "mixture_sample"]
+           "train_val_test_split", "mixture_sample", "shuffle_order"]
 
 
 def _key(cols: list[str], sep: str) -> "F.Column":
@@ -135,4 +135,27 @@ def mixture_sample(df: DataFrame, source_col: str, key_cols: list[str],
     return (
         df.join(F.broadcast(rates), source_col)
         .where((F.col("rate_bp") >= 65536) | (hash_bucket(key_cols, sep) < thr))
+    )
+
+
+def shuffle_order(df: DataFrame, key_cols: list[str], seed: str = "0",
+                  sep: str = "-", out_col: str = "shuffle_key") -> DataFrame:
+    """Deterministic global shuffle for training order: every row gets a
+    pseudo-random but reproducible sort key — md5 of (seed, row key) —
+    and the frame comes back ordered by it. Same seed => same permutation
+    on any engine, any partitioning, any run; a new seed is a fresh epoch
+    permutation with zero data movement beyond the sort.
+
+    At scale the ORDER BY is a range-partitioned sort on the hash (Spark
+    samples hash bounds, so output partitions are balanced by
+    construction — the hash is uniform), and downstream writers get the
+    shuffled order for free with one shuffle. Ties are impossible in
+    practice (128-bit hash); the key columns append as tiebreak so the
+    order is total even under hash collisions.
+    """
+    k = F.md5(F.concat_ws(sep, F.lit(seed), *[F.col(c).cast("string")
+                                              for c in key_cols]))
+    return (
+        df.withColumn(out_col, k)
+        .orderBy(out_col, *key_cols)
     )

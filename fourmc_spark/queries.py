@@ -1477,6 +1477,27 @@ def curation_mixture_sample_q(spark, sf):
 
 
 @query(
+    "curation_shuffle_order",
+    """SELECT md5(concat_ws('-', 'epoch1', CAST(doc_id AS VARCHAR)))
+              AS shuffle_key,
+              doc_id
+       FROM documents ORDER BY shuffle_key, doc_id LIMIT 200""",
+)
+def curation_shuffle_order_q(spark, sf):
+    # deterministic global shuffle (training order): md5(seed, key) sort
+    # key — same seed reproduces the same permutation on any engine or
+    # partitioning; a new seed is a fresh epoch. Range-partitioned sort,
+    # balanced by hash uniformity.
+    return (
+        sampling.shuffle_order(
+            _t(spark, sf, "documents"), ["doc_id"], seed="epoch1"
+        )
+        .select("shuffle_key", "doc_id")
+        .limit(200)
+    )
+
+
+@query(
     "stats_histogram",
     """SELECT CAST(least(greatest(floor((value - 0.0) / 25.0), 0), 19) AS BIGINT)
          AS bin,
