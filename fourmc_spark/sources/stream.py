@@ -37,28 +37,35 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 
-def _plan_file(path: str, max_partition_bytes: int):
-    """Block-aligned partitions for one sealed file (S1/X4/X5 semantics)."""
+def _plan_file(path: str, max_partition_bytes: int, max_blocks: int = 0):
+    """Block-aligned partitions for one sealed file (S1/X4/X5 semantics,
+    same dual bound as the batch planner: compressed span + block count)."""
     from fourmc_spark.format import core
     from fourmc_spark.format.reader import scan_file_info
-    from fourmc_spark.sources.datasource import FourMcInputPartition
+    from fourmc_spark.sources.datasource import (
+        DEFAULT_MAX_BLOCKS_PER_SPLIT,
+        FourMcInputPartition,
+    )
 
     codec, fsize, offsets = scan_file_info(path)
     parts = []
     if not offsets:
         return parts
-    idx = core.BlockIndex(offsets)
     step = max(max_partition_bytes, 1)
-    raw_start = 0
-    while raw_start < fsize:
-        raw_end = min(raw_start + step, fsize)
-        astart = idx.align_slice_start(raw_start, raw_end)
-        if astart != core.NOT_FOUND:
-            aend = idx.align_slice_end(raw_end, fsize)
-            astart = max(astart, core.HEADER_SIZE)
-            if astart < aend:
-                parts.append(FourMcInputPartition(path, codec, astart, aend))
-        raw_start = raw_end
+    maxb = max(max_blocks or DEFAULT_MAX_BLOCKS_PER_SPLIT, 1)
+    n = len(offsets)
+    i = 0
+    while i < n:
+        j = i + 1
+        while j < n and j - i < maxb and offsets[j] - offsets[i] < step:
+            j += 1
+        astart = max(offsets[i], core.HEADER_SIZE)
+        aend = offsets[j] if j < n else fsize
+        if astart < aend:
+            parts.append(
+                FourMcInputPartition(path, codec, astart, aend, head=(i == 0))
+            )
+        i = j
     return parts
 
 
@@ -77,6 +84,15 @@ class FourMcStreamReader(DataSourceStreamReader):
         self.max_partition_bytes = int(
             options.get("maxpartitionbytes", DEFAULT_MAX_PARTITION_BYTES)
         )
+        # maxfilespertrigger: bound each micro-batch to N new files (the
+        # FileStreamSource rate-limit analog) — a 10k-file backlog drains
+        # in controlled batches instead of one giant catch-up batch.
+        # 0 = unbounded (default).
+        self.max_files_per_trigger = int(options.get("maxfilespertrigger", 0))
+        # last offset this instance committed; None right after (re)start,
+        # in which case the first batch is unbounded (offsets must stay
+        # monotonic and the engine does not expose its checkpoint here)
+        self._committed: set[str] | None = None
         # delegate row production to the batch reader (same Arrow batches)
         self._batch_reader = FourMcDataSourceReader(options, schema)
 
@@ -89,7 +105,14 @@ class FourMcStreamReader(DataSourceStreamReader):
         return {"seen": "[]"}
 
     def latestOffset(self) -> dict:
-        return {"seen": json.dumps(sorted(self._list()))}
+        files = sorted(self._list())
+        if self.max_files_per_trigger > 0 and self._committed is not None:
+            new = [f for f in files if f not in self._committed]
+            capped = set(new[: self.max_files_per_trigger])
+            files = sorted(
+                f for f in files if f in self._committed or f in capped
+            )
+        return {"seen": json.dumps(files)}
 
     def partitions(self, start: dict, end: dict):
         seen = set(json.loads(start.get("seen", "[]")))
@@ -98,7 +121,13 @@ class FourMcStreamReader(DataSourceStreamReader):
         for path in target:
             if path in seen:
                 continue
-            parts.extend(_plan_file(path, self.max_partition_bytes))
+            parts.extend(
+                _plan_file(
+                    path,
+                    self.max_partition_bytes,
+                    self._batch_reader.max_blocks_per_split,
+                )
+            )
         if not parts:
             from fourmc_spark.sources.datasource import FourMcInputPartition
 
@@ -110,8 +139,9 @@ class FourMcStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         # engine checkpoints offsets; sealed files are immutable — nothing
-        # to clean up on our side
-        pass
+        # to clean up on our side. Track the committed set locally so the
+        # next latestOffset can rate-limit relative to it.
+        self._committed = set(json.loads(end.get("seen", "[]")))
 
 
 @dataclass

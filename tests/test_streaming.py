@@ -312,3 +312,46 @@ def test_fourmc_stream_sink(spark, tmp_path):
     for fn in os.listdir(out):
         if fn.endswith(".4mz"):
             decompress_file(os.path.join(out, fn))  # raises on bad checksum
+
+
+def test_stream_source_max_files_per_trigger(tmp_path):
+    """maxfilespertrigger bounds each micro-batch to N new files after
+    the first committed offset (FileStreamSource rate-limit analog) —
+    driven through the reader's offset API directly."""
+    import json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from fourmc_spark.format.writer import write_file
+    from fourmc_spark.sources.stream import FourMcStreamReader
+
+    d = str(tmp_path / "rate_in")
+    os.makedirs(d)
+    for i in range(5):
+        write_file(
+            os.path.join(d, f"f{i}.4mc"), f"row{i}\n".encode(),
+            codec="lz4", level="fast",
+        )
+    schema = StructType(
+        [StructField("offset", LongType()), StructField("value", StringType())]
+    )
+    r = FourMcStreamReader({"path": d, "maxfilespertrigger": "2"}, schema)
+
+    def seen(off):
+        return set(json.loads(off["seen"]))
+
+    start = r.initialOffset()
+    # first batch after (re)start is unbounded: the engine's checkpoint
+    # is not visible here and offsets must stay monotonic
+    first = r.latestOffset()
+    assert len(seen(first)) == 5
+    # simulate: engine committed only 1 file so far
+    one = sorted(seen(first))[:1]
+    r.commit({"seen": json.dumps(one)})
+    nxt = r.latestOffset()
+    assert len(seen(nxt)) == 3  # 1 committed + 2 new
+    r.commit(nxt)
+    assert len(seen(r.latestOffset())) == 5  # next 2
+    # partitions between consecutive offsets touch only the new files
+    parts = r.partitions({"seen": json.dumps(one)}, nxt)
+    assert len({p.path for p in parts if p.path}) == 2
