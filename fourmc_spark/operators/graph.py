@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "canonicalize"]
 
 
 def connected_components(
@@ -94,4 +94,54 @@ def connected_components(
     raise RuntimeError(
         f"connected_components: no convergence in {max_iter} rounds "
         "(graph diameter exceeds max_iter)"
+    )
+
+
+def canonicalize(
+    docs: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    src: str = "a_id",
+    dst: str = "b_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """The dedup *apply* step: near-dup pairs -> duplicate clusters -> one
+    kept representative per cluster (max ``weight_col``, ties to the
+    smallest id — "keep the longest member", the common corpus-dedup rule).
+
+    Output: one row per input doc — ``(id, component_id, canonical_id,
+    kept)`` with ``kept`` 1 iff the doc is its cluster's representative;
+    docs in no pair keep themselves.
+
+    Scale shape: clustering and representative election run on the
+    *clustered docs only* (bounded by the duplicate-pair set, tiny next to
+    the corpus by near-dup contract); the full corpus is touched twice by
+    **broadcast** left joins of those small maps — the corpus itself never
+    shuffles. Representative election is one ``max_by`` hash aggregate
+    (partial+final), not a window over the corpus.
+    """
+    comps = connected_components(
+        edges, src=src, dst=dst, id_out=id_col, comp_out="component_id",
+        max_iter=max_iter,
+    )
+    members = comps.join(docs.select(id_col, weight_col), id_col)
+    # lexicographic max over (weight, -id) = max weight, ties -> min id
+    reps = members.groupBy("component_id").agg(
+        F.expr(f"max_by({id_col}, struct({weight_col}, -{id_col}))").alias(
+            "canonical_id"
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(F.broadcast(comps), on=id_col, how="left")
+        .join(F.broadcast(reps), on="component_id", how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component_id", F.col(id_col)).alias("component_id"),
+            F.coalesce("canonical_id", F.col(id_col)).alias("canonical_id"),
+        )
+        .withColumn(
+            "kept", (F.col("canonical_id") == F.col(id_col)).cast("bigint")
+        )
     )

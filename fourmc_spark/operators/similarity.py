@@ -33,6 +33,7 @@ __all__ = [
     "ivf_kmeans_topk",
     "cosine_pairs",
     "quantized_topk",
+    "semantic_dedup",
     "label_centroids",
 ]
 
@@ -448,6 +449,49 @@ def cosine_pairs(embeddings: DataFrame, threshold: float,
         .withColumn("sim", _dot("_va", "_vb") / (F.col("_na") * F.col("_nb")))
         .where(F.col("sim") >= threshold)
         .select("a_id", "b_id")
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023): compare
+    embeddings only *within a cluster* (here the ``label_col`` — in
+    production the assignment from :func:`kmeans_fit`), drop a vector iff
+    some smaller-id vector in the same cluster has cosine >= threshold.
+
+    The drop rule is order-free (same as ``incremental_near_dedup``): no
+    greedy chain, so the decision parallelizes and is stable under any
+    partitioning. Returns the kept rows ``(id, label)``.
+
+    Scale shape: the cluster key bounds the quadratic join — pairwise cost
+    is sum over clusters of |c|^2, not N^2 (the entire point of SemDeDup);
+    the equi-join on the cluster key is one hash-partitioned shuffle, and
+    a fat cluster is an ordinary skewed partition AQE can split. Dot
+    products are JVM ``aggregate``/``zip_with`` expressions — no Python.
+    """
+    e = with_norm(embeddings, vec_col)
+    a = e.select(
+        F.col(label_col).alias("_la"), F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("_va"), F.col("_norm").alias("_na"),
+    )
+    b = e.select(
+        F.col(label_col).alias("_lb"), F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("_vb"), F.col("_norm").alias("_nb"),
+    )
+    dropped = (
+        a.join(b, (F.col("_la") == F.col("_lb")) & (F.col("a_id") < F.col("b_id")))
+        .withColumn("sim", _dot("_va", "_vb") / (F.col("_na") * F.col("_nb")))
+        .where(F.col("sim") >= threshold)
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+    )
+    return embeddings.select(id_col, label_col).join(
+        dropped, id_col, "left_anti"
     )
 
 

@@ -30,6 +30,7 @@ __all__ = [
     "tfidf_topk",
     "bm25_topk",
     "vocab_coverage",
+    "bpe_pair_stats",
 ]
 
 # tiny per-language stopword vocabularies (public common words)
@@ -293,6 +294,28 @@ def vocab_coverage(
         )
         .select("rank", "term", "cnt", "cum_cnt", "cum_coverage")
         .orderBy("rank")
+    )
+
+
+def bpe_pair_stats(df: DataFrame, top_k: int = 50, text_col: str = "text") -> DataFrame:
+    """Adjacent-token-pair frequencies — the statistic behind a BPE merge
+    choice (the tokenizer-prep companion of :func:`vocab_coverage`: that
+    curve sizes the vocabulary, this table seeds the merges).
+
+    Scale shape: the pair fan-out dies in its own stage (explode feeds the
+    partial aggregate directly), the shuffle carries distinct pairs with
+    partial counts, and top-k plans a distributed TakeOrderedAndProject —
+    never a total sort. Ties at rank k break on the pair string, so the
+    cutoff is engine-stable.
+    """
+    toks = tokens_spark(text_col)
+    pairs = shingles_spark(toks, 2)
+    return (
+        df.select(F.explode(F.expr(pairs)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(top_k)
     )
 
 

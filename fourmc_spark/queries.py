@@ -894,6 +894,58 @@ def dedup_components_q(spark, sf):
     ).orderBy("doc_id")
 
 
+# the dedup APPLY step: same component closure as above, then one kept
+# representative per cluster (max n_chars, ties -> min doc_id) and a
+# kept/dropped verdict for EVERY corpus doc (singletons keep themselves)
+_DUCK_CANONICALIZE = f"""
+WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT a_id, b_id FROM common
+  JOIN cnt na ON na.doc_id = a_id
+  JOIN cnt nb ON nb.doc_id = b_id
+  WHERE round(c * 1.0 / (na.n + nb.n - c), 4) >= 0.6),
+edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (SELECT u AS doc_id, least(u, min(v)) AS component_id
+         FROM reach GROUP BY u),
+members AS (SELECT d.doc_id, c.component_id, d.n_chars
+            FROM documents d JOIN comp c ON d.doc_id = c.doc_id),
+reps AS (SELECT component_id, doc_id AS canonical_id FROM (
+           SELECT component_id, doc_id,
+                  row_number() OVER (PARTITION BY component_id
+                                     ORDER BY n_chars DESC, doc_id) AS rn
+           FROM members) WHERE rn = 1)
+SELECT d.doc_id,
+       coalesce(c.component_id, d.doc_id) AS component_id,
+       coalesce(r.canonical_id, d.doc_id) AS canonical_id,
+       CAST(coalesce(r.canonical_id, d.doc_id) = d.doc_id AS BIGINT) AS kept
+FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.doc_id
+LEFT JOIN reps r ON c.component_id = r.component_id
+ORDER BY d.doc_id
+"""
+
+
+@query("dedup_canonicalize", _DUCK_CANONICALIZE)
+def dedup_canonicalize_q(spark, sf):
+    # pairs -> clusters -> keep-the-longest: the end-to-end dedup apply
+    # step. Clustering + representative election run on clustered docs
+    # only; the corpus gets its verdict via two broadcast left joins and
+    # never shuffles (operators/graph.py canonicalize).
+    docs = _t(spark, sf, "documents")
+    edges = dedup.jaccard_pairs(docs, threshold=0.6).select("a_id", "b_id")
+    return graph.canonicalize(docs, edges).orderBy("doc_id")
+
+
 def _simhash_oracle_core() -> str:
     th = token_hash_duck("tok")
     bit_sums = ",\n         ".join(
@@ -971,6 +1023,28 @@ def dedup_embedding_pairs_q(spark, sf):
     return similarity.cosine_pairs(_t(spark, sf, "embeddings"), threshold=0.4).orderBy(
         "a_id", "b_id"
     )
+
+
+@query(
+    "dedup_semantic",
+    """WITH dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4)
+SELECT e.vec_id, e.label FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+ORDER BY e.vec_id""",
+)
+def dedup_semantic_q(spark, sf):
+    # SemDeDup shape: pairwise cosine only WITHIN a cluster (the label
+    # column stands in for the kmeans_fit assignment), drop the larger id
+    # of any pair >= threshold. Cluster key bounds the quadratic join —
+    # sum |c|^2, never N^2 (operators/similarity.py semantic_dedup).
+    return similarity.semantic_dedup(
+        _t(spark, sf, "embeddings"), threshold=0.4
+    ).orderBy("vec_id")
 
 
 def _langid_oracle() -> str:
@@ -1162,6 +1236,20 @@ def text_vocab_coverage_q(spark, sf):
     # coverage. Top-V selection is distributed (TakeOrderedAndProject);
     # only the 60 survivors enter the global-order running-total window.
     return text.vocab_coverage(_t(spark, sf, "documents"), top_v=60)
+
+
+@query(
+    "text_bpe_pairs",
+    f"""SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest({shingles_duck(tokens_duck('text'), 2)}) AS pair
+      FROM documents)
+GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""",
+)
+def text_bpe_pairs_q(spark, sf):
+    # adjacent-pair frequencies — the first BPE merge statistic (vocab
+    # curve sizes the vocabulary, this seeds the merges). Explode dies in
+    # its own stage; top-k is a distributed TakeOrderedAndProject.
+    return text.bpe_pair_stats(_t(spark, sf, "documents"), top_k=50)
 
 
 _BM25_TERMS = ("merge", "vector", "stream")

@@ -82,3 +82,43 @@ def test_matches_bruteforce(spark):
 def test_rejects_zero_dist(spark):
     with pytest.raises(ValueError):
         dedup.edit_distance_pairs(None, max_dist=0)
+
+
+# --- semantic_dedup (SemDeDup shape: cluster bounds the pairwise join) ---
+
+
+def _sem(spark, rows, threshold=0.9):
+    from fourmc_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = similarity.semantic_dedup(df, threshold=threshold)
+    return {(r.vec_id, r.label) for r in out.collect()}
+
+
+def test_semantic_dedup_drops_larger_id_within_label(spark):
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),   # duplicate of 1, same label -> dropped
+        (3, [0.0, 1.0], 0),   # orthogonal -> kept
+    ]
+    assert _sem(spark, rows) == {(1, 0), (3, 0)}
+
+
+def test_semantic_dedup_is_cluster_bounded(spark):
+    # identical vectors in DIFFERENT labels are never compared: both kept.
+    rows = [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 1)]
+    assert _sem(spark, rows) == {(1, 0), (2, 1)}
+
+
+def test_semantic_dedup_drop_rule_is_order_free(spark):
+    # 2 dups 1 and 3 dups 1 (cos=1), but 3 would also dup 2: the rule
+    # "drop iff ANY smaller id matches" drops both 2 and 3 — no greedy
+    # chain where dropping 2 rescues 3.
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),
+        (3, [1.0, 0.0], 0),
+    ]
+    assert _sem(spark, rows) == {(1, 0)}

@@ -49,3 +49,47 @@ def test_output_column_names(spark):
     )
     assert out.columns == ["doc_id", "component_id"]
     assert {tuple(r) for r in out.collect()} == {(5, 5), (6, 5)}
+
+
+def _canon(spark, docs, pairs):
+    d = spark.createDataFrame(docs, "doc_id long, n_chars long")
+    e = spark.createDataFrame(pairs, "a_id long, b_id long")
+    out = graph.canonicalize(d, e)
+    return {
+        r["doc_id"]: (r["component_id"], r["canonical_id"], r["kept"])
+        for r in out.collect()
+    }
+
+
+def test_canonicalize_keeps_longest(spark):
+    # cluster {1,2,3}: doc 2 is longest -> kept; 4 is a singleton
+    got = _canon(
+        spark,
+        [(1, 10), (2, 99), (3, 50), (4, 7)],
+        [(1, 2), (2, 3)],
+    )
+    assert got == {
+        1: (1, 2, 0),
+        2: (1, 2, 1),
+        3: (1, 2, 0),
+        4: (4, 4, 1),
+    }
+
+
+def test_canonicalize_weight_tie_prefers_min_id(spark):
+    got = _canon(spark, [(5, 40), (6, 40), (7, 40)], [(5, 6), (6, 7)])
+    assert got[5] == (5, 5, 1)
+    assert got[6] == (5, 5, 0)
+    assert got[7] == (5, 5, 0)
+
+
+def test_canonicalize_exactly_one_kept_per_component(spark):
+    docs = [(i, (i * 37) % 11) for i in range(20)]
+    pairs = [(0, 1), (1, 2), (5, 6), (10, 11), (11, 12), (12, 13)]
+    got = _canon(spark, docs, pairs)
+    assert len(got) == 20
+    by_comp: dict[int, int] = {}
+    for _doc, (comp, canon, kept) in got.items():
+        assert (canon == _doc) == bool(kept)
+        by_comp[comp] = by_comp.get(comp, 0) + kept
+    assert all(v == 1 for v in by_comp.values())
