@@ -261,3 +261,33 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
             assert runtime_bloom_filter_count(df) == 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bpe_pairs_topk_is_distributed(spark, sf_dir, queries):
+    plan = physical_plan(queries["text_bpe_pairs"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower().replace("takeordered", "")
+
+
+def test_semantic_dedup_pairwise_join_is_hashed_on_cluster_key(
+    spark, sf_dir, queries
+):
+    # the SemDeDup point: the pairwise comparison must be an equi-join on
+    # the cluster key (a<b riding as a filter), never a nested-loop cross
+    # product over the corpus
+    plan = physical_plan(queries["dedup_semantic"](spark, sf_dir))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_canonicalize_corpus_side_joins_are_broadcast(spark, sf_dir):
+    # the corpus receives its verdict via broadcast left joins of the two
+    # small maps (components, representatives) — a shuffle of the corpus
+    # on component id would be the 100 TB bug
+    from fourmc_spark.operators import graph
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "a_id long, b_id long"
+    )
+    df = graph.canonicalize(docs, edges)
+    assert broadcast_join_count(df) >= 2
