@@ -365,20 +365,46 @@ def _partition_values_from_path(path: str, pcols: list[str]) -> dict[str, str | 
     return out
 
 
-def _join_lines(col) -> bytes:
-    """newline-join an Arrow column into one bytes buffer — Arrow compute
+def _join_lines(col) -> memoryview:
+    """newline-join an Arrow column into one buffer — Arrow compute
     (C-speed), never a per-value Python loop. NULLs write as empty lines,
-    matching Hadoop TextOutputFormat."""
+    matching Hadoop TextOutputFormat.
+
+    Single-copy: an appended empty element makes ``binary_join`` itself
+    produce the trailing newline, and the result is returned as a
+    zero-copy memoryview over the join's output buffer (the writer
+    re-slices it into blocks; ``as_py()`` + concat would copy the batch
+    twice more for nothing)."""
     import pyarrow as pa
     import pyarrow.compute as pc
+
+    import numpy as np
 
     vals = pc.fill_null(col.cast(pa.large_binary()), b"")
     if isinstance(vals, pa.ChunkedArray):
         vals = vals.combine_chunks()
+    # [v1..vn, ""] joined on \n = "v1\n...\nvn\n" — the trailing newline
+    # comes from an appended empty element. Appending via concat_arrays
+    # would copy the whole data buffer; duplicating the last offset
+    # instead shares it (offsets are 8 bytes/row).
+    n = len(vals)
+    off = np.frombuffer(
+        vals.buffers()[1], dtype=np.int64, count=n + 1, offset=vals.offset * 8
+    )
+    ext = np.empty(n + 2, dtype=np.int64)
+    ext[: n + 1] = off
+    ext[n + 1] = off[n]  # empty final element
+    vals = pa.Array.from_buffers(
+        pa.large_binary(), n + 1,
+        [None, pa.py_buffer(ext), vals.buffers()[2]],
+    )
     wrapped = pa.LargeListArray.from_arrays([0, len(vals)], vals)
     sep = pa.scalar(b"\n", type=pa.large_binary())
-    joined = pc.binary_join(wrapped, sep)[0].as_py()
-    return joined + b"\n"
+    joined = pc.binary_join(wrapped, sep)
+    # length-1 LargeBinaryArray: buffers = [validity, int64 offsets, data]
+    offs = memoryview(joined.buffers()[1]).cast("q")
+    lo, hi = offs[joined.offset], offs[joined.offset + 1]
+    return memoryview(joined.buffers()[2])[lo:hi]
 
 
 @dataclass
