@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "text_quality",
     "text_fingerprint",
     "text_bm25_topk",
+    "retrieval_hybrid_rrf",
     "asof_join_events",
     "q30_salted_skew_join",
     "q31_hash_sample",

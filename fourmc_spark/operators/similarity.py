@@ -34,6 +34,7 @@ __all__ = [
     "cosine_pairs",
     "quantized_topk",
     "semantic_dedup",
+    "hybrid_rrf_topk",
     "label_centroids",
 ]
 
@@ -492,6 +493,61 @@ def semantic_dedup(
     )
     return embeddings.select(id_col, label_col).join(
         dropped, id_col, "left_anti"
+    )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 20,
+    depth: int = 50,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack & Clarke) of
+    the BM25 lexical top-``depth`` and the dense cosine top-``depth`` —
+    the standard way a RAG stack combines keyword and embedding search.
+
+    score(d) = Σ_lists 1/(rrf_k + rank_list(d)); docs missing from a list
+    contribute 0 for it. Ranks come from the engine-stable orderings of
+    :func:`fourmc_spark.operators.text.bm25_topk` and
+    :func:`cosine_topk`, so the fusion is deterministic end to end.
+
+    Scale shape: each retrieval leg keeps its own 100 TB posture (see the
+    leg operators); fusion then touches only two ``depth``-row lists —
+    the full-outer join and final sort are broadcast-trivial at any
+    corpus size.
+    """
+    from fourmc_spark.operators.text import bm25_topk
+
+    lex = bm25_topk(docs, query_terms, k=depth, id_col=id_col)
+    # depth rows total: the single-partition ranking window is fine
+    w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+    lex = lex.select(
+        id_col, F.row_number().over(w).cast("long").alias("lex_rank")
+    )
+    q = embeddings.where(F.col("vec_id") == query_vec_id)
+    dense = cosine_topk(embeddings, q, k=depth).select(
+        F.col("neighbor_id").alias(id_col),
+        F.col("rank").cast("long").alias("dense_rank"),
+    )
+    fused = lex.join(dense, id_col, "full_outer")
+    contrib = lambda c: F.when(  # noqa: E731
+        F.col(c).isNotNull(), F.lit(1.0) / (F.lit(rrf_k) + F.col(c))
+    ).otherwise(F.lit(0.0))
+    return (
+        fused.select(
+            id_col,
+            "lex_rank",
+            "dense_rank",
+            F.round(contrib("lex_rank") + contrib("dense_rank"), 6).alias(
+                "rrf_score"
+            ),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
     )
 
 

@@ -1284,6 +1284,65 @@ def text_bm25_q(spark, sf):
     return text.bm25_topk(_t(spark, sf, "documents"), list(_BM25_TERMS), k=50)
 
 
+@query(
+    "retrieval_hybrid_rrf",
+    f"""WITH stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         avg(CAST(len({tokens_duck('text')}) AS BIGINT)) AS avgdl
+  FROM documents),
+terms AS (
+  SELECT doc_id, CAST(len({tokens_duck('text')}) AS BIGINT) AS dl,
+         unnest({tokens_duck('text')}) AS term
+  FROM documents),
+tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       FROM terms WHERE term IN ('merge', 'vector', 'stream')
+       GROUP BY doc_id, dl, term),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfq FROM tf GROUP BY term),
+lexl AS (
+  SELECT doc_id,
+         round(sum(ln(1.0 + (n_docs - dfq + 0.5) / (dfq + 0.5))
+                   * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4)
+           AS bm25
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+lex AS (SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                    AS BIGINT) AS lex_rank
+        FROM lexl),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+      WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id AS doc_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+  FROM embeddings e, q WHERE e.vec_id != 0),
+densel AS (
+  SELECT doc_id, dense_rank FROM (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
+                AS BIGINT) AS dense_rank
+    FROM scored) WHERE dense_rank <= 50),
+fused AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id, l.lex_rank, d.dense_rank,
+         round(coalesce(1.0 / (60 + l.lex_rank), 0)
+               + coalesce(1.0 / (60 + d.dense_rank), 0), 6) AS rrf_score
+  FROM lex l FULL OUTER JOIN densel d ON l.doc_id = d.doc_id)
+SELECT doc_id, lex_rank, dense_rank, rrf_score FROM fused
+ORDER BY rrf_score DESC, doc_id LIMIT 20""",
+)
+def retrieval_hybrid_rrf_q(spark, sf):
+    # hybrid RAG retrieval: reciprocal-rank fusion of the BM25 lexical
+    # top-50 and the dense cosine top-50 (query = vec 0). Each leg keeps
+    # its own scale posture; fusion touches only two 50-row lists.
+    return similarity.hybrid_rrf_topk(
+        _t(spark, sf, "documents"),
+        _t(spark, sf, "embeddings"),
+        list(_BM25_TERMS),
+        query_vec_id=0,
+        k=20,
+        depth=50,
+    )
+
+
 def _contamination_oracle() -> str:
     from fourmc_spark.functions import shingles_duck
 
