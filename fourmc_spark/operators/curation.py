@@ -14,7 +14,13 @@ from pyspark.sql import DataFrame, functions as F
 
 from fourmc_spark.functions import shingles_spark, tokens_spark
 
-__all__ = ["contamination", "source_stats", "chunk_documents", "pack_sequences"]
+__all__ = [
+    "contamination",
+    "source_stats",
+    "chunk_documents",
+    "pack_sequences",
+    "source_quality_gate",
+]
 
 
 def contamination(
@@ -137,4 +143,50 @@ def pack_sequences(df: DataFrame, capacity: int = 2048,
             F.count("*").cast("long").alias("n_docs"),
             F.sum("_tok").cast("long").alias("total_tokens"),
         )
+    )
+
+
+def source_quality_gate(
+    df: DataFrame,
+    keep_frac: float = 0.5,
+    exact: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source adaptive quality gate: keep each source's top
+    ``keep_frac`` documents by quality score — the per-dump filtering
+    shape (a fixed global threshold over- or under-filters sources with
+    different baseline quality; a per-source percentile adapts).
+
+    Threshold = ``percentile_disc(1 - keep_frac)`` of the source's
+    quality scores (a real data value — bit-exact across engines, so the
+    >= comparison never sits on a float boundary). Output: kept docs
+    ``(id, group, quality)``.
+
+    Scale shape: quality is map-side arithmetic; the threshold aggregate
+    shuffles (group, quality) pairs only, and the resulting #groups-row
+    threshold table broadcast-joins back so the corpus never shuffles.
+    ``exact=True`` pins oracle semantics (the percentile aggregate
+    buffers a source's scores); at 100 TB set ``exact=False`` for
+    ``approx_percentile``'s mergeable sketch — same plan shape, bounded
+    memory.
+    """
+    from fourmc_spark.operators.text import quality_score
+
+    p = 1.0 - keep_frac
+    scored = quality_score(
+        df, text_col=text_col, id_col=id_col, extra_cols=[group_col]
+    ).select(id_col, group_col, "quality")
+    if exact:
+        thr_expr = f"percentile_disc({p}) WITHIN GROUP (ORDER BY quality)"
+    else:
+        thr_expr = f"approx_percentile(quality, {p})"
+    thresholds = scored.groupBy(group_col).agg(
+        F.expr(thr_expr).alias("q_threshold")
+    )
+    return (
+        scored.join(F.broadcast(thresholds), group_col)
+        .where(F.col("quality") >= F.col("q_threshold"))
+        .select(id_col, group_col, "quality", "q_threshold")
     )

@@ -67,21 +67,31 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
     """Deterministic quality features + composite score.
 
     n_chars, n_tokens, avg token length, alpha ratio, distinct-token ratio,
     and score = distinct_ratio * min(n_tokens, 64) / 64 rounded to 4.
-    All arithmetic on exact ints then one final double division."""
+    All arithmetic on exact ints then one final double division.
+    ``extra_cols`` pass through unchanged (e.g. the source for per-group
+    gating)."""
+    extra = list(extra_cols or [])
     toks = tokens_spark(text_col)
     return df.select(
         F.col(id_col),
+        *extra,
         F.length(text_col).cast("long").alias("n_chars"),
         F.expr(f"size({toks})").cast("long").alias("n_tokens"),
         F.expr(f"size(array_distinct({toks}))").cast("long").alias("n_distinct"),
         F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", "")).cast("long").alias("n_alpha"),
     ).select(
         id_col,
+        *extra,
         "n_chars",
         "n_tokens",
         "n_distinct",

@@ -1381,6 +1381,35 @@ def curation_source_stats_q(spark, sf):
 
 
 @query(
+    "curation_quality_gate",
+    """WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+           AS n_distinct
+  FROM documents),
+scored AS (
+  SELECT doc_id, source,
+         round((n_distinct * 1.0 / n_tokens) * (least(n_tokens, 64) / 64.0),
+               4) AS quality
+  FROM base),
+thr AS (SELECT source, quantile_disc(quality, 0.5) AS q_threshold
+        FROM scored GROUP BY source)
+SELECT s.doc_id, s.source, s.quality, t.q_threshold
+FROM scored s JOIN thr t USING (source)
+WHERE s.quality >= t.q_threshold
+ORDER BY s.doc_id""",
+)
+def curation_quality_gate_q(spark, sf):
+    # per-source adaptive gate: keep each source's top half by quality.
+    # The percentile_disc threshold is a real data value (never a float
+    # boundary); thresholds broadcast back, the corpus never shuffles.
+    return curation.source_quality_gate(
+        _t(spark, sf, "documents"), keep_frac=0.5
+    ).orderBy("doc_id")
+
+
+@query(
     "multimodal_features",
     """SELECT doc_id,
               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
