@@ -1946,6 +1946,55 @@ def stream_dedup_q(spark, sf):
 
 
 @query(
+    "stream_distinct_users_hourly",
+    """SELECT date_trunc('hour', ts) AS win_start, event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM {EV} WHERE value >= 1.0 GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def stream_distinct_users_q(spark, sf):
+    # CHAINED stateful operators (watermark dedup -> tumbling agg) in ONE
+    # streaming query — Spark 3.4+ multi-stateful support. Append mode is
+    # mandatory for the chain, so finished windows only emit once the
+    # watermark passes them: after draining the source, a sentinel event
+    # far past the data advances the watermark and flushes every real
+    # window; the sentinel's own window stays held back forever and never
+    # appears in the result.
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from fourmc_spark.streaming import distinct_users_hourly, read_events_stream
+
+    tmp = tempfile.mkdtemp(prefix="fourmc-musers-")
+    try:
+        shutil.copy(f"{sf}/events.parquet", os.path.join(tmp, "part-0.parquet"))
+        sdf = distinct_users_hourly(read_events_stream(spark, tmp))
+        name = f"qstream_{uuid.uuid4().hex[:12]}"
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            sentinel = (
+                spark.read.parquet(os.path.join(tmp, "part-0.parquet"))
+                .orderBy(F.desc("ts"))
+                .limit(1)
+                .withColumn("ts", F.expr("ts + INTERVAL 3650 DAYS"))
+            )
+            sentinel.coalesce(1).write.mode("append").parquet(tmp)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name).orderBy("win_start", "event_type")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "stream_interval_join",
     """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
        FROM {EV} a JOIN {EV} b

@@ -1,5 +1,6 @@
 from .ops import (
     dedup_within_watermark,
+    distinct_users_hourly,
     enrich_with_dimension,
     funnel_interval_join,
     read_events_stream,
@@ -16,6 +17,7 @@ __all__ = [
     "sliding_counts",
     "session_counts",
     "dedup_within_watermark",
+    "distinct_users_hourly",
     "enrich_with_dimension",
     "funnel_interval_join",
     "sessionize_stateful",

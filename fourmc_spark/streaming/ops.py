@@ -192,6 +192,53 @@ def dedup_within_watermark(
     return events.dropDuplicates(keys)
 
 
+def distinct_users_hourly(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    min_value: float = 1.0,
+) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (Spark 3.4+
+    multi-stateful support): watermark dedup on (user, type, hour bucket)
+    feeding a tumbling count — exact distinct-users-per-hour over an
+    at-least-once source, in a single pass.
+
+    Both operators bound their state by the same event-time watermark:
+    dedup keeps one (user, type, bucket) triple per horizon, the window
+    agg keeps open windows only. Counting the deduped rows equals
+    count(DISTINCT user) per (window, type) no matter which duplicate
+    arrival survived — the result is deterministic under any partitioning
+    or arrival order. Append-mode only (Spark's multi-stateful rule): a
+    window emits once the watermark passes its end, so a finite replay
+    needs a watermark-advancing flush (see the sentinel runner in
+    queries.py).
+    """
+    if not events.isStreaming:
+        return (
+            events.where(F.col("value") >= min_value)
+            .select(
+                F.date_trunc("hour", F.col("ts")).alias("win_start"),
+                "event_type",
+                "user_id",
+            )
+            .groupBy("win_start", "event_type")
+            .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+        )
+    deduped = (
+        events.where(F.col("value") >= min_value)
+        .withColumn("bucket", F.date_trunc("hour", F.col("ts")))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "bucket"])
+    )
+    return (
+        deduped.groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .select(
+            F.col("window.start").alias("win_start"), "event_type", "n_users"
+        )
+    )
+
+
 def funnel_interval_join(
     first: DataFrame,
     then: DataFrame,

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from fourmc_spark.streaming import (
     dedup_within_watermark,
+    distinct_users_hourly,
     funnel_interval_join,
     read_events_stream,
     run_to_memory,
@@ -58,6 +59,44 @@ def test_sliding_counts_stream_equals_batch(spark):
     # each event lands in 2 overlapping windows (1h window / 30m slide)
     total_batch = _events_batch(spark).count()
     assert got.agg(F.sum("cnt")).collect()[0][0] == 2 * total_batch
+
+
+def test_chained_stateful_dedup_then_window_agg(spark, tmp_path):
+    # multi-stateful chain (dedup -> windowed agg) in ONE streaming query;
+    # append mode holds a window until the watermark passes it, so a
+    # far-future sentinel event flushes all real windows after the drain —
+    # the sentinel's own window stays held back and never appears
+    import shutil as _sh
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    _sh.copy(EVENTS, os.path.join(src, "part-0.parquet"))
+    sdf = distinct_users_hourly(read_events_stream(spark, src))
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_musers")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        held = spark.table("t_musers").count()
+        sentinel = (
+            spark.read.parquet(os.path.join(src, "part-0.parquet"))
+            .orderBy(F.desc("ts"))
+            .limit(1)
+            .withColumn("ts", F.expr("ts + INTERVAL 3650 DAYS"))
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_musers")
+    batch = distinct_users_hourly(_events_batch(spark))
+    cols = ["win_start", "event_type", "n_users"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    # the flush emitted the windows the watermark was holding back
+    assert got.count() > held
 
 
 def test_interval_join_stream_equals_batch(spark):
