@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "canonicalize"]
+__all__ = ["connected_components", "canonicalize", "pagerank"]
 
 
 def connected_components(
@@ -145,3 +145,85 @@ def canonicalize(
             "kept", (F.col("canonical_id") == F.col(id_col)).cast("bigint")
         )
     )
+
+
+PAGERANK_SCALE = 1_000_000_000_000  # rank unit: 1e-12 of total mass
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed graph, **integer-exact**.
+
+    Ranks are represented as BIGINT multiples of 1e-12 of the total mass
+    and every step uses integer division, so two engines running the same
+    unrolled plan produce bit-identical ranks — no float summation-order
+    hazards (the reason this is oracle-checkable where textbook float
+    PageRank is not). The recurrence (simplified PageRank: dangling mass
+    is not redistributed, the common formulation for fixed-iteration
+    analytics):
+
+        pr_0(v)   = SCALE div N
+        base      = ((SCALE div N) * (100 - d)) div 100
+        pr_k+1(v) = base + sum_{u->v} (pr_k(u) * d) div (outdeg(u) * 100)
+
+    Scale shape: the iteration body is one shuffle join of the rank table
+    with the (edge, outdeg) table on ``src`` plus one partial+final hash
+    aggregate on ``dst`` — the Pregel message pattern as plain DataFrame
+    ops. ``edges ⋈ outdeg`` is computed once and reused across rounds
+    (same subplan → Spark exchange reuse); ranks are node-table-sized, so
+    each round shuffles O(E) messages and O(V) ranks, never the input
+    relations that derived the edges. Unrolled (fixed ``iterations``), so
+    the whole computation is ONE Catalyst plan — AQE sizes every exchange.
+
+    The reference has no graph surface (SURVEY.md §2.2 — host-engine
+    work); this is a north-star analytics addition (link-quality signals
+    for corpus curation).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    deg = e.groupBy("u").agg(F.count("*").cast("long").alias("outdeg"))
+    ed = e.join(deg, "u")  # (u, v, outdeg) — the per-round message fabric
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    n1 = nodes.agg(F.count("*").cast("long").alias("n_nodes"))
+    d = int(damping_pct)
+    pr = (
+        nodes.crossJoin(F.broadcast(n1))
+        .select(
+            "node",
+            "n_nodes",
+            F.expr(f"CAST({PAGERANK_SCALE} AS BIGINT) div n_nodes").alias("pr"),
+        )
+    )
+    base = F.expr(
+        f"((CAST({PAGERANK_SCALE} AS BIGINT) div n_nodes) * {100 - d}) div 100"
+    )
+    for _ in range(iterations):
+        msgs = (
+            ed.join(pr.select(F.col("node").alias("u"), "pr"), "u")
+            .select(
+                F.col("v").alias("node"),
+                F.expr(f"(pr * {d}) div (outdeg * 100)").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").cast("long").alias("in_mass"))
+        )
+        pr = (
+            pr.select("node", "n_nodes")
+            .join(msgs, "node", "left")
+            .select(
+                "node",
+                "n_nodes",
+                (base + F.coalesce(F.col("in_mass"), F.lit(0)))
+                .cast("long")
+                .alias("pr"),
+            )
+        )
+    return pr.select("node", "pr")

@@ -26,6 +26,7 @@ __all__ = [
     "token_stats",
     "fingerprint",
     "repetition_stats",
+    "char_entropy",
     "pii_redact",
     "tfidf_topk",
     "bm25_topk",
@@ -172,6 +173,49 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
             ).otherwise(F.lit(0.0)),
             4,
         ).alias("top_token_frac"),
+    )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Shannon character entropy per document (bits/char) — the classic
+    cheap gibberish/boilerplate signal (random bytes score high, repeated
+    boilerplate scores low; fluent prose sits in a narrow band).
+
+    Map-only, no shuffle, no Python: chars via one regex pass, counts via
+    higher-order array functions, and the entropy sum folds over the
+    *sorted* distinct-char list so both engines add terms in the same
+    order (summation-order float drift can't flip the rounding).
+    O(distinct_chars x n) per doc like ``repetition_stats``' top-token
+    scan — bounded by alphabet size, not corpus size.
+    """
+    chars = f"regexp_extract_all({text_col}, '[\\\\s\\\\S]', 0)"
+    cnt = f"size(filter(cs, x -> x = c))"
+    ent = (
+        f"aggregate(array_sort(array_distinct(cs)), CAST(0.0 AS DOUBLE), "
+        f"(acc, c) -> acc - ({cnt} / n) * log2({cnt} / n))"
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.expr(chars).alias("cs"),
+        )
+        .select(
+            id_col,
+            "cs",
+            F.expr("CAST(size(cs) AS DOUBLE)").alias("n"),
+        )
+        .select(
+            id_col,
+            F.col("n").cast("long").alias("n_chars"),
+            F.expr("size(array_distinct(cs))").cast("long").alias(
+                "n_distinct_chars"
+            ),
+            F.when(F.col("n") > 0, F.round(F.expr(ent), 4))
+            .otherwise(F.lit(0.0))
+            .alias("entropy_bits"),
+        )
     )
 
 

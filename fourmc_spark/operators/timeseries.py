@@ -22,7 +22,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["rollup_cascade", "gap_fill", "scd2_intervals", "apply_changes"]
+__all__ = [
+    "rollup_cascade",
+    "gap_fill",
+    "scd2_intervals",
+    "apply_changes",
+    "funnel_stages",
+]
 
 # truncation units ordered fine -> coarse, as understood by date_trunc
 _UNITS = ["minute", "hour", "day", "week", "month"]
@@ -183,4 +189,59 @@ def apply_changes(snapshot: DataFrame, changes: DataFrame,
         .drop("_rn")
         .where(F.col(op_col) != delete_op)
         .drop(op_col)
+    )
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: list[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, the earliest strictly
+    increasing timestamp chain through ``steps`` (step k counts only if it
+    happens *after* the user's step k-1 time). Output: one row per user
+    who reached step 1 — ``(user, t1..tk, stage)`` where ``stage`` is the
+    deepest step reached. The standard product-analytics funnel, and the
+    batch twin of the streaming ``funnel_interval_join``.
+
+    Plan shape: step k is a join of the step-(k-1) frontier with the
+    events filtered to ``steps[k]`` (filter pushed to the scan) followed
+    by a min-timestamp hash aggregate — every stage shuffles on the user
+    key only, so all joins co-partition under AQE and the frontier only
+    shrinks. No windows over the raw log, no collect, no Python.
+    """
+    if not steps:
+        raise ValueError("funnel_stages: steps must be non-empty")
+    frontier = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    for k, step in enumerate(steps[1:], start=2):
+        nxt = events.where(F.col(type_col) == step).select(
+            F.col(user_col).alias("user"), F.col(ts_col).alias("_ts")
+        )
+        # conditional min, NOT a filter: a user whose step-k events all
+        # precede t_{k-1} must stay in the frontier with t_k = NULL (they
+        # reached stage k-1); min() of the all-NULL guard keeps the row.
+        # A NULL t_{k-1} (failed earlier) nulls the guard -> t_k NULL too,
+        # so non-null t's always form a prefix.
+        frontier = (
+            frontier.join(nxt, "user", "left")
+            .groupBy("user", *[f"t{i}" for i in range(1, k)])
+            .agg(
+                F.min(
+                    F.when(F.col("_ts") > F.col(f"t{k - 1}"), F.col("_ts"))
+                ).alias(f"t{k}")
+            )
+        )
+    deepest = F.lit(len(steps))
+    for k in range(len(steps), 1, -1):
+        deepest = F.when(F.col(f"t{k}").isNull(), k - 1).otherwise(deepest)
+    return frontier.select(
+        "user",
+        *[f"t{i}" for i in range(1, len(steps) + 1)],
+        deepest.cast("long").alias("stage"),
     )

@@ -2721,6 +2721,117 @@ def embedding_label_centroids_q(spark, sf):
     return similarity.label_centroids(_t(spark, sf, "embeddings"))
 
 
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Unrolled integer-exact PageRank (matches operators/graph.pagerank:
+    BIGINT ranks in 1e-12 mass units, integer division everywhere)."""
+    S = 1_000_000_000_000
+    ctes = [
+        ("e", "SELECT DISTINCT o.o_custkey AS u, l.l_suppkey + 10000000 AS v "
+              "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"),
+        ("deg", "SELECT u, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY u"),
+        ("nodes", "SELECT u AS node FROM e UNION SELECT v FROM e"),
+        ("nn", "SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes"),
+        ("pr0", f"SELECT node, n_nodes, CAST({S} AS BIGINT) // n_nodes AS pr "
+                "FROM nodes CROSS JOIN nn"),
+    ]
+    for k in range(1, iters + 1):
+        p = f"pr{k - 1}"
+        ctes.append((
+            f"pr{k}",
+            f"SELECT b.node, b.n_nodes, "
+            f"((CAST({S} AS BIGINT) // b.n_nodes) * 15) // 100 "
+            f"+ coalesce(m.in_mass, 0) AS pr "
+            f"FROM (SELECT node, n_nodes FROM {p}) b LEFT JOIN ("
+            f"SELECT e.v AS node, "
+            f"CAST(sum(({p}.pr * 85) // (deg.outdeg * 100)) AS BIGINT) AS in_mass "
+            f"FROM e JOIN deg USING (u) JOIN {p} ON {p}.node = e.u "
+            f"GROUP BY e.v) m USING (node)",
+        ))
+    body = ",\n".join(f"{n} AS ({q})" for n, q in ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT node, CAST(pr AS BIGINT) AS pr FROM pr{iters} "
+        f"ORDER BY pr DESC, node LIMIT 100"
+    )
+
+
+@query("graph_pagerank", _pagerank_oracle())
+def graph_pagerank_q(spark, sf):
+    # Link-quality centrality over the customer->supplier purchase graph
+    # (who buys from whom). Integer-exact fixed-iteration PageRank — the
+    # iterative-dataflow shape (Pregel messages as join + hash agg), in
+    # one unrolled Catalyst plan. Reference has no graph surface; this is
+    # a north-star analytics addition (SURVEY.md §2.2).
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    edges = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 10_000_000).alias("dst"),
+        )
+    )
+    return (
+        graph.pagerank(edges, iterations=3)
+        .orderBy(F.desc("pr"), F.asc("node"))
+        .limit(100)
+    )
+
+
+@query(
+    "ts_funnel_stages",
+    """WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM {EV} e
+  WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (
+  SELECT s1.user_id, s1.t1,
+         min(CASE WHEN e.ts > s1.t1 THEN e.ts END) AS t2
+  FROM s1 LEFT JOIN (SELECT user_id, ts FROM {EV} e2
+                     WHERE event_type = 'click') e USING (user_id)
+  GROUP BY s1.user_id, s1.t1),
+s3 AS (
+  SELECT s2.user_id, s2.t1, s2.t2,
+         min(CASE WHEN e.ts > s2.t2 THEN e.ts END) AS t3
+  FROM s2 LEFT JOIN (SELECT user_id, ts FROM {EV} e2
+                     WHERE event_type = 'purchase') e USING (user_id)
+  GROUP BY s2.user_id, s2.t1, s2.t2)
+SELECT user_id, t1, t2, t3,
+       CAST(CASE WHEN t2 IS NULL THEN 1 WHEN t3 IS NULL THEN 2
+                 ELSE 3 END AS BIGINT) AS stage
+FROM s3 ORDER BY user_id""",
+)
+def ts_funnel_stages_q(spark, sf):
+    # Ordered funnel signup -> click -> purchase with strictly increasing
+    # timestamps; every stage is a user-key join + conditional-min hash
+    # agg (the frontier only shrinks; filters push to the scan).
+    return (
+        timeseries.funnel_stages(
+            _t(spark, sf, "events"), ["signup", "click", "purchase"]
+        )
+        .select(F.col("user").alias("user_id"), "t1", "t2", "t3", "stage")
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "text_char_entropy",
+    r"""WITH c AS (
+  SELECT doc_id, regexp_extract_all(text, '[\s\S]') AS cs FROM documents),
+n AS (SELECT doc_id, cs, CAST(len(cs) AS DOUBLE) AS n FROM c)
+SELECT doc_id,
+       CAST(len(cs) AS BIGINT) AS n_chars,
+       CAST(len(list_distinct(cs)) AS BIGINT) AS n_distinct_chars,
+       CASE WHEN n > 0 THEN
+         round(list_sum(list_transform(list_sort(list_distinct(cs)),
+           c -> -(len(list_filter(cs, x -> x = c)) / n)
+                * log2(len(list_filter(cs, x -> x = c)) / n))), 4)
+       ELSE 0.0 END AS entropy_bits
+FROM n ORDER BY doc_id""",
+)
+def text_char_entropy_q(spark, sf):
+    return text.char_entropy(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
 # Register the classic TPC-H suite (adapted shapes Q2-Q22; Q1/Q5 live
 # above as q04/q08). Import is at module end so tpch.py can use the
 # @query decorator without a circular-import dance.

@@ -93,3 +93,41 @@ def test_canonicalize_exactly_one_kept_per_component(spark):
         assert (canon == _doc) == bool(kept)
         by_comp[comp] = by_comp.get(comp, 0) + kept
     assert all(v == 1 for v in by_comp.values())
+
+
+def test_pagerank_hand_graph_integer_exact(spark):
+    # 1 -> 3, 2 -> 3, 3 dangling. N=3, S=1e12.
+    from fourmc_spark.operators.graph import PAGERANK_SCALE, pagerank
+
+    edges = spark.createDataFrame([(1, 3), (2, 3)], ["src", "dst"])
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(edges, iterations=2).collect()
+    }
+    S = PAGERANK_SCALE
+    pr0 = S // 3
+    base = (pr0 * 15) // 100
+    # iter 1: sources get base; 3 gets base + two contribs
+    c1 = (pr0 * 85) // (1 * 100)
+    pr1_3 = base + 2 * c1
+    # iter 2: contribs from sources now at `base`
+    c2 = (base * 85) // (1 * 100)
+    assert got == {1: base, 2: base, 3: base + 2 * c2}
+    assert pr1_3 > got[3]  # dangling node mass decays once sources drain
+
+
+def test_pagerank_mass_never_exceeds_total(spark):
+    from fourmc_spark.operators.graph import PAGERANK_SCALE, pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3) % 7) for i in range(7) if i != (i * 3) % 7],
+        ["src", "dst"],
+    )
+    total = (
+        pagerank(edges, iterations=4)
+        .groupBy()
+        .sum("pr")
+        .collect()[0][0]
+    )
+    # integer div only loses mass; never creates it
+    assert 0 < total <= PAGERANK_SCALE

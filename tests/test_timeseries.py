@@ -95,3 +95,38 @@ def test_apply_changes_semantics(spark):
         for r in apply_changes(snap, changes, ["k"], ["seq"]).collect()
     }
     assert got == {"a": (2, 11.0), "c": (5, 30.0), "d": (2, 41.0)}
+
+
+def test_funnel_stages_semantics(spark):
+    import datetime as dt
+
+    from fourmc_spark.operators.timeseries import funnel_stages
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1: full chain in order
+        (1, t(0), "A"), (1, t(5), "B"), (1, t(9), "C"),
+        # user 2: B only BEFORE A -> stage 1 (stays in frontier, t2 NULL)
+        (2, t(5), "A"), (2, t(1), "B"), (2, t(9), "C"),
+        # user 3: A then B, no C -> stage 2
+        (3, t(0), "A"), (3, t(2), "B"),
+        # user 4: no A -> absent entirely
+        (4, t(0), "B"), (4, t(1), "C"),
+        # user 5: B exactly AT t1 -> strict ">" rejects it
+        (5, t(3), "A"), (5, t(3), "B"),
+        # user 6: two Bs after A -> earliest wins
+        (6, t(0), "A"), (6, t(8), "B"), (6, t(4), "B"), (6, t(6), "C"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {
+        r["user"]: (r["t1"], r["t2"], r["t3"], r["stage"])
+        for r in funnel_stages(df, ["A", "B", "C"]).collect()
+    }
+    assert set(got) == {1, 2, 3, 5, 6}
+    assert got[1] == (t(0), t(5), t(9), 3)
+    assert got[2] == (t(5), None, None, 1)
+    assert got[3] == (t(0), t(2), None, 2)
+    assert got[5] == (t(3), None, None, 1)
+    assert got[6] == (t(0), t(4), t(6), 3)
+    # user 2's C at t9 must NOT count: stage 2 (B) was never reached,
+    # so t3 is NULL even though a C event exists after t1
