@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "text_bm25_topk",
     "retrieval_hybrid_rrf",
+    "dedup_global_chunks",
+    "graph_pagerank",
+    "ts_funnel_stages",
     "asof_join_events",
     "q30_salted_skew_join",
     "q31_hash_sample",

@@ -44,6 +44,7 @@ __all__ = [
     "simhash_pairs",
     "edit_distance_pairs",
     "incremental_near_dedup",
+    "global_chunk_dedup",
 ]
 
 MINHASH_K = 16
@@ -411,3 +412,70 @@ def incremental_near_dedup(corpus: DataFrame, incoming: DataFrame,
                               candidates=candidates, shingles=sh)
     dropped = confirmed.select(F.col("b_id").alias(id_col)).distinct()
     return incoming.join(dropped, on=id_col, how="left_anti")
+
+
+def global_chunk_dedup(
+    df: DataFrame,
+    chunk_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style global span dedup: cut every document into fixed
+    ``chunk_tokens``-token chunks, keep only the globally FIRST occurrence
+    of each repeated chunk (first = smallest ``(doc_id, position)``), and
+    rebuild the cleaned text. This is the "remove any span seen elsewhere
+    in the corpus" rule used by web-scale corpus cleaning, applied at
+    chunk granularity.
+
+    Output per doc: ``id_col, n_chunks, n_kept, cleaned_text``.
+
+    Scale shape: chunking is map-only JVM expressions (``sequence`` +
+    ``slice`` + ``posexplode``). First-occurrence election is a
+    partial+final ``min(struct(doc_id, pos))`` hash aggregate on the
+    chunk key followed by an equi-join back on that key — deliberately
+    NOT a window over the corpus: the aggregate combines map-side and
+    the join co-partitions both sides on the chunk hash under AQE,
+    whereas a window would sort every partition. Rebuild is one hash
+    agg on the doc id (``sort_array(collect_list(struct))`` — per-doc
+    arrays are doc-sized, never corpus-sized). Two shuffles total:
+    chunk key, then doc id.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    idxs = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    chunk_arr = F.transform(
+        idxs,
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
+        ),
+    )
+    chunks = df.select(
+        F.col(id_col), F.posexplode(chunk_arr).alias("pos", "chunk")
+    ).select(id_col, F.col("pos").cast("long").alias("pos"), "chunk")
+    firsts = chunks.groupBy("chunk").agg(
+        F.min(F.struct(id_col, "pos")).alias("first")
+    )
+    kept = chunks.join(firsts, "chunk").where(
+        (F.col(f"first.{id_col}") == F.col(id_col))
+        & (F.col("first.pos") == F.col("pos"))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    totals = chunks.groupBy(id_col).agg(F.count("*").alias("n_chunks"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+    )

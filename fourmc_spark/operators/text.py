@@ -32,6 +32,7 @@ __all__ = [
     "bm25_topk",
     "vocab_coverage",
     "bpe_pair_stats",
+    "inverted_index",
 ]
 
 # tiny per-language stopword vocabularies (public common words)
@@ -446,4 +447,46 @@ def tfidf_topk(
             "tfidf",
             F.col("rank").cast("long").alias("rank"),
         )
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    max_postings: int = 20,
+    min_docfreq: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inverted-index construction: per term, document frequency, total
+    term frequency, and a (capped) posting list of the lowest-id matching
+    docs — the materialization behind :func:`bm25_topk`-style retrieval
+    when the index is built once and queried many times.
+
+    Scale shape: one explode feeding a (doc, term) partial+final hash agg
+    (map-side combine kills intra-doc repeats before the shuffle), then
+    one term-key agg. The posting cap is enforced INSIDE the aggregate —
+    ``slice(array_sort(collect_list(..)))`` keeps only ``max_postings``
+    ids per term — so a stop-word's posting list never materializes
+    corpus-sized in the output (its df/tf stats stay exact). Terms are
+    the shuffle key; hot terms are AQE-splittable for the stats, and the
+    capped list bounds the final row width.
+    """
+    toks = tokens_spark(text_col)
+    tf = (
+        df.select(F.col(id_col), F.explode(F.expr(toks)).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("docfreq"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.slice(
+                F.array_sort(F.collect_list(F.col(id_col))),
+                1,
+                max_postings,
+            ).alias("postings"),
+        )
+        .where(F.col("docfreq") >= min_docfreq)
     )

@@ -2832,6 +2832,60 @@ def text_char_entropy_q(spark, sf):
     return text.char_entropy(_t(spark, sf, "documents")).orderBy("doc_id")
 
 
+@query(
+    "dedup_global_chunks",
+    """WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c0 AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(CAST(ceil(len(toks) / 10.0) AS BIGINT), 1)))
+           AS pos
+  FROM t),
+c AS (
+  SELECT doc_id, pos,
+         array_to_string(toks[pos * 10 + 1 : pos * 10 + 10], ' ') AS chunk
+  FROM c0),
+k AS (
+  SELECT doc_id, pos, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+  FROM c)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+       coalesce(string_agg(chunk, ' ' ORDER BY pos)
+                  FILTER (WHERE rn = 1), '') AS cleaned_text
+FROM k GROUP BY doc_id ORDER BY doc_id""",
+)
+def dedup_global_chunks_q(spark, sf):
+    # C4-style global span dedup: every 10-token chunk survives only at
+    # its first corpus occurrence; docs are rebuilt from surviving
+    # chunks. Election = min(struct) hash agg + co-partitioned join (NOT
+    # a corpus window) — see operators/dedup.global_chunk_dedup.
+    return dedup.global_chunk_dedup(
+        _t(spark, sf, "documents"), chunk_tokens=10
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_inverted_index",
+    f"""WITH tf AS (
+  SELECT term, doc_id, count(*) AS tf
+  FROM (SELECT doc_id, unnest({tokens_duck('text')}) AS term
+        FROM documents)
+  GROUP BY term, doc_id)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS docfreq,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       (list_sort(list(doc_id)))[1:20] AS postings
+FROM tf GROUP BY term HAVING count(*) >= 2 ORDER BY term""",
+)
+def text_inverted_index_q(spark, sf):
+    # Postings-list materialization (build-once-query-many retrieval
+    # index); posting lists capped inside the aggregate so stop-words
+    # never materialize corpus-sized rows.
+    return text.inverted_index(_t(spark, sf, "documents")).orderBy("term")
+
+
 # Register the classic TPC-H suite (adapted shapes Q2-Q22; Q1/Q5 live
 # above as q04/q08). Import is at module end so tpch.py can use the
 # @query decorator without a circular-import dance.

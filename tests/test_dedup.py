@@ -122,3 +122,25 @@ def test_semantic_dedup_drop_rule_is_order_free(spark):
         (3, [1.0, 0.0], 0),
     ]
     assert _sem(spark, rows) == {(1, 0)}
+
+
+def test_global_chunk_dedup_semantics(spark):
+    from fourmc_spark.operators.dedup import global_chunk_dedup
+
+    # chunk size 2: doc 1 = [a b][c d], doc 2 repeats [a b] then unique,
+    # doc 3 repeats both of its own chunks (intra-doc duplicate)
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b x y"),
+            (3, "p q p q"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["cleaned_text"])
+        for r in global_chunk_dedup(docs, chunk_tokens=2).collect()
+    }
+    assert got[1] == (2, 2, "a b c d")          # first occurrences win
+    assert got[2] == (2, 1, "x y")              # "a b" removed (doc 1 owns it)
+    assert got[3] == (2, 1, "p q")              # intra-doc repeat removed
