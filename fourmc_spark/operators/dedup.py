@@ -430,16 +430,21 @@ def global_chunk_dedup(
     Output per doc: ``id_col, n_chunks, n_kept, cleaned_text``.
 
     Scale shape: chunking is map-only JVM expressions (``sequence`` +
-    ``slice`` + ``posexplode``). First-occurrence election is a
-    partial+final ``min(struct(doc_id, pos))`` hash aggregate on the
-    chunk key followed by an equi-join back on that key — deliberately
-    NOT a window over the corpus: the aggregate combines map-side and
-    the join co-partitions both sides on the chunk hash under AQE,
-    whereas a window would sort every partition. Rebuild is one hash
-    agg on the doc id (``sort_array(collect_list(struct))`` — per-doc
-    arrays are doc-sized, never corpus-sized). Two shuffles total:
-    chunk key, then doc id.
+    ``slice`` + ``posexplode``). First-occurrence election packs
+    ``(doc_id, pos)`` into ONE BIGINT (``doc_id * 2^20 + pos`` —
+    ``min`` over a packed long is a plain partial+final HashAggregate;
+    ``min(struct(...))`` planned a SortAggregate, which sorts every
+    partition) on the chunk key, then an equi-join back on that key —
+    deliberately NOT a window over the corpus: the aggregate combines
+    map-side and the join co-partitions both sides on the chunk hash
+    under AQE. The inner join keeps every chunk (its own first always
+    exists), so totals + kept-count + rebuild all come from ONE doc-id
+    aggregate — the chunk relation is derived twice (election input,
+    join probe), never three times. Two shuffles total: chunk key, then
+    doc id. Docs are bounded at 2^20 chunks (~10M tokens) by the
+    packing; the guard raises at plan level via ``assert_true``.
     """
+    max_pos = 1 << 20
     toks = F.split(F.col(text_col), " ")
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
     idxs = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
@@ -451,31 +456,39 @@ def global_chunk_dedup(
     )
     chunks = df.select(
         F.col(id_col), F.posexplode(chunk_arr).alias("pos", "chunk")
-    ).select(id_col, F.col("pos").cast("long").alias("pos"), "chunk")
-    firsts = chunks.groupBy("chunk").agg(
-        F.min(F.struct(id_col, "pos")).alias("first")
+    ).select(
+        F.col(id_col),
+        F.col("pos").cast("long").alias("pos"),
+        "chunk",
+        (
+            F.col(id_col).cast("long") * max_pos
+            + F.when(
+                F.col("pos") < max_pos, F.col("pos").cast("long")
+            ).otherwise(
+                F.assert_true(
+                    F.lit(False), F.lit("doc exceeds 2^20 chunks")
+                ).cast("long")
+            )
+        ).alias("occ"),
     )
-    kept = chunks.join(firsts, "chunk").where(
-        (F.col(f"first.{id_col}") == F.col(id_col))
-        & (F.col("first.pos") == F.col("pos"))
+    firsts = chunks.groupBy("chunk").agg(F.min("occ").alias("first_occ"))
+    joined = chunks.join(firsts, "chunk").withColumn(
+        "kept", (F.col("occ") == F.col("first_occ")).cast("long")
     )
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count("*").alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "chunk"))),
-                lambda s: s["chunk"],
-            ),
-        ).alias("cleaned_text"),
-    )
-    totals = chunks.groupBy(id_col).agg(F.count("*").alias("n_chunks"))
+    kept_struct = F.when(
+        F.col("kept") == 1, F.struct("pos", "chunk")
+    )  # collect_list drops NULLs -> only survivors enter the rebuild
     return (
-        totals.join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.col("n_chunks").cast("long").alias("n_chunks"),
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(kept_struct)),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("cleaned_text"),
         )
     )

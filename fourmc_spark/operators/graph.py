@@ -186,11 +186,19 @@ def pagerank(
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
     deg = e.groupBy("u").agg(F.count("*").cast("long").alias("outdeg"))
-    ed = e.join(deg, "u")  # (u, v, outdeg) — the per-round message fabric
+    # (u, v, outdeg) — the per-round message fabric. persist(): every
+    # round references this subtree, and without a cache the unrolled
+    # plan re-derives it from the base relations each time (the static
+    # plan showed one full scan+join chain PER round). The CacheManager
+    # keys on the analyzed plan, so repeated pagerank() calls over the
+    # same edges share one materialization; first action computes it,
+    # every later round reads the cached columnar batches.
+    ed = e.join(deg, "u").persist()
     nodes = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
         .distinct()
+        .persist()
     )
     n1 = nodes.agg(F.count("*").cast("long").alias("n_nodes"))
     d = int(damping_pct)

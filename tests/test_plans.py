@@ -291,3 +291,22 @@ def test_canonicalize_corpus_side_joins_are_broadcast(spark, sf_dir):
     )
     df = graph.canonicalize(docs, edges)
     assert broadcast_join_count(df) >= 2
+
+
+def test_pagerank_fabric_is_cached_not_rederived(spark, sf_dir, queries):
+    # each Pregel round references the (edge, outdeg) fabric; it must come
+    # from the cache, not a fresh scan+join chain per round
+    df = queries["graph_pagerank"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+def test_global_chunk_dedup_election_is_hash_aggregated(
+    spark, sf_dir, queries
+):
+    # min over the PACKED occurrence long must plan a HashAggregate;
+    # min(struct) regressed to SortAggregate (sorts every partition)
+    df = queries["dedup_global_chunks"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
