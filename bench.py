@@ -157,9 +157,18 @@ def bench_codecs(tmpdir: str) -> dict[str, float]:
             # warm pass (page cache, allocator, thread pool), then measure
             write_file(path, data[: 8 << 20], codec=codec, level=level, workers=nthreads)
             decompress_file(path, threads=nthreads)
-            t0 = time.perf_counter()
-            write_file(path, data, codec=codec, level=level, workers=nthreads)
-            wtp = time.perf_counter() - t0
+            # best-of-2: a single write pass right after warmup is noisy
+            # (dirty-page writeback / allocator steal a run — parallel
+            # lz4-fast once benched BELOW its single-thread twin). Skip
+            # the repeat only when the first pass is slow enough to be
+            # CPU-bound-stable.
+            wtp = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                write_file(path, data, codec=codec, level=level, workers=nthreads)
+                wtp = min(wtp, time.perf_counter() - t0)
+                if wtp > 3.0:
+                    break
             # best-of-3: a single pass right after the 64 MB write is noisy
             # (dirty-page writeback steals the run)
             rtp = float("inf")
@@ -170,9 +179,13 @@ def bench_codecs(tmpdir: str) -> dict[str, float]:
             assert len(got) == len(data)
             ratio = len(data) / os.path.getsize(path)
             # single-thread twins (BASELINE.md-comparable)
-            t0 = time.perf_counter()
-            write_file(path, data, codec=codec, level=level)
-            wt = time.perf_counter() - t0
+            wt = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                write_file(path, data, codec=codec, level=level)
+                wt = min(wt, time.perf_counter() - t0)
+                if wt > 3.0:
+                    break
             rt = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
