@@ -203,14 +203,16 @@ def bench_codecs(tmpdir: str) -> dict[str, float]:
 def bench_spark_scan(spark, tmpdir: str) -> dict[str, float]:
     """Parallel DataSource scan MB/s (uncompressed bytes / wall clock).
 
-    4 files x 64 MB scanned at 16 MB partition granularity — enough bytes
-    that per-task overhead amortizes, the regime a real cluster scan runs
-    in (one small file measures job setup, not the reader).
+    8 files x 64 MB scanned at 8 MB partition granularity — enough bytes
+    that per-task overhead amortizes AND enough partitions that all cores
+    engage (zstd-medium compresses this corpus ~13x, so a 64 MB file is
+    ~5 MB compressed = one partition; fewer/larger files measured
+    partition starvation, not the reader).
     """
     from fourmc_spark.format import write_file
 
     data = _blob(64)
-    n_files = 4
+    n_files = 8
     mb = n_files * len(data) / (1024 * 1024)
     nthreads = min(int(CPUS), os.cpu_count() or int(CPUS))
     out = {}
@@ -223,7 +225,7 @@ def bench_spark_scan(spark, tmpdir: str) -> dict[str, float]:
                 os.path.join(d, f"data{i}{ext}"), data,
                 codec=codec, level=level, workers=nthreads,
             )
-        df = spark.read.format("fourmc").option("maxpartitionbytes", 16 << 20).load(d)
+        df = spark.read.format("fourmc").option("maxpartitionbytes", 8 << 20).load(d)
         df.count()  # warm
         t0 = time.perf_counter()
         n = df.count()
@@ -231,16 +233,25 @@ def bench_spark_scan(spark, tmpdir: str) -> dict[str, float]:
         assert n > 0
         out[f"spark_scan_{codec}_{level}_mbps"] = round(mb / dt, 1)
 
-        # sink throughput: scan the same files and write them back through
+        # sink throughput: scan 2 of the files and write them back through
         # the fourmc sink (uncompressed MB / wall; includes read+compress+
-        # frame+commit — the full write path a job pays). Warm once: the
-        # first write pays Python-worker startup, not the write path.
+        # frame+commit — the full write path a job pays). 2 files, not all
+        # 8: the 8-file write set exceeds the kernel's dirty-page budget
+        # and the measurement degenerates to synchronous disk writeback
+        # (sink MB/s collapsed 4x when the output grew past it). Warm
+        # once: the first write pays Python-worker startup.
         sink_dir = os.path.join(tmpdir, f"sink-{codec}")
+        sink_df = (
+            spark.read.format("fourmc")
+            .option("maxpartitionbytes", 4 << 20)
+            .load(f"{d}/data0{ext},{d}/data1{ext}")
+        )
+        sink_mb = 2 * len(data) / (1024 * 1024)
 
         def _sink_once() -> float:
             t0 = time.perf_counter()
             (
-                df.select("value")
+                sink_df.select("value")
                 .write.format("fourmc")
                 .option("codec", codec)
                 .option("level", level)
@@ -250,7 +261,9 @@ def bench_spark_scan(spark, tmpdir: str) -> dict[str, float]:
             return time.perf_counter() - t0
 
         _sink_once()
-        out[f"spark_sink_{codec}_{level}_mbps"] = round(mb / _sink_once(), 1)
+        out[f"spark_sink_{codec}_{level}_mbps"] = round(
+            sink_mb / _sink_once(), 1
+        )
     return out
 
 
