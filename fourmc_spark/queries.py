@@ -2876,14 +2876,19 @@ def dedup_global_chunks_q(spark, sf):
 SELECT term,
        CAST(count(*) AS BIGINT) AS docfreq,
        CAST(sum(tf) AS BIGINT) AS total_tf,
-       (list_sort(list(doc_id)))[1:20] AS postings
+       array_to_string((list_sort(list(doc_id)))[1:20], ' ') AS postings
 FROM tf GROUP BY term HAVING count(*) >= 2 ORDER BY term""",
 )
 def text_inverted_index_q(spark, sf):
     # Postings-list materialization (build-once-query-many retrieval
     # index); posting lists capped inside the aggregate so stop-words
-    # never materialize corpus-sized rows.
-    return text.inverted_index(_t(spark, sf, "documents")).orderBy("term")
+    # never materialize corpus-sized rows. The operator returns a real
+    # array<long> postings column; the oracle gate compares it as a
+    # space-joined string so value hashing is representation-stable.
+    out = text.inverted_index(_t(spark, sf, "documents"))
+    return out.withColumn(
+        "postings", F.array_join(F.col("postings").cast("array<string>"), " ")
+    ).orderBy("term")
 
 
 # Register the classic TPC-H suite (adapted shapes Q2-Q22; Q1/Q5 live

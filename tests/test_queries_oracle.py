@@ -33,6 +33,8 @@ def _canon(val):
         return round(val, 9)
     if hasattr(val, "isoformat"):
         return val.isoformat()
+    if isinstance(val, (list, tuple)) or type(val).__name__ == "ndarray":
+        return tuple(_canon(v) for v in val)
     return val
 
 
