@@ -20,6 +20,7 @@ __all__ = [
     "chunk_documents",
     "pack_sequences",
     "source_quality_gate",
+    "token_budget_select",
 ]
 
 
@@ -189,4 +190,67 @@ def source_quality_gate(
         scored.join(F.broadcast(thresholds), group_col)
         .where(F.col("quality") >= F.col("q_threshold"))
         .select(id_col, group_col, "quality", "q_threshold")
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    key_cols: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "-",
+) -> DataFrame:
+    """Select documents per source up to a TOKEN budget (not a row
+    budget) — the unit LLM data mixtures are actually specified in.
+    Selection priority is the deterministic [[hash-sample]] order (md5 of
+    the key), so re-runs, re-partitions, and corpus growth keep the same
+    prefix of each source.
+
+    The budget is enforced at 16-bit hash-bucket granularity: per
+    (source, bucket) token sums are aggregated, a per-source running sum
+    over the 65536 bucket histogram picks the largest cutoff bucket whose
+    cumulative tokens fit the budget, and the corpus is filtered with a
+    broadcast of the per-source cutoffs. Overshoot is bounded by one
+    bucket (~1/65536 of a source). A source whose very first bucket
+    exceeds the budget selects nothing.
+
+    Scale shape (vs the naive per-source ORDER BY + running-sum window,
+    which sorts the whole corpus inside unsplittable window partitions):
+    the corpus is never shuffled or sorted — the histogram aggregate
+    combines map-side and shuffles at most sources x 65536 rows, the
+    cutoff table is #sources rows and broadcasts, and the final filter is
+    map-side. Mirrors the reference's "plan from tiny metadata, stream
+    the data" split-planning economics (FourMcInputFormat.java:126-173).
+    """
+    from fourmc_spark.operators.sampling import hash_bucket
+
+    keys = list(key_cols) if key_cols else [id_col]
+    with_b = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(F.expr(tokens_spark(text_col))).cast("long").alias("n_tokens"),
+        hash_bucket(keys, sep).alias("bucket"),
+    )
+    hist = with_b.groupBy(group_col, "bucket").agg(
+        F.sum("n_tokens").alias("btok")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cut = (
+        hist.withColumn("cum", F.sum("btok").over(w))
+        .where(F.col("cum") <= F.lit(int(budget_tokens)))
+        .groupBy(group_col)
+        .agg(F.max("bucket").alias("cut_bucket"))
+    )
+    return (
+        with_b.join(F.broadcast(cut), group_col)
+        .where(F.col("bucket") <= F.col("cut_bucket"))
+        .select(id_col, group_col, "n_tokens", "bucket")
     )

@@ -36,6 +36,7 @@ __all__ = [
     "semantic_dedup",
     "hybrid_rrf_topk",
     "label_centroids",
+    "assign_to_centroids",
 ]
 
 
@@ -580,4 +581,63 @@ def label_centroids(embeddings: DataFrame, label_col: str = "label",
             "n",
         )
         .orderBy(label_col, "pos")
+    )
+
+
+def assign_to_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Nearest-centroid assignment + confusion matrix: every vector is
+    assigned to the closest class prototype (squared L2 against the
+    :func:`label_centroids` prototypes), and the output is the
+    (true_label, assigned_label, n) contingency table — the standard
+    auto-labeling / cluster-purity audit for embedding corpora.
+
+    Determinism across engines: centroid coordinates are rounded before
+    use, squared distances accumulate in index order (``aggregate`` over
+    ``zip_with``, not a hash-agg float sum), distances are rounded, and
+    argmin ties break on the smaller label via a ``min(struct)``.
+
+    Scale shape: the prototype table is labels x dim (tiny) and is
+    broadcast as label-keyed arrays, so scoring is a map-side cross
+    product — the corpus never shuffles; the argmin is a per-vector
+    partial+final aggregate and the confusion matrix aggregate emits at
+    most labels^2 rows.
+    """
+    cents = label_centroids(embeddings, label_col, vec_col, round_to)
+    carr = cents.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+            lambda s: s["centroid"],
+        ).alias("cvec")
+    ).select(F.col(label_col).cast("long").alias("cand_label"), "cvec")
+    scored = embeddings.crossJoin(F.broadcast(carr)).withColumn(
+        "dist2",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.col("cvec"),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            round_to,
+        ),
+    )
+    assigned = (
+        scored.groupBy(id_col, label_col)
+        .agg(F.min(F.struct(F.col("dist2"), F.col("cand_label"))).alias("b"))
+        .select(
+            F.col(label_col).cast("long").alias("true_label"),
+            F.col("b.cand_label").alias("assigned_label"),
+        )
+    )
+    return assigned.groupBy("true_label", "assigned_label").agg(
+        F.count("*").cast("long").alias("n")
     )

@@ -2891,6 +2891,76 @@ def text_inverted_index_q(spark, sf):
     ).orderBy("term")
 
 
+@query(
+    "curation_token_budget",
+    f"""WITH d AS (
+  SELECT doc_id, source,
+         CAST(len({tokens_duck('text')}) AS BIGINT) AS n_tokens,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+  FROM documents),
+h AS (SELECT source, bucket, sum(n_tokens) AS btok
+      FROM d GROUP BY source, bucket),
+c AS (SELECT source, bucket,
+             sum(btok) OVER (PARTITION BY source ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM h),
+cut AS (SELECT source, max(bucket) AS cut_bucket
+        FROM c WHERE cum <= 20000 GROUP BY source)
+SELECT d.doc_id, d.source, d.n_tokens, d.bucket
+FROM d JOIN cut ON d.source = cut.source
+WHERE d.bucket <= cut.cut_bucket
+ORDER BY d.doc_id""",
+)
+def curation_token_budget_q(spark, sf):
+    # Token-budget (not row-budget) per-source selection — hash-priority
+    # prefix at 16-bit bucket granularity; the corpus is filtered
+    # map-side against broadcast cutoffs, never sorted or shuffled
+    # (operators/curation.token_budget_select).
+    return curation.token_budget_select(
+        _t(spark, sf, "documents"), budget_tokens=20000
+    ).orderBy("doc_id")
+
+
+@query(
+    "embedding_assign_centroid",
+    """WITH c AS (
+  SELECT label AS clabel, pos, round(avg(coord), 6) AS centroid
+  FROM (SELECT label,
+               unnest(range(0, len(embedding))) AS pos,
+               unnest(embedding) AS coord
+        FROM embeddings)
+  GROUP BY label, pos),
+ca AS (SELECT clabel, list(centroid ORDER BY pos) AS cvec
+       FROM c GROUP BY clabel),
+s AS (
+  SELECT e.vec_id, CAST(e.label AS BIGINT) AS true_label,
+         CAST(ca.clabel AS BIGINT) AS cand_label,
+         round(list_sum(list_transform(range(1, len(ca.cvec) + 1),
+             i -> (CAST(e.embedding[i] AS DOUBLE) - ca.cvec[i])
+                  * (CAST(e.embedding[i] AS DOUBLE) - ca.cvec[i]))), 6)
+           AS dist2
+  FROM embeddings e, ca),
+b AS (
+  SELECT vec_id, true_label, cand_label,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist2, cand_label) AS rn
+  FROM s)
+SELECT true_label, cand_label AS assigned_label,
+       CAST(count(*) AS BIGINT) AS n
+FROM b WHERE rn = 1
+GROUP BY true_label, cand_label
+ORDER BY true_label, assigned_label""",
+)
+def embedding_assign_centroid_q(spark, sf):
+    # Nearest-centroid auto-labeling audit: broadcast label prototypes,
+    # map-side squared-L2 scoring in index order, per-vector argmin,
+    # labels^2-row confusion matrix (operators/similarity.
+    # assign_to_centroids).
+    return similarity.assign_to_centroids(_t(spark, sf, "embeddings")).orderBy(
+        "true_label", "assigned_label"
+    )
+
+
 # Register the classic TPC-H suite (adapted shapes Q2-Q22; Q1/Q5 live
 # above as q04/q08). Import is at module end so tpch.py can use the
 # @query decorator without a circular-import dance.

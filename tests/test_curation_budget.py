@@ -1,0 +1,96 @@
+"""Semantics pins for token_budget_select and assign_to_centroids.
+
+token_budget_select: budget is enforced per source at hash-bucket
+granularity (prefix of the bucket-ordered histogram), membership is a
+pure function of the row key (stable under re-partitioning), and a
+source whose first bucket alone exceeds the budget selects nothing.
+
+assign_to_centroids: hand-built vectors with known nearest prototypes;
+argmin ties break toward the smaller label.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fourmc_spark.operators import curation, similarity
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_token_budget_is_bucket_prefix_per_source(spark):
+    rows = [(i, "a", "w " * 9 + "w") for i in range(40)]  # 10 tokens each
+    df = _docs(spark, rows)
+    out = curation.token_budget_select(df, budget_tokens=100).toPandas()
+    # kept cumulative tokens never exceed the budget, and the kept set is
+    # a prefix of the bucket order: every kept bucket < every dropped one
+    assert out.n_tokens.sum() <= 100
+    kept = set(out.doc_id)
+    all_b = {
+        r["doc_id"]: r["bucket"]
+        for r in df.select(
+            "doc_id", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4).alias("bucket")
+        ).collect()
+    }
+    dropped = set(all_b) - kept
+    if kept and dropped:
+        assert max(all_b[d] for d in kept) <= min(all_b[d] for d in dropped)
+
+
+def test_token_budget_membership_stable_under_partitioning(spark):
+    rows = [(i, "s" + str(i % 3), "tok " * (i % 7) + "end") for i in range(120)]
+    df = _docs(spark, rows)
+    a = sorted(
+        r["doc_id"]
+        for r in curation.token_budget_select(df, budget_tokens=60).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in curation.token_budget_select(
+            df.repartition(13, "text"), budget_tokens=60
+        ).collect()
+    )
+    assert a == b
+
+
+def test_token_budget_oversized_first_bucket_selects_nothing(spark):
+    df = _docs(spark, [(1, "big", "x " * 499 + "x")])  # 500 tokens, budget 10
+    assert curation.token_budget_select(df, budget_tokens=10).count() == 0
+
+
+def test_assign_to_centroids_known_prototypes(spark):
+    # label 0 clusters at (0,0), label 1 at (10,0); one label-0 vector
+    # sits at (9,0) — closer to label 1's centroid → off-diagonal cell
+    rows = [
+        (1, [0.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),
+        (3, [9.0, 0.0], 0),
+        (4, [10.0, 0.0], 1),
+        (5, [11.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {
+        (r["true_label"], r["assigned_label"]): r["n"]
+        for r in similarity.assign_to_centroids(df).collect()
+    }
+    # centroid(0) = (10/3, 0), centroid(1) = (10.5, 0): vec 3 at x=9 is
+    # 5.67 from c0 and 1.5 from c1 → assigned 1
+    assert out == {(0, 0): 2, (0, 1): 1, (1, 1): 2}
+
+
+def test_assign_to_centroids_tie_breaks_to_smaller_label(spark):
+    # centroids land at 0 (label 0: -1, 1) and 2 (label 1: 1, 3); the
+    # two vectors at x=1 are exactly equidistant from both centroids
+    rows = [
+        (1, [-1.0], 0),
+        (2, [1.0], 0),
+        (3, [1.0], 1),
+        (4, [3.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {
+        (r["true_label"], r["assigned_label"]): r["n"]
+        for r in similarity.assign_to_centroids(df).collect()
+    }
+    assert out == {(0, 0): 2, (1, 0): 1, (1, 1): 1}
