@@ -310,3 +310,24 @@ def test_global_chunk_dedup_election_is_hash_aggregated(
     plan = physical_plan(df)
     assert "SortAggregate" not in plan
     assert "HashAggregate" in plan
+
+
+def test_token_budget_filter_is_broadcast_not_corpus_shuffle(
+    spark, sf_dir, queries
+):
+    # the corpus-side filter must be a broadcast join against the tiny
+    # per-source cutoff table; the only shuffles belong to the histogram
+    # aggregate + its window (metadata-sized), never the document rows
+    df = queries["curation_token_budget"](spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan
+
+
+def test_assign_centroids_prototypes_broadcast(spark, sf_dir, queries):
+    # labels x dim prototype arrays broadcast into a map-side cross
+    # product; vectors must never be the build side or sort-merge joined
+    df = queries["embedding_assign_centroid"](spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan
