@@ -39,6 +39,7 @@ def get_spark(
             os.environ.get("FOURMC_SHUFFLE_CODEC", "lz4"),
         )
         # arrow-accelerated Python<->JVM transfer for pandas UDFs / DS API
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # the driver oracle (DuckDB) uses non-ANSI overflow/cast semantics;

@@ -157,6 +157,64 @@ class FourMcDataSourceReader(DataSourceReader):
         )
         self.pcols = _partition_col_opt(options)
         self.columns = [f.name for f in schema.fields]
+        # planning-time pruning state, filled by pushFilters(): an
+        # inclusive [lo, hi] constraint on the offset column (hi=None =
+        # unbounded) and per-partition-column allowed value sets
+        self._off_lo: int = 0
+        self._off_hi: int | None = None
+        self._pcol_allowed: dict[str, set] = {}
+
+    def pushFilters(self, filters):
+        """Planning-time pruning, the query-side payoff of the footer
+        block index (reference X2/X3: FourMcBlockIndex.java:92-123
+        binary search): a line's ``offset`` IS its owning block's
+        compressed file offset, so offset range/equality predicates
+        select exactly the matching blocks per file — Catalyst's
+        partition pruning, driven by the same index the reference built
+        for split alignment. Equality/IN predicates on hive partition
+        columns prune whole files by path.
+
+        Every filter is returned as partially-pushed: Spark re-applies
+        them post-scan, so pruning can only remove provably-empty work —
+        never change results.
+        """
+        from pyspark.sql.datasource import (
+            EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan,
+            LessThanOrEqual,
+        )
+
+        for flt in filters:
+            attr = getattr(flt, "attribute", None)
+            if not attr or len(attr) != 1:
+                continue
+            col = attr[0]
+            if col == "offset":
+                v = getattr(flt, "value", None)
+                if not isinstance(v, int) or isinstance(v, bool):
+                    continue
+                if isinstance(flt, EqualTo):
+                    self._off_lo = max(self._off_lo, v)
+                    self._off_hi = v if self._off_hi is None else min(self._off_hi, v)
+                elif isinstance(flt, GreaterThan):
+                    self._off_lo = max(self._off_lo, v + 1)
+                elif isinstance(flt, GreaterThanOrEqual):
+                    self._off_lo = max(self._off_lo, v)
+                elif isinstance(flt, LessThan):
+                    self._off_hi = v - 1 if self._off_hi is None else min(self._off_hi, v - 1)
+                elif isinstance(flt, LessThanOrEqual):
+                    self._off_hi = v if self._off_hi is None else min(self._off_hi, v)
+            elif col in self.pcols:
+                if isinstance(flt, EqualTo) and isinstance(flt.value, str):
+                    vals = {flt.value}
+                elif isinstance(flt, In) and all(
+                    isinstance(x, str) for x in flt.value
+                ):
+                    vals = set(flt.value)
+                else:
+                    continue
+                prev = self._pcol_allowed.get(col)
+                self._pcol_allowed[col] = vals if prev is None else prev & vals
+        return filters
 
     def partitions(self) -> list[FourMcInputPartition]:
         # driver-side planning: one footer read per file (S1/X6)
@@ -165,6 +223,15 @@ class FourMcDataSourceReader(DataSourceReader):
 
         parts: list[FourMcInputPartition] = []
         for path in _list_files(self.path):
+            if self._pcol_allowed:
+                pvals = _partition_values_from_path(
+                    path, list(self._pcol_allowed)
+                )
+                if any(
+                    pvals.get(c) not in allowed
+                    for c, allowed in self._pcol_allowed.items()
+                ):
+                    continue  # file pruned by partition-column predicate
             if path.endswith(".zst"):
                 fsize = os.path.getsize(path)
                 if fsize:
@@ -183,11 +250,24 @@ class FourMcDataSourceReader(DataSourceReader):
             step = max(self.max_partition_bytes, 1)
             maxb = max(self.max_blocks_per_split, 1)
             n = len(offsets)
-            i = 0
-            while i < n:
+            # offset-predicate block pruning (X2/X3 binary search): keep
+            # only blocks whose offset can satisfy [lo, hi] — every line's
+            # offset equals its owning block's offset, so this is exact
+            i0, i1 = 0, n
+            if self._off_lo > 0 or self._off_hi is not None:
+                import bisect
+
+                if self._off_lo > 0:
+                    i0 = bisect.bisect_left(offsets, self._off_lo)
+                if self._off_hi is not None:
+                    i1 = bisect.bisect_right(offsets, self._off_hi)
+                if i0 >= i1:
+                    continue  # no block can produce a matching row
+            i = i0
+            while i < i1:
                 j = i + 1
                 while (
-                    j < n
+                    j < i1
                     and j - i < maxb
                     and offsets[j] - offsets[i] < step
                 ):

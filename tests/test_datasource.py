@@ -296,3 +296,91 @@ def test_partitioned_write_and_read(spark, tmp_path):
     df.limit(400).write.format("fourmc").option("codec", "lz4") \
         .option("partitionby", "bucket").mode("overwrite").save(d)
     assert spark.read.format("fourmc").load(d).count() == 400
+
+
+def test_offset_filter_pushdown_prunes_blocks(spark, tmp_path):
+    """Offset predicates prune blocks at planning via the footer index
+    (reference X2/X3 binary search) without changing results."""
+    from pyspark.sql.datasource import (
+        CaseInsensitiveDict, EqualTo, GreaterThanOrEqual, LessThan,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from fourmc_spark.sources.datasource import FourMcDataSourceReader
+
+    d = str(tmp_path / "offsets")
+    df = spark.range(50_000).select(
+        F.concat(F.lit("row"), F.col("id")).alias("value")
+    )
+    df.write.format("fourmc").option("codec", "lz4") \
+        .option("blocksize", 16384).mode("overwrite").save(d)
+
+    base = spark.read.format("fourmc").option("maxpartitionbytes", 32768).load(d)
+    offs = sorted(r[0] for r in base.select("offset").distinct().collect())
+    assert len(offs) > 4
+    mid = offs[len(offs) // 2]
+
+    # end-to-end: filtered scan == post-hoc filter of the full scan
+    a = base.where(F.col("offset") >= mid).orderBy("offset", "value").collect()
+    b = sorted(
+        (r for r in base.collect() if r["offset"] >= mid),
+        key=lambda r: (r["offset"], r["value"]),
+    )
+    assert a == b and len(a) > 0
+
+    # equality selects exactly one block's lines
+    one = base.where(F.col("offset") == mid).collect()
+    assert one and all(r["offset"] == mid for r in one)
+
+    # unit: the planner drops partitions outside the pushed range
+    schema = StructType(
+        [StructField("offset", LongType()), StructField("value", StringType())]
+    )
+    opts = CaseInsensitiveDict({"path": d, "maxpartitionbytes": "32768"})
+    full = len(FourMcDataSourceReader(opts, schema).partitions())
+    rng = FourMcDataSourceReader(opts, schema)
+    list(rng.pushFilters([GreaterThanOrEqual(("offset",), mid)]))
+    assert 0 < len(rng.partitions()) < full
+    eq = FourMcDataSourceReader(opts, schema)
+    list(eq.pushFilters([EqualTo(("offset",), mid)]))
+    assert len(eq.partitions()) == 1
+    lt = FourMcDataSourceReader(opts, schema)
+    list(lt.pushFilters([LessThan(("offset",), offs[0])]))
+    # nothing below the first block: planner emits only the no-op partition
+    assert [p for p in lt.partitions() if p.path] == []
+
+
+def test_partition_column_filter_prunes_files(spark, tmp_path):
+    from pyspark.sql.datasource import CaseInsensitiveDict, EqualTo, In
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from fourmc_spark.sources.datasource import FourMcDataSourceReader
+
+    d = str(tmp_path / "pruned")
+    df = spark.createDataFrame(
+        [(f"line{i}", str(i % 3)) for i in range(600)], "value string, src string"
+    )
+    df.write.format("fourmc").option("codec", "lz4") \
+        .option("partitionby", "src").mode("overwrite").save(d)
+
+    rd = spark.read.format("fourmc").option("partitioncolumns", "src").load(d)
+    got = rd.where(F.col("src") == "1").select("value").orderBy("value").collect()
+    want = sorted(r["value"] for r in rd.collect() if r["src"] == "1")
+    assert [r["value"] for r in got] == want and len(got) == 200
+
+    schema = StructType(
+        [
+            StructField("offset", LongType()),
+            StructField("value", StringType()),
+            StructField("src", StringType()),
+        ]
+    )
+    opts = CaseInsensitiveDict({"path": d, "partitioncolumns": "src"})
+    full = len(FourMcDataSourceReader(opts, schema).partitions())
+    one = FourMcDataSourceReader(opts, schema)
+    list(one.pushFilters([EqualTo(("src",), "1")]))
+    n_one = len(one.partitions())
+    two = FourMcDataSourceReader(opts, schema)
+    list(two.pushFilters([In(("src",), ("0", "2"))]))
+    n_two = len(two.partitions())
+    assert n_one < n_two < full
