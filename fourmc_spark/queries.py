@@ -2892,6 +2892,63 @@ def text_inverted_index_q(spark, sf):
 
 
 @query(
+    "stream_cdc_apply",
+    """WITH ev AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+  FROM {EV}),
+m AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ev)
+SELECT user_id, event_id AS version_event, round(value, 2) AS last_value
+FROM m WHERE rn = 1 AND op != 'delete' ORDER BY user_id""",
+)
+def stream_cdc_apply_q(spark, sf):
+    # streaming latest-wins CDC apply: the events changelog streams into
+    # a versioned keyed snapshot via foreachBatch (tombstones retained so
+    # late upserts cannot resurrect newer deletes); the final snapshot
+    # must equal the batch latest-per-key election
+    # (streaming/ops.cdc_apply_stream — micro-batch twin of
+    # operators/timeseries.apply_changes).
+    import shutil
+    import tempfile
+
+    from fourmc_spark.streaming import (
+        cdc_apply_stream,
+        read_cdc_state,
+        read_events_stream,
+    )
+
+    ev = read_events_stream(spark, f"{sf}/events.parquet").select(
+        "user_id", "ts", "event_id", "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    d = tempfile.mkdtemp(prefix="fourmc-cdc-")
+    try:
+        q = (
+            cdc_apply_stream(ev, d, ["user_id"], ["ts", "event_id"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            read_cdc_state(spark, d)
+            .select(
+                "user_id",
+                F.col("event_id").alias("version_event"),
+                F.round("value", 2).alias("last_value"),
+            )
+            .orderBy("user_id")
+        )
+        # materialize before the state dir disappears
+        return spark.createDataFrame(out.toPandas(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
     "curation_token_budget",
     f"""WITH d AS (
   SELECT doc_id, source,

@@ -1,8 +1,10 @@
 from .ops import (
+    cdc_apply_stream,
     dedup_within_watermark,
     distinct_users_hourly,
     enrich_with_dimension,
     funnel_interval_join,
+    read_cdc_state,
     read_events_stream,
     run_to_memory,
     session_counts,
@@ -22,4 +24,6 @@ __all__ = [
     "funnel_interval_join",
     "sessionize_stateful",
     "run_to_memory",
+    "cdc_apply_stream",
+    "read_cdc_state",
 ]

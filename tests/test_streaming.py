@@ -394,3 +394,73 @@ def test_stream_source_max_files_per_trigger(tmp_path):
     # partitions between consecutive offsets touch only the new files
     parts = r.partitions({"seen": json.dumps(one)}, nxt)
     assert len({p.path for p in parts if p.path}) == 2
+
+
+def test_cdc_apply_stream_merges_across_batches(spark, tmp_path):
+    """3 changelog files drained one-per-trigger must compact to the same
+    snapshot as a single batch latest-wins election over all rows."""
+    import pandas as pd
+
+    from fourmc_spark.streaming import cdc_apply_stream, read_cdc_state
+
+    src = tmp_path / "cdc-src"
+    src.mkdir()
+    # (user, seq, value, op) spread across three files; user 3's newest
+    # row (seq 9) is a delete in file 2, and file 3 carries an OLDER
+    # upsert (seq 8) for user 3 — it must not resurrect the key
+    files = [
+        [(1, 1, 10.0, "upsert"), (2, 2, 20.0, "upsert"), (3, 3, 30.0, "upsert")],
+        [(1, 4, 11.0, "upsert"), (3, 9, 0.0, "delete")],
+        [(2, 5, 22.0, "upsert"), (3, 8, 33.0, "upsert")],
+    ]
+    for i, rows in enumerate(files):
+        pd.DataFrame(rows, columns=["user_id", "seq", "value", "op"]).to_parquet(
+            src / f"f{i}.parquet"
+        )
+    schema = spark.read.parquet(str(src)).schema
+    changes = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    state = str(tmp_path / "cdc-state")
+    q = (
+        cdc_apply_stream(changes, state, ["user_id"], ["seq"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (r["seq"], r["value"])
+        for r in read_cdc_state(spark, state).collect()
+    }
+    assert got == {1: (4, 11.0), 2: (5, 22.0)}  # user 3 stays deleted
+
+
+def test_cdc_apply_stream_matches_batch_apply_changes(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fourmc_spark.queries import QUERIES
+    from fourmc_spark.operators import timeseries
+
+    got = QUERIES["stream_cdc_apply"](spark, sf_dir).collect()
+    from fourmc_spark.events import load_events
+
+    ev = load_events(spark, f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    empty = spark.createDataFrame([], ev.schema)
+    want = (
+        timeseries.apply_changes(empty, ev, ["user_id"], ["ts", "event_id"])
+        .select(
+            "user_id",
+            F.col("event_id").alias("version_event"),
+            F.round("value", 2).alias("last_value"),
+        )
+        .orderBy("user_id")
+        .collect()
+    )
+    assert got == want and len(got) > 0
