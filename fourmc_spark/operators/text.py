@@ -33,6 +33,8 @@ __all__ = [
     "vocab_coverage",
     "bpe_pair_stats",
     "inverted_index",
+    "unigram_logprob",
+    "bigram_logprob",
 ]
 
 # tiny per-language stopword vocabularies (public common words)
@@ -489,4 +491,52 @@ def inverted_index(
             ).alias("postings"),
         )
         .where(F.col("docfreq") >= min_docfreq)
+    )
+
+
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean bigram conditional log-probability under the
+    corpus's own bigram model — the order-sensitive upgrade of
+    :func:`unigram_logprob`: shuffled-but-plausible-vocabulary text
+    scores low because p(b|a) collapses even when every unigram is
+    common. Documents with fewer than two tokens are excluded.
+
+    p(b|a) = C(a,b) / C_start(a), where C_start(a) counts bigrams
+    starting with ``a`` — the conditional distribution over observed
+    bigrams, so no smoothing constant to keep engines in sync.
+
+    Plan shape: one in-stage transform builds bigram structs (no
+    Python), one explode; corpus pair counts and start counts are two
+    hash aggs; the scoring rejoins on (a, b) then (a) — both
+    AQE-broadcastable for natural vocabularies — then one per-doc agg.
+    Shuffles carry (pair, count) rows, bounded by observed-vocab², never
+    the corpus.
+    """
+    toks = tokens_spark(text_col)
+    bigrams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"CASE WHEN size({toks}) >= 2 THEN "
+                f"transform(sequence(1, size({toks}) - 1), "
+                f"i -> struct(element_at({toks}, i) AS a, "
+                f"element_at({toks}, i + 1) AS b)) "
+                f"ELSE array() END"
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    pair_counts = bigrams.groupBy("a", "b").agg(F.count("*").alias("pair_n"))
+    start_counts = bigrams.groupBy("a").agg(F.count("*").alias("start_n"))
+    return (
+        bigrams.join(pair_counts, ["a", "b"])
+        .join(start_counts, ["a"])
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("pair_n") / F.col("start_n"))), 6
+            ).alias("mean_logprob"),
+            F.count("*").cast("long").alias("n_bigrams"),
+        )
     )

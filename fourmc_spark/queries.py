@@ -1214,6 +1214,29 @@ def text_unigram_logprob_q(spark, sf):
 
 
 @query(
+    "text_bigram_logprob",
+    f"""WITH t AS (
+  SELECT doc_id, {tokens_duck('text')} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, toks[i + 1] AS a, toks[i + 2] AS b
+  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 2)),
+pc AS (SELECT a, b, count(*) AS pair_n FROM bg GROUP BY a, b),
+sc AS (SELECT a, count(*) AS start_n FROM bg GROUP BY a)
+SELECT doc_id,
+       round(avg(ln(CAST(pair_n AS DOUBLE) / start_n)), 6) AS mean_logprob,
+       CAST(count(*) AS BIGINT) AS n_bigrams
+FROM bg JOIN pc USING (a, b) JOIN sc USING (a)
+GROUP BY doc_id ORDER BY doc_id""",
+)
+def text_bigram_logprob_q(spark, sf):
+    # bigram-LM fluency: order-sensitive upgrade of the unigram filter —
+    # shuffled-but-plausible-vocabulary text collapses under p(b|a)
+    # (operators/text.bigram_logprob).
+    return text.bigram_logprob(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+@query(
     "text_vocab_coverage",
     f"""WITH t AS (
   SELECT unnest({tokens_duck('text')}) AS term FROM documents),
