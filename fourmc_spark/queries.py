@@ -668,6 +668,32 @@ def q40_json_roundtrip(spark, sf):
 
 
 @query(
+    "q41_lateral_join",
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+       FROM customer c,
+       LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+       ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""",
+)
+def q41_lateral_join(spark, sf):
+    # correlated LATERAL subquery with per-row ORDER BY + LIMIT (the
+    # top-n-per-group shape expressed relationally, vs q13's explicit
+    # window). Catalyst decorrelates it into a ranked join — no
+    # per-customer re-execution, same plan family as the window form.
+    return spark.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+           FROM {c} c,
+           LATERAL (SELECT o_orderkey, o_totalprice FROM {o} o
+                    WHERE o.o_custkey = c.c_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+           ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""",
+        c=_t(spark, sf, "customer"),
+        o=_t(spark, sf, "orders"),
+    )
+
+
+@query(
     "q22_cube",
     """SELECT event_type, date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS n
        FROM {EV} e GROUP BY CUBE(event_type, date_trunc('day', ts))
