@@ -67,6 +67,12 @@ BENCH_QUERIES = [
     "q31_hash_sample",
     "curation_mixture_sample",
     "pipeline_curation",
+    "curation_token_budget",
+    "text_bigram_logprob",
+    "embedding_assign_centroid",
+    "q41_lateral_join",
+    "text_repetition",
+    "curation_contamination",
 ]
 
 

@@ -85,10 +85,17 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                  n: int = 3) -> DataFrame:
     """(id, shingle) distinct pairs — the inverted index every other
     operator builds on."""
-    toks = tokens_spark(text_col)
     return (
         _fanout_rebalance(df, id_col)
-        .select(F.col(id_col), F.explode(F.expr(shingles_spark(toks, n))).alias("shingle"))
+        # materialize tokens first: shingling a raw split() expression
+        # re-tokenizes per element inside the lambda (quadratic per doc)
+        .select(
+            F.col(id_col), F.expr(tokens_spark(text_col)).alias("__toks")
+        )
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(shingles_spark("__toks", n))).alias("shingle"),
+        )
         .distinct()
     )
 

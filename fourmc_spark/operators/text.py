@@ -143,39 +143,48 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     bigrams / trigrams, plus the most-frequent-token share. Map-only (no
     shuffle); per-doc arrays are small so the O(distinct*n) top-token scan
     stays cheap and fully deterministic."""
-    toks = tokens_spark(text_col)
 
-    def _dup_frac(arr: str, alias: str):
-        return F.round(
-            F.when(
-                F.expr(f"size({arr})") > 0,
-                1.0
-                - F.expr(f"size(array_distinct({arr}))")
-                / F.expr(f"size({arr})"),
-            ).otherwise(F.lit(0.0)),
-            4,
-        ).alias(alias)
+    # Bind every derived array to a lambda variable via one-element
+    # transform(array(x), v -> ...): whole-stage codegen's subexpression
+    # elimination does NOT cover higher-order functions, and Catalyst's
+    # project-collapse re-inlines aliases — either way a repeated
+    # split()/shingle expression re-evaluates per reference (quadratic
+    # per doc when it lands inside a lambda). Lambda binding guarantees
+    # one evaluation each for tokens, bigrams, and trigrams no matter
+    # how the plan is rewritten.
+    def _dup(arr: str) -> str:
+        return (
+            f"CASE WHEN size({arr}) > 0 THEN round(1.0D - "
+            f"size(array_distinct({arr})) / size({arr}), 4) ELSE 0.0D END"
+        )
 
-    bi = shingles_spark(toks, 2)
-    tri = shingles_spark(toks, 3)
-    top = (
-        f"array_max(transform(array_distinct({toks}), "
-        f"d -> size(filter({toks}, t -> t = d))))"
+    bi = shingles_spark("t", 2)
+    tri = shingles_spark("t", 3)
+    top = "array_max(transform(array_distinct(t), d -> size(filter(t, x -> x = d))))"
+    # inline() (a Generate, not a Project) emits the packed struct's
+    # fields as columns in ONE evaluation — a plain struct projection
+    # would re-run the whole pipeline once per extracted field after
+    # project-collapse (measured 2x slower)
+    packed = (
+        f"inline(transform(array({tokens_spark(text_col)}), t -> "
+        f"transform(array({top}), tc -> struct("
+        f"size(t) AS n_tokens, "
+        f"{_dup('t')} AS dup_token_frac, "
+        f"{_dup(bi)} AS dup_bigram_frac, "
+        f"{_dup(tri)} AS dup_trigram_frac, "
+        f"tc AS top_token_count, "
+        f"CASE WHEN size(t) > 0 THEN round(tc / size(t), 4) "
+        f"ELSE 0.0D END AS top_token_frac"
+        f"))[0]))"
     )
-    return df.select(
-        F.col(id_col),
-        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
-        _dup_frac(toks, "dup_token_frac"),
-        _dup_frac(bi, "dup_bigram_frac"),
-        _dup_frac(tri, "dup_trigram_frac"),
-        F.expr(top).cast("long").alias("top_token_count"),
-        F.round(
-            F.when(
-                F.expr(f"size({toks})") > 0,
-                F.expr(top) / F.expr(f"size({toks})"),
-            ).otherwise(F.lit(0.0)),
-            4,
-        ).alias("top_token_frac"),
+    return df.select(F.col(id_col), F.expr(packed)).select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "dup_token_frac",
+        "dup_bigram_frac",
+        "dup_trigram_frac",
+        F.col("top_token_count").cast("long").alias("top_token_count"),
+        "top_token_frac",
     )
 
 
@@ -365,10 +374,12 @@ def bpe_pair_stats(df: DataFrame, top_k: int = 50, text_col: str = "text") -> Da
     never a total sort. Ties at rank k break on the pair string, so the
     cutoff is engine-stable.
     """
-    toks = tokens_spark(text_col)
-    pairs = shingles_spark(toks, 2)
+    # materialize tokens first (shingling a raw split() expression
+    # re-tokenizes per element inside the lambda — quadratic per doc)
+    pairs = shingles_spark("__toks", 2)
     return (
-        df.select(F.explode(F.expr(pairs)).alias("pair"))
+        df.select(F.expr(tokens_spark(text_col)).alias("__toks"))
+        .select(F.explode(F.expr(pairs)).alias("pair"))
         .groupBy("pair")
         .agg(F.count("*").cast("long").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("pair"))
@@ -514,16 +525,19 @@ def bigram_logprob(
     Shuffles carry (pair, count) rows, bounded by observed-vocab², never
     the corpus.
     """
-    toks = tokens_spark(text_col)
+    # materialize the token array first: element_at on a raw split()
+    # expression inside the lambda re-tokenizes per element (quadratic)
     bigrams = df.select(
+        F.col(id_col), F.expr(tokens_spark(text_col)).alias("__toks")
+    ).select(
         F.col(id_col),
         F.explode(
             F.expr(
-                f"CASE WHEN size({toks}) >= 2 THEN "
-                f"transform(sequence(1, size({toks}) - 1), "
-                f"i -> struct(element_at({toks}, i) AS a, "
-                f"element_at({toks}, i + 1) AS b)) "
-                f"ELSE array() END"
+                "CASE WHEN size(__toks) >= 2 THEN "
+                "transform(sequence(1, size(__toks) - 1), "
+                "i -> struct(element_at(__toks, i) AS a, "
+                "element_at(__toks, i + 1) AS b)) "
+                "ELSE array() END"
             )
         ).alias("bg"),
     ).select(id_col, F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
