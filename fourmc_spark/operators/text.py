@@ -202,32 +202,32 @@ def char_entropy(
     O(distinct_chars x n) per doc like ``repetition_stats``' top-token
     scan — bounded by alphabet size, not corpus size.
     """
+    # Everything binds through lambda variables inside one inline() (see
+    # PLANS.md §3c): project-collapse would otherwise re-inline the
+    # regexp_extract_all per reference — the fold's per-char count then
+    # re-runs the regex over the document per distinct char (measured
+    # ~6x slower). The per-char count also binds to `k` so the entropy
+    # term evaluates it once, not twice.
     chars = f"regexp_extract_all({text_col}, '[\\\\s\\\\S]', 0)"
-    cnt = f"size(filter(cs, x -> x = c))"
+    term = "transform(array(CAST(size(filter(cs, x -> x = c)) AS DOUBLE)), " \
+           "k -> acc - (k / n) * log2(k / n))[0]"
     ent = (
         f"aggregate(array_sort(array_distinct(cs)), CAST(0.0 AS DOUBLE), "
-        f"(acc, c) -> acc - ({cnt} / n) * log2({cnt} / n))"
+        f"(acc, c) -> {term})"
     )
-    return (
-        df.select(
-            F.col(id_col),
-            F.expr(chars).alias("cs"),
-        )
-        .select(
-            id_col,
-            "cs",
-            F.expr("CAST(size(cs) AS DOUBLE)").alias("n"),
-        )
-        .select(
-            id_col,
-            F.col("n").cast("long").alias("n_chars"),
-            F.expr("size(array_distinct(cs))").cast("long").alias(
-                "n_distinct_chars"
-            ),
-            F.when(F.col("n") > 0, F.round(F.expr(ent), 4))
-            .otherwise(F.lit(0.0))
-            .alias("entropy_bits"),
-        )
+    packed = (
+        f"inline(transform(array({chars}), cs -> "
+        f"transform(array(CAST(size(cs) AS DOUBLE)), n -> struct("
+        f"size(cs) AS n_chars, "
+        f"size(array_distinct(cs)) AS n_distinct_chars, "
+        f"CASE WHEN n > 0 THEN round({ent}, 4) ELSE 0.0D END "
+        f"AS entropy_bits))[0]))"
+    )
+    return df.select(F.col(id_col), F.expr(packed)).select(
+        id_col,
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_distinct_chars").cast("long").alias("n_distinct_chars"),
+        "entropy_bits",
     )
 
 
