@@ -94,3 +94,25 @@ def test_assign_to_centroids_tie_breaks_to_smaller_label(spark):
         for r in similarity.assign_to_centroids(df).collect()
     }
     assert out == {(0, 0): 2, (1, 0): 1, (1, 1): 1}
+
+
+def test_cosine_pairs_block_decomposition_exact(spark):
+    """Tiny block_rows forces many block-pair groups; the result must be
+    identical to the single-block (all-pairs) computation, each pair
+    exactly once, a < b."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    single = {
+        (r["a_id"], r["b_id"])
+        for r in similarity.cosine_pairs(df, 0.5, block_rows=10_000).collect()
+    }
+    blocked_rows = similarity.cosine_pairs(df, 0.5, block_rows=7).collect()
+    blocked = {(r["a_id"], r["b_id"]) for r in blocked_rows}
+    assert blocked == single and len(blocked_rows) == len(blocked)
+    assert all(a < b for a, b in blocked)
+    assert len(single) > 0

@@ -331,3 +331,11 @@ def test_assign_centroids_prototypes_broadcast(spark, sf_dir, queries):
     assert broadcast_join_count(df) >= 1
     plan = physical_plan(df)
     assert "SortMergeJoin" not in plan
+
+
+def test_cosine_pairs_is_blocked_pandas_not_nested_loop(spark, sf_dir, queries):
+    # the pairwise scorer must be the block-matrix applyInPandas plan;
+    # a BroadcastNestedLoopJoin here is the 93s-at-sf0.1 regression
+    plan = physical_plan(queries["dedup_embedding_pairs"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
