@@ -87,6 +87,13 @@ class FourMcProtoReader(FourMcDataSourceReader):
         self.verify = str(options.get("verify", "true")).lower() != "false"
         self.proto_schema = _schema_from_options(options)
         self.columns = [f.name for f in schema.fields]
+        # pruning state consumed by the inherited partitions(); the proto
+        # source exposes no offset/partition columns, so these stay inert
+        # unless pushFilters ever runs
+        self.pcols = []
+        self._off_lo = 0
+        self._off_hi = None
+        self._pcol_allowed = {}
 
     def read(self, partition: FourMcInputPartition):
         import pyarrow as pa
