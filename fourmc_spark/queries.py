@@ -694,6 +694,40 @@ def q41_lateral_join(spark, sf):
 
 
 @query(
+    "q42_stats_moments",
+    """SELECT l_returnflag,
+              round(stddev_samp(l_quantity), 4) AS sd_qty,
+              round(var_samp(l_quantity), 4) AS var_qty,
+              round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp,
+              round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+              round(skewness(l_quantity) * (count(*) - 2)
+                    / sqrt(count(*) * (count(*) - 1.0)), 6) AS skew_qty,
+              round(kurtosis_pop(l_quantity), 6) AS kurt_qty
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def q42_stats_moments(spark, sf):
+    # second/third/fourth-moment aggregate family (profiling + feature
+    # scaling): all mergeable partial+final hash aggs (Welford-style
+    # merge states), so one shuffle of #groups x constant-width rows.
+    # Spark reports POPULATION skewness/excess-kurtosis; the oracle maps
+    # DuckDB's sample skewness back via G1*(n-2)/sqrt(n(n-1)) and uses
+    # kurtosis_pop.
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qp"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+            F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
+            F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "q22_cube",
     """SELECT event_type, date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS n
        FROM {EV} e GROUP BY CUBE(event_type, date_trunc('day', ts))
