@@ -727,6 +727,31 @@ def q42_stats_moments(spark, sf):
     )
 
 
+_RCTE_MONTHS = """
+WITH RECURSIVE months(m) AS (
+  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) FROM {O}
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+  WHERE m < (SELECT CAST(date_trunc('month', max(o_orderdate)) AS DATE)
+             FROM {O})
+)
+SELECT months.m AS month_start, CAST(count(o2.o_orderkey) AS BIGINT) AS n_orders
+FROM months LEFT JOIN {O} o2
+  ON CAST(date_trunc('month', o2.o_orderdate) AS DATE) = months.m
+GROUP BY months.m ORDER BY months.m
+"""
+
+
+@query("q43_recursive_cte", _RCTE_MONTHS.replace("{O}", "orders"))
+def q43_recursive_cte(spark, sf):
+    # WITH RECURSIVE (Spark 4.1 UnionLoop): generate the dense month
+    # spine between the orders' min/max months, then left-join order
+    # counts — empty months surface as 0 instead of disappearing. The
+    # recursion is bounded by the date span (driver-side rows), never
+    # corpus-sized; the join stays a plain equi-join on the month key.
+    return spark.sql(_RCTE_MONTHS.replace("{O}", "{o}"), o=_t(spark, sf, "orders"))
+
+
 @query(
     "q22_cube",
     """SELECT event_type, date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS n
