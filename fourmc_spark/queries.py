@@ -727,6 +727,35 @@ def q42_stats_moments(spark, sf):
     )
 
 
+@query(
+    "q44_variant",
+    """SELECT event_id,
+              CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+              CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS BIGINT)
+                AS k_mod,
+              CAST(json_extract(props, '$.missing') IS NULL AS BIGINT)
+                AS miss_null
+       FROM {EV} WHERE event_id % 89 = 0 ORDER BY event_id""",
+)
+def q44_variant(spark, sf):
+    # Spark 4 VARIANT ingestion: parse_json once into an open-schema
+    # VARIANT column, then typed variant_get extraction — the
+    # semi-structured path that replaces per-access JSON re-parsing
+    # (q21's get_json_object re-parses the string per field; a VARIANT
+    # parses once and serves every extraction from its binary encoding).
+    ev = _t(spark, sf, "events").where(F.col("event_id") % 89 == 0)
+    v = ev.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.variant_get("v", "$.k", "bigint").alias("k"),
+        (F.variant_get("v", "$.k", "bigint") % 7).cast("long").alias("k_mod"),
+        F.variant_get("v", "$.missing", "string")
+        .isNull()
+        .cast("long")
+        .alias("miss_null"),
+    ).orderBy("event_id")
+
+
 _RCTE_MONTHS = """
 WITH RECURSIVE months(m) AS (
   SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) FROM {O}
