@@ -129,13 +129,33 @@ def decompress_file(
     return decompress_file_parallel(path, threads=threads or 1, verify=verify)
 
 
+_SCAN_INFO_CACHE: dict[str, tuple[tuple[int, int], tuple[str, int, list[int]]]] = {}
+_SCAN_INFO_CACHE_MAX = 4096
+
+
 def scan_file_info(path: str) -> tuple[str, int, list[int]]:
-    """Planner helper: one tail read -> (codec, file_size, block_offsets)."""
+    """Planner helper: one tail read -> (codec, file_size, block_offsets).
+
+    Cached per (path, size, mtime_ns) — the reference's per-file index
+    cache during split planning (FourMcInputFormat.java:132-148). 4mc
+    files are sealed by their footer, so an unchanged (size, mtime) pair
+    means an unchanged index; repeated planning over the same directory
+    (multiple actions on one DataFrame, AQE re-planning, streaming
+    triggers) costs one tail read per file EVER, not per query."""
+    st = os.stat(path)
+    key = (st.st_size, st.st_mtime_ns)
+    hit = _SCAN_INFO_CACHE.get(path)
+    if hit is not None and hit[0] == key:
+        return hit[1]
     with open(path, "rb") as f:
         f.seek(0, os.SEEK_END)
         size = f.tell()
         magic, index = read_index(f, size)
-        return core.codec_for_magic(magic), size, index.offsets
+        info = (core.codec_for_magic(magic), size, index.offsets)
+    if len(_SCAN_INFO_CACHE) >= _SCAN_INFO_CACHE_MAX:
+        _SCAN_INFO_CACHE.clear()  # simple bound; planning repopulates
+    _SCAN_INFO_CACHE[path] = (key, info)
+    return info
 
 
 def iter_lines_for_split(

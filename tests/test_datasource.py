@@ -384,3 +384,22 @@ def test_partition_column_filter_prunes_files(spark, tmp_path):
     list(two.pushFilters([In(("src",), ("0", "2"))]))
     n_two = len(two.partitions())
     assert n_one < n_two < full
+
+
+def test_scan_info_cache_invalidates_on_rewrite(spark, tmp_path):
+    """Planning caches the footer index per (path, size, mtime); a file
+    rewritten in place (new footer) must not serve stale offsets."""
+    import os
+
+    from fourmc_spark.format import write_file
+    from fourmc_spark.format.reader import scan_file_info
+
+    p = str(tmp_path / "c.4mc")
+    write_file(p, b"alpha\n" * 1000, codec="lz4", level="fast")
+    codec1, size1, offs1 = scan_file_info(p)
+    assert scan_file_info(p) == (codec1, size1, offs1)  # cache hit
+    write_file(p, b"b\n" * 200_000, codec="lz4", level="fast",
+               block_size=4096)
+    os.utime(p)  # ensure mtime advances even on coarse clocks
+    codec2, size2, offs2 = scan_file_info(p)
+    assert size2 != size1 and len(offs2) > len(offs1)
