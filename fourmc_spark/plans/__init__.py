@@ -14,6 +14,7 @@ from fourmc_spark.plans.audit import (
     broadcast_join_count,
     exchange_count,
     has_pushed_filter,
+    observed,
     physical_plan,
     runtime_bloom_filter_count,
     read_schema_columns,
@@ -33,4 +34,5 @@ __all__ = [
     "runtime_bloom_filters",
     "write_bucketed",
     "bucketed_join",
+    "observed",
 ]

@@ -24,6 +24,7 @@ __all__ = [
     "exchange_count",
     "broadcast_join_count",
     "wholestage_codegen_spans",
+    "observed",
 ]
 
 
@@ -97,3 +98,25 @@ def runtime_bloom_filter_count(df: DataFrame) -> int:
     injected on the application side of joins — the semi-join reduction
     that kills non-matching fact rows BEFORE their shuffle."""
     return len(re.findall(r"might_contain", physical_plan(df)))
+
+
+def observed(df: DataFrame, name: str, *metrics):
+    """Attach free runtime counters to a pipeline stage via Spark's
+    Observation API: ``df2, obs = observed(df, "gate", count(...), ...)``;
+    after any action on ``df2``, ``obs.get`` holds the metric row.
+
+    The 100 TB operational tool: stage row/byte counters (rows in, rows
+    kept, bytes scanned) come from accumulators inside the SAME job —
+    no second pass, no extra action, unlike a ``.count()`` audit which
+    re-runs the stage. Used for curation-funnel telemetry (docs in →
+    gate → dedup → sample), where re-counting each stage would double
+    the pipeline cost.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    if not metrics:
+        from pyspark.sql import functions as F
+
+        metrics = (F.count(F.lit(1)).alias("rows"),)
+    return df.observe(obs, *metrics), obs

@@ -339,3 +339,22 @@ def test_cosine_pairs_is_blocked_pandas_not_nested_loop(spark, sf_dir, queries):
     plan = physical_plan(queries["dedup_embedding_pairs"](spark, sf_dir))
     assert "FlatMapGroupsInPandas" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_observed_counters_ride_the_same_job(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fourmc_spark.plans import observed
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged, obs_in = observed(docs, "docs_in")
+    kept = staged.where(F.col("n_chars") > 200)
+    kept2, obs_kept = observed(
+        kept, "docs_kept",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_chars").alias("chars"),
+    )
+    n = kept2.count()  # ONE action drives both observations
+    assert obs_in.get["rows"] == docs.count()
+    assert obs_kept.get["rows"] == n
+    assert obs_kept.get["chars"] > 200 * n
