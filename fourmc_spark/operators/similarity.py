@@ -110,20 +110,20 @@ def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     rng = random.Random(seed)
     planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
 
+    P = np.array(planes, dtype=np.float64)  # planes x dim
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf("long")
+    def _bucket_udf(v: "pd.Series") -> "pd.Series":
+        # all plane projections for an Arrow batch in one BLAS matmul
+        # (the interpreted per-plane zip_with fold was n_planes
+        # interpreted dots per row — measured ~2x of this op's runtime)
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        signs = (M @ P.T) >= 0
+        return pd.Series(signs @ weights)
+
     def bucket_col(vec: str) -> "F.Column":
-        bits = []
-        for j, p in enumerate(planes):
-            arr = F.array(*[F.lit(x) for x in p])
-            d = F.aggregate(
-                F.zip_with(F.col(vec), arr, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
+        return _bucket_udf(F.col(vec))
 
     cand = with_norm(embeddings, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
