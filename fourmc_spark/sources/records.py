@@ -1,0 +1,61 @@
+"""Typed record models over the 4mc text scan.
+
+The reference's record model is schema-on-read lines (SURVEY §1.2:
+"Schema is whatever the consumer parses"); these helpers are the consumer
+side for the two ubiquitous line formats, expressed so the parse stays in
+whole-stage codegen (``from_csv`` / ``from_json`` are JVM expressions, not
+Python) and the scan keeps every 4mc property (block-aligned splits,
+checksum verification, offset/partition-column pushdown).
+
+``header=True`` rides the scan's ``skipfirstline`` option, which resolves
+per head-partition — so CSV headers die inside the scan no matter how the
+file was split (S5 semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["read_4mc_csv", "read_4mc_json"]
+
+
+def _scan(spark: SparkSession, path: str, header: bool, options: dict) -> DataFrame:
+    reader = spark.read.format("fourmc")
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    if header:
+        reader = reader.option("skipfirstline", "true")
+    return reader.load(path)
+
+
+def read_4mc_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    sep: str = ",",
+    header: bool = False,
+    **scan_options,
+) -> DataFrame:
+    """CSV lines inside .4mc/.4mz → typed columns via ``from_csv``.
+
+    ``schema`` is a DDL string (``"a INT, b STRING"``). Malformed lines
+    surface as NULL fields (Spark's permissive mode), never as task
+    failures — at 100 TB a single bad line must not kill a 10k-task job.
+    """
+    df = _scan(spark, path, header, scan_options)
+    return df.select(
+        F.from_csv(F.col("value"), schema, {"sep": sep}).alias("_r")
+    ).select("_r.*")
+
+
+def read_4mc_json(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    **scan_options,
+) -> DataFrame:
+    """JSON-lines inside .4mc/.4mz → typed columns via ``from_json``."""
+    df = _scan(spark, path, header=False, options=scan_options)
+    return df.select(
+        F.from_json(F.col("value"), schema).alias("_r")
+    ).select("_r.*")

@@ -403,3 +403,48 @@ def test_scan_info_cache_invalidates_on_rewrite(spark, tmp_path):
     os.utime(p)  # ensure mtime advances even on coarse clocks
     codec2, size2, offs2 = scan_file_info(p)
     assert size2 != size1 and len(offs2) > len(offs1)
+
+
+def test_read_4mc_csv_typed_with_header(spark, tmp_path):
+    from fourmc_spark.format import write_file
+    from fourmc_spark.sources import read_4mc_csv
+
+    p = str(tmp_path / "csv")
+    os.makedirs(p)
+    body = "id,name,score\n" + "".join(
+        f"{i},n{i},{i * 0.5}\n" for i in range(1000)
+    )
+    write_file(os.path.join(p, "a.4mz"), body.encode(), codec="zstd",
+               level="fast", block_size=2048)
+    df = read_4mc_csv(
+        spark, p, "id INT, name STRING, score DOUBLE", header=True,
+        maxpartitionbytes=4096,
+    )
+    assert df.columns == ["id", "name", "score"]
+    rows = {r["id"]: (r["name"], r["score"]) for r in df.collect()}
+    assert len(rows) == 1000 and rows[7] == ("n7", 3.5)
+    # malformed line -> NULL fields, not a task failure
+    write_file(os.path.join(p, "b.4mz"), b"id,name,score\nnot-an-int,x,y\n",
+               codec="zstd", level="fast")
+    bad = read_4mc_csv(spark, p, "id INT, name STRING, score DOUBLE",
+                       header=True)
+    assert bad.count() == 1001
+    assert bad.where(F.col("id").isNull()).count() == 1
+
+
+def test_read_4mc_json_typed(spark, tmp_path):
+    from fourmc_spark.format import write_file
+    from fourmc_spark.sources import read_4mc_json
+
+    p = str(tmp_path / "j")
+    os.makedirs(p)
+    body = "".join(
+        f'{{"k": {i}, "tags": ["a", "t{i % 3}"]}}\n' for i in range(500)
+    )
+    write_file(os.path.join(p, "a.4mc"), body.encode(), codec="lz4",
+               level="fast", block_size=1024)
+    df = read_4mc_json(spark, p, "k BIGINT, tags ARRAY<STRING>",
+                       maxpartitionbytes=2048)
+    assert df.count() == 500
+    got = df.where(F.col("k") == 42).collect()[0]
+    assert got["tags"] == ["a", "t0"]
