@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["read_4mc_csv", "read_4mc_json"]
+__all__ = ["read_4mc_csv", "read_4mc_json", "write_4mc_csv", "write_4mc_json"]
 
 
 def _scan(spark: SparkSession, path: str, header: bool, options: dict) -> DataFrame:
@@ -59,3 +59,40 @@ def read_4mc_json(
     return df.select(
         F.from_json(F.col("value"), schema).alias("_r")
     ).select("_r.*")
+
+
+def write_4mc_csv(
+    df: DataFrame,
+    path: str,
+    sep: str = ",",
+    codec: str = "zstd",
+    level: str = "medium",
+    **sink_options,
+) -> None:
+    """Typed columns → CSV lines inside .4mc/.4mz (``to_csv`` is a JVM
+    expression; the sink seals per-task files with footer indexes, so
+    the output is immediately splittable for the next job)."""
+    out = df.select(
+        F.to_csv(F.struct(*[F.col(c) for c in df.columns]), {"sep": sep}).alias("value")
+    )
+    w = out.write.format("fourmc").option("codec", codec).option("level", level)
+    for k, v in sink_options.items():
+        w = w.option(k, v)
+    w.mode("overwrite").save(path)
+
+
+def write_4mc_json(
+    df: DataFrame,
+    path: str,
+    codec: str = "zstd",
+    level: str = "medium",
+    **sink_options,
+) -> None:
+    """Typed columns → JSON lines inside .4mc/.4mz."""
+    out = df.select(
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")
+    )
+    w = out.write.format("fourmc").option("codec", codec).option("level", level)
+    for k, v in sink_options.items():
+        w = w.option(k, v)
+    w.mode("overwrite").save(path)

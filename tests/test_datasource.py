@@ -448,3 +448,25 @@ def test_read_4mc_json_typed(spark, tmp_path):
     assert df.count() == 500
     got = df.where(F.col("k") == 42).collect()[0]
     assert got["tags"] == ["a", "t0"]
+
+
+def test_csv_json_write_read_roundtrip(spark, tmp_path):
+    from fourmc_spark.sources import (
+        read_4mc_csv, read_4mc_json, write_4mc_csv, write_4mc_json,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").cast("int").alias("id"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"),
+        (F.col("id") * 0.25).alias("score"),
+    )
+    c = str(tmp_path / "wc")
+    write_4mc_csv(df, c, codec="lz4", level="fast")
+    back = read_4mc_csv(spark, c, "id INT, name STRING, score DOUBLE")
+    assert back.count() == 2000
+    assert df.exceptAll(back).count() == 0 and back.exceptAll(df).count() == 0
+
+    j = str(tmp_path / "wj")
+    write_4mc_json(df, j)
+    backj = read_4mc_json(spark, j, "id INT, name STRING, score DOUBLE")
+    assert df.exceptAll(backj).count() == 0 and backj.exceptAll(df).count() == 0
