@@ -3086,6 +3086,58 @@ def stream_cdc_apply_q(spark, sf):
 
 
 @query(
+    "stream_4mc_tumbling",
+    """SELECT date_trunc('hour', ts) AS win_start, event_type,
+              CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS sum_value
+       FROM {EV} GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def stream_4mc_tumbling_q(spark, sf):
+    # The 4mc STREAMING SOURCE inside the oracle gate: events are
+    # re-encoded as JSON lines in sealed .4mz files, streamed back
+    # through spark.readStream.format("fourmc") (sealed-by-footer files
+    # = micro-batches), parsed with from_json, and windowed — the result
+    # must equal the batch oracle exactly, proving the stream source
+    # loses/duplicates nothing and the whole JSON+timestamp round trip
+    # is value-exact.
+    import shutil
+    import tempfile
+
+    from fourmc_spark.streaming import tumbling_counts
+
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    d = tempfile.mkdtemp(prefix="fourmc-stream4mc-")
+    try:
+        (
+            ev.select(F.to_json(F.struct(*ev.columns)).alias("value"))
+            .repartition(3)
+            .write.format("fourmc").option("codec", "zstd")
+            .option("level", "fast").mode("overwrite").save(d)
+        )
+        sdf = (
+            spark.readStream.format("fourmc")
+            .load(d)
+            .select(
+                F.from_json(
+                    "value",
+                    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+                    "event_type STRING, value DOUBLE",
+                ).alias("_r")
+            )
+            .select("_r.*")
+        )
+        out = _run_stream(tumbling_counts(sdf, window="1 hour")).orderBy(
+            "win_start", "event_type"
+        )
+        return spark.createDataFrame(out.toPandas(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
     "curation_token_budget",
     f"""WITH d AS (
   SELECT doc_id, source,
