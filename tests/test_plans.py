@@ -358,3 +358,9 @@ def test_observed_counters_ride_the_same_job(spark, sf_dir):
     assert obs_in.get["rows"] == docs.count()
     assert obs_kept.get["rows"] == n
     assert obs_kept.get["chars"] > 200 * n
+
+
+def test_session_enables_python_filter_pushdown(spark):
+    # pushFilters pruning (offset/partition-column) is gated behind this
+    # conf; losing it silently reverts every scan to full planning
+    assert spark.conf.get("spark.sql.python.filterPushdown.enabled") == "true"
