@@ -758,15 +758,15 @@ def q44_variant(spark, sf):
 
 _RCTE_MONTHS = """
 WITH RECURSIVE months(m) AS (
-  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) FROM {O}
+  SELECT date_trunc('month', CAST(min(o_orderdate) AS TIMESTAMP)) FROM {O}
   UNION ALL
-  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
-  WHERE m < (SELECT CAST(date_trunc('month', max(o_orderdate)) AS DATE)
+  SELECT CAST(m + INTERVAL 1 MONTH AS TIMESTAMP) FROM months
+  WHERE m < (SELECT date_trunc('month', CAST(max(o_orderdate) AS TIMESTAMP))
              FROM {O})
 )
 SELECT months.m AS month_start, CAST(count(o2.o_orderkey) AS BIGINT) AS n_orders
 FROM months LEFT JOIN {O} o2
-  ON CAST(date_trunc('month', o2.o_orderdate) AS DATE) = months.m
+  ON date_trunc('month', CAST(o2.o_orderdate AS TIMESTAMP)) = months.m
 GROUP BY months.m ORDER BY months.m
 """
 
