@@ -19,7 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["hash_sample", "stratified_hash_sample", "hash_bucket",
-           "train_val_test_split", "mixture_sample", "shuffle_order"]
+           "train_val_test_split", "mixture_sample", "shuffle_order",
+           "fixed_k_sample"]
 
 
 def _key(cols: list[str], sep: str) -> "F.Column":
@@ -158,4 +159,31 @@ def shuffle_order(df: DataFrame, key_cols: list[str], seed: str = "0",
     return (
         df.withColumn(out_col, k)
         .orderBy(out_col, *key_cols)
+    )
+
+
+def fixed_k_sample(df: DataFrame, group_col: str, key_cols: list[str],
+                   k: int, sep: str = "-") -> DataFrame:
+    """Exactly ``min(k, |group|)`` rows per group, picked by the
+    deterministic hash priority — fixed-size eval/holdout sets per
+    source, stable across runs, engines, and re-partitionings (the
+    rate-based [[hash-sample]] can't promise exact counts; this can).
+
+    One window per group (rank over md5 priority): exact-k needs a
+    per-group total order by definition, so the group is the shuffle
+    key — fine for the #groups ≪ #rows regimes this is for (per-source
+    eval sets). For budgets better expressed in data volume, use
+    ``token_budget_select``'s bucket-histogram shape instead, which
+    never sorts the corpus.
+    """
+    from pyspark.sql import Window
+
+    b = hash_bucket(key_cols, sep)
+    w = Window.partitionBy(group_col).orderBy(
+        b, *[F.col(c) for c in key_cols]
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= int(k))
+        .drop("_rk")
     )

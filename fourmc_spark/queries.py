@@ -3138,6 +3138,26 @@ def stream_4mc_tumbling_q(spark, sf):
 
 
 @query(
+    "curation_fixed_k_sample",
+    """WITH r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id)
+           AS rk
+  FROM documents)
+SELECT doc_id, source, n_chars FROM r WHERE rk <= 25 ORDER BY doc_id""",
+)
+def curation_fixed_k_sample_q(spark, sf):
+    # exactly-k-per-source deterministic sample (eval-set construction):
+    # hash-priority rank inside each source, stable under re-partitioning
+    # and corpus growth (operators/sampling.fixed_k_sample).
+    return sampling.fixed_k_sample(
+        _t(spark, sf, "documents").select("doc_id", "source", "n_chars"),
+        "source", ["doc_id"], k=25,
+    ).orderBy("doc_id")
+
+
+@query(
     "curation_token_budget",
     f"""WITH d AS (
   SELECT doc_id, source,
