@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["equi_width_histogram"]
+__all__ = ["equi_width_histogram", "profile_table"]
 
 
 def equi_width_histogram(df: DataFrame, value_col: str, lo: float, hi: float,
@@ -41,4 +41,47 @@ def equi_width_histogram(df: DataFrame, value_col: str, lo: float, hi: float,
         .select(clamped.cast("long").alias("bin"))
         .groupBy("bin")
         .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-column data-quality profile: row count, null count, exact
+    distinct count, and lexicographic min/max (values cast to string so
+    one output schema covers every column type).
+
+    One wide aggregate computes every column's counters in a single
+    pass over the data (partial+final hash agg — no per-column jobs, no
+    second scan), then a constant-width stack unpivots to one row per
+    column. At 100 TB swap ``count_distinct`` for
+    ``approx_count_distinct`` if exactness isn't required — same plan
+    shape, mergeable sketch state.
+    """
+    names = cols or df.columns
+    aggs = []
+    for c in names:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.count(s).alias(f"__nn_{c}"),
+            F.count_distinct(s).alias(f"__d_{c}"),
+            F.min(s).alias(f"__min_{c}"),
+            F.max(s).alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', __n_{c}, __n_{c} - __nn_{c}, __d_{c}, __min_{c}, __max_{c}"
+        for c in names
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(names)}, {stack}) AS "
+            "(column, n_rows, n_null, n_distinct, min_value, max_value)"
+        )
+    ).select(
+        "column",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_value",
+        "max_value",
     )

@@ -3137,6 +3137,32 @@ def stream_4mc_tumbling_q(spark, sf):
         shutil.rmtree(d, ignore_errors=True)
 
 
+_PROFILE_COLS = ["doc_id", "lang", "n_chars", "source", "text"]
+_PROFILE_ORACLE = " UNION ALL ".join(
+    f"""SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+        CAST(count(DISTINCT CAST({c} AS VARCHAR)) AS BIGINT) AS n_distinct,
+        min(CAST({c} AS VARCHAR)) AS min_value,
+        max(CAST({c} AS VARCHAR)) AS max_value
+        FROM documents"""
+    for c in _PROFILE_COLS
+)
+
+
+@query(
+    "stats_profile_table",
+    f'SELECT * FROM ({_PROFILE_ORACLE}) ORDER BY "column"',
+)
+def stats_profile_table_q(spark, sf):
+    # per-column data-quality profile in ONE pass (wide partial+final
+    # agg + stack unpivot — no per-column jobs); string-typed min/max so
+    # every column shares the output schema. Columns restricted to
+    # string/integer types whose string rendering is engine-identical.
+    return stats.profile_table(
+        _t(spark, sf, "documents"), cols=_PROFILE_COLS
+    ).orderBy("column")
+
+
 @query(
     "curation_fixed_k_sample",
     """WITH r AS (
