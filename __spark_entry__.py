@@ -2,11 +2,12 @@
 
 entry()      — flagship query (TPC-H Q5-shaped multi-join revenue) on
                /root/testdata/sf0.001.
-queries()    — every implemented operator from SURVEY.md §2: the Q1-Q41
+queries()    — every implemented operator from SURVEY.md §2: the Q1-Q44
                relational corpus (incl. salted skew join, deterministic
                hash + stratified sampling, exact + approx percentiles,
                ROWS + RANGE window frames, session windows, EXISTS
-               subqueries, correlated LATERAL top-n, sorted array
+               subqueries, correlated LATERAL top-n, recursive CTEs, VARIANT
+               extraction, statistical moments, sorted array
                aggregation) and TPC-H Q2-Q22, the LLM-pipeline
                extensions (dedup x7 plus connected-components cluster
                labeling + canonicalization + C4-style span dedup,
