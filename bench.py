@@ -73,6 +73,15 @@ BENCH_QUERIES = [
     "q41_lateral_join",
     "text_repetition",
     "curation_contamination",
+    "dedup_embedding_pairs",
+    "dedup_semantic",
+    "text_char_entropy",
+    "q42_stats_moments",
+    # q43_recursive_cte stays out: ~80 UnionLoop iterations are an
+    # iteration-count benchmark, not a throughput one
+    "q44_variant",
+    "stats_profile_table",
+    "curation_fixed_k_sample",
 ]
 
 
