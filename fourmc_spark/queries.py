@@ -46,6 +46,9 @@ ORACLE: dict[str, str] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # every oracle compares timestamps under UTC; pin it even when the
+    # session didn't come from get_spark (the driver builds its own)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts physical type varies by driver version (TIMESTAMP(NANOS)
         # vs plain micros TIMESTAMP); normalize either to TimestampType.
@@ -3102,8 +3105,11 @@ def stream_4mc_tumbling_q(spark, sf):
     import shutil
     import tempfile
 
+    from fourmc_spark.session import register_fourmc
     from fourmc_spark.streaming import tumbling_counts
 
+    register_fourmc(spark)  # idempotent — the driver's session may not
+    # have gone through get_spark
     ev = _t(spark, sf, "events").select(
         "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
