@@ -129,32 +129,43 @@ def decompress_file(
     return decompress_file_parallel(path, threads=threads or 1, verify=verify)
 
 
-_SCAN_INFO_CACHE: dict[str, tuple[tuple[int, int], tuple[str, int, list[int]]]] = {}
+_SCAN_INFO_CACHE: dict[
+    str, tuple[tuple[int, int], bytes, tuple[str, int, list[int]]]
+] = {}
 _SCAN_INFO_CACHE_MAX = 4096
+_FP_BYTES = 16  # footer tail: covers the delta-index end + footer checksum
 
 
 def scan_file_info(path: str) -> tuple[str, int, list[int]]:
     """Planner helper: one tail read -> (codec, file_size, block_offsets).
 
-    Cached per (path, size, mtime_ns) — the reference's per-file index
-    cache during split planning (FourMcInputFormat.java:132-148). 4mc
-    files are sealed by their footer, so an unchanged (size, mtime) pair
-    means an unchanged index; repeated planning over the same directory
-    (multiple actions on one DataFrame, AQE re-planning, streaming
-    triggers) costs one tail read per file EVER, not per query."""
+    Cached per (path, size, mtime_ns) PLUS a content fingerprint — the
+    last 16 footer bytes (delta-index tail + footer checksum). stat()
+    alone is spoofable: cp -p / rsync -t / archive extraction can replace
+    a file with a same-size twin and preserved timestamps, and serving
+    the stale index would mean silently corrupt splits. A hit therefore
+    re-reads just those 16 bytes (one tiny pread, not the full footer
+    decode — footers are 20+4n bytes and planning may cover thousands of
+    files); any content change in a sealed 4mc file perturbs its
+    checksummed footer tail, so the stale entry always misses."""
     st = os.stat(path)
     key = (st.st_size, st.st_mtime_ns)
     hit = _SCAN_INFO_CACHE.get(path)
     if hit is not None and hit[0] == key:
-        return hit[1]
+        with open(path, "rb") as f:
+            f.seek(max(0, st.st_size - _FP_BYTES))
+            if f.read(_FP_BYTES) == hit[1]:
+                return hit[2]
     with open(path, "rb") as f:
         f.seek(0, os.SEEK_END)
         size = f.tell()
         magic, index = read_index(f, size)
         info = (core.codec_for_magic(magic), size, index.offsets)
+        f.seek(max(0, size - _FP_BYTES))
+        fp = f.read(_FP_BYTES)
     if len(_SCAN_INFO_CACHE) >= _SCAN_INFO_CACHE_MAX:
         _SCAN_INFO_CACHE.clear()  # simple bound; planning repopulates
-    _SCAN_INFO_CACHE[path] = (key, info)
+    _SCAN_INFO_CACHE[path] = (key, fp, info)
     return info
 
 

@@ -74,11 +74,15 @@ def _fanout_rebalance(df: DataFrame, id_col: str) -> DataFrame:
     never split one input partition's explosion across tasks — a 1-file
     table would shingle on one core. The repartition moves only the small
     pre-explosion rows; with well-partitioned input (the 100 TB case,
-    thousands of scan partitions) it is a no-op."""
+    thousands of scan partitions) AQE coalesces it right back.
+
+    Unconditional: the previous ``df.rdd.getNumPartitions()`` probe
+    forced plan analysis to the RDD boundary on the driver per
+    invocation (and hid the exchange from AQE). A hash repartition on
+    the id is one small-row shuffle that AQE sizes at runtime — cheaper
+    than a driver-side plan materialization on every shingle path."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par, F.col(id_col))
-    return df
+    return df.repartition(par, F.col(id_col))
 
 
 def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

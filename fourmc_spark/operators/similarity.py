@@ -117,10 +117,22 @@ def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     def _bucket_udf(v: "pd.Series") -> "pd.Series":
         # all plane projections for an Arrow batch in one BLAS matmul
         # (the interpreted per-plane zip_with fold was n_planes
-        # interpreted dots per row — measured ~2x of this op's runtime)
-        M = np.stack(v.to_numpy()).astype(np.float64)
-        signs = (M @ P.T) >= 0
-        return pd.Series(signs @ weights)
+        # interpreted dots per row — measured ~2x of this op's runtime).
+        # NULL / wrong-length embeddings bucket to NULL (dropped by the
+        # bucket equi-join) instead of poisoning the whole batch's stack.
+        arrs = v.to_numpy()
+        valid = np.fromiter(
+            (a is not None and len(a) == dim for a in arrs),
+            dtype=bool, count=len(arrs),
+        )
+        out = np.zeros(len(arrs), dtype=np.int64)
+        if valid.any():
+            M = np.stack(arrs[valid]).astype(np.float64)
+            signs = (M @ P.T) >= 0
+            out[valid] = signs @ weights
+        res = pd.Series(out, dtype="Int64")
+        res[~valid] = pd.NA
+        return res
 
     def bucket_col(vec: str) -> "F.Column":
         return _bucket_udf(F.col(vec))
@@ -483,8 +495,8 @@ def cosine_pairs(embeddings: DataFrame, threshold: float,
         left = pdf[pdf["_g"] == gi]
         right = pdf[pdf["_g"] == gj]
         if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({"a_id": pd.Series(dtype="int64"),
-                                 "b_id": pd.Series(dtype="int64")})
+            empty = pd.Series(dtype=pdf["_id"].dtype)
+            return pd.DataFrame({"a_id": empty, "b_id": empty})
         la = np.stack(left["_v"].to_numpy())
         rb = np.stack(right["_v"].to_numpy())
         la = la / np.linalg.norm(la, axis=1, keepdims=True)
@@ -505,8 +517,12 @@ def cosine_pairs(embeddings: DataFrame, threshold: float,
             a, b = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame({"a_id": a, "b_id": b})
 
+    # output id type follows the input id column (string/int ids both
+    # supported — np.minimum/maximum and < compare object arrays
+    # elementwise), not a hardcoded long
+    id_t = embeddings.schema[id_col].dataType.simpleString()
     return fanned.groupBy(*gcols, "_gi", "_gj").applyInPandas(
-        score, "a_id long, b_id long"
+        score, f"a_id {id_t}, b_id {id_t}"
     )
 
 
@@ -535,9 +551,14 @@ def semantic_dedup(
     — no per-pair interpreted dot products, and no single-task fat
     cluster (measured 2.6x at sf0.1).
     """
+    # NULL-labeled vectors are unclustered: they score against nothing
+    # (the old equi-join's NULL-never-matches semantics), so they are
+    # always kept — groupBy would otherwise pool all NULLs into one
+    # pseudo-cluster and dedup them against each other
     dropped = (
         cosine_pairs(
-            embeddings, threshold, vec_col=vec_col, id_col=id_col,
+            embeddings.where(F.col(label_col).isNotNull()),
+            threshold, vec_col=vec_col, id_col=id_col,
             group_col=label_col,
         )
         .select(F.col("b_id").alias(id_col))

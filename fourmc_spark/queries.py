@@ -2000,6 +2000,25 @@ def _run_stream(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
     return run_to_memory(sdf, f"qstream_{uuid.uuid4().hex[:12]}", output_mode)
 
 
+# Detach bound for streaming queries whose state dir is deleted on return:
+# their results are small aggregates (per-user snapshot / per-hour windows),
+# but a misconfigured SF must fail loudly rather than pull an unbounded
+# result onto the driver.
+_DETACH_MAX_ROWS = 2_000_000
+
+
+def _detach(out: DataFrame) -> DataFrame:
+    n = out.limit(_DETACH_MAX_ROWS + 1).count()
+    if n > _DETACH_MAX_ROWS:
+        raise ValueError(
+            f"streaming query result exceeds the {_DETACH_MAX_ROWS}-row "
+            "driver detach bound; run at a smaller SF or persist the "
+            "state dir instead"
+        )
+    spark = out.sparkSession
+    return spark.createDataFrame(out.toPandas(), out.schema)
+
+
 @query(
     "stream_tumbling_hourly",
     """SELECT date_trunc('hour', ts) AS win_start, event_type,
@@ -3082,8 +3101,8 @@ def stream_cdc_apply_q(spark, sf):
             )
             .orderBy("user_id")
         )
-        # materialize before the state dir disappears
-        return spark.createDataFrame(out.toPandas(), out.schema)
+        # materialize before the state dir disappears (bounded detach)
+        return _detach(out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -3138,7 +3157,7 @@ def stream_4mc_tumbling_q(spark, sf):
         out = _run_stream(tumbling_counts(sdf, window="1 hour")).orderBy(
             "win_start", "event_type"
         )
-        return spark.createDataFrame(out.toPandas(), out.schema)
+        return _detach(out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

@@ -411,9 +411,15 @@ def cdc_apply_stream(
 
     Returns the ``writeStream`` builder (caller picks trigger/start).
 
-    Idempotent under restart: a replayed micro-batch rewrites the same
-    version dir and pointer — exactly-once state effect on at-least-once
-    delivery. Scale shape: per batch one key-window over
+    Idempotent under restart: each committed snapshot lives in a
+    UNIQUE version dir (v{batch_id}-{nonce}), so a replayed micro-batch
+    merges the already-applied snapshot with the same rows again
+    (latest-wins => identical result) into a fresh dir and re-swaps the
+    pointer — never overwriting the dir its own merge plan is lazily
+    reading (a bare v{batch_id} dir deadlocked exactly-once recovery:
+    crash after pointer swap but before checkpoint commit made replay
+    read and overwrite the same path). Exactly-once state effect on
+    at-least-once delivery. Scale shape: per batch one key-window over
     (batch ∪ snapshot); at 100 TB the snapshot-rewrite becomes a
     ``MERGE INTO`` on a transactional table keyed the same way, with the
     identical foreachBatch driver and election. [The reference is
@@ -450,7 +456,9 @@ def cdc_apply_stream(
                     merged
                 )
             )
-        new = f"v{batch_id}"
+        import uuid
+
+        new = f"v{batch_id}-{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(os.path.join(state_dir, new))
         tmp = ptr + ".tmp"
         with open(tmp, "w") as f:
