@@ -1,0 +1,230 @@
+"""Dependency-free raster image codecs: PPM/PGM (netpbm) and BMP.
+
+Pure numpy + struct — no pillow/libjpeg in the container, but these are
+REAL formats with real parsers, so the multimodal pipeline
+(:mod:`.multimodal`) can decode actual image bytes end-to-end instead of
+stubbing. Anything a camera/tool can export as P6/P5 or 24-bit BMP flows
+through the engine's decode → feature-extract → resize path unchanged;
+compressed formats (JPEG/PNG) still need an external decoder and raise
+``UnsupportedImageError`` with a clear message.
+
+Formats:
+
+* **PPM (P6)** — binary RGB, ``P6\\n<w> <h>\\n<maxval>\\n`` + raw
+  ``h*w*3`` bytes (netpbm spec). Comments (``#``) allowed in the header.
+* **PGM (P5)** — same header shape, 1 channel.
+* **BMP** — BITMAPFILEHEADER + BITMAPINFOHEADER, 24 bpp, BI_RGB
+  (uncompressed), bottom-up row order, rows padded to 4 bytes — the
+  standard Windows bitmap every screenshot tool writes.
+
+All decoders return ``uint8`` arrays shaped ``(h, w, channels)``; all
+encoders accept the same. Deterministic byte-for-byte output (fixed
+header rendering), so encoded payloads are content-addressable.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "UnsupportedImageError",
+    "decode_bmp",
+    "decode_image",
+    "decode_pnm",
+    "encode_bmp",
+    "encode_pgm",
+    "encode_ppm",
+    "resize_nearest",
+    "sniff_format",
+]
+
+
+class UnsupportedImageError(ValueError):
+    """Payload is not a format this dependency-free decoder handles."""
+
+
+# ---------------------------------------------------------------- netpbm
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) -> binary PPM (P6)."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"PPM wants (h, w, 3), got {a.shape}")
+    h, w, _ = a.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def encode_pgm(arr: np.ndarray) -> bytes:
+    """uint8 (h, w) or (h, w, 1) -> binary PGM (P5)."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    if a.ndim != 2:
+        raise ValueError(f"PGM wants (h, w), got {a.shape}")
+    h, w = a.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def _pnm_header_tokens(data: bytes, n_tokens: int) -> tuple[list[int], int]:
+    """Parse *n_tokens* whitespace-separated ints after the magic,
+    honoring '#' comments (netpbm spec); returns (values, offset past the
+    single whitespace byte that terminates the header)."""
+    vals: list[int] = []
+    i = 2  # past magic
+    n = len(data)
+    while len(vals) < n_tokens:
+        # skip whitespace
+        while i < n and data[i : i + 1].isspace():
+            i += 1
+        if i < n and data[i : i + 1] == b"#":  # comment to EOL
+            while i < n and data[i] not in (0x0A, 0x0D):
+                i += 1
+            continue
+        j = i
+        while j < n and not data[j : j + 1].isspace():
+            j += 1
+        if i == j:
+            raise UnsupportedImageError("truncated netpbm header")
+        try:
+            vals.append(int(data[i:j]))
+        except ValueError as e:
+            raise UnsupportedImageError(f"bad netpbm header token {data[i:j]!r}") from e
+        i = j
+    # exactly ONE whitespace byte separates header from raster
+    if i >= n or not data[i : i + 1].isspace():
+        raise UnsupportedImageError("netpbm header not terminated")
+    return vals, i + 1
+
+
+def decode_pnm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3); binary PGM (P5) -> (h, w, 1)."""
+    magic = bytes(data[:2])
+    if magic not in (b"P6", b"P5"):
+        raise UnsupportedImageError(f"not a binary PPM/PGM (magic {magic!r})")
+    (w, h, maxval), off = _pnm_header_tokens(data, 3)
+    if w <= 0 or h <= 0:
+        raise UnsupportedImageError(f"bad PNM dimensions {w}x{h}")
+    if maxval != 255:
+        raise UnsupportedImageError(f"only maxval 255 supported, got {maxval}")
+    ch = 3 if magic == b"P6" else 1
+    need = w * h * ch
+    raster = data[off : off + need]
+    if len(raster) != need:
+        raise UnsupportedImageError(
+            f"PNM raster truncated: want {need} bytes, have {len(raster)}"
+        )
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, ch)
+
+
+# ------------------------------------------------------------------ BMP
+
+_BMP_FILE_HDR = "<2sIHHI"  # magic, file size, res1, res2, pixel offset
+_BMP_INFO_HDR = "<IiiHHIIiiII"  # 40-byte BITMAPINFOHEADER
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) RGB -> 24-bit uncompressed BMP (BGR on disk,
+    bottom-up rows, 4-byte row padding — the file layout mspaint writes)."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"BMP wants (h, w, 3), got {a.shape}")
+    h, w, _ = a.shape
+    row_bytes = (w * 3 + 3) & ~3
+    # RGB -> BGR, flip to bottom-up, pad each row
+    bgr = a[::-1, :, ::-1]
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    raster = rows.tobytes()
+    off = struct.calcsize(_BMP_FILE_HDR) + struct.calcsize(_BMP_INFO_HDR)
+    fhdr = struct.pack(_BMP_FILE_HDR, b"BM", off + len(raster), 0, 0, off)
+    ihdr = struct.pack(
+        _BMP_INFO_HDR, 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    return fhdr + ihdr + raster
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP -> uint8 (h, w, 3) RGB. Handles both
+    bottom-up (positive height) and top-down (negative height) files."""
+    if bytes(data[:2]) != b"BM":
+        raise UnsupportedImageError("not a BMP (missing BM magic)")
+    if len(data) < 54:
+        raise UnsupportedImageError("BMP header truncated")
+    _, _, _, _, pix_off = struct.unpack_from(_BMP_FILE_HDR, data, 0)
+    hdr_size, w, h, planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", data, 14
+    )
+    if hdr_size < 40:
+        raise UnsupportedImageError(f"BMP info header {hdr_size} unsupported")
+    if bpp != 24 or compression != 0:
+        raise UnsupportedImageError(
+            f"only 24-bit uncompressed BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0:
+        raise UnsupportedImageError(f"bad BMP dimensions {w}x{h}")
+    row_bytes = (w * 3 + 3) & ~3
+    need = row_bytes * h
+    raster = data[pix_off : pix_off + need]
+    if len(raster) != need:
+        raise UnsupportedImageError(
+            f"BMP raster truncated: want {need} bytes, have {len(raster)}"
+        )
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, row_bytes)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        bgr = bgr[::-1]
+    return np.ascontiguousarray(bgr[:, :, ::-1])  # BGR -> RGB
+
+
+# ------------------------------------------------------------- dispatch
+
+def sniff_format(data: bytes) -> str:
+    head = bytes(data[:2])
+    if head == b"P6":
+        return "ppm"
+    if head == b"P5":
+        return "pgm"
+    if head == b"BM":
+        return "bmp"
+    if head == b"\xff\xd8":
+        return "jpeg"
+    if bytes(data[:8]) == b"\x89PNG\r\n\x1a\n"[:8]:
+        return "png"
+    return "unknown"
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Sniff + decode any supported payload -> uint8 (h, w, channels)."""
+    fmt = sniff_format(data)
+    if fmt in ("ppm", "pgm"):
+        return decode_pnm(data)
+    if fmt == "bmp":
+        return decode_bmp(data)
+    raise UnsupportedImageError(
+        f"format {fmt!r} needs an external decoder (pillow/libjpeg); "
+        "supported here: PPM (P6), PGM (P5), 24-bit BMP"
+    )
+
+
+# -------------------------------------------------------------- resize
+
+def resize_nearest(arr: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """Nearest-neighbor resample to (target_h, target_w, channels).
+
+    Source coordinate mapping is the floor rule ``src = floor(i*src/dst)``
+    — deterministic and integer-exact, so results are oracle-checkable
+    in plain SQL (no float resampling kernels).
+    """
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w = arr.shape[:2]
+    if target_w <= 0 or target_h <= 0:
+        raise ValueError("target dimensions must be positive")
+    ys = (np.arange(target_h) * h) // target_h
+    xs = (np.arange(target_w) * w) // target_w
+    return np.ascontiguousarray(arr[ys[:, None], xs[None, :], :])

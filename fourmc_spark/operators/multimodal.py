@@ -3,26 +3,148 @@
 Images/audio/video ride through Spark as `binary` columns with a metadata
 struct. The decode step is a Pandas-UDF `mapInPandas` pipeline — Arrow
 batches in, Arrow batches out — which is exactly the shape a real
-libjpeg/ffmpeg decode would take. The actual pixel decode is STUBBED (the
-container has no imaging libs): `decode_stub=True` derives deterministic
-fake dimensions from the payload so the Spark-side plumbing (schema,
-batching, partition shape) is fully real and testable; passing
-`decode_stub=False` raises NotImplementedError at the decode site.
+libjpeg/ffmpeg decode would take.
+
+Decode is REAL for PPM/PGM/BMP via the dependency-free codecs in
+:mod:`.imaging` (`decode_stub=False`, and the ``extract_image_features``
+/ ``resize_image_stats`` operators): payload bytes are parsed as actual
+image files and pixels come back as numpy arrays inside the Arrow batch.
+Compressed formats (JPEG/PNG) still raise — the container has no
+libjpeg — and the legacy `decode_stub=True` path keeps the deterministic
+fake dimensions for plumbing tests.
 """
 
 from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = [
     "attach_binary_payload",
     "extract_features",
+    "extract_image_features",
+    "resize_image_stats",
     "resize_images",
     "sample_frames",
+    "synthesize_images",
 ]
+
+
+def synthesize_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL image per row: odd ids encode as binary PPM
+    (P6), even ids as 24-bit BMP — so a downstream decoder must handle
+    both container formats, not pattern-match one header.
+
+    Dimensions ``w = 4 + id % 13``, ``h = 3 + id % 11`` and the pixel
+    lattice ``v(x,y,c) = (3x + 7y + 11c + id) % 256`` are closed-form,
+    which makes every pixel statistic oracle-checkable in plain SQL.
+    Output: (id, payload binary, fmt string).
+    """
+    from fourmc_spark.operators import imaging
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, fmts = [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 4 + d % 13, 3 + d % 11
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                c = np.arange(3, dtype=np.int64)
+                v = (
+                    3 * x[None, :, None] + 7 * y[:, None, None]
+                    + 11 * c[None, None, :] + d
+                ) % 256
+                arr = v.astype(np.uint8)
+                if d % 2:
+                    payloads.append(imaging.encode_ppm(arr))
+                    fmts.append("ppm")
+                else:
+                    payloads.append(imaging.encode_bmp(arr))
+                    fmts.append("bmp")
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "payload": payloads, "fmt": fmts}
+            )
+
+    return df.select(id_col).mapInPandas(
+        batches, schema=f"{id_col} long, payload binary, fmt string"
+    )
+
+
+def extract_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL image decode: parse each payload (PPM/PGM/BMP auto-sniffed),
+    return per-image (width, height, channels, pix_sum) from the actual
+    pixel array. mapInPandas — decode runs executor-side on Arrow
+    batches; only scalars surface."""
+    from fourmc_spark.operators import imaging
+
+    out_schema = (
+        f"{id_col} long, width long, height long, channels long, pix_sum long"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws, hs, cs, sums = [], [], [], []
+            for payload in pdf["payload"]:
+                arr = imaging.decode_image(bytes(payload))
+                h, w, ch = arr.shape
+                ws.append(w)
+                hs.append(h)
+                cs.append(ch)
+                sums.append(int(arr.sum(dtype=np.int64)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "channels": pd.Series(cs, dtype="int64"),
+                    "pix_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, schema=out_schema)
+
+
+def resize_image_stats(df: DataFrame, target_w: int = 8, target_h: int = 6,
+                       id_col: str = "doc_id") -> DataFrame:
+    """REAL decode → nearest-neighbor resample → stats of the resampled
+    pixels (integer-exact floor mapping, so SQL-checkable). The resized
+    image is also re-encoded (PPM) executor-side to prove the encode
+    path; only its byte length surfaces. Output:
+    (id, width, height, resized_pix_sum, resized_bytes)."""
+    from fourmc_spark.operators import imaging
+
+    out_schema = (
+        f"{id_col} long, width long, height long, "
+        "resized_pix_sum long, resized_bytes long"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sums, lens = [], []
+            for payload in pdf["payload"]:
+                arr = imaging.decode_image(bytes(payload))
+                small = imaging.resize_nearest(arr, target_w, target_h)
+                sums.append(int(small.sum(dtype=np.int64)))
+                if small.shape[2] == 3:
+                    enc = imaging.encode_ppm(small)
+                else:
+                    enc = imaging.encode_pgm(small[:, :, 0])
+                lens.append(len(enc))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": pd.Series([target_w] * len(pdf), dtype="int64"),
+                    "height": pd.Series([target_h] * len(pdf), dtype="int64"),
+                    "resized_pix_sum": pd.Series(sums, dtype="int64"),
+                    "resized_bytes": pd.Series(lens, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, schema=out_schema)
 
 
 def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -50,9 +172,12 @@ def extract_features(df: DataFrame, id_col: str = "doc_id",
 
     def _decode(payload: bytes) -> tuple[int, int]:
         if not decode_stub:
-            raise NotImplementedError(
-                "real image decode requires pillow/ffmpeg (not in container)"
-            )
+            # real path: parse the payload as an actual image file
+            # (PPM/PGM/BMP; JPEG/PNG raise UnsupportedImageError)
+            from fourmc_spark.operators import imaging
+
+            arr = imaging.decode_image(bytes(payload))
+            return arr.shape[1], arr.shape[0]
         n = len(payload)
         return (n % 640) + 1, (n % 480) + 1
 
@@ -93,9 +218,14 @@ def resize_images(df: DataFrame, target_w: int = 320, target_h: int = 240,
 
     def _resize(payload: bytes) -> bytes:
         if not decode_stub:
-            raise NotImplementedError(
-                "real image resize requires pillow/libvips (not in container)"
-            )
+            # real path: decode, nearest-neighbor resample, re-encode
+            from fourmc_spark.operators import imaging
+
+            arr = imaging.decode_image(bytes(payload))
+            small = imaging.resize_nearest(arr, target_w, target_h)
+            if small.shape[2] == 3:
+                return imaging.encode_ppm(small)
+            return imaging.encode_pgm(small[:, :, 0])
         return payload[:cap]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

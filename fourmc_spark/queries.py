@@ -1549,17 +1549,65 @@ def curation_quality_gate_q(spark, sf):
     ).orderBy("doc_id")
 
 
+# The synthesized per-doc image lattice (operators/multimodal.
+# synthesize_images): w = 4 + id%13, h = 3 + id%11,
+# v(x,y,c) = (3x + 7y + 11c + id) % 256 — closed-form, so DuckDB can
+# recompute every pixel with bounded range() joins while Spark REALLY
+# encodes each image (PPM for odd ids, BMP for even) and REALLY parses
+# the bytes back (operators/imaging: pure-numpy P6/P5/BMP codecs).
+_IMG_DIMS = (
+    "SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h FROM documents"
+)
+
+
 @query(
     "multimodal_features",
-    """SELECT doc_id,
-              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-              CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
-              CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height
-       FROM documents ORDER BY doc_id""",
+    f"""WITH dims AS ({_IMG_DIMS}),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (3*gx.x + 7*gy.y + 11*gc.c + d.doc_id) % 256 AS v
+  FROM dims d
+  JOIN range(16) gx(x) ON gx.x < d.w
+  JOIN range(13) gy(y) ON gy.y < d.h
+  CROSS JOIN range(3) gc(c))
+SELECT doc_id, CAST(min(w) AS BIGINT) AS width, CAST(min(h) AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels, CAST(sum(v) AS BIGINT) AS pix_sum
+FROM px GROUP BY doc_id ORDER BY doc_id""",
 )
 def multimodal_q(spark, sf):
-    d = multimodal.attach_binary_payload(_t(spark, sf, "documents"))
-    return multimodal.extract_features(d).orderBy("doc_id")
+    # REAL image decode through the oracle gate: every payload is an
+    # actual PPM or BMP file built executor-side, and width/height/
+    # channels/pix_sum come from parsing those bytes back — a decoder
+    # bug (header parse, BMP row padding/BGR flip, raster truncation)
+    # breaks the hash match.
+    imgs = multimodal.synthesize_images(_t(spark, sf, "documents"))
+    return multimodal.extract_image_features(imgs).orderBy("doc_id")
+
+
+@query(
+    "multimodal_real_resize",
+    f"""WITH dims AS ({_IMG_DIMS}),
+px AS (
+  SELECT d.doc_id,
+         (3*((gx.x * d.w) // 8) + 7*((gy.y * d.h) // 6) + 11*gc.c
+          + d.doc_id) % 256 AS v
+  FROM dims d
+  CROSS JOIN range(8) gx(x)
+  CROSS JOIN range(6) gy(y)
+  CROSS JOIN range(3) gc(c))
+SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+       CAST(sum(v) AS BIGINT) AS resized_pix_sum,
+       CAST(155 AS BIGINT) AS resized_bytes
+FROM px GROUP BY doc_id ORDER BY doc_id""",
+)
+def multimodal_real_resize_q(spark, sf):
+    # decode → nearest-neighbor resample (integer floor mapping, mirrored
+    # by the oracle's (x*w)//8 lattice) → re-encode as PPM; 155 = the
+    # 11-byte "P6\\n8 6\\n255\\n" header + 8*6*3 raster bytes.
+    imgs = multimodal.synthesize_images(_t(spark, sf, "documents"))
+    return multimodal.resize_image_stats(
+        imgs, target_w=8, target_h=6
+    ).orderBy("doc_id")
 
 
 # documents.text is ASCII (asserted in tests), so DuckDB's varchar
