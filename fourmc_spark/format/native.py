@@ -546,3 +546,94 @@ else:  # pragma: no cover - pyarrow fallback (buffers the whole stream)
             return _pa3.Codec("zstd", self._level).compress(
                 bytes(self._buf)
             ).to_pybytes()
+
+
+# ---------------------------------------------------------------------------
+# Raw one-shot codec calls for Hadoop BlockCompressorStream containers
+# (reference Lz4Codec/ZstdCodec M/R intermediate files): unlike the 4mc
+# block path there is NO passthrough rule — the stream stores whatever the
+# compressor emits, so these always return output (worst case slightly
+# larger than the input), and decompression trusts the frame/stream to
+# yield AT MOST the caller's bound (the block's remaining original size).
+# ---------------------------------------------------------------------------
+
+if _lz4 is not None:
+
+    def lz4_compress_raw(data: bytes, level: int = 0) -> bytes:
+        """LZ4 block compress at full compressBound capacity (never None)."""
+        cap = len(data) + len(data) // 255 + 16
+        dst = _scratch(cap)
+        if level <= 0:
+            n = _lz4.LZ4_compress_default(data, dst, len(data), cap)
+        else:
+            n = _lz4.LZ4_compress_HC(data, dst, len(data), cap, level)
+        if n <= 0:
+            raise ValueError("LZ4 compress failed")
+        return ctypes.string_at(ctypes.addressof(dst), n)
+
+    def lz4_decompress_raw(data: bytes, max_size: int) -> bytes:
+        """Decode into a *max_size*-capacity buffer; returns the actual
+        decoded bytes (may be fewer — multi-chunk Hadoop blocks)."""
+        out = bytearray(max_size)
+        dst = (ctypes.c_char * max_size).from_buffer(out) if max_size else None
+        n = _lz4.LZ4_decompress_safe(data, dst, len(data), max_size)
+        del dst
+        if n < 0:
+            raise ValueError(f"corrupt LZ4 chunk (rc={n})")
+        return bytes(out[:n])
+
+else:  # pragma: no cover - pyarrow fallback
+
+    def lz4_compress_raw(data: bytes, level: int = 0) -> bytes:
+        import pyarrow as _pa4
+
+        return _pa4.Codec("lz4_raw").compress(data).to_pybytes()
+
+    def lz4_decompress_raw(data: bytes, max_size: int) -> bytes:
+        # pyarrow needs the exact size; Hadoop blocks our writer (and the
+        # reference's) produce are single-chunk, so max_size is exact
+        import pyarrow as _pa4
+
+        return _pa4.Codec("lz4_raw").decompress(data, max_size).to_pybytes()
+
+
+if _zstd is not None:
+
+    def zstd_compress_raw(data: bytes, level: int = 1) -> bytes:
+        cap = len(data) + len(data) // 100 + 1024
+        dst = _scratch(cap)
+        n = _zstd.ZSTD_compress(dst, cap, data, len(data), level)
+        if _zstd.ZSTD_isError(n):
+            raise ValueError("ZSTD compress failed")
+        return ctypes.string_at(ctypes.addressof(dst), n)
+
+    def zstd_decompress_raw(data: bytes, max_size: int) -> bytes:
+        out = bytearray(max_size)
+        dst = (ctypes.c_char * max_size).from_buffer(out) if max_size else None
+        n = _zstd.ZSTD_decompress(dst, max_size, data, len(data))
+        del dst
+        if _zstd.ZSTD_isError(n):
+            raise ValueError("corrupt ZSTD chunk")
+        return bytes(out[:n])
+
+else:  # pragma: no cover - pyarrow fallback
+
+    def zstd_compress_raw(data: bytes, level: int = 1) -> bytes:
+        import pyarrow as _pa5
+
+        return _pa5.Codec("zstd", compression_level=level).compress(
+            data
+        ).to_pybytes()
+
+    def zstd_decompress_raw(data: bytes, max_size: int) -> bytes:
+        import pyarrow as _pa5
+
+        return _pa5.Codec("zstd").decompress(data, max_size).to_pybytes()
+
+
+__all__ += [
+    "lz4_compress_raw",
+    "lz4_decompress_raw",
+    "zstd_compress_raw",
+    "zstd_decompress_raw",
+]

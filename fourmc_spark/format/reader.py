@@ -288,6 +288,31 @@ def iter_lines_zst(f: BinaryIO, chunk_size: int = 1 << 20) -> Iterator[tuple[int
         yield pos, bytes(carry)
 
 
+def iter_lines_hadoop(
+    f: BinaryIO, codec: str
+) -> Iterator[tuple[int, bytes]]:
+    """Yield (decompressed_offset, line_bytes) from a Hadoop
+    BlockCompressorStream file (reference Lz4Codec/ZstdCodec intermediate
+    format, ``format/hadoop_stream.py``). Like ``.zst``: no internal
+    index, so one partition reads the whole stream and offsets are
+    decompressed-stream positions (Hadoop LineRecordReader-over-codec
+    semantics)."""
+    from fourmc_spark.format.hadoop_stream import iter_hadoop_blocks
+
+    pos = 0
+    carry = bytearray()
+    for block in iter_hadoop_blocks(f, codec):
+        carry.extend(block)
+        for line, adv in _consume_terminated_lines(carry, at_eof=False):
+            yield pos, line
+            pos += adv
+    for line, adv in _consume_terminated_lines(carry, at_eof=True):
+        yield pos, line
+        pos += adv
+    if carry:
+        yield pos, bytes(carry)
+
+
 def _consume_terminated_lines(buf: bytearray, at_eof: bool):
     """Yield ``(line, advance)`` for each LF / CRLF / bare-CR terminated
     line at the front of *buf*, consuming them; ``advance`` is the exact

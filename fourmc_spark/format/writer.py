@@ -341,3 +341,83 @@ def compress_bytes(
     with FourMcWriter(buf, codec=codec, level=level, block_size=block_size) as w:
         w.write(data)
     return buf.getvalue()
+
+
+class HadoopBlockWriter:
+    """Streaming writer for the reference's straight-block-codec files
+    (Hadoop ``BlockCompressorStream`` container, ``format/hadoop_stream.py``):
+    ``[origLen BE4][chunkLen BE4][payload]`` per 4 MiB block, raw LZ4
+    blocks or standard ZSTD frames, no passthrough/checksum/footer.
+    Same write/close interface as :class:`FourMcWriter` so the Spark sink
+    treats every container uniformly."""
+
+    def __init__(self, out, codec: str = "lz4", level: str | int = "fast",
+                 block_size: int | None = None) -> None:
+        from .hadoop_stream import BLOCK_SIZE
+        from .native import (
+            LZ4_LEVELS, ZSTD_LEVELS, lz4_compress_raw, zstd_compress_raw,
+        )
+
+        self._out = out
+        self._block = int(block_size or BLOCK_SIZE)
+        if codec == "lz4":
+            self._comp = lz4_compress_raw
+            self._lvl = LZ4_LEVELS[level] if isinstance(level, str) else int(level)
+        elif codec == "zstd":
+            self._comp = zstd_compress_raw
+            self._lvl = ZSTD_LEVELS[level] if isinstance(level, str) else int(level)
+        else:
+            raise ValueError(f"unknown hadoop block codec {codec!r}")
+        self._buf = bytearray()
+        self._written = 0
+        self._closed = False
+
+    def _flush_block(self, block: bytes) -> None:
+        import struct as _struct
+
+        payload = self._comp(block, self._lvl)
+        self._out.write(_struct.pack(">i", len(block)))
+        self._out.write(_struct.pack(">i", len(payload)))
+        self._out.write(payload)
+        self._written += 8 + len(payload)
+
+    def write(self, data) -> None:
+        if self._closed:
+            raise ValueError("writer is closed")
+        mv = memoryview(data)
+        if self._buf:
+            need = self._block - len(self._buf)
+            take = mv[:need]
+            self._buf.extend(take)
+            mv = mv[len(take):]
+            if len(self._buf) == self._block:
+                self._flush_block(bytes(self._buf))
+                self._buf.clear()
+        while len(mv) >= self._block:
+            self._flush_block(bytes(mv[: self._block]))
+            mv = mv[self._block :]
+        if len(mv):
+            self._buf.extend(mv)
+
+    def write_line(self, line) -> None:
+        if isinstance(line, str):
+            line = line.encode("utf-8")
+        self.write(line + b"\n")
+
+    @property
+    def bytes_written(self) -> int:
+        return self._written
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        if self._buf:
+            self._flush_block(bytes(self._buf))
+            self._buf.clear()
+        self._closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

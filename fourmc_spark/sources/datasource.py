@@ -51,8 +51,15 @@ DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
 # uncompressed — one task, one OOM. 64 blocks => <= 256 MiB per task.
 DEFAULT_MAX_BLOCKS_PER_SPLIT = 64
 # .zst = standard zstd streaming format (reference ZstCodec.java:47-169):
-# readable but non-splittable (no internal index) — one partition per file
-_EXTS = (".4mc", ".4mz", ".zst")
+# readable but non-splittable (no internal index) — one partition per file.
+# The .lz4_*/.zstd_* extensions are the reference's "straight" block
+# codecs (Hadoop BlockCompressorStream M/R intermediate files,
+# Lz4Codec.java:163 / ZstdCodec.java) — also non-splittable.
+_HADOOP_EXTS = (
+    ".lz4_fast", ".lz4_mc", ".lz4_hc", ".lz4_uc",
+    ".zstd_fast", ".zstd_mc", ".zstd_hc", ".zstd_uc",
+)
+_EXTS = (".4mc", ".4mz", ".zst") + _HADOOP_EXTS
 
 
 def _list_files(path: str) -> list[str]:
@@ -239,6 +246,18 @@ class FourMcDataSourceReader(DataSourceReader):
                         FourMcInputPartition(path, "zst", 0, fsize, head=True)
                     )
                 continue
+            if path.endswith(_HADOOP_EXTS):
+                from fourmc_spark.format.hadoop_stream import hadoop_ext_info
+
+                fsize = os.path.getsize(path)
+                if fsize:
+                    hcodec = hadoop_ext_info(path)[0]
+                    parts.append(
+                        FourMcInputPartition(
+                            path, f"hadoop-{hcodec}", 0, fsize, head=True
+                        )
+                    )
+                continue
             codec, fsize, offsets = scan_file_info(path)
             if not offsets:
                 continue  # empty file
@@ -324,9 +343,12 @@ class FourMcDataSourceReader(DataSourceReader):
                     [v.as_py().decode("utf-8", "replace") for v in arr]
                 )
 
-        if partition.codec == "zst":
-            # non-splittable streaming codec: row iterator + batch buffer
-            from fourmc_spark.format.reader import iter_lines_zst
+        if partition.codec == "zst" or partition.codec.startswith("hadoop-"):
+            # non-splittable streaming codecs: row iterator + batch buffer
+            from fourmc_spark.format.reader import (
+                iter_lines_hadoop,
+                iter_lines_zst,
+            )
 
             batch_rows = 16384
             offsets: list[int] = []
@@ -344,7 +366,13 @@ class FourMcDataSourceReader(DataSourceReader):
 
             drop_first = self.skip_first and partition.head
             with open(partition.path, "rb") as f:
-                for owner, line in iter_lines_zst(f):
+                if partition.codec.startswith("hadoop-"):
+                    it = iter_lines_hadoop(
+                        f, partition.codec.split("-", 1)[1]
+                    )
+                else:
+                    it = iter_lines_zst(f)
+                for owner, line in it:
                     if drop_first:
                         drop_first = False
                         continue
@@ -558,12 +586,23 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> FourMcCommitMessage:
         import pyarrow as pa  # noqa: F811
 
-        from fourmc_spark.format.writer import FourMcWriter, ZstWriter, normalize_codec
+        from fourmc_spark.format.hadoop_stream import HADOOP_EXTS
+        from fourmc_spark.format.writer import (
+            FourMcWriter,
+            HadoopBlockWriter,
+            ZstWriter,
+            normalize_codec,
+        )
 
         # codec=zst -> standard zstd streaming format (reference C8): one
         # frame per task file, no block index — interop output, not the
-        # splittable scale path (that's 4mz)
-        if self.codec_raw.lower() == "zst":
+        # splittable scale path (that's 4mz). codec=lz4_fast/... (a
+        # straight-block-codec extension name) -> Hadoop
+        # BlockCompressorStream container for M/R interop.
+        hadoop_pair = HADOOP_EXTS.get(self.codec_raw.lower())
+        if hadoop_pair is not None:
+            codec, ext = "hadoop", f".{self.codec_raw.lower()}"
+        elif self.codec_raw.lower() == "zst":
             codec, ext = "zst", ".zst"
         else:
             codec = normalize_codec(self.codec_raw)
@@ -584,7 +623,11 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
                 self.path, fname
             )
             f = open(staged, "wb")
-            if codec == "zst":
+            if codec == "hadoop":
+                w = HadoopBlockWriter(
+                    f, codec=hadoop_pair[0], level=hadoop_pair[1],
+                )
+            elif codec == "zst":
                 w = ZstWriter(f, level=self.level)
             else:
                 w = FourMcWriter(
