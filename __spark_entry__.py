@@ -15,7 +15,9 @@ queries()    — every implemented operator from SURVEY.md §2: the Q1-Q44
                nearest-centroid assignment, text analysis incl. BM25 /
                TF-IDF / RRF retrieval, unigram+bigram LM fluency,
                token-budget and mixture sampling, multimodal
-               feature/resize/frame-sample, as-of join, range join,
+               feature/resize/frame-sample with REAL PPM/BMP decode
+               (pure-numpy codecs; the oracle recomputes every pixel),
+               as-of join, range join,
                PageRank, funnels, end-to-end curation pipeline), the
                UDTF / UDAF / grouped-map (applyInPandas) extension
                points, and the Structured Streaming surface (tumbling,
