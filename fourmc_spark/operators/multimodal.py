@@ -24,12 +24,16 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = [
     "attach_binary_payload",
+    "extract_audio_features",
     "extract_features",
     "extract_image_features",
     "resize_image_stats",
     "resize_images",
     "sample_frames",
+    "sample_video_frames",
+    "synthesize_audio",
     "synthesize_images",
+    "synthesize_video",
 ]
 
 
@@ -72,6 +76,132 @@ def synthesize_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(
         batches, schema=f"{id_col} long, payload binary, fmt string"
     )
+
+
+def synthesize_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL WAV payload per row (PCM int16; stereo for even
+    ids, mono for odd): ``n = 100 + id % 257`` frames at
+    ``rate = 8000 + 100 * (id % 9)``, with the closed-form sample lattice
+    ``s(i, c) = ((7i + 11c + id) % 2048) - 1024`` — every sample
+    statistic is SQL-recomputable. Output: (id, payload binary)."""
+    from fourmc_spark.operators import av
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                n, ch = 100 + d % 257, 1 + (d + 1) % 2
+                i = np.arange(n, dtype=np.int64)[:, None]
+                c = np.arange(ch, dtype=np.int64)[None, :]
+                s = ((7 * i + 11 * c + d) % 2048) - 1024
+                payloads.append(
+                    av.encode_wav(s.astype(np.int16), 8000 + 100 * (d % 9))
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        batches, schema=f"{id_col} long, payload binary"
+    )
+
+
+def extract_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL WAV decode: RIFF chunk walk + PCM parse per payload, then
+    integer-exact stats of the actual samples. Output:
+    (id, n_samples, channels, sample_rate, amp_sum) where amp_sum =
+    sum(|sample|) over all frames/channels."""
+    from fourmc_spark.operators import av
+
+    out_schema = (
+        f"{id_col} long, n_samples long, channels long, "
+        "sample_rate long, amp_sum long"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ns, chs, rates, amps = [], [], [], []
+            for payload in pdf["payload"]:
+                arr, rate = av.decode_wav(bytes(payload))
+                ns.append(arr.shape[0])
+                chs.append(arr.shape[1])
+                rates.append(rate)
+                amps.append(int(np.abs(arr.astype(np.int64)).sum()))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "channels": pd.Series(chs, dtype="int64"),
+                    "sample_rate": pd.Series(rates, dtype="int64"),
+                    "amp_sum": pd.Series(amps, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, schema=out_schema)
+
+
+def synthesize_video(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL Y4M stream per row: ``2 + id % 5`` frames of
+    ``w = 4 + 2*(id % 7)`` x ``h = 2 + 2*(id % 5)`` 4:2:0 video with the
+    luma lattice ``y(x, y, k) = (3x + 5y + 17k + id) % 256``.
+    Output: (id, payload binary)."""
+    from fourmc_spark.operators import av
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 4 + 2 * (d % 7), 2 + 2 * (d % 5)
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                frames = [
+                    ((3 * x + 5 * y + 17 * k + d) % 256).astype(np.uint8)
+                    for k in range(2 + d % 5)
+                ]
+                payloads.append(av.encode_y4m(frames))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        batches, schema=f"{id_col} long, payload binary"
+    )
+
+
+def sample_video_frames(df: DataFrame, stride: int = 2,
+                        id_col: str = "doc_id") -> DataFrame:
+    """REAL video frame sampling: demux the Y4M stream, keep every
+    ``stride``-th frame, emit integer-exact luma stats per kept frame —
+    the 1-row-in/N-rows-out fan-out shape of ffmpeg frame extraction,
+    with an actual demuxer. Output: (id, frame_idx, width, height,
+    luma_sum). Fan-out happens inside the executor batch — no shuffle."""
+    from fourmc_spark.operators import av
+
+    out_schema = (
+        f"{id_col} long, frame_idx long, width long, height long, luma_sum long"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, ws, hs, sums = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                for k, luma in av.iter_y4m_frames(bytes(payload)):
+                    if k % stride:
+                        continue
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    hs.append(luma.shape[0])
+                    ws.append(luma.shape[1])
+                    sums.append(int(luma.sum(dtype=np.int64)))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "luma_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, schema=out_schema)
 
 
 def extract_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

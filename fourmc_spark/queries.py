@@ -1645,6 +1645,60 @@ def multimodal_frames_q(spark, sf):
 
 
 @query(
+    "multimodal_audio_features",
+    """WITH dims AS (SELECT doc_id, 100 + doc_id % 257 AS n,
+                        1 + (doc_id + 1) % 2 AS ch,
+                        8000 + 100 * (doc_id % 9) AS rate FROM documents),
+s AS (SELECT d.doc_id, d.n, d.ch, d.rate,
+             abs((7*gi.i + 11*gc.c + d.doc_id) % 2048 - 1024) AS a
+      FROM dims d
+      JOIN range(357) gi(i) ON gi.i < d.n
+      JOIN range(2) gc(c) ON gc.c < d.ch)
+SELECT doc_id, CAST(min(n) AS BIGINT) AS n_samples,
+       CAST(min(ch) AS BIGINT) AS channels,
+       CAST(min(rate) AS BIGINT) AS sample_rate,
+       CAST(sum(a) AS BIGINT) AS amp_sum
+FROM s GROUP BY doc_id ORDER BY doc_id""",
+)
+def multimodal_audio_q(spark, sf):
+    # REAL WAV decode through the oracle gate: per-doc PCM payloads
+    # (int16, mono/stereo alternating) are actually encoded and then
+    # RIFF-chunk-walked back (operators/av.decode_wav); amp_sum over the
+    # parsed samples must match DuckDB recomputing the closed-form
+    # lattice — a PCM/byte-order/channel-interleave bug breaks the hash.
+    au = multimodal.synthesize_audio(_t(spark, sf, "documents"))
+    return multimodal.extract_audio_features(au).orderBy("doc_id")
+
+
+@query(
+    "multimodal_video_frames",
+    """WITH dims AS (SELECT doc_id, 4 + 2*(doc_id % 7) AS w,
+                        2 + 2*(doc_id % 5) AS h,
+                        2 + doc_id % 5 AS nf FROM documents),
+fr AS (SELECT d.doc_id, d.w, d.h, gk.k
+       FROM dims d JOIN range(7) gk(k) ON gk.k < d.nf AND gk.k % 2 = 0),
+px AS (SELECT f.doc_id, f.k, f.w, f.h,
+              (3*gx.x + 5*gy.y + 17*f.k + f.doc_id) % 256 AS v
+       FROM fr f
+       JOIN range(16) gx(x) ON gx.x < f.w
+       JOIN range(10) gy(y) ON gy.y < f.h)
+SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+       CAST(min(w) AS BIGINT) AS width, CAST(min(h) AS BIGINT) AS height,
+       CAST(sum(v) AS BIGINT) AS luma_sum
+FROM px GROUP BY doc_id, k ORDER BY doc_id, frame_idx""",
+)
+def multimodal_video_q(spark, sf):
+    # REAL video frame sampling: per-doc Y4M streams demuxed frame by
+    # frame (operators/av.iter_y4m_frames), every 2nd frame kept — the
+    # ffmpeg fan-out shape with an actual demuxer; luma sums of the
+    # parsed planes oracle-checked per (doc, frame).
+    vid = multimodal.synthesize_video(_t(spark, sf, "documents"))
+    return multimodal.sample_video_frames(vid, stride=2).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+@query(
     "asof_join_events",
     """WITH clicks AS (SELECT event_id, user_id, ts FROM {EV} e WHERE event_type = 'click'),
 errors AS (SELECT user_id, ts, max(event_id) AS err_id
