@@ -138,11 +138,91 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def _round_half_up4(x: float) -> float:
+    """Spark/DuckDB-compatible round(double, 4): HALF_UP on the shortest
+    decimal rendering of the double (Java BigDecimal.valueOf semantics —
+    Python's bare round() is banker's and flips exact .xxxx5 ties like
+    1 - 1/32 = 0.03125 the other way)."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(float(x))).quantize(
+            decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", arrow: bool = True) -> DataFrame:
     """Gopher-style repetition features: fraction of duplicate tokens /
     bigrams / trigrams, plus the most-frequent-token share. Map-only (no
     shuffle); per-doc arrays are small so the O(distinct*n) top-token scan
-    stays cheap and fully deterministic."""
+    stays cheap and fully deterministic.
+
+    ``arrow=True`` (default) computes the stats in a ``mapInPandas``
+    batch — hash-set distinct counts are C-speed dict/set ops and every
+    statistic is integer-derived (no float-order hazards), measured ~4x
+    the interpreted higher-order-function plan. ``arrow=False`` keeps the
+    pure-JVM expression twin (useful where Python workers are scarce);
+    both produce identical rows."""
+    if arrow:
+        return _repetition_stats_arrow(df, text_col, id_col)
+    return _repetition_stats_sql(df, text_col, id_col)
+
+
+def _repetition_stats_arrow(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    from collections import Counter
+    from typing import Iterator
+
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, n_tokens long, dup_token_frac double, "
+        "dup_bigram_frac double, dup_trigram_frac double, "
+        "top_token_count long, top_token_frac double"
+    )
+
+    def _dup(n_items: int, n_distinct: int) -> float:
+        if n_items <= 0:
+            return 0.0
+        return _round_half_up4(1.0 - n_distinct / n_items)
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in it:
+            n_tok, d_tok, d_bi, d_tri, tops, topf = [], [], [], [], [], []
+            for text in pdf[text_col]:
+                # split(' ') keeps empty tokens exactly like Spark's
+                # split(col, ' ') with its default -1 limit
+                toks = ("" if text is None else text).split(" ")
+                n = len(toks)
+                counts = Counter(toks)
+                top = max(counts.values())
+                nb = max(n - 1, 0)
+                nt = max(n - 2, 0)
+                bi = len(set(zip(toks, toks[1:]))) if nb else 0
+                tri = len(set(zip(toks, toks[1:], toks[2:]))) if nt else 0
+                n_tok.append(n)
+                d_tok.append(_dup(n, len(counts)))
+                d_bi.append(_dup(nb, bi))
+                d_tri.append(_dup(nt, tri))
+                tops.append(top)
+                topf.append(_round_half_up4(top / n) if n else 0.0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_tokens": pd.Series(n_tok, dtype="int64"),
+                    "dup_token_frac": d_tok,
+                    "dup_bigram_frac": d_bi,
+                    "dup_trigram_frac": d_tri,
+                    "top_token_count": pd.Series(tops, dtype="int64"),
+                    "top_token_frac": topf,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)
+
+
+def _repetition_stats_sql(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     # Bind every derived array to a lambda variable via one-element
     # transform(array(x), v -> ...): whole-stage codegen's subexpression
@@ -213,19 +293,83 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def char_entropy(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    arrow: bool = True
 ) -> DataFrame:
     """Shannon character entropy per document (bits/char) — the classic
     cheap gibberish/boilerplate signal (random bytes score high, repeated
     boilerplate scores low; fluent prose sits in a narrow band).
 
-    Map-only, no shuffle, no Python: chars via one regex pass, counts via
-    higher-order array functions, and the entropy sum folds over the
-    *sorted* distinct-char list so both engines add terms in the same
-    order (summation-order float drift can't flip the rounding).
-    O(distinct_chars x n) per doc like ``repetition_stats``' top-token
-    scan — bounded by alphabet size, not corpus size.
+    Map-only, no shuffle. ``arrow=True`` (default): ``mapInPandas`` with
+    a numpy ``bincount`` fast path for ASCII text (byte counts ARE
+    sorted-char counts) and the entropy fold running sequentially over
+    ascending char codes — the same left-to-right summation order as the
+    SQL twin and the DuckDB oracle, so float drift can't flip the
+    rounding. ``arrow=False``: the pure-JVM higher-order-expression twin.
+    Both are O(distinct_chars x n) per doc, bounded by alphabet size.
     """
+    if arrow:
+        return _char_entropy_arrow(df, text_col, id_col)
+    return _char_entropy_sql(df, text_col, id_col)
+
+
+def _char_entropy_arrow(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    import math
+    from collections import Counter
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, n_chars long, n_distinct_chars long, "
+        "entropy_bits double"
+    )
+
+    def _entropy(counts, n: int) -> float:
+        # sequential fold in ascending char order (matches the SQL
+        # aggregate over array_sort(array_distinct(chars)))
+        acc = 0.0
+        for k in counts:
+            p = k / n
+            acc -= p * math.log2(p)
+        return _round_half_up4(acc)
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in it:
+            ns, ds, ents = [], [], []
+            for text in pdf[text_col]:
+                s = "" if text is None else text
+                n = len(s)
+                if n == 0:
+                    ns.append(0)
+                    ds.append(0)
+                    ents.append(0.0)
+                    continue
+                if s.isascii():
+                    c = np.bincount(
+                        np.frombuffer(s.encode("ascii"), dtype=np.uint8)
+                    )
+                    nz = c[c > 0]  # ascending byte value == sorted chars
+                else:
+                    cnt = Counter(s)
+                    nz = [cnt[ch] for ch in sorted(cnt)]
+                ns.append(n)
+                ds.append(len(nz))
+                ents.append(_entropy(nz, n))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_chars": pd.Series(ns, dtype="int64"),
+                    "n_distinct_chars": pd.Series(ds, dtype="int64"),
+                    "entropy_bits": ents,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)
+
+
+def _char_entropy_sql(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     # Everything binds through lambda variables inside one inline() (see
     # PLANS.md §3c): project-collapse would otherwise re-inline the
     # regexp_extract_all per reference — the fold's per-char count then
