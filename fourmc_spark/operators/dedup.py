@@ -104,23 +104,85 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def _token_hash_py(cache: dict, s: str) -> int:
+    """Python twin of functions.token_hash_spark — md5-hex-prefix mod P,
+    verified value-equal (same utf-8 bytes, same lowercase hex). Cached:
+    corpus vocabulary repeats heavily, so unique md5s are computed once
+    per Arrow batch, dict hits serve the rest."""
+    import hashlib
+
+    v = cache.get(s)
+    if v is None:
+        v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) % HASH_PRIME
+        cache[s] = v
+    return v
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = MINHASH_K,
                        shingles: DataFrame | None = None) -> DataFrame:
     """k-permutation MinHash signature, one column per hash (mh00..).
 
-    Single wide aggregation: explode shingles once, k min() aggregates in
-    one pass — one shuffle keyed by id regardless of k. Pass a prebuilt
-    (persisted) *shingles* frame to share the explosion across plan
-    branches.
+    Default path is MAP-ONLY ``mapInPandas``: each doc's distinct
+    shingle set, its hashes, and the k minima are computed locally in
+    one Arrow batch — the corpus is never exploded or shuffled at all
+    (signatures are ~100 bytes/doc; the explode+groupBy twin shuffled
+    every (id, shingle) pair). Docs with fewer than n tokens produce no
+    row, matching the aggregate-over-empty-set semantics.
+
+    Pass a prebuilt (persisted) *shingles* frame to share an explosion
+    that other plan branches need anyway (the LSH confirm join) — that
+    selects the single-wide-aggregation SQL twin: k min() aggregates in
+    one pass, one shuffle keyed by id regardless of k.
     """
-    sh = shingles if shingles is not None else shingle_sets(df, text_col, id_col)
-    h = token_hash_spark("shingle")
-    aggs = [
-        F.min(F.expr(f"({a} * {h} + {b}) % {HASH_PRIME}")).alias(f"mh{i:02d}")
-        for i, (a, b) in enumerate(minhash_params(k))
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    if shingles is not None:
+        h = token_hash_spark("shingle")
+        aggs = [
+            F.min(F.expr(f"({a} * {h} + {b}) % {HASH_PRIME}")).alias(f"mh{i:02d}")
+            for i, (a, b) in enumerate(minhash_params(k))
+        ]
+        return shingles.groupBy(id_col).agg(*aggs)
+
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    params = minhash_params(k)
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+    names = [f"mh{i:02d}" for i in range(k)]
+    out_schema = f"{id_col} long, " + ", ".join(f"{n} long" for n in names)
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        cache: dict = {}
+        for pdf in it:
+            ids, sigs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = ("" if text is None else text).split(" ")
+                if len(toks) < 3:
+                    continue  # no shingles -> no signature row
+                sh = {
+                    " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                }
+                hs = np.fromiter(
+                    (_token_hash_py(cache, s) for s in sh),
+                    dtype=np.int64, count=len(sh),
+                )
+                # a*h < 2^62: fits int64 exactly
+                sigs.append(((A * hs[None, :] + B) % HASH_PRIME).min(axis=1))
+                ids.append(did)
+            out = {id_col: pd.Series(ids, dtype="int64")}
+            mat = (
+                np.stack(sigs) if sigs else np.empty((0, k), dtype=np.int64)
+            )
+            for i, n in enumerate(names):
+                out[n] = pd.Series(mat[:, i], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return _fanout_rebalance(df, id_col).select(id_col, text_col).mapInPandas(
+        batches, schema=out_schema
+    )
 
 
 def jaccard_pairs(df: DataFrame, threshold: float, text_col: str = "text",
@@ -214,10 +276,52 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8,
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", bits: int = SIMHASH_BITS) -> DataFrame:
+                       id_col: str = "doc_id", bits: int = SIMHASH_BITS,
+                       arrow: bool = True) -> DataFrame:
     """SimHash over distinct tokens: bit b of the signature is the majority
-    of bit b across token hashes. Computed as `bits` conditional aggregates
-    in ONE groupBy — no per-bit row explosion, so it scales linearly."""
+    of bit b across token hashes.
+
+    ``arrow=True`` (default): MAP-ONLY ``mapInPandas`` — each doc's
+    distinct-token hash set and the 48 bit-majority votes happen locally
+    in one numpy matrix op per doc; nothing is exploded or shuffled
+    (the groupBy twin shuffled every (id, token) pair). ``arrow=False``:
+    the `bits` conditional aggregates in ONE groupBy (still no per-bit
+    row explosion). Identical signatures either way."""
+    if arrow:
+        from typing import Iterator
+
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(bits, dtype=np.int64)
+        weights = (np.int64(1) << shifts)
+
+        def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+            cache: dict = {}
+            for pdf in it:
+                ids, sigs = [], []
+                for did, text in zip(pdf[id_col], pdf[text_col]):
+                    toks = set(("" if text is None else text).split(" "))
+                    hs = np.fromiter(
+                        (_token_hash_py(cache, t) for t in toks),
+                        dtype=np.int64, count=len(toks),
+                    )
+                    n = len(hs)
+                    # bit-majority: count of set bits per position
+                    counts = ((hs[:, None] >> shifts[None, :]) & 1).sum(axis=0)
+                    sigs.append(int(weights[2 * counts > n].sum()))
+                    ids.append(did)
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series(ids, dtype="int64"),
+                        "simhash": pd.Series(sigs, dtype="int64"),
+                    }
+                )
+
+        return _fanout_rebalance(df, id_col).select(
+            id_col, text_col
+        ).mapInPandas(batches, schema=f"{id_col} long, simhash long")
+
     toks = tokens_spark(text_col)
     th = token_hash_spark("tok")
     exploded = (
