@@ -35,6 +35,8 @@ __all__ = [
     "inverted_index",
     "unigram_logprob",
     "bigram_logprob",
+    "hashed_classifier_score",
+    "c4_line_clean",
 ]
 
 # tiny per-language stopword vocabularies (public common words)
@@ -722,3 +724,79 @@ def bigram_logprob(
             F.count("*").cast("long").alias("n_bigrams"),
         )
     )
+
+
+def hashed_classifier_score(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            threshold: float = 0.5) -> DataFrame:
+    """Feature-hashed linear quality classifier — the fasttext-shaped
+    model-based filtering stage of an LLM data pipeline (score each doc
+    with a bag-of-words linear model, keep above a threshold).
+
+    Weights come straight from the feature hash (``w(t) = h(t) % 1000 -
+    500``, i.e. feature hashing with a derived weight table) so the model
+    is deterministic and oracle-checkable; swapping in trained weights
+    means replacing one expression with a broadcast-map lookup — the plan
+    shape (map-only fold over the token array, no shuffle, no Python)
+    is exactly what a production classifier uses at 100 TB. The logit
+    accumulates in INTEGER milli-units, so summation order cannot
+    perturb the float sigmoid input. Output:
+    (id, n_tokens, logit_milli, score, keep).
+    """
+    h = token_hash_spark("t")
+    logit = (
+        f"aggregate({tokens_spark(text_col)}, CAST(0 AS BIGINT), "
+        f"(acc, t) -> acc + ({h} % 1000 - 500))"
+    )
+    packed = (
+        f"inline(transform(array({logit}), lm -> struct("
+        f"size({tokens_spark(text_col)}) AS n_tokens, "
+        f"lm AS logit_milli, "
+        f"round(1.0D / (1.0D + exp(-(lm / 1000.0D))), 6) AS score)))"
+    )
+    return df.select(F.col(id_col), F.expr(packed)).select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("logit_milli").cast("long").alias("logit_milli"),
+        "score",
+        (F.col("score") >= threshold).alias("keep"),
+    )
+
+
+def c4_line_clean(df: DataFrame, min_words: int = 5,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2 rules, the
+    public heuristics): keep only lines with >= ``min_words`` words that
+    end in terminal punctuation; drop the whole document if it mentions
+    "lorem ipsum" or contains a curly brace (code leakage). Documents in
+    the corpus are single-line, so the per-line rule set is exercised by
+    splitting on sentence boundaries is NOT attempted — the line unit is
+    the newline, exactly as in C4.
+
+    Map-only JVM expressions: one split, one filter fold, one re-join —
+    no shuffle, no Python. Output keeps (id, kept_lines, n_lines_kept,
+    n_lines_total, clean_text) for kept docs only.
+    """
+    lines = f"split({text_col}, '\\n')"
+    kept = (
+        f"filter({lines}, l -> size(split(trim(l), ' ')) >= {min_words} "
+        f"AND trim(l) rlike '[.!?\"]$')"
+    )
+    out = (
+        df.where(~F.lower(F.col(text_col)).contains("lorem ipsum"))
+        .where(~F.col(text_col).contains("{"))
+        .select(
+            F.col(id_col),
+            F.expr(f"size({lines})").cast("long").alias("n_lines_total"),
+            F.expr(kept).alias("_kept"),
+        )
+        .withColumn("n_lines_kept", F.size("_kept").cast("long"))
+        .where(F.col("n_lines_kept") > 0)
+        .select(
+            id_col,
+            "n_lines_total",
+            "n_lines_kept",
+            F.array_join("_kept", "\n").alias("clean_text"),
+        )
+    )
+    return out

@@ -1507,6 +1507,59 @@ def curation_contamination_q(spark, sf):
 
 
 @query(
+    "text_quality_classifier",
+    """WITH s AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+              t -> (CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)
+                    % 2147483647) % 1000 - 500)) AS BIGINT) AS logit_milli
+  FROM documents)
+SELECT doc_id, n_tokens, logit_milli,
+       round(1.0 / (1.0 + exp(-(logit_milli / 1000.0))), 6) AS score,
+       round(1.0 / (1.0 + exp(-(logit_milli / 1000.0))), 6) >= 0.5 AS keep
+FROM s ORDER BY doc_id""",
+)
+def text_quality_classifier_q(spark, sf):
+    # model-based quality filtering (fasttext-shaped): feature-hashed
+    # bag-of-words linear model, integer logit accumulation (summation
+    # order cannot move the sigmoid input), map-only fold — the exact
+    # plan shape a trained classifier uses at 100 TB (weights would come
+    # from a broadcast lookup instead of the hash itself).
+    return text.hashed_classifier_score(
+        _t(spark, sf, "documents")
+    ).orderBy("doc_id")
+
+
+@query(
+    "curation_c4_clean",
+    """WITH ml AS (
+  SELECT doc_id, replace(text, '. ', '.' || chr(10)) AS text FROM documents),
+f AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines_total,
+         list_filter(string_split(text, chr(10)),
+                     l -> len(string_split(trim(l), ' ')) >= 5
+                          AND regexp_matches(trim(l), '[.!?"]$')) AS kept
+  FROM ml
+  WHERE NOT contains(lower(text), 'lorem ipsum')
+    AND NOT contains(text, '{'))
+SELECT doc_id, n_lines_total, CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       array_to_string(kept, chr(10)) AS clean_text
+FROM f WHERE len(kept) > 0 ORDER BY doc_id""",
+)
+def curation_c4_clean_q(spark, sf):
+    # C4-style line-level cleaning over a multi-line view of the corpus
+    # (sentence breaks become newlines so the per-line rules actually
+    # discriminate): short lines and lines without terminal punctuation
+    # drop, lorem-ipsum/brace docs drop whole.
+    d = _t(spark, sf, "documents").withColumn(
+        "text", F.expr("replace(text, '. ', concat('.', char(10)))")
+    )
+    return text.c4_line_clean(d).orderBy("doc_id")
+
+
+@query(
     "curation_source_stats",
     """SELECT source, CAST(count(*) AS BIGINT) AS docs,
        CAST(sum(length(text)) AS BIGINT) AS total_chars,
