@@ -82,6 +82,11 @@ BENCH_QUERIES = [
     "q44_variant",
     "stats_profile_table",
     "curation_fixed_k_sample",
+    # real multimodal decode throughput (synthesize + parse 5000
+    # PPM/BMP/WAV/Y4M payloads through mapInPandas)
+    "multimodal_features",
+    "multimodal_audio_features",
+    "multimodal_video_frames",
 ]
 
 
@@ -102,6 +107,12 @@ def bench_queries(spark) -> dict[str, float]:
             _force(fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
         out[name] = round(best, 3)
+        # Several operators persist() intermediate frames (e.g. the LSH
+        # shared shingle index) that the query surface cannot unpersist;
+        # 47 queries x 3 runs of leaked cache blocks degraded late
+        # queries multi-x in round 1's single long session. Reset
+        # between queries so each is measured against a clean executor.
+        spark.catalog.clearCache()
     return out
 
 
