@@ -24,7 +24,7 @@ LLM-pipeline extensions mandated by BASELINE.json, designed Spark-first.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from fourmc_spark.functions import (
     HASH_PRIME,
@@ -39,6 +39,7 @@ __all__ = [
     "shingle_sets",
     "minhash_signatures",
     "jaccard_pairs",
+    "cap_hot_buckets",
     "minhash_lsh_pairs",
     "simhash_signatures",
     "simhash_pairs",
@@ -249,9 +250,30 @@ def _band_buckets(sig: DataFrame, id_col: str, k: int,
     ).select(id_col, "bb.band", "bb.bucket")
 
 
+def cap_hot_buckets(buckets: DataFrame, max_bucket: int,
+                    key_cols: list[str] = ("band", "bucket")) -> DataFrame:
+    """Drop LSH buckets larger than *max_bucket* rows before a bucket
+    self-join. A degenerate bucket (boilerplate, empty docs, template
+    spam — all sharing one signature slice) turns the candidate join
+    quadratic: one 100k-row bucket alone is 5e9 candidate pairs. Those
+    cohorts are near-exact duplicates that exact/content-hash dedup
+    already catches at O(n); capping them here bounds every bucket's
+    join fan-out at max_bucket^2 while the windowed-count shuffle only
+    carries (key, id) rows. Opt-in — with no cap the pair surface stays
+    exhaustively oracle-checkable."""
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys)
+    return (
+        buckets.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .where(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8,
                       text_col: str = "text", id_col: str = "doc_id",
-                      k: int = MINHASH_K, rows_per_band: int = 2) -> DataFrame:
+                      k: int = MINHASH_K, rows_per_band: int = 2,
+                      max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs: LSH banding for candidates + exact-Jaccard confirm.
 
     The scale path: candidate generation touches only (band, bucket) keys;
@@ -263,6 +285,8 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8,
     sh = shingle_sets(df, text_col, id_col).persist()
     sig = minhash_signatures(df, text_col, id_col, k, shingles=sh)
     buckets = _band_buckets(sig, id_col, k, rows_per_band)
+    if max_bucket is not None:
+        buckets = cap_hot_buckets(buckets, max_bucket)
     left = buckets.withColumnRenamed(id_col, "a_id")
     right = buckets.withColumnRenamed(id_col, "b_id")
     candidates = (

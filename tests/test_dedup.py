@@ -144,3 +144,40 @@ def test_global_chunk_dedup_semantics(spark):
     assert got[1] == (2, 2, "a b c d")          # first occurrences win
     assert got[2] == (2, 1, "x y")              # "a b" removed (doc 1 owns it)
     assert got[3] == (2, 1, "p q")              # intra-doc repeat removed
+
+
+def test_cap_hot_buckets_bounds_candidates(spark):
+    # a template-spam cohort: 40 near-identical docs share every band
+    # bucket; with the cap they drop out of candidate generation, the
+    # organic pairs survive
+    from fourmc_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    spam = [(i, "buy cheap widgets now best price guaranteed today") for i in range(40)]
+    organic = [
+        (100, "the quick brown fox jumps over the lazy dog near the river"),
+        (101, "the quick brown fox jumps over the lazy dog near the bank"),
+        (200, "completely unrelated text about astronomy and distant galaxies"),
+    ]
+    df = spark.createDataFrame(spam + organic, ["doc_id", "text"])
+
+    uncapped = dedup.minhash_lsh_pairs(df, threshold=0.5).count()
+    capped_pairs = dedup.minhash_lsh_pairs(df, threshold=0.5, max_bucket=10)
+    rows = capped_pairs.collect()
+    # spam cohort: 40*39/2 = 780 pairs uncapped; capped drops them all
+    assert uncapped >= 780
+    got = {(r["a_id"], r["b_id"]) for r in rows}
+    assert (100, 101) in got  # organic near-dup survives the cap
+    assert all(a >= 100 for a, _ in got)  # no spam-cohort pairs remain
+
+
+def test_cap_hot_buckets_noop_below_cap(spark):
+    from fourmc_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, f"unique document number {i} with its own words {i*7}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    a = dedup.minhash_lsh_pairs(df, threshold=0.5).collect()
+    b = dedup.minhash_lsh_pairs(df, threshold=0.5, max_bucket=1000).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
