@@ -590,11 +590,22 @@ else:  # pragma: no cover - pyarrow fallback
         return _pa4.Codec("lz4_raw").compress(data).to_pybytes()
 
     def lz4_decompress_raw(data: bytes, max_size: int) -> bytes:
-        # pyarrow needs the exact size; Hadoop blocks our writer (and the
-        # reference's) produce are single-chunk, so max_size is exact
+        # pyarrow needs the exact decompressed size; Hadoop blocks our
+        # writer (and the reference's 4 MiB-buffer compressors) produce
+        # are single-chunk, so max_size is exact for them. Multi-chunk
+        # blocks (one write larger than the buffer) decode to LESS than
+        # the remaining-block bound — surface a clear error instead of
+        # pyarrow's, since only native liblz4 can size those chunks.
         import pyarrow as _pa4
 
-        return _pa4.Codec("lz4_raw").decompress(data, max_size).to_pybytes()
+        try:
+            return _pa4.Codec("lz4_raw").decompress(data, max_size).to_pybytes()
+        except Exception as e:
+            raise ValueError(
+                "LZ4 chunk did not decode to the expected size; multi-chunk "
+                "Hadoop blocks need native liblz4 (pyarrow fallback cannot "
+                f"decode chunks of unknown size): {e}"
+            ) from e
 
 
 if _zstd is not None:

@@ -117,13 +117,24 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 # ------------------------------------------------------------------ Y4M
 
 _Y4M_MAGIC = b"YUV4MPEG2"
-# chroma tag -> bytes per frame as a fraction of w*h (luma + 2 chroma)
-_CHROMA_SIZE = {
-    "420": 3 / 2, "420jpeg": 3 / 2, "420mpeg2": 3 / 2, "420paldv": 3 / 2,
-    "422": 2.0,
-    "444": 3.0,
-    "mono": 1.0,
-}
+
+
+def _frame_bytes(w: int, h: int, chroma: str) -> int:
+    """Exact per-frame byte count: luma + 2 chroma planes whose
+    dimensions are CEIL-halved per the subsampling (a 5x4 4:2:0 frame
+    carries 3x2 chroma planes — int(w*h*1.5) would come up short on any
+    odd dimension and misalign every following FRAME marker)."""
+    luma = w * h
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    if chroma in ("420", "420jpeg", "420mpeg2", "420paldv"):
+        return luma + 2 * cw * ch
+    if chroma == "422":
+        return luma + 2 * cw * h
+    if chroma == "444":
+        return 3 * luma
+    if chroma == "mono":
+        return luma
+    raise UnsupportedMediaError(f"unsupported Y4M chroma {chroma!r}")
 
 
 def parse_y4m_header(data: bytes) -> tuple[int, int, str, int]:
@@ -145,8 +156,7 @@ def parse_y4m_header(data: bytes) -> tuple[int, int, str, int]:
             chroma = t[1:]
     if w <= 0 or h <= 0:
         raise UnsupportedMediaError(f"bad Y4M dimensions {w}x{h}")
-    if chroma not in _CHROMA_SIZE:
-        raise UnsupportedMediaError(f"unsupported Y4M chroma {chroma!r}")
+    _frame_bytes(w, h, chroma)  # validates the chroma tag
     return w, h, chroma, nl + 1
 
 
@@ -155,7 +165,7 @@ def iter_y4m_frames(data: bytes):
     planes are skipped over but size-validated. Stops at end of stream;
     raises on truncation mid-frame."""
     w, h, chroma, pos = parse_y4m_header(data)
-    frame_bytes = int(w * h * _CHROMA_SIZE[chroma])
+    frame_bytes = _frame_bytes(w, h, chroma)
     luma_bytes = w * h
     idx = 0
     n = len(data)

@@ -70,19 +70,30 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _fanout_rebalance(df: DataFrame, id_col: str) -> DataFrame:
-    """Rebalance BEFORE a high-fanout explode when the input is coarser
-    than the cluster: exploding multiplies rows ~100-200×, and Spark can
-    never split one input partition's explosion across tasks — a 1-file
-    table would shingle on one core. The repartition moves only the small
-    pre-explosion rows; with well-partitioned input (the 100 TB case,
-    thousands of scan partitions) AQE coalesces it right back.
+    """Rebalance BEFORE a high-fanout explode (or a per-doc Python
+    stage): exploding multiplies rows ~100-200×, and Spark can never
+    split one input partition's explosion across tasks — a 1-file table
+    would shingle on one core.
 
-    Unconditional: the previous ``df.rdd.getNumPartitions()`` probe
-    forced plan analysis to the RDD boundary on the driver per
-    invocation (and hid the exchange from AQE). A hash repartition on
-    the id is one small-row shuffle that AQE sizes at runtime — cheaper
-    than a driver-side plan materialization on every shingle path."""
+    Conditional on a CHEAP partition-count proxy: ``df.inputFiles()``
+    (file listing only — no ``df.rdd`` plan materialization on the
+    driver, the round-1 defect). With at least one file per core the
+    scan is already splittable to cluster width, so the shuffle is
+    skipped — the 100 TB case pays nothing. Coarse inputs (single file,
+    in-memory test frames) hash-repartition to a PINNED
+    defaultParallelism: pinning is deliberate — an AQE-coalescible
+    exchange (REBALANCE hint / countless repartition) sizes partitions
+    by their PRE-explosion bytes and folds the corpus back to ~one
+    partition, exactly the starvation this guard exists to prevent
+    (measured 7.5s vs 2s on the jaccard query). Post-explode shuffles
+    use spark.sql.shuffle.partitions, so the pin caps nothing
+    downstream."""
     par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if len(df.inputFiles()) >= par:
+            return df
+    except Exception:
+        pass
     return df.repartition(par, F.col(id_col))
 
 
@@ -325,7 +336,9 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
             for pdf in it:
                 ids, sigs = [], []
                 for did, text in zip(pdf[id_col], pdf[text_col]):
-                    toks = set(("" if text is None else text).split(" "))
+                    if text is None:
+                        continue  # SQL twin: explode(split(NULL)) -> no row
+                    toks = set(text.split(" "))
                     hs = np.fromiter(
                         (_token_hash_py(cache, t) for t in toks),
                         dtype=np.int64, count=len(toks),

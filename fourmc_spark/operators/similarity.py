@@ -106,7 +106,17 @@ def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     import itertools
     import random
 
-    dim = len(embeddings.select(vec_col).first()[0])
+    probe = (
+        embeddings.select(vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .first()
+    )
+    if probe is None:
+        raise ValueError(
+            "lsh_ann_topk: no non-null embeddings to derive the vector "
+            "dimensionality from"
+        )
+    dim = len(probe[0])
     rng = random.Random(seed)
     planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
 

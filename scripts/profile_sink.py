@@ -53,7 +53,6 @@ def main():
 
         for mpb, label in ((4 << 20, "4MiB"), (32 << 20, "32MiB")):
             df = spark.read.format("fourmc").option("maxpartitionbytes", mpb).load(d)
-            nparts = len(df.select("value")._jdf.rdd().partitions()) if False else "?"
             out = os.path.join(tmp, f"out-fourmc-{label}")
             sink(df.select("value"), "warm", out)
             t0 = time.perf_counter()

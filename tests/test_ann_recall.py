@@ -110,3 +110,29 @@ def test_ivf_kmeans_recall_at_least_stride(spark, sf_dir, topk_sets):
     assert r_trained >= r_stride - 0.04, (
         f"k-means IVF recall {r_trained:.3f} fell below stride IVF {r_stride:.3f}"
     )
+
+
+def test_lsh_ann_null_first_embedding(spark):
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from fourmc_spark.operators import similarity
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    rows = [(0, None)] + [
+        (i, [float(i), 1.0, float(i % 3)]) for i in range(1, 30)
+    ]
+    emb = spark.createDataFrame(rows, schema)
+    q = emb.where("vec_id = 5")
+    out = similarity.lsh_ann_topk(emb, q, k=3).collect()
+    assert len(out) == 3  # NULL row neither crashes dim probing nor buckets
+
+    import pytest
+
+    empty = spark.createDataFrame([], schema)
+    with pytest.raises(ValueError, match="no non-null embeddings"):
+        similarity.lsh_ann_topk(empty, empty, k=3)

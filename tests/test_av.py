@@ -131,3 +131,29 @@ def test_video_pipeline_matches_lattice(spark):
             r = got[(d, k)]
             assert (r["width"], r["height"]) == (w, h)
             assert r["luma_sum"] == int(luma.sum())
+
+
+def test_y4m_odd_dimensions_parse():
+    # 5x4 C420jpeg: chroma planes are ceil(5/2) x ceil(4/2) = 3x2 (the
+    # int(w*h*1.5) shortcut under-reads 2 bytes/frame and derails the
+    # next FRAME marker)
+    w, h = 5, 4
+    luma0 = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    luma1 = (luma0 + 7).astype(np.uint8)
+    chroma = bytes([128]) * (3 * 2)
+    stream = b"YUV4MPEG2 W5 H4 F25:1 C420jpeg\n"
+    for fr in (luma0, luma1):
+        stream += b"FRAME\n" + fr.tobytes() + chroma + chroma
+    got = list(av.iter_y4m_frames(stream))
+    assert len(got) == 2
+    assert np.array_equal(got[0][1], luma0)
+    assert np.array_equal(got[1][1], luma1)
+
+
+def test_y4m_odd_width_422():
+    w, h = 3, 2
+    luma = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    chroma = bytes([90]) * (2 * h)  # ceil(3/2)=2 per row
+    stream = b"YUV4MPEG2 W3 H2 C422\n" + b"FRAME\n" + luma.tobytes() + chroma + chroma
+    (idx, got), = av.iter_y4m_frames(stream)
+    assert idx == 0 and np.array_equal(got, luma)

@@ -181,3 +181,20 @@ def test_cap_hot_buckets_noop_below_cap(spark):
     a = dedup.minhash_lsh_pairs(df, threshold=0.5).collect()
     b = dedup.minhash_lsh_pairs(df, threshold=0.5, max_bucket=1000).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_simhash_null_text_dropped_both_paths(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from fourmc_spark.operators import dedup
+
+    schema = StructType([
+        StructField("doc_id", LongType()), StructField("text", StringType()),
+    ])
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, None), (4, "alpha beta delta")],
+        schema,
+    )
+    for arrow in (True, False):
+        rows = dedup.simhash_signatures(df, arrow=arrow).collect()
+        assert sorted(r["doc_id"] for r in rows) == [1, 4], f"arrow={arrow}"
