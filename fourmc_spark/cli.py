@@ -41,10 +41,12 @@ def _usage(prog: str = "fourmc") -> str:
         f"usage: {prog} [-z] [-1|-2|-3|-4] [-d|-t] [-f] [-p[N]] input [output]\n"
         "  -z  zstd (.4mz) format (default: lz4 .4mc)\n"
         "  -1..-4  compression level fast/medium/high/ultra (default -1)\n"
-        "  -d  decompress\n"
+        "  -d  decompress (default for .4mc/.4mz inputs)\n"
         "  -t  test compressed file integrity (decompress to null)\n"
         "  -f  overwrite output if it exists\n"
         "  -p[N]  parallel: decode/encode blocks on N threads (default all cores)\n"
+        "  -V  print version and exit; -v/-q verbose/quiet (accepted for parity)\n"
+        "  -h  this help\n"
         "  input/output: file paths, or '-' for stdin/stdout\n"
     )
 
@@ -153,8 +155,9 @@ def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     codec = "lz4"
     level = "fast"
-    mode = "compress"
+    mode: str | None = None  # None = infer from the input extension
     force = False
+    verbose = False
     threads: int | None = None
     paths: list[str] = []
     levels = {"-1": "fast", "-2": "medium", "-3": "high", "-4": "ultra"}
@@ -162,6 +165,15 @@ def main(argv: list[str] | None = None) -> int:
         if a in ("-h", "--help"):
             sys.stderr.write(_usage())
             return 0
+        elif a in ("-V", "--version"):
+            from fourmc_spark import __version__
+
+            sys.stderr.write(f"fourmc-spark {__version__}\n")
+            return 0
+        elif a == "-v":
+            verbose = True
+        elif a == "-q":
+            verbose = False
         elif a == "-z":
             codec = "zstd"
         elif a in levels:
@@ -184,6 +196,13 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     inp = paths[0]
     outp = paths[1] if len(paths) == 2 else None
+    if mode is None:
+        # reference default: "-d : decompression (default for .4mc and
+        # .4mz exts)" (native/4mccli.c:145) — infer from the input name
+        mode = (
+            "decompress" if inp.endswith((".4mc", ".4mz")) else "compress"
+        )
+    del verbose  # parity flag: output is already one summary line
 
     try:
         src, seekable = _open_in(inp)

@@ -126,3 +126,25 @@ def test_usage_errors(tmp_path):
     assert run_cli() == 2
     assert run_cli("-x", "whatever") == 2
     assert run_cli(str(tmp_path / "missing.bin")) == 1
+
+
+def test_cli_version_flag():
+    from fourmc_spark.cli import main
+
+    assert main(["-V"]) == 0
+
+
+def test_cli_extension_infers_decompress(tmp_path):
+    from fourmc_spark.cli import main
+    from fourmc_spark.format import write_file
+
+    data = b"one\ntwo\nthree\n" * 100
+    p = str(tmp_path / "x.4mc")
+    write_file(p, data, codec="lz4")
+    out = str(tmp_path / "x")
+    # no -d: the .4mc extension selects decompression (reference
+    # 4mccli.c:145 default)
+    assert main([p, out]) == 0
+    assert open(out, "rb").read() == data
+    # explicit output avoids prompting; verbose/quiet accepted
+    assert main(["-v", "-q", "-f", p, out]) == 0
