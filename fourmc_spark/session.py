@@ -30,6 +30,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle))
+        # runtime row-level filtering: build a bloom filter from the
+        # small join side and push it into the fact scan — at 100 TB a
+        # selective dim predicate then skips fact rows before the
+        # shuffle, the same effect dynamic partition pruning has on
+        # partitioned layouts (both pinned on: defaults vary by version)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
         # intermediate/shuffle/broadcast compression (reference C6/C7:
         # straight LZ4/ZSTD block codecs for intermediate M/R data,
         # Readme.md:95-96) — lz4 default; FOURMC_SHUFFLE_CODEC=zstd for
