@@ -37,6 +37,8 @@ __all__ = [
     "hybrid_rrf_topk",
     "label_centroids",
     "assign_to_centroids",
+    "random_projection",
+    "projection_matrix",
 ]
 
 
@@ -723,3 +725,71 @@ def assign_to_centroids(
     return assigned.groupBy("true_label", "assigned_label").agg(
         F.count("*").cast("long").alias("n")
     )
+
+
+def random_projection(embeddings: DataFrame, out_dim: int = 8,
+                      seed: int = 113, scale: int = 1000,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """Johnson-Lindenstrauss random projection, INTEGER-EXACT.
+
+    Both the input vector and the seeded Gaussian projection matrix are
+    quantized to ``scale`` milli-units, so each output component is an
+    exact int64 dot product — bit-identical on any engine, any summation
+    order (the reason this is oracle-checkable where float JL is not).
+    The standard uses: cheap dimensionality reduction before clustering /
+    visualization, and compact pre-filter sketches for ANN (hyperplane
+    LSH is the sign() of exactly this projection).
+
+    Scale shape: the matrix is (out_dim x dim) driver-held constants
+    broadcast into a vectorized Arrow matmul — map-only, no shuffle.
+    Output: (id, proj array<long>).
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    probe = (
+        embeddings.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    )
+    if probe is None:
+        raise ValueError("random_projection: no non-null embeddings")
+    dim = len(probe[0])
+    Gm = np.array(
+        projection_matrix(dim, out_dim, seed, scale), dtype=np.int64
+    )  # out_dim x dim
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _proj(v: "pd.Series") -> "pd.Series":
+        arrs = v.to_numpy()
+        valid = np.fromiter(
+            (a is not None and len(a) == dim for a in arrs),
+            dtype=bool, count=len(arrs),
+        )
+        out = np.empty(len(arrs), dtype=object)
+        if valid.any():
+            M = np.stack(arrs[valid]).astype(np.float64)
+            Q = np.rint(M * scale).astype(np.int64)
+            P = Q @ Gm.T  # exact: |q| * |g| * dim << 2^63
+            rows = list(P)
+            j = 0
+            for i in range(len(arrs)):
+                if valid[i]:
+                    out[i] = rows[j]
+                    j += 1
+        return pd.Series(out)
+
+    return embeddings.select(
+        F.col(id_col), _proj(F.col(vec_col)).alias("proj")
+    )
+
+
+def projection_matrix(dim: int, out_dim: int, seed: int = 113,
+                      scale: int = 1000) -> list:
+    """The quantized Gaussian matrix (out_dim x dim) — exposed so oracles
+    can inline the identical constants."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    return [
+        [int(round(rng.gauss(0, 1) * scale)) for _ in range(dim)]
+        for _ in range(out_dim)
+    ]

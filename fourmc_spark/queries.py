@@ -2375,6 +2375,39 @@ def stream_sessionize_q(spark, sf):
     )
 
 
+def _rp_oracle() -> str:
+    """Random-projection oracle: the identical quantized Gaussian matrix
+    inlined as literals; every output component is an exact int64 dot
+    product, so Spark's numpy matmul and DuckDB's list_dot_product agree
+    bit-for-bit (doubles are exact far beyond these magnitudes)."""
+    G = similarity.projection_matrix(64, 8, seed=113, scale=1000)
+    comps = ", ".join(
+        "CAST(list_dot_product(q, ["
+        + ", ".join(str(g) for g in row)
+        + f"]) AS BIGINT) AS p{j}"
+        for j, row in enumerate(G)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings)
+SELECT vec_id, [{", ".join(f"p{j}" for j in range(8))}] AS proj
+FROM (SELECT vec_id, {comps} FROM q) ORDER BY vec_id"""
+
+
+@query("embedding_random_projection", _rp_oracle())
+def embedding_random_projection_q(spark, sf):
+    # integer-exact Johnson-Lindenstrauss projection (quantized input x
+    # quantized seeded Gaussian matrix): the dimensionality-reduction /
+    # sketching primitive, map-only, bit-reproducible on any engine —
+    # the float version is not oracle-checkable, the quantized one is.
+    return similarity.random_projection(
+        _t(spark, sf, "embeddings"), out_dim=8, seed=113, scale=1000
+    ).orderBy("vec_id")
+
+
 # =========================================================================
 # Coverage extensions: LSH-ANN, GROUPING SETS, approx distinct, UDTF
 # =========================================================================

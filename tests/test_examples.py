@@ -1,0 +1,25 @@
+"""The runnable examples must stay runnable (the reference keeps an
+examples module as its integration surface; ours is asserted in CI)."""
+
+import os
+import sys
+
+
+def test_curate_corpus_example(spark, tmp_path):
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    )
+    from examples.curate_corpus import curate, synthesize_input
+
+    inp = str(tmp_path / "raw")
+    out = str(tmp_path / "curated")
+    synthesize_input(spark, inp, n_docs=400)
+    stats = curate(spark, inp, out)
+    assert stats["input_docs"] > 400  # dupes were added
+    assert 0 < stats["curated_docs"] < stats["input_docs"]
+    assert stats["near_dup_dropped"] > 0  # LSH stage did real work
+    assert stats["output_files"] >= 1
+    # output is a readable splittable corpus
+    back = spark.read.format("fourmc").load(out)
+    assert back.count() == stats["curated_docs"]
