@@ -37,6 +37,7 @@ __all__ = [
     "bigram_logprob",
     "hashed_classifier_score",
     "c4_line_clean",
+    "winnow_fingerprints",
 ]
 
 # tiny per-language stopword vocabularies (public common words)
@@ -800,3 +801,58 @@ def c4_line_clean(df: DataFrame, min_words: int = 5,
         )
     )
     return out
+
+
+def winnow_fingerprints(df: DataFrame, k: int = 3, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    — the MOSS algorithm): hash every ``k``-gram, slide a window of ``w``
+    consecutive hashes, keep each window's MINIMUM. Guarantees: any match
+    of length >= w+k-1 tokens between two documents shares at least one
+    selected fingerprint, while only ~2/(w+1) of positions are kept — the
+    local, position-robust dedup/plagiarism signal a full fingerprint set
+    can't give at this density.
+
+    Plan shape: posexplode the k-gram hashes, one window (partitioned by
+    doc, ROWS CURRENT..w-1 FOLLOWING min) per doc, distinct, aggregate —
+    a single doc-keyed shuffle; selected-value DISTINCT means ties need
+    no positional tiebreak, so Spark and any SQL oracle agree exactly.
+    Output: (id, n_grams, n_fingerprints, fp_min, fp_checksum) with
+    ``fp_checksum`` = sum of distinct fingerprints mod P.
+    """
+    toks = tokens_spark(text_col)
+    sh = shingles_spark("__toks", k)
+    grams = (
+        df.select(F.col(id_col), F.expr(toks).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(f"transform({sh}, g -> {token_hash_spark('g')})")
+            ).alias("pos", "h"),
+        )
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    cnt = Window.partitionBy(id_col)
+    fps = (
+        grams.withColumn("_n", F.count(F.lit(1)).over(cnt))
+        .withColumn("fp", F.min("h").over(win))
+        # only full windows select (pos is 0-based; windows start at
+        # pos <= n_grams - w)
+        .where(F.col("pos") <= F.col("_n") - w)
+        .select(id_col, "_n", "fp")
+        .distinct()
+    )
+    return (
+        fps.groupBy(id_col)
+        .agg(
+            F.max("_n").cast("long").alias("n_grams"),
+            F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+            F.min("fp").cast("long").alias("fp_min"),
+            (F.sum("fp") % HASH_PRIME).cast("long").alias("fp_checksum"),
+        )
+    )

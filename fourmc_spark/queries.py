@@ -2375,6 +2375,37 @@ def stream_sessionize_q(spark, sf):
     )
 
 
+@query(
+    "text_winnow_fingerprints",
+    f"""WITH t AS (
+  SELECT doc_id,
+         list_transform({shingles_duck(tokens_duck('text'))},
+                        g -> {token_hash_duck('g')}) AS hs
+  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+g AS (SELECT doc_id, len(hs) AS n_grams, unnest(hs) AS h,
+             generate_subscripts(hs, 1) AS pos FROM t),
+w AS (SELECT doc_id, n_grams,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             pos
+      FROM g),
+f AS (SELECT DISTINCT doc_id, n_grams, fp
+      FROM w WHERE pos <= n_grams - 3)
+SELECT doc_id, CAST(max(n_grams) AS BIGINT) AS n_grams,
+       CAST(count(*) AS BIGINT) AS n_fingerprints,
+       CAST(min(fp) AS BIGINT) AS fp_min,
+       CAST(sum(fp) % 2147483647 AS BIGINT) AS fp_checksum
+FROM f GROUP BY doc_id ORDER BY doc_id""",
+)
+def text_winnow_q(spark, sf):
+    # winnowing (MOSS) fingerprints: guaranteed-overlap local dedup
+    # signal at ~2/(w+1) density; value-DISTINCT selection means tie
+    # positions never matter, so the SQL window twin matches exactly.
+    return text.winnow_fingerprints(
+        _t(spark, sf, "documents"), k=3, w=4
+    ).orderBy("doc_id")
+
+
 def _rp_oracle() -> str:
     """Random-projection oracle: the identical quantized Gaussian matrix
     inlined as literals; every output component is an exact int64 dot
