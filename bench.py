@@ -87,6 +87,11 @@ BENCH_QUERIES = [
     "multimodal_features",
     "multimodal_audio_features",
     "multimodal_video_frames",
+    # round-2 curation/sketching additions
+    "text_quality_classifier",
+    "curation_c4_clean",
+    "text_winnow_fingerprints",
+    "embedding_random_projection",
 ]
 
 
