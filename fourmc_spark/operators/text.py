@@ -38,6 +38,7 @@ __all__ = [
     "hashed_classifier_score",
     "c4_line_clean",
     "winnow_fingerprints",
+    "bpe_learn",
 ]
 
 # tiny per-language stopword vocabularies (public common words)
@@ -855,4 +856,107 @@ def winnow_fingerprints(df: DataFrame, k: int = 3, w: int = 4,
             F.min("fp").cast("long").alias("fp_min"),
             (F.sum("fp") % HASH_PRIME).cast("long").alias("fp_checksum"),
         )
+    )
+
+
+def bpe_learn(df: DataFrame, n_merges: int = 10, text_col: str = "text",
+              end_marker: str = "</w>") -> DataFrame:
+    """Learn a byte-pair-encoding merge table from the corpus (Sennrich
+    et al. 2016) — the tokenizer-TRAINING step (``bpe_pair_stats`` is one
+    round's statistic; this runs the full greedy loop).
+
+    The real BPE training trick drives the scale shape: after ONE corpus
+    pass that reduces everything to a (word, frequency) table, every
+    merge round works on the VOCABULARY only — pairs exploded from
+    vocab-sized rows, counts weighted by word frequency, the winning
+    pair (max count, lexicographic tiebreak) pulled to the driver (two
+    strings — a model parameter, like a centroid), and the merge applied
+    vocab-side in a vectorized Arrow batch. The corpus is never touched
+    again, so 100 TB costs one word-count aggregation regardless of
+    n_merges.
+
+    Deterministic: greedy argmax with a total tiebreak. Iterative +
+    stateful across rounds, hence no SQL oracle (rows-only at the gate,
+    like k-means); ``tests/test_dedup.py`` pins it against an
+    independent pure-Python reference implementation. Output:
+    (rank, left, right, pair_count).
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(F.expr(tokens_spark(text_col))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+        # symbols: characters + an end-of-word marker (standard BPE —
+        # distinguishes "est</w>" from "est" mid-word)
+        .select(
+            F.concat(
+                F.split(F.col("w"), ""), F.array(F.lit(end_marker))
+            ).alias("syms"),
+            "freq",
+        )
+    )
+    vocab = words.persist()
+    vocab.count()  # materialize once; rounds re-derive from this frame
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), i -> "
+                        "struct(element_at(syms, i) AS l, "
+                        "element_at(syms, i + 1) AS r))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        left, right, cnt = pairs[0]["l"], pairs[0]["r"], pairs[0]["cnt"]
+        merges.append((left, right, int(cnt)))
+
+        def apply_merge(it: "Iterator[pd.DataFrame]", _l=left, _r=right):
+            for pdf in it:
+                out = []
+                for syms in pdf["syms"]:
+                    syms = list(syms)
+                    merged = []
+                    i = 0
+                    n = len(syms)
+                    while i < n:
+                        if i + 1 < n and syms[i] == _l and syms[i + 1] == _r:
+                            merged.append(_l + _r)
+                            i += 2
+                        else:
+                            merged.append(syms[i])
+                            i += 1
+                    out.append(merged)
+                yield pd.DataFrame({"syms": out, "freq": pdf["freq"]})
+
+        nxt = vocab.mapInPandas(
+            apply_merge, schema="syms array<string>, freq long"
+        ).persist()
+        nxt.count()
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+
+    return spark.createDataFrame(
+        [
+            (i + 1, l, r, c)
+            for i, (l, r, c) in enumerate(merges)
+        ],
+        "rank long, left string, right string, pair_count long",
     )

@@ -2375,6 +2375,15 @@ def stream_sessionize_q(spark, sf):
     )
 
 
+@query("text_bpe_learn")  # iterative greedy merges: no SQL oracle (rows-only,
+# like ann_ivf_kmeans_topk); pinned against an independent pure-Python BPE
+# reference in tests/test_dedup.py::test_bpe_learn_matches_reference
+def text_bpe_learn_q(spark, sf):
+    return text.bpe_learn(
+        _t(spark, sf, "documents"), n_merges=10
+    ).orderBy("rank")
+
+
 @query(
     "text_winnow_fingerprints",
     f"""WITH t AS (

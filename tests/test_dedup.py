@@ -237,3 +237,56 @@ def test_winnowing_overlap_guarantee(spark):
     span = spark.createDataFrame([(9, shared)], ["doc_id", "text"])
     span_fp = T.winnow_fingerprints(span, k=3, w=4).collect()
     assert len(span_fp) == 1  # the shared run itself yields fingerprints
+
+
+def _bpe_reference(texts, n_merges, end="</w>"):
+    # independent pure-Python BPE (Sennrich et al.): word freqs -> greedy
+    # merge loop with (count desc, pair asc) selection
+    from collections import Counter
+
+    freqs = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                freqs[w] += 1
+    vocab = {tuple(list(w) + [end]): c for w, c in freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r, cnt))
+        new = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        vocab = new
+    return merges
+
+
+def test_bpe_learn_matches_reference(spark):
+    from fourmc_spark.operators import text as T
+
+    texts = [
+        "low lower lowest new newer newest",
+        "low low lower newest newest newest",
+        "wider wide wide widest low",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = [
+        (r["left"], r["right"], r["pair_count"])
+        for r in T.bpe_learn(df, n_merges=8).orderBy("rank").collect()
+    ]
+    want = _bpe_reference(texts, 8)
+    assert got == want
