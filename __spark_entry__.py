@@ -55,6 +55,7 @@ sys.path.insert(0, _HERE)
 # suite, the UDx extension points, and the ANN variants).
 _PRIORITY = [
     "stream_4mc_tumbling",
+    "proto_4mc_roundtrip",
     "stream_tumbling_hourly",
     "stream_session_windows",
     "stream_sliding_windows",
@@ -101,7 +102,9 @@ _PRIORITY = [
     "applyinpandas_zscore",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "ann_ivf_kmeans_topk",
+    # ann_ivf_kmeans_topk is rows-only (no SQL oracle) — its driver row
+    # carries the same weak signal from any position, so it yields its
+    # window slot to the hash-checked protobuf round trip above
     "ann_quantized_topk",
     "multimodal_features",
 ]

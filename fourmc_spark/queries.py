@@ -2375,6 +2375,70 @@ def stream_sessionize_q(spark, sf):
     )
 
 
+@query(
+    "proto_4mc_roundtrip",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+              CAST(sum(user_id) AS BIGINT) AS user_sum,
+              round(sum(value), 2) AS value_sum,
+              CAST(min(event_id) AS BIGINT) AS min_event,
+              CAST(max(event_id) AS BIGINT) AS max_event
+       FROM {EV} GROUP BY event_type ORDER BY event_type""",
+)
+def proto_4mc_roundtrip_q(spark, sf):
+    # The PROTOBUF surface (S8/K4) through the oracle gate — the proto
+    # twin of stream_4mc_tumbling: events are wire-encoded as
+    # ElephantBird block-framed protobuf records inside 4mz via the
+    # fourmcproto sink, read back through the fourmcproto scan, and
+    # aggregated; the result must equal the batch oracle exactly, so a
+    # varint/zigzag/field-framing bug anywhere in the round trip breaks
+    # the hash match.
+    import json as _json
+    import shutil
+    import tempfile
+
+    from fourmc_spark.session import register_fourmc
+
+    register_fourmc(spark)
+    fields = _json.dumps(
+        [
+            {"number": 1, "name": "event_id", "type": "int64"},
+            {"number": 2, "name": "user_id", "type": "int64"},
+            {"number": 3, "name": "event_type", "type": "string"},
+            {"number": 4, "name": "value", "type": "double"},
+        ]
+    )
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    d = tempfile.mkdtemp(prefix="fourmc-proto-rt-")
+    try:
+        (
+            ev.write.format("fourmcproto")
+            .option("fields", fields)
+            .option("codec", "zstd").option("level", "medium")
+            .mode("overwrite").save(d)
+        )
+        back = (
+            spark.read.format("fourmcproto")
+            .option("fields", fields)
+            .load(d)
+        )
+        out = (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.sum("user_id").cast("long").alias("user_sum"),
+                F.round(F.sum("value"), 2).alias("value_sum"),
+                F.min("event_id").cast("long").alias("min_event"),
+                F.max("event_id").cast("long").alias("max_event"),
+            )
+            .orderBy("event_type")
+        )
+        return _detach(out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 @query("text_bpe_learn")  # iterative greedy merges: no SQL oracle (rows-only,
 # like ann_ivf_kmeans_topk); pinned against an independent pure-Python BPE
 # reference in tests/test_dedup.py::test_bpe_learn_matches_reference
