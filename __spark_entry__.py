@@ -50,63 +50,63 @@ sys.path.insert(0, _HERE)
 # round (verified_queries.json, updated from each CORRECTNESS_r*.json)
 # rotate to the BACK so every round's window lands on still-unverified
 # surface. _PRIORITY pins this round's most important unverified queries
-# to the very front (the whole streaming surface incl. the one query that
-# scans our own 4mc format, TPC-H Q2-Q22, the sampling/pivot/percentile
-# suite, the UDx extension points, and the ANN variants).
+# to the very front.
 _PRIORITY = [
-    "stream_4mc_tumbling",
+    # round 3: the one red query from r02 first (register_fourmc conf fix),
+    # then every remaining oracle-checkable unverified query, then the
+    # no-oracle trio last — 49 names <= the 50-slot window, so this round
+    # closes the driver-verification gate.
     "proto_4mc_roundtrip",
-    "stream_tumbling_hourly",
-    "stream_session_windows",
-    "stream_sliding_windows",
-    "stream_dedup_watermark",
-    "stream_distinct_users_hourly",
-    "stream_interval_join",
-    "stream_static_join",
+    "text_repetition",
+    "text_pii_redact",
+    "text_tfidf_topk",
+    "text_unigram_logprob",
+    "text_bigram_logprob",
+    "text_vocab_coverage",
+    "text_bpe_pairs",
+    "text_bm25_topk",
+    "text_char_entropy",
+    "text_inverted_index",
+    "text_winnow_fingerprints",
+    "text_quality_classifier",
+    "retrieval_hybrid_rrf",
+    "curation_contamination",
+    "curation_c4_clean",
+    "curation_source_stats",
+    "curation_quality_gate",
+    "curation_split_assign",
+    "curation_mixture_sample",
+    "curation_shuffle_order",
+    "curation_chunk_documents",
+    "curation_pack_sequences",
+    "curation_fixed_k_sample",
+    "curation_token_budget",
+    "pipeline_curation",
+    "multimodal_real_resize",
+    "multimodal_resize",
+    "multimodal_frames",
+    "multimodal_audio_features",
+    "multimodal_video_frames",
+    "asof_join_events",
+    "range_join_bands",
+    "stats_histogram",
+    "stats_profile_table",
+    "layout_zorder_key",
+    "ts_rollup_cascade",
+    "ts_gap_fill",
+    "ts_scd2_intervals",
+    "ts_apply_changes",
+    "ts_funnel_stages",
+    "embedding_random_projection",
+    "embedding_label_centroids",
+    "embedding_assign_centroid",
+    "graph_pagerank",
+    "dedup_global_chunks",
+    # no-oracle trio: the driver records rows-only / err — weakest signal,
+    # so they yield the front of the window to hash-checked queries
+    "ann_ivf_kmeans_topk",
+    "text_bpe_learn",
     "stream_sessionize_stateful",
-    "stream_cdc_apply",
-    "tpch_q02_min_cost_supplier",
-    "tpch_q03_shipping_priority",
-    "tpch_q04_order_priority",
-    "tpch_q06_forecast_revenue",
-    "tpch_q07_volume_shipping",
-    "tpch_q08_market_share",
-    "tpch_q09_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q12_ship_delay_priority",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_share",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_or_predicates",
-    "tpch_q20_promotion_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_idle_customers",
-    "q24_grouping_sets",
-    "q25_approx_distinct",
-    "q26_window_suite",
-    "q27_pivot",
-    "q28_unpivot",
-    "q29_percentiles",
-    "q30_salted_skew_join",
-    "q31_hash_sample",
-    "q32_stratified_sample",
-    "q33_approx_percentile",
-    "q34_array_map_suite",
-    "q35_session_window_batch",
-    "udtf_sentences",
-    "udaf_geomean",
-    "applyinpandas_zscore",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    # ann_ivf_kmeans_topk is rows-only (no SQL oracle) — its driver row
-    # carries the same weak signal from any position, so it yields its
-    # window slot to the hash-checked protobuf round trip above
-    "ann_quantized_topk",
-    "multimodal_features",
 ]
 
 

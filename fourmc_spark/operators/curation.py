@@ -66,8 +66,11 @@ def contamination(
                 bench_set.add(" ".join(toks[i : i + n]))
         bcast = spark.sparkContext.broadcast(bench_set)
 
+        # id must be numeric anyway (the % bench_mod split), but follow
+        # the input's exact integer width rather than hardcoding long
+        id_t = df.schema[id_col].dataType.simpleString()
         out_schema = (
-            f"{id_col} long, n_shingles long, n_contaminated long, "
+            f"{id_col} {id_t}, n_shingles long, n_contaminated long, "
             "contamination_frac double"
         )
 
@@ -88,7 +91,7 @@ def contamination(
                     frac.append(_round_half_up4(h / max(len(shingles), 1)))
                 yield pd.DataFrame(
                     {
-                        id_col: pd.Series(ids, dtype="int64"),
+                        id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
                         "n_shingles": pd.Series(nsh, dtype="int64"),
                         "n_contaminated": pd.Series(nhit, dtype="int64"),
                         "contamination_frac": frac,

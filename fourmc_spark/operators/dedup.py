@@ -77,9 +77,14 @@ def _fanout_rebalance(df: DataFrame, id_col: str) -> DataFrame:
 
     Conditional on a CHEAP partition-count proxy: ``df.inputFiles()``
     (file listing only — no ``df.rdd`` plan materialization on the
-    driver, the round-1 defect). With at least one file per core the
-    scan is already splittable to cluster width, so the shuffle is
-    skipped — the 100 TB case pays nothing. Coarse inputs (single file,
+    driver, the round-1 defect). The scan is already wide enough when
+    EITHER there is at least one file per core OR the files' total
+    bytes split into >= one scan partition per core at
+    ``spark.sql.files.maxPartitionBytes`` — the second clause covers
+    the common big-data layout of a few large SPLITTABLE files
+    (parquet / our block-indexed 4mc), where file count < cores but
+    scan partitions >> cores; shuffling the whole corpus there was a
+    scale regression. Only genuinely coarse inputs (small single file,
     in-memory test frames) hash-repartition to a PINNED
     defaultParallelism: pinning is deliberate — an AQE-coalescible
     exchange (REBALANCE hint / countless repartition) sizes partitions
@@ -88,10 +93,29 @@ def _fanout_rebalance(df: DataFrame, id_col: str) -> DataFrame:
     (measured 7.5s vs 2s on the jaccard query). Post-explode shuffles
     use spark.sql.shuffle.partitions, so the pin caps nothing
     downstream."""
-    par = df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
     try:
-        if len(df.inputFiles()) >= par:
+        files = df.inputFiles()
+        if len(files) >= par:
             return df
+        if files:
+            # total-bytes / maxPartitionBytes proxy for splittable scans.
+            # Local paths only (file: URIs) — a stat failure (remote FS)
+            # falls through to the conservative repartition.
+            import os as _os
+
+            max_pb = int(
+                str(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                   "134217728")).rstrip("b")
+            )
+            total = 0
+            for p in files:
+                if p.startswith("file:"):
+                    p = "/" + p[5:].lstrip("/")
+                total += _os.path.getsize(p)
+            if total // max(max_pb, 1) >= par:
+                return df
     except Exception:
         pass
     return df.repartition(par, F.col(id_col))
@@ -164,7 +188,10 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
     B = np.array([b for _, b in params], dtype=np.int64)[:, None]
     names = [f"mh{i:02d}" for i in range(k)]
-    out_schema = f"{id_col} long, " + ", ".join(f"{n} long" for n in names)
+    # follow the input id type (string/int/...) like cosine_pairs does —
+    # the SQL twin never constrained it to long
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_t}, " + ", ".join(f"{n} long" for n in names)
 
     def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         cache: dict = {}
@@ -184,7 +211,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                 # a*h < 2^62: fits int64 exactly
                 sigs.append(((A * hs[None, :] + B) % HASH_PRIME).min(axis=1))
                 ids.append(did)
-            out = {id_col: pd.Series(ids, dtype="int64")}
+            out = {id_col: pd.Series(ids, dtype=pdf[id_col].dtype)}
             mat = (
                 np.stack(sigs) if sigs else np.empty((0, k), dtype=np.int64)
             )
@@ -350,14 +377,15 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
                     ids.append(did)
                 yield pd.DataFrame(
                     {
-                        id_col: pd.Series(ids, dtype="int64"),
+                        id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
                         "simhash": pd.Series(sigs, dtype="int64"),
                     }
                 )
 
+        id_t = df.schema[id_col].dataType.simpleString()
         return _fanout_rebalance(df, id_col).select(
             id_col, text_col
-        ).mapInPandas(batches, schema=f"{id_col} long, simhash long")
+        ).mapInPandas(batches, schema=f"{id_col} {id_t}, simhash long")
 
     toks = tokens_spark(text_col)
     th = token_hash_spark("tok")

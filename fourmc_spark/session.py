@@ -60,9 +60,25 @@ def get_spark(
 
 
 def register_fourmc(spark: SparkSession) -> None:
-    """Register the 'fourmc' and 'fourmcproto' DataSources."""
+    """Register the 'fourmc' and 'fourmcproto' DataSources.
+
+    Also enables Python-datasource filter pushdown on the *passed* session:
+    FourMcDataSourceReader / FourMcProtoReader implement pushFilters(),
+    which Spark 4.x rejects at reader init unless
+    spark.sql.python.filterPushdown.enabled is true.  The conf is
+    runtime-settable, so setting it here makes batch format("fourmc")
+    reads work on any stock session (e.g. a migrating job's existing
+    session), not just ones built by get_spark().
+    """
     from fourmc_spark.sources.datasource import FourMcDataSource
     from fourmc_spark.sources.protobuf import FourMcProtoDataSource
+
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        # ultra-defensive: a session that refuses the conf (older Spark
+        # without the flag) doesn't gate pushFilters() either
+        pass
 
     for ds in (FourMcDataSource, FourMcProtoDataSource):
         try:

@@ -470,3 +470,31 @@ def test_csv_json_write_read_roundtrip(spark, tmp_path):
     write_4mc_json(df, j)
     backj = read_4mc_json(spark, j, "id INT, name STRING, score DOUBLE")
     assert df.exceptAll(backj).count() == 0 and backj.exceptAll(df).count() == 0
+
+
+def test_register_fourmc_enables_pushdown_on_stock_session(spark, tmp_path):
+    """A session WITHOUT spark.sql.python.filterPushdown.enabled (the
+    driver's harness, a migrating job's existing session) must still be
+    able to batch-read format("fourmc") after register_fourmc() — the
+    readers implement pushFilters(), which Spark 4.x rejects at reader
+    init unless the conf is on.  register_fourmc() now sets it at
+    runtime (the round-2 red query, proto_4mc_roundtrip)."""
+    from fourmc_spark.session import register_fourmc
+
+    out = str(tmp_path / "stock_session")
+    df = spark.range(500).select(
+        F.concat(F.lit("line "), F.col("id")).alias("value")
+    )
+    df.coalesce(1).write.format("fourmc").mode("overwrite").save(out)
+
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    try:
+        spark.conf.set(conf_key, "false")  # simulate a stock session
+        register_fourmc(spark)
+        assert spark.conf.get(conf_key) == "true"
+        back = spark.read.format("fourmc").load(out)
+        assert back.count() == 500
+        # filtered read exercises the pushFilters() init path directly
+        assert back.filter(F.col("value") == "line 7").count() == 1
+    finally:
+        spark.conf.set(conf_key, "true")
