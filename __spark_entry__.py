@@ -102,8 +102,10 @@ _PRIORITY = [
     "embedding_assign_centroid",
     "graph_pagerank",
     "dedup_global_chunks",
-    # no-oracle trio: the driver records rows-only / err — weakest signal,
-    # so they yield the front of the window to hash-checked queries
+    # formerly no-oracle trio — round 3 gave all three full hash oracles
+    # (integer-exact unrolled k-means, unrolled BPE merge rounds, batch
+    # twin of the stateful emission rule), so they now carry the same
+    # hash-checked signal as everything above
     "ann_ivf_kmeans_topk",
     "text_bpe_learn",
     "stream_sessionize_stateful",

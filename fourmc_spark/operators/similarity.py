@@ -31,6 +31,8 @@ __all__ = [
     "ivf_topk",
     "kmeans_fit",
     "ivf_kmeans_topk",
+    "kmeans_int_fit",
+    "ivf_kmeans_int_topk",
     "cosine_pairs",
     "quantized_topk",
     "semantic_dedup",
@@ -369,6 +371,162 @@ def ivf_kmeans_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     """
     cents = kmeans_fit(embeddings, n_iter, centroid_stride, vec_col, id_col)
     return _ivf_probe(embeddings, queries, cents, k, nprobe, vec_col, id_col)
+
+
+def _quantize_expr(vec_col: str, scale: int) -> "F.Column":
+    """floor(x * scale + 0.5) as long, elementwise.
+
+    With ``scale`` a power of two the whole chain is EXACT in IEEE
+    double — float32→double is exact, ×2^m shifts the exponent only,
+    +0.5 cannot round against a 24-bit mantissa, floor is exact — so
+    any engine (Spark, numpy, DuckDB) produces the identical integer.
+    """
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * float(scale) + 0.5).cast("long"),
+    )
+
+
+def kmeans_int_fit(embeddings: DataFrame, n_iter: int = 3,
+                   centroid_stride: int = 101, scale: int = 1024,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> list[tuple[int, list[int]]]:
+    """Integer-exact spherical k-means (Lloyd's) — the oracle-checkable
+    twin of :func:`kmeans_fit`.
+
+    Two observations make iterative k-means expressible as ONE
+    deterministic, engine-independent computation:
+
+    * quantize each vector once to integers (``floor(x*2^m + 0.5)`` —
+      exact in double, see :func:`_quantize_expr`), so every dot product
+      in training is an INTEGER — order-independent and bit-identical
+      across Spark, numpy and a SQL oracle;
+    * for COSINE assignment the cluster size cancels: ``cos(x, S/n) =
+      cos(x, S)``, so the centroid can be carried as the per-dimension
+      integer SUM of its members — updated by exact ``sum(long)``
+      aggregates, never a float mean. The only float ops are
+      ``dot/sqrt(ss)`` on exactly-representable integers (all < 2^53
+      at our scales), and IEEE requires correctly-rounded ``/`` and
+      ``sqrt`` — identical bits on every engine.
+
+    Same Spark shape as :func:`kmeans_fit`: assignment is a map-only
+    Arrow-batched int64 matmul, the update shuffle carries k rows ×
+    dim columns, centroid sums live on the driver between rounds (the
+    model, not data). Empty cells keep their previous sum (classic
+    Lloyd's fallback). Returns ``[(cell_id, sum_vector)]`` sorted by
+    cell id.
+    """
+    qdf = embeddings.select(
+        F.col(id_col), _quantize_expr(vec_col, scale).alias("_qv")
+    ).persist()
+    init = sorted(
+        (int(r[0]), [int(x) for x in r[1]])
+        for r in qdf.where((F.col(id_col) % centroid_stride) == 0).collect()
+    )
+    if not init:
+        raise ValueError("no centroids: centroid_stride larger than id range")
+    S = np.array([v for _, v in init], dtype=np.int64)
+    cell_ids = np.array([c for c, _ in init], dtype=np.int64)
+    dim = S.shape[1]
+    pos = {int(c): j for j, c in enumerate(cell_ids)}
+
+    for _ in range(n_iter):
+        frozen = S.copy()
+        ssn = np.sqrt((frozen.astype(np.float64) ** 2).sum(axis=1))
+
+        @F.pandas_udf("long")
+        def nearest(batch: pd.Series) -> pd.Series:
+            m = np.array(batch.tolist(), dtype=np.int64)
+            sims = (m @ frozen.T).astype(np.float64) / ssn
+            # argmax takes the FIRST max; cell_ids ascend, so ties break
+            # to the smallest cell id — the oracle's (sim DESC, cell ASC)
+            return pd.Series(cell_ids[np.argmax(sims, axis=1)])
+
+        sums = (
+            qdf.select(nearest(F.col("_qv")).alias("cell"), "_qv")
+            .groupBy("cell")
+            .agg(*[F.sum(F.col("_qv")[i]).alias(f"d{i}") for i in range(dim)])
+            .collect()
+        )
+        S = frozen.copy()  # empty cells keep their previous sum
+        for r in sums:
+            S[pos[int(r["cell"])]] = [int(r[f"d{i}"]) for i in range(dim)]
+    qdf.unpersist()
+    return [(int(cell_ids[j]), [int(x) for x in S[j]]) for j in range(len(cell_ids))]
+
+
+def ivf_kmeans_int_topk(embeddings: DataFrame, queries: DataFrame,
+                        k: int = 10, centroid_stride: int = 101,
+                        nprobe: int = 2, n_iter: int = 3, scale: int = 1024,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """IVF ANN over the integer-exact k-means quantizer — fully
+    oracle-checkable (fixed-iteration unrolled SQL twin), unlike the
+    float :func:`ivf_kmeans_topk`.
+
+    Probe plan shape is :func:`_ivf_probe`'s: candidate→cell assignment
+    is a map-only Arrow int64 matmul (no shuffle), query→cell ranking a
+    broadcast join over the k trained sums, final scoring EXACT float64
+    cosine on the original embeddings restricted to probed cells.
+    """
+    cents = kmeans_int_fit(
+        embeddings, n_iter, centroid_stride, scale, vec_col, id_col
+    )
+    spark = embeddings.sparkSession
+    S = np.array([v for _, v in cents], dtype=np.int64)
+    cell_ids = np.array([c for c, _ in cents], dtype=np.int64)
+    ssn = np.sqrt((S.astype(np.float64) ** 2).sum(axis=1))
+
+    # quantize candidates JVM-side (same exact expression as training),
+    # then assign via the int64 matmul
+    @F.pandas_udf("long")
+    def nearest_cell_q(qvecs: pd.Series) -> pd.Series:
+        m = np.array(qvecs.tolist(), dtype=np.int64)
+        sims = (m @ S.T).astype(np.float64) / ssn
+        return pd.Series(cell_ids[np.argmax(sims, axis=1)])
+
+    assigned = with_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        F.col("_norm").alias("_cnorm"),
+        nearest_cell_q(_quantize_expr(vec_col, scale)).alias("cell"),
+    )
+
+    cent_df = spark.createDataFrame(
+        [(cid, v, int(sum(x * x for x in v))) for cid, v in cents],
+        "cell long, _s array<long>, _ss long",
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.col("_norm").alias("_qnorm"),
+        _quantize_expr(vec_col, scale).alias("_qqv"),
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("_qqv"), F.col("_s"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    qcell = q.crossJoin(F.broadcast(cent_df)).withColumn(
+        "_csim", idot.cast("double") / F.sqrt(F.col("_ss").cast("double"))
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(F.desc("_csim"), F.asc("cell"))
+    probes = (
+        qcell.withColumn("_rn", F.row_number().over(wprobe))
+        .where(F.col("_rn") <= nprobe)
+        .select("query_id", "cell", "_qvec", "_qnorm")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), on="cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", _dot("_cvec", "_qvec") / (F.col("_cnorm") * F.col("_qnorm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )
 
 
 def quantized_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,

@@ -2363,7 +2363,42 @@ def stream_static_join_q(spark, sf):
     )
 
 
-@query("stream_sessionize_stateful")  # stateful: no SQL oracle (rows-only)
+@query(
+    "stream_sessionize_stateful",
+    # Batch twin of the stateful emission rule (previously rows-only).
+    # Over a bounded input the applyInPandasWithState query emits exactly:
+    # every gap-closed session, PLUS each user's final session iff its
+    # event-time timeout (session_end + 15 min) fell strictly below the
+    # final watermark (global max ts - 30 min) — Spark runs a no-data
+    # micro-batch after the last data batch (noDataMicroBatches default
+    # on) in which those timeouts fire. Both halves are deterministic:
+    # one data batch (single parquet file), integer-microsecond gap
+    # arithmetic, strict `<` per FlatMapGroupsWithStateExec's timeout
+    # eviction check.
+    """WITH ev AS (SELECT user_id, ts FROM {EV}),
+o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 15*60*1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+g AS (SELECT CAST(user_id AS BIGINT) AS user_id, sid,
+             min(ts) AS session_start, max(ts) AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM s GROUP BY user_id, sid),
+wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM ev),
+r AS (SELECT g.*, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY session_start DESC) AS rn
+      FROM g)
+SELECT user_id, session_start, session_end, n_events
+FROM r WHERE rn > 1
+   OR epoch_ms(session_end) + 15*60*1000 < epoch_ms((SELECT w FROM wm))
+ORDER BY user_id, session_start""",
+)
 def stream_sessionize_q(spark, sf):
     from fourmc_spark.streaming import read_events_stream, sessionize_stateful
 
@@ -2439,10 +2474,55 @@ def proto_4mc_roundtrip_q(spark, sf):
         shutil.rmtree(d, ignore_errors=True)
 
 
-@query("text_bpe_learn")  # iterative greedy merges: no SQL oracle (rows-only,
-# like ann_ivf_kmeans_topk); pinned against an independent pure-Python BPE
-# reference in tests/test_dedup.py::test_bpe_learn_matches_reference
+def _bpe_learn_sql(n_merges: int) -> str:
+    """Unrolled BPE-training oracle (fixed greedy rounds, the pagerank /
+    ivf_kmeans pattern). The trick that makes a merge round ONE SQL
+    expression: encode each word's symbol sequence as
+    ``SEP+sym+SEP`` concatenated (SEP = chr(1), absent from the corpus
+    by check), so applying merge (l, r) is exactly a plain substring
+    ``replace(SEP+l+SEP+SEP+r+SEP -> SEP+lr+SEP)`` — left-to-right
+    non-overlapping, which IS the BPE merge rule ("aaa" + (a,a) ->
+    [aa, a]). Pair counting re-splits on SEP+SEP. All counts are exact
+    integer sums; the greedy pick is (count DESC, l, r) — total order,
+    no float anywhere."""
+    SEP, DSEP = "chr(1)", "chr(1)||chr(1)"
+    ctes = [f"""words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w != '' GROUP BY w),
+v0 AS (
+  SELECT freq, {SEP} || array_to_string(list_append(str_split(w, ''), '</w>'),
+                                        {DSEP}) || {SEP} AS enc
+  FROM words)"""]
+    for t in range(1, n_merges + 1):
+        ctes.append(f"""p{t} AS (
+  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, syms[i] AS l, syms[i+1] AS r FROM
+      (SELECT freq, str_split(trim(enc, chr(1)), {DSEP}) AS syms FROM v{t-1}),
+      unnest(generate_series(1, len(syms)-1)) AS t(i))
+  GROUP BY l, r),
+b{t} AS (SELECT l, r, cnt FROM p{t} ORDER BY cnt DESC, l, r LIMIT 1),
+v{t} AS (
+  SELECT v.freq,
+         replace(v.enc, {SEP}||b.l||{DSEP}||b.r||{SEP},
+                 {SEP}||b.l||b.r||{SEP}) AS enc
+  FROM v{t-1} v, b{t} b)""")
+    un = "\nUNION ALL ".join(
+        f'SELECT CAST({t} AS BIGINT) AS rank, l AS "left", r AS "right", '
+        f"cnt AS pair_count FROM b{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({un}) ORDER BY rank"
+
+
+@query("text_bpe_learn", _bpe_learn_sql(10))
 def text_bpe_learn_q(spark, sf):
+    # BPE tokenizer training — previously rows-only; now oracle-checkable
+    # via the unrolled greedy-round SQL twin (_bpe_learn_sql): every merge
+    # round is integer-exact (counts are sums of longs, the pick a total
+    # order), so the fixed-iteration unroll hash-matches. Also pinned
+    # against an independent pure-Python BPE reference in
+    # tests/test_dedup.py::test_bpe_learn_matches_reference.
     return text.bpe_learn(
         _t(spark, sf, "documents"), n_merges=10
     ).orderBy("rank")
@@ -2612,17 +2692,88 @@ def ann_ivf_topk_q(spark, sf):
     ).orderBy("query_id", "rank")
 
 
-@query("ann_ivf_kmeans_topk")  # iterative k-means training: no SQL oracle
+def _ivf_kmeans_sql(stride: int, nprobe: int, n_iter: int, scale: int,
+                    dim: int, k: int) -> str:
+    """Unrolled integer-exact k-means IVF oracle (fixed iterations, the
+    graph_pagerank pattern). Centroids are per-dim INTEGER SUMS — cluster
+    size cancels in cosine — so every training round is order-independent
+    integer arithmetic; the only floats are dot/sqrt(ss) on integers
+    < 2^53, which IEEE rounds identically on every engine."""
+    parts = [f"""WITH qdata AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {scale}.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings),
+c0 AS (SELECT vec_id AS cell, qv AS s FROM qdata WHERE vec_id % {stride} = 0)"""]
+    assign_from = (
+        "SELECT d.vec_id, c.cell,\n"
+        "       row_number() OVER (PARTITION BY d.vec_id ORDER BY\n"
+        "         list_dot_product(d.qv, c.s)\n"
+        "           / sqrt(list_dot_product(c.s, c.s)) DESC, c.cell) AS rn\n"
+        "FROM qdata d, {prev} c"
+    )
+    prev = "c0"
+    for t in range(1, n_iter + 1):
+        af = assign_from.format(prev=prev)
+        parts.append(f"""a{t} AS (
+  SELECT vec_id, cell FROM ({af}) WHERE rn = 1),
+s{t} AS (
+  SELECT cell, list(sv ORDER BY i) AS s FROM (
+    SELECT a.cell, dims.i, CAST(sum(d.qv[dims.i]) AS BIGINT) AS sv
+    FROM a{t} a JOIN qdata d USING (vec_id)
+    CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i) dims
+    GROUP BY a.cell, dims.i)
+  GROUP BY cell),
+c{t} AS (
+  SELECT cell, s FROM s{t} UNION ALL
+  SELECT p.cell, p.s FROM {prev} p
+  WHERE p.cell NOT IN (SELECT cell FROM s{t}))""")
+        prev = f"c{t}"
+    af = assign_from.format(prev=prev)
+    parts.append(f"""assign AS (
+  SELECT vec_id, cell FROM ({af}) WHERE rn = 1),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT d.vec_id AS query_id, c.cell,
+           row_number() OVER (PARTITION BY d.vec_id ORDER BY
+             list_dot_product(d.qv, c.s)
+               / sqrt(list_dot_product(c.s, c.s)) DESC, c.cell) AS rn
+    FROM qdata d, {prev} c WHERE d.vec_id < 5) WHERE rn <= {nprobe}),
+scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(qe.embedding AS DOUBLE[])) AS sim
+  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+       JOIN probes p ON a.cell = p.cell
+       JOIN embeddings qe ON qe.vec_id = p.query_id
+  WHERE e.vec_id != p.query_id),
+r AS (SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k} ORDER BY query_id, rank""")
+    return ",\n".join(parts)
+
+
+@query(
+    "ann_ivf_kmeans_topk",
+    # testdata embeddings are 64-dim at every SF (TESTDATA.md)
+    _ivf_kmeans_sql(_IVF_STRIDE, _IVF_NPROBE, n_iter=3, scale=1024, dim=64, k=10),
+)
 def ann_ivf_kmeans_topk_q(spark, sf):
-    # same probe plan as ann_ivf_topk over a Lloyd's-trained quantizer
-    # (operators/similarity.py kmeans_fit). Training is iterative so there
-    # is no single-SQL oracle (rows-only check); the algorithm is pinned
-    # against a single-node numpy reference and a recall floor vs the
-    # exact baseline in tests/test_ann_recall.py.
+    # IVF over a Lloyd's-TRAINED quantizer — previously rows-only; now
+    # oracle-checkable via the integer-exact reformulation
+    # (operators/similarity.py kmeans_int_fit): quantized data, integer
+    # SUM centroids (size cancels in cosine), fixed iterations unrolled
+    # in the SQL twin the way graph_pagerank unrolls PageRank. The float
+    # variant (kmeans_fit) stays pinned against a numpy reference and a
+    # recall floor in tests/test_ann_recall.py.
     e = _t(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") < 5)
-    return similarity.ivf_kmeans_topk(
-        e, q, k=10, centroid_stride=_IVF_STRIDE, nprobe=_IVF_NPROBE, n_iter=3
+    return similarity.ivf_kmeans_int_topk(
+        e, q, k=10, centroid_stride=_IVF_STRIDE, nprobe=_IVF_NPROBE,
+        n_iter=3, scale=1024,
     ).orderBy("query_id", "rank")
 
 
