@@ -337,6 +337,107 @@ def bench_spark_scan(spark, tmpdir: str) -> dict[str, float]:
     return out
 
 
+def bench_spark_bigio(spark, tmpdir: str) -> dict[str, float]:
+    """Env-gated above-page-cache spot check (SPARK_GRAFT_BIGIO_MB=2048).
+
+    The standard scan/sink numbers are measured on a 512 MB working set
+    that fits page cache entirely — a cold-I/O regression could hide
+    behind it. This writes SPARK_GRAFT_BIGIO_MB of uncompressed corpus
+    per codec, drops the page cache (best effort — needs root; silently
+    measured warm otherwise, key still says what was attempted), scans
+    once, and sinks a quarter of it. Not run per-round (env-gated) —
+    the guard is one data point recorded in BENCH_DETAIL.json as
+    spark_scan_big_* / spark_sink_big_*, expected within ~2x of the
+    cached figures.
+    """
+    big_mb = int(os.environ.get("SPARK_GRAFT_BIGIO_MB", "0") or "0")
+    if big_mb <= 0:
+        return {}
+    import shutil
+
+    from fourmc_spark.format import write_file
+
+    data = _blob(64)
+    n_files = max(2, big_mb // 64)
+    mb = n_files * len(data) / (1024 * 1024)
+    nthreads = min(int(CPUS), os.cpu_count() or int(CPUS))
+
+    def _drop_caches() -> bool:
+        os.sync()
+        try:
+            with open("/proc/sys/vm/drop_caches", "w") as f:
+                f.write("3\n")
+            return True
+        except OSError:
+            return False
+
+    # spin up the Python daemon workers on a throwaway scan BEFORE
+    # dropping caches: the workers import pyspark/pyarrow at spawn, and
+    # a cold first job otherwise charges those module reads to the scan
+    # (measured 4x low on the first codec, normal on the second)
+    warm_dir = os.path.join(tmpdir, "bigio-warm")
+    os.makedirs(warm_dir, exist_ok=True)
+    write_file(os.path.join(warm_dir, "w.4mc"), data[: 1 << 20],
+               codec="lz4", level="fast", workers=1)
+    spark.read.format("fourmc").load(warm_dir).count()
+
+    out: dict[str, float] = {}
+    for codec, level in (("lz4", "fast"), ("zstd", "medium")):
+        d = os.path.join(tmpdir, f"bigscan-{codec}")
+        os.makedirs(d, exist_ok=True)
+        ext = ".4mc" if codec == "lz4" else ".4mz"
+        for i in range(n_files):
+            write_file(
+                os.path.join(d, f"data{i}{ext}"), data,
+                codec=codec, level=level, workers=nthreads,
+            )
+        cold = _drop_caches()
+        df = spark.read.format("fourmc").option("maxpartitionbytes", 8 << 20).load(d)
+        t0 = time.perf_counter()
+        n = df.count()
+        dt = time.perf_counter() - t0
+        assert n > 0
+        out[f"spark_scan_big_{codec}_{level}_mbps"] = round(mb / dt, 1)
+        out[f"spark_scan_big_cold_{codec}_{level}"] = float(cold)
+
+        sink_files = ",".join(
+            f"{d}/data{i}{ext}" for i in range(max(1, n_files // 4))
+        )
+        sink_df = (
+            spark.read.format("fourmc")
+            .option("maxpartitionbytes", 4 << 20)
+            .option("maxblockspersplit", 2)
+            .load(sink_files)
+        )
+        sink_mb = max(1, n_files // 4) * len(data) / (1024 * 1024)
+        sink_dir = os.path.join(tmpdir, f"bigsink-{codec}")
+
+        def _sink_once() -> float:
+            os.sync()
+            t0 = time.perf_counter()
+            (
+                sink_df.select("value")
+                .write.format("fourmc")
+                .option("codec", codec)
+                .option("level", level)
+                .mode("overwrite")
+                .save(sink_dir)
+            )
+            os.sync()  # charge writeback to the measurement — that's the point
+            return time.perf_counter() - t0
+
+        # same methodology as the cached sink number (warm, best of 2) so
+        # the two are comparable; only the volume and the charged sync
+        # differ. The first pass pays write-path worker spin-up and
+        # converges over ~2 runs (measured 51 -> 108 -> 165 -> 189 MB/s).
+        _sink_once()
+        best = min(_sink_once(), _sink_once())
+        out[f"spark_sink_big_{codec}_{level}_mbps"] = round(sink_mb / best, 1)
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(sink_dir, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     import shutil
     import tempfile
@@ -354,6 +455,7 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         codec = bench_codecs(tmpdir)
         codec.update(bench_spark_scan(spark, tmpdir))
+        codec.update(bench_spark_bigio(spark, tmpdir))
         spark.stop()
 
         spark = get_spark("fourmc-bench", master=f"local[{CPUS}]")
