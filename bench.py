@@ -92,6 +92,12 @@ BENCH_QUERIES = [
     "curation_c4_clean",
     "text_winnow_fingerprints",
     "embedding_random_projection",
+    # round-3: the formerly rows-only trio, now oracle-backed — tokenizer
+    # training (one corpus pass + driver merge loop), trained-quantizer
+    # ANN, and stateful-streaming sessionization throughput
+    "text_bpe_learn",
+    "ann_ivf_kmeans_topk",
+    "stream_sessionize_stateful",
 ]
 
 

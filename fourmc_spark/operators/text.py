@@ -861,6 +861,12 @@ def winnow_fingerprints(df: DataFrame, k: int = 3, w: int = 4,
     )
 
 
+# loud-fail bound on the collected (word, freq) vocabulary — a model
+# artifact (distinct word TYPES, not corpus tokens); web-scale corpora
+# stay under this after any sane min-frequency cut
+BPE_MAX_VOCAB = 20_000_000
+
+
 def bpe_learn(df: DataFrame, n_merges: int = 10, text_col: str = "text",
               end_marker: str = "</w>") -> DataFrame:
     """Learn a byte-pair-encoding merge table from the corpus (Sennrich
@@ -897,11 +903,11 @@ def bpe_learn(df: DataFrame, n_merges: int = 10, text_col: str = "text",
         .agg(F.count("*").cast("long").alias("freq"))
         .collect()
     )
-    if len(rows) > 20_000_000:
+    if len(rows) > BPE_MAX_VOCAB:
         raise ValueError(
             f"bpe_learn: {len(rows)} distinct word types exceeds the "
-            "20M driver guard — pre-filter the corpus (e.g. min word "
-            "frequency) before training"
+            f"{BPE_MAX_VOCAB} driver guard — pre-filter the corpus "
+            "(e.g. min word frequency) before training"
         )
 
     # symbols: characters + an end-of-word marker (standard BPE —

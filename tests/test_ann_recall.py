@@ -136,3 +136,58 @@ def test_lsh_ann_null_first_embedding(spark):
     empty = spark.createDataFrame([], schema)
     with pytest.raises(ValueError, match="no non-null embeddings"):
         similarity.lsh_ann_topk(empty, empty, k=3)
+
+
+def test_kmeans_int_matches_numpy_reference_exactly(spark, sf_dir):
+    # the integer-exact trainer must match a single-node reference
+    # BIT-EXACTLY (not allclose): quantized data, integer SUM centroids,
+    # ties to the smallest cell — that exactness is what makes
+    # ann_ivf_kmeans_topk oracle-checkable
+    import numpy as np
+
+    from fourmc_spark.operators.similarity import kmeans_int_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    X = np.floor(
+        np.array(emb["embedding"].tolist(), dtype=np.float64) * 1024.0 + 0.5
+    ).astype(np.int64)
+    ids = emb["vec_id"].to_numpy()
+
+    stride, n_iter = 101, 3
+    S = X[ids % stride == 0].copy()
+    for _ in range(n_iter):
+        sims = (X @ S.T).astype(np.float64) / np.sqrt(
+            (S.astype(np.float64) ** 2).sum(axis=1)
+        )
+        a = np.argmax(sims, axis=1)
+        nxt = S.copy()
+        for c in range(S.shape[0]):
+            if (a == c).any():
+                nxt[c] = X[a == c].sum(axis=0)
+        S = nxt
+
+    got = kmeans_int_fit(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        n_iter=n_iter, centroid_stride=stride,
+    )
+    G = np.array([v for _, v in got], dtype=np.int64)
+    assert (G == S).all(), "integer k-means diverged from the reference"
+
+
+def test_ivf_kmeans_int_partition_invariant(spark, sf_dir):
+    # integer arithmetic is order-independent, so the result must be
+    # IDENTICAL under any input partitioning (the 100 TB determinism claim)
+    from pyspark.sql import functions as F
+
+    from fourmc_spark.operators.similarity import ivf_kmeans_int_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 5)
+    a = ivf_kmeans_int_topk(e, q).orderBy("query_id", "rank").collect()
+    b = (
+        ivf_kmeans_int_topk(e.repartition(7, "vec_id"), q)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert a == b

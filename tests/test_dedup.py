@@ -290,3 +290,32 @@ def test_bpe_learn_matches_reference(spark):
     ]
     want = _bpe_reference(texts, 8)
     assert got == want
+
+
+def test_bpe_learn_vocab_guard(spark, monkeypatch):
+    from fourmc_spark.operators import text as T
+
+    monkeypatch.setattr(T, "BPE_MAX_VOCAB", 3)
+    df = spark.createDataFrame(
+        [(0, "a b c d e f")], ["doc_id", "text"]
+    )
+    with pytest.raises(ValueError, match="driver guard"):
+        T.bpe_learn(df, n_merges=1)
+
+
+def test_signature_ops_follow_string_ids(spark):
+    # the arrow fast paths must follow the input id type (here: string),
+    # like their SQL twins always did — not hardcode long
+    from fourmc_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(f"doc-{i}", "the quick brown fox jumps over the lazy dog")
+         for i in range(6)],
+        ["doc_id", "text"],
+    )
+    mh = D.minhash_signatures(df, k=4)
+    assert dict(mh.dtypes)["doc_id"] == "string"
+    assert mh.count() == 6
+    sh = D.simhash_signatures(df)
+    assert dict(sh.dtypes)["doc_id"] == "string"
+    assert sh.count() == 6
