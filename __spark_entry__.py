@@ -109,6 +109,8 @@ _PRIORITY = [
     "ann_ivf_kmeans_topk",
     "text_bpe_learn",
     "stream_sessionize_stateful",
+    # round-3 addition: the tokenizer APPLY step (train -> encode)
+    "text_bpe_encode",
 ]
 
 

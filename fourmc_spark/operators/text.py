@@ -39,6 +39,7 @@ __all__ = [
     "c4_line_clean",
     "winnow_fingerprints",
     "bpe_learn",
+    "bpe_encode",
 ]
 
 # tiny per-language stopword vocabularies (public common words)
@@ -969,3 +970,80 @@ def bpe_learn(df: DataFrame, n_merges: int = 10, text_col: str = "text",
         ],
         "rank long, left string, right string, pair_count long",
     )
+
+
+def bpe_encode(df: DataFrame, merges, text_col: str = "text",
+               id_col: str = "doc_id",
+               end_marker: str = "</w>") -> DataFrame:
+    """Tokenize the corpus with a learned BPE merge table — the APPLY
+    step pairing :func:`bpe_learn` (train -> encode -> count is the full
+    tokenizer lifecycle).
+
+    ``merges`` is the frame :func:`bpe_learn` returns (or a list of
+    ``(rank, left, right)``). The merge table is a model artifact —
+    collected and BROADCAST (n_merges rows); encoding is a map-only
+    Arrow-batched ``mapInPandas`` with a per-batch word memo, so each
+    distinct word pays the merge chain once per partition and the
+    corpus never shuffles. Output: (id, tokens array<string>,
+    n_tokens) — one row per document with at least one non-empty word,
+    token order = word order x within-word symbol order.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    if isinstance(merges, DataFrame):
+        mrows = sorted(
+            (int(r["rank"]), r["left"], r["right"]) for r in merges.collect()
+        )
+    else:
+        mrows = sorted((int(a), b, c) for a, b, c in merges)
+    pairs = [(l, r) for _, l, r in mrows]
+    bc = df.sparkSession.sparkContext.broadcast(pairs)
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_t}, tokens array<string>, n_tokens long"
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        merge_list = bc.value
+        memo: dict[str, tuple] = {}
+
+        def enc_word(w: str) -> tuple:
+            t = memo.get(w)
+            if t is None:
+                syms = list(w) + [end_marker]
+                for left, right in merge_list:
+                    out, i, n = [], 0, len(syms)
+                    while i < n:
+                        if (
+                            i + 1 < n
+                            and syms[i] == left
+                            and syms[i + 1] == right
+                        ):
+                            out.append(left + right)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                t = memo[w] = tuple(syms)
+            return t
+
+        for pdf in it:
+            ids, toks, ns = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in ("" if text is None else text).split(" ") if w]
+                if not words:
+                    continue  # matches the words-CTE inner join semantics
+                doc = [t for w in words for t in enc_word(w)]
+                ids.append(did)
+                toks.append(doc)
+                ns.append(len(doc))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    "tokens": toks,
+                    "n_tokens": pd.Series(ns, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)

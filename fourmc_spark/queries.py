@@ -2485,14 +2485,29 @@ def _bpe_learn_sql(n_merges: int) -> str:
     [aa, a]). Pair counting re-splits on SEP+SEP. All counts are exact
     integer sums; the greedy pick is (count DESC, l, r) — total order,
     no float anywhere."""
+    ctes, _ = _bpe_chain_ctes(n_merges)
+    un = "\nUNION ALL ".join(
+        f'SELECT CAST({t} AS BIGINT) AS rank, l AS "left", r AS "right", '
+        f"cnt AS pair_count FROM b{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return "WITH " + ctes + f"\nSELECT * FROM ({un}) ORDER BY rank"
+
+
+def _bpe_chain_ctes(n_merges: int) -> tuple[str, str]:
+    """The shared learn-chain CTEs (words -> v0 -> [p,b,v]{1..n}),
+    carrying the word through every round so the final v{n} doubles as
+    the fully-merged vocabulary for the encode oracle. Returns
+    (cte_block, last_vocab_cte_name)."""
     SEP, DSEP = "chr(1)", "chr(1)||chr(1)"
     ctes = [f"""words AS (
   SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
     SELECT unnest(string_split(text, ' ')) AS w FROM documents)
   WHERE w != '' GROUP BY w),
 v0 AS (
-  SELECT freq, {SEP} || array_to_string(list_append(str_split(w, ''), '</w>'),
-                                        {DSEP}) || {SEP} AS enc
+  SELECT w, freq,
+         {SEP} || array_to_string(list_append(str_split(w, ''), '</w>'),
+                                  {DSEP}) || {SEP} AS enc
   FROM words)"""]
     for t in range(1, n_merges + 1):
         ctes.append(f"""p{t} AS (
@@ -2503,16 +2518,33 @@ v0 AS (
   GROUP BY l, r),
 b{t} AS (SELECT l, r, cnt FROM p{t} ORDER BY cnt DESC, l, r LIMIT 1),
 v{t} AS (
-  SELECT v.freq,
+  SELECT v.w, v.freq,
          replace(v.enc, {SEP}||b.l||{DSEP}||b.r||{SEP},
                  {SEP}||b.l||b.r||{SEP}) AS enc
   FROM v{t-1} v, b{t} b)""")
-    un = "\nUNION ALL ".join(
-        f'SELECT CAST({t} AS BIGINT) AS rank, l AS "left", r AS "right", '
-        f"cnt AS pair_count FROM b{t}"
-        for t in range(1, n_merges + 1)
-    )
-    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({un}) ORDER BY rank"
+    return ",\n".join(ctes), f"v{n_merges}"
+
+
+def _bpe_encode_sql(n_merges: int) -> str:
+    """Encode oracle: the learn chain's final vocabulary v{n} maps each
+    word to its merged symbol string; documents re-join their words (in
+    position order) and flatten the per-word token lists. Zero new
+    mechanisms beyond the learn oracle — same chain, different tail."""
+    ctes, vN = _bpe_chain_ctes(n_merges)
+    DSEP = "chr(1)||chr(1)"
+    return f"""WITH {ctes},
+docw AS (
+  SELECT d.doc_id, t.i, d.sp[t.i] AS w FROM
+    (SELECT doc_id, string_split(text, ' ') AS sp FROM documents) d,
+    unnest(generate_series(1, len(d.sp))) AS t(i)
+  WHERE d.sp[t.i] != ''),
+tok AS (
+  SELECT dw.doc_id, dw.i,
+         str_split(trim(v.enc, chr(1)), {DSEP}) AS toks
+  FROM docw dw JOIN {vN} v ON dw.w = v.w)
+SELECT doc_id, flatten(list(toks ORDER BY i)) AS tokens,
+       CAST(len(flatten(list(toks ORDER BY i))) AS BIGINT) AS n_tokens
+FROM tok GROUP BY doc_id ORDER BY doc_id"""
 
 
 @query("text_bpe_learn", _bpe_learn_sql(10))
@@ -2526,6 +2558,19 @@ def text_bpe_learn_q(spark, sf):
     return text.bpe_learn(
         _t(spark, sf, "documents"), n_merges=10
     ).orderBy("rank")
+
+
+@query("text_bpe_encode", _bpe_encode_sql(10))
+def text_bpe_encode_q(spark, sf):
+    # the tokenizer APPLY step: train the merge table (one corpus pass +
+    # driver merge loop), broadcast it, and encode every document in a
+    # map-only Arrow batch with a per-batch word memo. Token order =
+    # word order x within-word symbol order; exact by construction, so
+    # the oracle (the learn chain's final vocabulary joined back onto
+    # word positions) hash-matches.
+    docs = _t(spark, sf, "documents")
+    merges = text.bpe_learn(docs, n_merges=10)
+    return text.bpe_encode(docs, merges).orderBy("doc_id")
 
 
 @query(

@@ -319,3 +319,40 @@ def test_signature_ops_follow_string_ids(spark):
     sh = D.simhash_signatures(df)
     assert dict(sh.dtypes)["doc_id"] == "string"
     assert sh.count() == 6
+
+
+def test_bpe_encode_matches_reference(spark):
+    from fourmc_spark.operators import text as T
+
+    texts = [
+        "low lower lowest new newer newest",
+        "low low lower newest newest newest",
+        "wider wide wide widest low",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges = T.bpe_learn(df, n_merges=6)
+    got = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+        for r in T.bpe_encode(df, merges).collect()
+    }
+
+    # reference application: same merge list in rank order, per word
+    mrows = [(r["left"], r["right"]) for r in merges.orderBy("rank").collect()]
+
+    def enc(w):
+        syms = list(w) + ["</w>"]
+        for l, r in mrows:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            syms = out
+        return syms
+
+    for i, t in enumerate(texts):
+        want = [tok for w in t.split(" ") if w for tok in enc(w)]
+        assert got[i] == (want, len(want)), i
