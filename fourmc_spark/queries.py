@@ -2402,6 +2402,9 @@ ORDER BY user_id, session_start""",
 def stream_sessionize_q(spark, sf):
     from fourmc_spark.streaming import read_events_stream, sessionize_stateful
 
+    # timestamps round-trip through Arrow in the stateful fn; pin UTC so
+    # the emitted session bounds hash-match the oracle on ANY session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     sdf = sessionize_stateful(
         read_events_stream(spark, f"{sf}/events.parquet"), gap_minutes=15
     )
