@@ -19,6 +19,7 @@ __all__ = [
     "source_stats",
     "chunk_documents",
     "pack_sequences",
+    "pack_token_sequences",
     "source_quality_gate",
     "token_budget_select",
 ]
@@ -215,6 +216,59 @@ def pack_sequences(df: DataFrame, capacity: int = 2048,
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("_tok").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+def pack_token_sequences(encoded: DataFrame, seq_len: int = 512,
+                         group_col: str = "source", id_col: str = "doc_id",
+                         tokens_col: str = "tokens") -> DataFrame:
+    """GPT-style training-sequence packing over REAL token arrays — the
+    terminal step of the tokenize pipeline (:func:`~fourmc_spark.
+    operators.text.bpe_encode` output in, fixed-length training
+    sequences out). Documents concatenate in ``id_col`` order within
+    each ``group_col`` stream and are cut every ``seq_len`` tokens,
+    CROSSING document boundaries (unlike :func:`pack_sequences`' greedy
+    no-split bins); the trailing partial sequence is emitted with its
+    true ``n_tokens``.
+
+    Scale shape: per-group streams are embarrassingly parallel (how
+    training shards are built — no global sort); the doc-level offset
+    window sees one row per document, never tokens; the one
+    corpus-scale shuffle is the token explode keyed by
+    ``(group, seq_id)`` — and every such key holds EXACTLY ``seq_len``
+    tokens, so the shuffle is perfectly balanced by construction (no
+    skew regardless of document length distribution). Output:
+    ``(group_col, seq_id, n_tokens, tokens)``.
+    """
+    from pyspark.sql import Window
+
+    n = F.size(F.col(tokens_col)).cast("long")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    docs = encoded.select(
+        group_col, id_col, F.col(tokens_col).alias("_toks"), n.alias("_n")
+    ).withColumn("_off", F.sum("_n").over(w) - F.col("_n"))
+    tok = docs.select(
+        group_col, "_off", F.posexplode("_toks").alias("_p", "_token")
+    ).withColumn("_g", F.col("_off") + F.col("_p"))
+    return (
+        tok.withColumn("seq_id", F.floor(F.col("_g") / seq_len).cast("long"))
+        .withColumn("_ps", (F.col("_g") % seq_len).cast("long"))
+        .groupBy(group_col, "seq_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("_ps").alias("p"), F.col("_token").alias("t"))
+                    )
+                ),
+                lambda s: s["t"],
+            ).alias("tokens"),
         )
     )
 

@@ -2563,6 +2563,59 @@ def text_bpe_learn_q(spark, sf):
     ).orderBy("rank")
 
 
+def _pack_tokens_sql(n_merges: int, seq_len: int) -> str:
+    """Oracle for token-sequence packing: the encode tail's per-doc token
+    arrays, per-source running offsets (doc-level window), and a
+    position-ordered regroup into ``seq_len`` windows."""
+    ctes, vN = _bpe_chain_ctes(n_merges)
+    DSEP = "chr(1)||chr(1)"
+    return f"""WITH {ctes},
+docw AS (
+  SELECT d.doc_id, t.i, d.sp[t.i] AS w FROM
+    (SELECT doc_id, string_split(text, ' ') AS sp FROM documents) d,
+    unnest(generate_series(1, len(d.sp))) AS t(i)
+  WHERE d.sp[t.i] != ''),
+tokw AS (
+  SELECT dw.doc_id, dw.i,
+         str_split(trim(v.enc, chr(1)), {DSEP}) AS toks
+  FROM docw dw JOIN {vN} v ON dw.w = v.w),
+enc AS (
+  SELECT doc_id, flatten(list(toks ORDER BY i)) AS tokens
+  FROM tokw GROUP BY doc_id),
+doc2 AS (
+  SELECT e.doc_id, d.source, e.tokens,
+         CAST(len(e.tokens) AS BIGINT) AS n
+  FROM enc e JOIN documents d USING (doc_id)),
+offs AS (
+  SELECT source, tokens,
+         sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - n AS off
+  FROM doc2),
+flat AS (
+  SELECT source, off + t.i - 1 AS g, tokens[t.i] AS token
+  FROM offs, unnest(generate_series(1, len(tokens))) AS t(i))
+SELECT source, CAST(g // {seq_len} AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       list(token ORDER BY g % {seq_len}) AS tokens
+FROM flat GROUP BY source, g // {seq_len} ORDER BY source, seq_id"""
+
+
+@query("curation_pack_tokens", _pack_tokens_sql(10, 256))
+def curation_pack_tokens_q(spark, sf):
+    # the terminal LLM data-prep step: learn a tokenizer, encode the
+    # corpus, and pack token streams into fixed 256-token training
+    # sequences per source shard (crossing doc boundaries). The packing
+    # shuffle key (source, seq_id) holds exactly seq_len tokens — a
+    # perfectly balanced shuffle regardless of doc-length skew.
+    docs = _t(spark, sf, "documents")
+    merges = text.bpe_learn(docs, n_merges=10)
+    enc = text.bpe_encode(docs, merges)
+    grouped = enc.join(docs.select("doc_id", "source"), "doc_id")
+    return curation.pack_token_sequences(grouped, seq_len=256).orderBy(
+        "source", "seq_id"
+    )
+
+
 @query("text_bpe_encode", _bpe_encode_sql(10))
 def text_bpe_encode_q(spark, sf):
     # the tokenizer APPLY step: train the merge table (one corpus pass +

@@ -116,3 +116,27 @@ def test_cosine_pairs_block_decomposition_exact(spark):
     assert blocked == single and len(blocked_rows) == len(blocked)
     assert all(a < b for a, b in blocked)
     assert len(single) > 0
+
+
+def test_pack_token_sequences_semantics(spark):
+    # docs concatenate in id order within a group, sequences cut every
+    # seq_len tokens CROSSING doc boundaries, trailing partial emitted
+    from fourmc_spark.operators.curation import pack_token_sequences
+
+    rows = [
+        ("s1", 1, ["a", "b", "c"]),
+        ("s1", 2, ["d", "e"]),
+        ("s1", 3, ["f", "g", "h", "i"]),
+        ("s2", 4, ["x"]),
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "tokens"])
+    got = {
+        (r["source"], r["seq_id"]): (list(r["tokens"]), r["n_tokens"])
+        for r in pack_token_sequences(df, seq_len=4).collect()
+    }
+    assert got == {
+        ("s1", 0): (["a", "b", "c", "d"], 4),   # crosses doc 1 -> 2
+        ("s1", 1): (["e", "f", "g", "h"], 4),   # crosses doc 2 -> 3
+        ("s1", 2): (["i"], 1),                  # trailing partial
+        ("s2", 0): (["x"], 1),
+    }
