@@ -2563,6 +2563,48 @@ def text_bpe_learn_q(spark, sf):
     ).orderBy("rank")
 
 
+def _bpe_vocab_sql(n_merges: int) -> str:
+    """Oracle for the learned subword inventory: corpus token frequencies
+    = per-word merged symbols weighted by word frequency (no re-scan of
+    the documents — the (word, freq) table carries the counts)."""
+    ctes, vN = _bpe_chain_ctes(n_merges)
+    DSEP = "chr(1)||chr(1)"
+    return f"""WITH {ctes},
+toks AS (
+  SELECT t.tok AS token, v.freq FROM
+    (SELECT freq, str_split(trim(enc, chr(1)), {DSEP}) AS syms FROM {vN}) v,
+    unnest(v.syms) AS t(tok))
+SELECT token, CAST(sum(freq) AS BIGINT) AS n_occurrences
+FROM toks GROUP BY token ORDER BY n_occurrences DESC, token"""
+
+
+@query("text_bpe_vocab", _bpe_vocab_sql(10))
+def text_bpe_vocab_q(spark, sf):
+    # the learned subword inventory with corpus frequencies — computed
+    # from the vocab-sized (word, freq) table (weighted by word freq),
+    # NOT by re-encoding the corpus: at 100 TB the token histogram costs
+    # a vocab-sized explode + one aggregate
+    docs = _t(spark, sf, "documents")
+    merges = text.bpe_learn(docs, n_merges=10)
+    words = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    enc = text.bpe_encode(
+        words.withColumn("wid", F.col("w")), merges,
+        text_col="w", id_col="wid",
+    )
+    return (
+        enc.join(words, enc["wid"] == words["w"])
+        .select(F.explode("tokens").alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "token")
+    )
+
+
 def _pack_tokens_sql(n_merges: int, seq_len: int) -> str:
     """Oracle for token-sequence packing: the encode tail's per-doc token
     arrays, per-source running offsets (doc-level window), and a
