@@ -19,12 +19,21 @@ QUERIES_UNDER_TEST = [
     "curation_mixture_sample",
     "ts_apply_changes",
     "curation_pack_sequences",
+    # round-3 shapes: trained-quantizer ANN (row_number over float sims
+    # from integer dots), BPE training (aggregation order) + encoding,
+    # and token packing (collect_list + array_sort regroup)
+    "ann_ivf_kmeans_topk",
+    "text_bpe_learn",
+    "text_bpe_encode",
+    "curation_pack_tokens",
 ]
 
 
 def _canon(v):
     if isinstance(v, float):
         return "NaN" if math.isnan(v) else round(v, 9)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_canon(x) for x in v)
     return v.isoformat() if hasattr(v, "isoformat") else v
 
 
