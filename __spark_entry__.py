@@ -53,9 +53,12 @@ sys.path.insert(0, _HERE)
 # to the very front.
 _PRIORITY = [
     # round 3: the one red query from r02 first (register_fourmc conf fix),
-    # then every remaining oracle-checkable unverified query, then the
-    # no-oracle trio last — 49 names <= the 50-slot window, so this round
-    # closes the driver-verification gate.
+    # then every remaining unverified query from rounds 1-2 (46), then the
+    # formerly no-oracle trio (now oracle-backed), then the first of the
+    # round-3 additions — 50 names filling the 50-slot window exactly.
+    # The two other round-3 additions (text_bpe_vocab, curation_pack_tokens)
+    # sort directly after via the unverified-first rest ordering and roll
+    # to the next round's window.
     "proto_4mc_roundtrip",
     "text_repetition",
     "text_pii_redact",

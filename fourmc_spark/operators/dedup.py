@@ -69,6 +69,22 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _parse_bytes(v: str) -> int:
+    """Spark size-conf string -> bytes ('134217728', '128m', '1g',
+    '134217728b' are all valid conf spellings)."""
+    s = v.strip().lower()
+    mult = 1
+    for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                   ("t", 1 << 40)):
+        if s.rstrip("b").endswith(suf):
+            s = s.rstrip("b")[: -1]
+            mult = m
+            break
+    else:
+        s = s.rstrip("b")
+    return int(s) * mult
+
+
 def _fanout_rebalance(df: DataFrame, id_col: str) -> DataFrame:
     """Rebalance BEFORE a high-fanout explode (or a per-doc Python
     stage): exploding multiplies rows ~100-200×, and Spark can never
@@ -99,15 +115,20 @@ def _fanout_rebalance(df: DataFrame, id_col: str) -> DataFrame:
         files = df.inputFiles()
         if len(files) >= par:
             return df
-        if files:
+        # single-stream compressed containers are NOT splittable — the
+        # bytes proxy below would wrongly skip the repartition and leave
+        # the explode on file-count cores
+        _unsplittable = (".gz", ".bz2", ".xz", ".zst", ".sz", ".lz4",
+                         ".snappy", ".deflate")
+        if files and not any(p.lower().endswith(_unsplittable) for p in files):
             # total-bytes / maxPartitionBytes proxy for splittable scans.
             # Local paths only (file: URIs) — a stat failure (remote FS)
             # falls through to the conservative repartition.
             import os as _os
 
-            max_pb = int(
+            max_pb = _parse_bytes(
                 str(spark.conf.get("spark.sql.files.maxPartitionBytes",
-                                   "134217728")).rstrip("b")
+                                   "134217728"))
             )
             total = 0
             for p in files:

@@ -419,39 +419,44 @@ def kmeans_int_fit(embeddings: DataFrame, n_iter: int = 3,
     qdf = embeddings.select(
         F.col(id_col), _quantize_expr(vec_col, scale).alias("_qv")
     ).persist()
-    init = sorted(
-        (int(r[0]), [int(x) for x in r[1]])
-        for r in qdf.where((F.col(id_col) % centroid_stride) == 0).collect()
-    )
-    if not init:
-        raise ValueError("no centroids: centroid_stride larger than id range")
-    S = np.array([v for _, v in init], dtype=np.int64)
-    cell_ids = np.array([c for c, _ in init], dtype=np.int64)
-    dim = S.shape[1]
-    pos = {int(c): j for j, c in enumerate(cell_ids)}
-
-    for _ in range(n_iter):
-        frozen = S.copy()
-        ssn = np.sqrt((frozen.astype(np.float64) ** 2).sum(axis=1))
-
-        @F.pandas_udf("long")
-        def nearest(batch: pd.Series) -> pd.Series:
-            m = np.array(batch.tolist(), dtype=np.int64)
-            sims = (m @ frozen.T).astype(np.float64) / ssn
-            # argmax takes the FIRST max; cell_ids ascend, so ties break
-            # to the smallest cell id — the oracle's (sim DESC, cell ASC)
-            return pd.Series(cell_ids[np.argmax(sims, axis=1)])
-
-        sums = (
-            qdf.select(nearest(F.col("_qv")).alias("cell"), "_qv")
-            .groupBy("cell")
-            .agg(*[F.sum(F.col("_qv")[i]).alias(f"d{i}") for i in range(dim)])
-            .collect()
+    try:
+        init = sorted(
+            (int(r[0]), [int(x) for x in r[1]])
+            for r in qdf.where((F.col(id_col) % centroid_stride) == 0).collect()
         )
-        S = frozen.copy()  # empty cells keep their previous sum
-        for r in sums:
-            S[pos[int(r["cell"])]] = [int(r[f"d{i}"]) for i in range(dim)]
-    qdf.unpersist()
+        if not init:
+            raise ValueError(
+                "no centroids: centroid_stride larger than id range"
+            )
+        S = np.array([v for _, v in init], dtype=np.int64)
+        cell_ids = np.array([c for c, _ in init], dtype=np.int64)
+        dim = S.shape[1]
+        pos = {int(c): j for j, c in enumerate(cell_ids)}
+
+        for _ in range(n_iter):
+            frozen = S.copy()
+            ssn = np.sqrt((frozen.astype(np.float64) ** 2).sum(axis=1))
+
+            @F.pandas_udf("long")
+            def nearest(batch: pd.Series) -> pd.Series:
+                m = np.array(batch.tolist(), dtype=np.int64)
+                sims = (m @ frozen.T).astype(np.float64) / ssn
+                # argmax takes the FIRST max; cell_ids ascend, so ties
+                # break to the smallest cell id — the oracle's
+                # (sim DESC, cell ASC)
+                return pd.Series(cell_ids[np.argmax(sims, axis=1)])
+
+            sums = (
+                qdf.select(nearest(F.col("_qv")).alias("cell"), "_qv")
+                .groupBy("cell")
+                .agg(*[F.sum(F.col("_qv")[i]).alias(f"d{i}") for i in range(dim)])
+                .collect()
+            )
+            S = frozen.copy()  # empty cells keep their previous sum
+            for r in sums:
+                S[pos[int(r["cell"])]] = [int(r[f"d{i}"]) for i in range(dim)]
+    finally:
+        qdf.unpersist()
     return [(int(cell_ids[j]), [int(x) for x in S[j]]) for j in range(len(cell_ids))]
 
 

@@ -868,6 +868,21 @@ def winnow_fingerprints(df: DataFrame, k: int = 3, w: int = 4,
 BPE_MAX_VOCAB = 20_000_000
 
 
+def _apply_merge(syms, left: str, right: str) -> list:
+    """Left-to-right non-overlapping merge application — THE BPE merge
+    rule ("aaa" + (a,a) -> [aa, a]). Single definition shared by
+    training and encoding so the two can never desynchronize."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
 def bpe_learn(df: DataFrame, n_merges: int = 10, text_col: str = "text",
               end_marker: str = "</w>") -> DataFrame:
     """Learn a byte-pair-encoding merge table from the corpus (Sennrich
@@ -897,19 +912,26 @@ def bpe_learn(df: DataFrame, n_merges: int = 10, text_col: str = "text",
     from collections import Counter, defaultdict
 
     spark = df.sparkSession
-    rows = (
+    wdf = (
         df.select(F.explode(F.expr(tokens_spark(text_col))).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("freq"))
-        .collect()
+        .persist()
     )
-    if len(rows) > BPE_MAX_VOCAB:
-        raise ValueError(
-            f"bpe_learn: {len(rows)} distinct word types exceeds the "
-            f"{BPE_MAX_VOCAB} driver guard — pre-filter the corpus "
-            "(e.g. min word frequency) before training"
-        )
+    try:
+        # guard BEFORE collect — a count can't OOM the driver, the
+        # collect of an unbounded vocab can
+        n_types = wdf.count()
+        if n_types > BPE_MAX_VOCAB:
+            raise ValueError(
+                f"bpe_learn: {n_types} distinct word types exceeds the "
+                f"{BPE_MAX_VOCAB} driver guard — pre-filter the corpus "
+                "(e.g. min word frequency) before training"
+            )
+        rows = wdf.collect()
+    finally:
+        wdf.unpersist()
 
     # symbols: characters + an end-of-word marker (standard BPE —
     # distinguishes "est</w>" from "est" mid-word)
@@ -948,16 +970,7 @@ def bpe_learn(df: DataFrame, n_merges: int = 10, text_col: str = "text",
         merges.append((left, right, int(best_cnt)))
         for idx in list(pair_words[best]):
             _index(idx, -1)
-            syms = words[idx][0]
-            merged, i, n = [], 0, len(syms)
-            while i < n:
-                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
-                    merged.append(left + right)
-                    i += 2
-                else:
-                    merged.append(syms[i])
-                    i += 1
-            words[idx][0] = merged
+            words[idx][0] = _apply_merge(words[idx][0], left, right)
             _index(idx, +1)
         # the merged pair is gone everywhere; drop its index entries
         pair_counts.pop(best, None)
@@ -1012,19 +1025,7 @@ def bpe_encode(df: DataFrame, merges, text_col: str = "text",
             if t is None:
                 syms = list(w) + [end_marker]
                 for left, right in merge_list:
-                    out, i, n = [], 0, len(syms)
-                    while i < n:
-                        if (
-                            i + 1 < n
-                            and syms[i] == left
-                            and syms[i + 1] == right
-                        ):
-                            out.append(left + right)
-                            i += 2
-                        else:
-                            out.append(syms[i])
-                            i += 1
-                    syms = out
+                    syms = _apply_merge(syms, left, right)
                 t = memo[w] = tuple(syms)
             return t
 

@@ -2481,8 +2481,11 @@ def _bpe_learn_sql(n_merges: int) -> str:
     """Unrolled BPE-training oracle (fixed greedy rounds, the pagerank /
     ivf_kmeans pattern). The trick that makes a merge round ONE SQL
     expression: encode each word's symbol sequence as
-    ``SEP+sym+SEP`` concatenated (SEP = chr(1), absent from the corpus
-    by check), so applying merge (l, r) is exactly a plain substring
+    ``SEP+sym+SEP`` concatenated. SEP = chr(1) — a limitation of the
+    ORACLE only: a corpus word containing \\x01 would mis-segment the
+    encoding (the Spark side handles any character fine); the driver
+    corpora contain none (verified at all three SFs). Applying merge
+    (l, r) is then exactly a plain substring
     ``replace(SEP+l+SEP+SEP+r+SEP -> SEP+lr+SEP)`` — left-to-right
     non-overlapping, which IS the BPE merge rule ("aaa" + (a,a) ->
     [aa, a]). Pair counting re-splits on SEP+SEP. All counts are exact
@@ -2522,9 +2525,10 @@ v0 AS (
 b{t} AS (SELECT l, r, cnt FROM p{t} ORDER BY cnt DESC, l, r LIMIT 1),
 v{t} AS (
   SELECT v.w, v.freq,
-         replace(v.enc, {SEP}||b.l||{DSEP}||b.r||{SEP},
-                 {SEP}||b.l||b.r||{SEP}) AS enc
-  FROM v{t-1} v, b{t} b)""")
+         CASE WHEN b.l IS NULL THEN v.enc
+              ELSE replace(v.enc, {SEP}||b.l||{DSEP}||b.r||{SEP},
+                           {SEP}||b.l||b.r||{SEP}) END AS enc
+  FROM v{t-1} v LEFT JOIN b{t} b ON TRUE)""")
     return ",\n".join(ctes), f"v{n_merges}"
 
 

@@ -132,3 +132,14 @@ def test_encode_oracle_long_runs(texts):
     merges = _ref_learn(texts, 5)
     rows = con.execute(_bpe_encode_sql(5)).fetchall()
     assert rows and list(rows[0][1]) == _ref_encode(texts[0], merges)
+
+
+def test_oracle_survives_merge_exhaustion():
+    # fewer possible merges than n_merges: b{t} goes empty and v{t} must
+    # FALL BACK to v{t-1}, not cross-join itself into an empty vocabulary
+    # (the round-3 review finding: encode/vocab oracles returned 0 rows)
+    con = _docs_con(["a"])
+    rows = con.execute(_bpe_encode_sql(3)).fetchall()
+    assert rows == [(0, ["a</w>"], 1)]
+    merges = con.execute(_bpe_learn_sql(3)).fetchall()
+    assert [(r[1], r[2]) for r in merges] == [("a", "</w>")]

@@ -356,3 +356,13 @@ def test_bpe_encode_matches_reference(spark):
     for i, t in enumerate(texts):
         want = [tok for w in t.split(" ") if w for tok in enc(w)]
         assert got[i] == (want, len(want)), i
+
+
+def test_parse_bytes_conf_spellings():
+    from fourmc_spark.operators.dedup import _parse_bytes
+
+    assert _parse_bytes("134217728") == 134217728
+    assert _parse_bytes("134217728b") == 134217728
+    assert _parse_bytes("128m") == 128 << 20
+    assert _parse_bytes("128MB") == 128 << 20
+    assert _parse_bytes("1g") == 1 << 30
