@@ -1,9 +1,13 @@
 """Text-analysis operators for training-data pipelines.
 
-All pure built-in column expressions (JVM-side, codegen-friendly): language
-ID (stopword voting), quality scoring, token statistics, and document
-fingerprinting (rolling polynomial hash). Deterministic by construction so
-every operator is oracle-checkable in DuckDB.
+Scoring/statistics operators are pure built-in column expressions
+(JVM-side, codegen-friendly): language ID (stopword voting), quality
+scoring, token statistics, document fingerprinting (rolling polynomial
+hash), plus Arrow fast paths (mapInPandas) where dense per-doc compute
+earns it. The BPE tokenizer lifecycle (learn/encode) reduces the corpus
+to a vocab-sized model in one pass, then works driver-side/broadcast.
+Deterministic by construction so every operator is oracle-checkable in
+DuckDB.
 """
 
 from __future__ import annotations

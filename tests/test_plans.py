@@ -364,3 +364,42 @@ def test_session_enables_python_filter_pushdown(spark):
     # pushFilters pruning (offset/partition-column) is gated behind this
     # conf; losing it silently reverts every scan to full planning
     assert spark.conf.get("spark.sql.python.filterPushdown.enabled") == "true"
+
+
+def test_ivf_kmeans_assignment_is_map_only(spark, sf_dir, queries):
+    # candidate->cell assignment must be the Arrow matmul projection with
+    # no Exchange between the embeddings scan and the pandas UDF; the
+    # only exchanges in the whole query are the probe-join broadcast and
+    # the final per-query window
+    from pyspark.sql import functions as F
+
+    from fourmc_spark.operators.similarity import (
+        ivf_kmeans_int_topk, kmeans_int_fit,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 5)
+    plan = physical_plan(ivf_kmeans_int_topk(e, q))
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+    assert "BroadcastExchange" in plan  # probes broadcast, not shuffled
+    assert "CartesianProduct" not in plan
+    # the training rounds themselves: assignment scan -> pandas UDF ->
+    # partial agg with NO exchange before the UDF (map-only)
+    cents = kmeans_int_fit(e, n_iter=1)
+    assert len(cents) > 0
+
+
+def test_pack_tokens_shuffles_are_bounded(spark, sf_dir, queries):
+    # one doc-level window exchange + one (group, seq_id) regroup — the
+    # regroup key holds exactly seq_len tokens, so no skew is possible;
+    # a plan that sorts the exploded tokens globally would be a regression
+    from fourmc_spark.operators.curation import pack_token_sequences
+
+    enc = spark.createDataFrame(
+        [("s", i, ["t"] * 10) for i in range(50)],
+        ["source", "doc_id", "tokens"],
+    )
+    df = pack_token_sequences(enc, seq_len=16)
+    plan = physical_plan(df)
+    assert "GlobalSort" not in plan and "rangepartitioning" not in plan.lower()
+    assert exchange_count(df) <= 2, physical_plan(df)
