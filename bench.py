@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "text_bpe_learn",
     "ann_ivf_kmeans_topk",
     "stream_sessionize_stateful",
+    # full tokenizer pipeline: learn -> encode corpus -> pack sequences
+    "curation_pack_tokens",
 ]
 
 
@@ -444,6 +446,54 @@ def bench_spark_bigio(spark, tmpdir: str) -> dict[str, float]:
     return out
 
 
+def bench_stress(spark) -> dict[str, float]:
+    """Env-gated LLM-op stress (SPARK_GRAFT_STRESS_X=10): union the sf
+    documents X times with shifted ids and time the operators whose
+    scale-shape claims matter most. The duplicate density is the point —
+    every doc gains X-1 exact copies, so minhash-LSH candidate groups
+    are X wide (the adversarial near-dup regime), while BPE/packing see
+    a genuinely X-times-larger corpus. Not run per-round; one data point
+    recorded in BENCH_DETAIL.json as stress_*_sec when the flag is set.
+    """
+    X = int(os.environ.get("SPARK_GRAFT_STRESS_X", "0") or "0")
+    if X <= 1:
+        return {}
+    from pyspark.sql import functions as F
+
+    from fourmc_spark.operators import curation, dedup, text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    stress = docs
+    for i in range(1, X):
+        stress = stress.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * hi))
+        )
+    stress = stress.persist()
+    n = stress.count()
+
+    out: dict[str, float] = {"stress_docs": float(n)}
+
+    t0 = time.perf_counter()
+    pairs = dedup.minhash_lsh_pairs(stress, threshold=0.8)
+    npairs = pairs.count()
+    out["stress_minhash_lsh_sec"] = round(time.perf_counter() - t0, 3)
+    out["stress_minhash_pairs"] = float(npairs)
+
+    t0 = time.perf_counter()
+    merges = text.bpe_learn(stress, n_merges=10)
+    enc = text.bpe_encode(stress, merges)
+    packed = curation.pack_token_sequences(
+        enc.join(stress.select("doc_id", "source"), "doc_id"), seq_len=512
+    )
+    nseq = packed.count()
+    out["stress_tokenize_pack_sec"] = round(time.perf_counter() - t0, 3)
+    out["stress_sequences"] = float(nseq)
+
+    stress.unpersist()
+    return out
+
+
 def main() -> None:
     import shutil
     import tempfile
@@ -462,6 +512,7 @@ def main() -> None:
         codec = bench_codecs(tmpdir)
         codec.update(bench_spark_scan(spark, tmpdir))
         codec.update(bench_spark_bigio(spark, tmpdir))
+        codec.update(bench_stress(spark))
         spark.stop()
 
         spark = get_spark("fourmc-bench", master=f"local[{CPUS}]")
