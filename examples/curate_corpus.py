@@ -11,6 +11,8 @@ Pipeline (every stage a real operator from fourmc_spark.operators):
       -> exact dedup                       (content-hash groups)
       -> MinHash-LSH near-dedup            (banded candidates + confirm)
       -> chunk + pack into sequences       (training-window prep)
+      -> BPE tokenizer: learn + encode     (merge-table training, apply)
+      -> pack token streams into 512-token training sequences
       -> write curated corpus (.4mz)       (splittable sink)
       -> per-source stats to stdout
 
@@ -120,6 +122,15 @@ def curate(spark, input_dir: str, output_dir: str) -> dict:
     chunks = curation.chunk_documents(kept, chunk_chars=512, overlap=64)
     packed = curation.pack_sequences(kept, capacity=2048)
 
+    # tokenize: train a BPE merge table on the CURATED corpus, encode it,
+    # and pack the token streams into fixed-length training sequences —
+    # the terminal step a pretraining pipeline feeds to the trainer
+    merges = T.bpe_learn(kept, n_merges=32)
+    encoded = T.bpe_encode(kept, merges)
+    token_seqs = curation.pack_token_sequences(
+        encoded.join(kept.select("doc_id", "source"), "doc_id"), seq_len=512
+    )
+
     # write the curated corpus as splittable 4mz. The sink is
     # line-oriented: embedded newlines (from the line cleaner) must be
     # collapsed or each document would read back as several records.
@@ -139,6 +150,8 @@ def curate(spark, input_dir: str, output_dir: str) -> dict:
         "curated_docs": kept.count(),
         "chunks": chunks.count(),
         "packed_sequences": packed.count(),
+        "bpe_merges": merges.count(),
+        "token_sequences": token_seqs.count(),
         "output_files": len(
             [f for f in os.listdir(output_dir) if f.endswith(".4mz")]
         ),
