@@ -3641,6 +3641,57 @@ def text_inverted_index_q(spark, sf):
 
 
 @query(
+    "stream_dedup_ingest",
+    f"""WITH sh AS ({_DUCK_SHINGLES}),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT a_id, b_id FROM common
+  JOIN cnt na ON na.doc_id = a_id
+  JOIN cnt nb ON nb.doc_id = b_id
+  WHERE round(c * 1.0 / (na.n + nb.n - c), 4) >= 0.8)
+SELECT doc_id, source FROM documents
+WHERE doc_id NOT IN (SELECT b_id FROM pairs)
+ORDER BY doc_id""",
+)
+def stream_dedup_ingest_q(spark, sf):
+    # continuous near-dup-gated corpus ingest: the documents feed streams
+    # through foreachBatch, each batch admitted against the accumulated
+    # corpus snapshot (streaming/ops.dedup_ingest_stream — micro-batch
+    # twin of operators/dedup.incremental_near_dedup). One sealed file =
+    # one batch with an empty initial corpus, so the final snapshot must
+    # equal the batch rule: admit a doc iff it near-dups no smaller-id doc.
+    import os
+    import shutil
+    import tempfile
+
+    from fourmc_spark.streaming import dedup_ingest_stream, read_dedup_state
+
+    path = f"{sf}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", os.path.basename(path))
+        .parquet(os.path.dirname(path))
+    )
+    d = tempfile.mkdtemp(prefix="fourmc-ingest-")
+    try:
+        q = dedup_ingest_stream(sdf, d).trigger(availableNow=True).start()
+        q.awaitTermination()
+        out = (
+            read_dedup_state(spark, d)
+            .select("doc_id", "source")
+            .orderBy("doc_id")
+        )
+        return _detach(out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
     "stream_cdc_apply",
     """WITH ev AS (
   SELECT user_id, ts, event_id, value,

@@ -491,3 +491,91 @@ def read_cdc_state(
         cur = f.read().strip()
     df = spark.read.parquet(os.path.join(state_dir, cur))
     return df.where(F.col(op_col) != delete_op).drop(op_col)
+
+
+def dedup_ingest_stream(
+    docs: DataFrame,
+    state_dir: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming near-dup-gated corpus ingest — the micro-batch twin of
+    ``operators/dedup.incremental_near_dedup`` (the daily-ingest batch
+    shape, promoted to a continuous feed).
+
+    Each micro-batch admits only documents that near-dup (MinHash-LSH
+    candidates, exact-Jaccard confirm >= ``threshold``) neither the
+    ALREADY-ADMITTED corpus snapshot nor an earlier-id document of the
+    same batch; survivors append to a versioned corpus snapshot behind
+    an atomically-swapped pointer (the :func:`cdc_apply_stream`
+    idempotency mechanics). Replayed batches first anti-join away rows
+    the snapshot already admitted, then re-evaluate the rest against
+    the identical corpus state — deterministic, so at-least-once
+    delivery yields the exactly-once corpus.
+
+    Scale shape inherits the batch operator's: per batch the corpus is
+    never self-joined — candidates are (corpus x batch) and
+    (batch x batch) band collisions only, so ingest cost is
+    O(|batch| x collision rate) regardless of corpus size. At 100 TB
+    the snapshot append becomes an insert into a transactional table;
+    the gate logic is unchanged. Returns the ``writeStream`` builder
+    (caller picks trigger/start); read the admitted corpus back with
+    :func:`read_dedup_state`.
+    """
+    import os
+
+    from fourmc_spark.operators.dedup import incremental_near_dedup
+
+    spark = docs.sparkSession
+    os.makedirs(state_dir, exist_ok=True)
+    ptr = os.path.join(state_dir, "_LATEST")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                cur = f.read().strip()
+            corpus = spark.read.parquet(os.path.join(state_dir, cur))
+            # replay idempotency: rows the snapshot already admitted
+            # would otherwise near-dup their own corpus copy
+            fresh = batch_df.join(
+                corpus.select(id_col), on=id_col, how="left_anti"
+            )
+            admitted = incremental_near_dedup(
+                corpus, fresh, threshold, text_col, id_col
+            )
+            merged = corpus.unionByName(admitted)
+        else:
+            empty = spark.createDataFrame([], batch_df.schema)
+            merged = incremental_near_dedup(
+                empty, batch_df, threshold, text_col, id_col
+            )
+        import uuid
+
+        new = f"v{batch_id}-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(os.path.join(state_dir, new))
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(new)
+        os.replace(tmp, ptr)
+        import shutil
+
+        for d in os.listdir(state_dir):
+            if d.startswith("v") and d != new:
+                shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+
+    return docs.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", os.path.join(state_dir, "_checkpoint")
+    )
+
+
+def read_dedup_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Admitted corpus behind :func:`dedup_ingest_stream`'s pointer."""
+    import os
+
+    ptr = os.path.join(state_dir, "_LATEST")
+    with open(ptr) as f:
+        cur = f.read().strip()
+    return spark.read.parquet(os.path.join(state_dir, cur))

@@ -464,3 +464,46 @@ def test_cdc_apply_stream_matches_batch_apply_changes(spark, sf_dir):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_dedup_ingest_stream_incremental(spark, tmp_path):
+    # batch 2 documents must be gated against the corpus ADMITTED from
+    # batch 1, not just within-batch — the continuous-ingest property
+    import os
+
+    from fourmc_spark.streaming import dedup_ingest_stream, read_dedup_state
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    in_dir, state = str(tmp_path / "in"), str(tmp_path / "state")
+    os.makedirs(in_dir)
+    b1 = spark.createDataFrame(
+        [
+            (0, base, "s"),
+            (1, "completely different text about spark engines at scale", "s"),
+            (2, base, "s"),  # within-batch dup of 0 -> rejected
+        ],
+        ["doc_id", "text", "source"],
+    )
+    b1.coalesce(1).write.parquet(os.path.join(in_dir, "b1.parquet"))
+
+    schema = b1.schema
+    sdf = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(in_dir)
+    q = dedup_ingest_stream(sdf, state).start()
+    q.processAllAvailable()
+    admitted1 = {r["doc_id"] for r in read_dedup_state(spark, state).collect()}
+    assert admitted1 == {0, 1}
+
+    b2 = spark.createDataFrame(
+        [
+            (10, base, "s"),  # cross-batch dup of corpus doc 0 -> rejected
+            (11, "a genuinely novel document mentioning tokenizers", "s"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    b2.coalesce(1).write.parquet(os.path.join(in_dir, "b2.parquet"))
+    q.processAllAvailable()
+    q.stop()
+    admitted2 = {r["doc_id"] for r in read_dedup_state(spark, state).collect()}
+    assert admitted2 == {0, 1, 11}
