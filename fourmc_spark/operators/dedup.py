@@ -45,6 +45,7 @@ __all__ = [
     "simhash_pairs",
     "edit_distance_pairs",
     "incremental_near_dedup",
+    "incremental_near_dedup_presigned",
     "global_chunk_dedup",
 ]
 
@@ -613,6 +614,86 @@ def incremental_near_dedup(corpus: DataFrame, incoming: DataFrame,
                               candidates=candidates, shingles=sh)
     dropped = confirmed.select(F.col("b_id").alias(id_col)).distinct()
     return incoming.join(dropped, on=id_col, how="left_anti")
+
+
+def incremental_near_dedup_presigned(
+    corpus: DataFrame | None,
+    incoming: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    rows_per_band: int = 2,
+    persist_registry: list | None = None,
+) -> DataFrame:
+    """:func:`incremental_near_dedup` with a PRE-SIGNED corpus — the
+    continuous-ingest shape where the admitted corpus carries its MinHash
+    signature columns (``mh00..``) in the snapshot, so a batch never
+    re-reads, re-shingles, or re-hashes corpus text.
+
+    Per batch the work is: signatures for the BATCH only (map-only
+    Arrow), a band-bucket join against the stored corpus signature index
+    (a narrow id+k-longs table — ~0.1% of corpus text volume), and
+    exact-Jaccard confirm with shingling restricted to the candidate
+    participants on both sides. Identical admission decisions to
+    :func:`incremental_near_dedup` (same deterministic signatures ->
+    same buckets -> same candidates -> same confirm).
+
+    ``corpus=None`` means empty (first batch). Returns admitted incoming
+    rows WITH their signature columns appended (NULL for docs too short
+    to shingle — those can never near-dup and are always admitted),
+    ready to append to the snapshot. Frames persisted internally are
+    appended to ``persist_registry`` (if given) for the caller to
+    unpersist after materializing — a streaming caller otherwise leaks
+    one cached frame per micro-batch.
+    """
+    sig_cols = [f"mh{i:02d}" for i in range(k)]
+    inc_sig = minhash_signatures(incoming, text_col, id_col, k).persist()
+    if persist_registry is not None:
+        persist_registry.append(inc_sig)
+
+    right = _band_buckets(inc_sig, id_col, k, rows_per_band).select(
+        F.col(id_col).alias("b_id"), "band", "bucket"
+    )
+    left_inc = _band_buckets(inc_sig, id_col, k, rows_per_band).select(
+        F.col(id_col).alias("a_id"), F.lit(False).alias("a_corpus"),
+        "band", "bucket",
+    )
+    if corpus is not None:
+        corpus_sig = corpus.select(F.col(id_col), *sig_cols).where(
+            F.col(sig_cols[0]).isNotNull()
+        )
+        left = _band_buckets(corpus_sig, id_col, k, rows_per_band).select(
+            F.col(id_col).alias("a_id"), F.lit(True).alias("a_corpus"),
+            "band", "bucket",
+        ).unionByName(left_inc)
+    else:
+        left = left_inc
+    candidates = (
+        left.join(right, on=["band", "bucket"])
+        .where(F.col("a_corpus") | (F.col("a_id") < F.col("b_id")))
+        .where(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+    # confirm: shingle ONLY candidate participants (both sides)
+    participants = (
+        candidates.select(F.col("a_id").alias(id_col))
+        .unionByName(candidates.select(F.col("b_id").alias(id_col)))
+        .distinct()
+    )
+    texts = incoming.select(F.col(id_col), F.col(text_col))
+    if corpus is not None:
+        texts = corpus.select(F.col(id_col), F.col(text_col)).unionByName(texts)
+    texts = texts.join(participants, on=id_col, how="leftsemi")
+    confirmed = jaccard_pairs(texts, threshold, text_col, id_col,
+                              candidates=candidates)
+    dropped = confirmed.select(F.col("b_id").alias(id_col)).distinct()
+    return (
+        incoming.join(dropped, on=id_col, how="left_anti")
+        .join(inc_sig, on=id_col, how="left")
+    )
 
 
 def global_chunk_dedup(

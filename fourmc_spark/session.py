@@ -53,13 +53,14 @@ def get_spark(
         # queries are written to be ANSI-safe regardless
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("FOURMC_DRIVER_MEM", "8g"))
-        # reap idle Python UDF workers: a long session running many
-        # heterogeneous pandas-UDF queries otherwise accumulates hundreds
-        # of idle daemons whose memory pressure degrades late queries
-        # (measured: the 58-query bench tail ran up to 3.5x slower than
-        # the same query in a fresh session; 60 s reaping recovers ~10%
-        # on an 11-query tail and more at full length)
-        .config("spark.python.worker.idleTimeoutSeconds", "60")
+        # bound the idle Python-worker pool: a long session running many
+        # heterogeneous pandas-UDF queries otherwise accumulates idle
+        # daemons whose memory pressure can degrade late queries. NOTE:
+        # spark.python.worker.idleTimeoutSeconds is NOT this knob — it is
+        # a mid-task inactivity logger (kills only with killOnIdleTimeout,
+        # which would murder legitimately slow workers); the idle POOL is
+        # bounded by the factory conf below (workers respawn on demand).
+        .config("spark.python.factory.idleWorkerMaxPoolSize", "32")
     )
     spark = b.getOrCreate()
     register_fourmc(spark)

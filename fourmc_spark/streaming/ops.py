@@ -448,32 +448,64 @@ def cdc_apply_stream(
         if batch_df.isEmpty():
             return
         merged = _latest(batch_df)
-        if os.path.exists(ptr):
-            with open(ptr) as f:
-                cur = f.read().strip()
+        prev = _snapshot_current(state_dir)
+        if prev is not None:
             merged = _latest(
-                spark.read.parquet(os.path.join(state_dir, cur)).unionByName(
-                    merged
-                )
+                spark.read.parquet(
+                    os.path.join(state_dir, prev)
+                ).unionByName(merged)
             )
-        import uuid
-
-        new = f"v{batch_id}-{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(os.path.join(state_dir, new))
-        tmp = ptr + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(new)
-        os.replace(tmp, ptr)
-        # retire superseded versions (readers resolve via the pointer)
-        import shutil
-
-        for d in os.listdir(state_dir):
-            if d.startswith("v") and d != new:
-                shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+        _commit_snapshot(state_dir, batch_id, merged)
 
     return changes.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", os.path.join(state_dir, "_checkpoint")
     )
+
+
+def _snapshot_current(state_dir: str) -> str | None:
+    """Version dir name behind the snapshot pointer, or None before the
+    first commit."""
+    import os
+
+    ptr = os.path.join(state_dir, "_LATEST")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        return f.read().strip()
+
+
+def _commit_snapshot(state_dir: str, batch_id: int, df: DataFrame) -> None:
+    """Shared exactly-once snapshot commit (cdc_apply_stream and
+    dedup_ingest_stream): write the new version into a UNIQUE
+    ``v{batch_id}-{nonce}`` dir (a bare v{batch_id} deadlocks replay —
+    see cdc_apply_stream's docstring), atomically swap the pointer,
+    retire superseded versions."""
+    import os
+    import shutil
+    import uuid
+
+    new = f"v{batch_id}-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(os.path.join(state_dir, new))
+    ptr = os.path.join(state_dir, "_LATEST")
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(new)
+    os.replace(tmp, ptr)
+    for d in os.listdir(state_dir):
+        if d.startswith("v") and d != new:
+            shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+
+
+def _read_snapshot(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Snapshot behind the pointer. The frame is LAZY over a version dir
+    the stream's next commit retires — materialize (collect/write) before
+    the stream advances, or the deferred action throws FileNotFound."""
+    import os
+
+    cur = _snapshot_current(state_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshot committed under {state_dir}")
+    return spark.read.parquet(os.path.join(state_dir, cur))
 
 
 def read_cdc_state(
@@ -483,13 +515,9 @@ def read_cdc_state(
     delete_op: str = "delete",
 ) -> DataFrame:
     """Live snapshot behind :func:`cdc_apply_stream`'s pointer, with
-    tombstones filtered out and the op column dropped."""
-    import os
-
-    ptr = os.path.join(state_dir, "_LATEST")
-    with open(ptr) as f:
-        cur = f.read().strip()
-    df = spark.read.parquet(os.path.join(state_dir, cur))
+    tombstones filtered out and the op column dropped. Lazy — materialize
+    before the stream commits another batch (see :func:`_read_snapshot`)."""
+    df = _read_snapshot(spark, state_dir)
     return df.where(F.col(op_col) != delete_op).drop(op_col)
 
 
@@ -507,64 +535,62 @@ def dedup_ingest_stream(
     Each micro-batch admits only documents that near-dup (MinHash-LSH
     candidates, exact-Jaccard confirm >= ``threshold``) neither the
     ALREADY-ADMITTED corpus snapshot nor an earlier-id document of the
-    same batch; survivors append to a versioned corpus snapshot behind
-    an atomically-swapped pointer (the :func:`cdc_apply_stream`
-    idempotency mechanics). Replayed batches first anti-join away rows
-    the snapshot already admitted, then re-evaluate the rest against
-    the identical corpus state — deterministic, so at-least-once
-    delivery yields the exactly-once corpus.
+    same batch; survivors append — WITH their MinHash signatures — to a
+    versioned corpus snapshot behind an atomically-swapped pointer (the
+    :func:`cdc_apply_stream` idempotency mechanics, shared via
+    :func:`_commit_snapshot`). Replayed batches first anti-join away
+    rows the snapshot already admitted, then re-evaluate the rest
+    against the identical corpus state — deterministic, so
+    at-least-once delivery yields the exactly-once corpus.
 
-    Scale shape inherits the batch operator's: per batch the corpus is
-    never self-joined — candidates are (corpus x batch) and
-    (batch x batch) band collisions only, so ingest cost is
-    O(|batch| x collision rate) regardless of corpus size. At 100 TB
-    the snapshot append becomes an insert into a transactional table;
-    the gate logic is unchanged. Returns the ``writeStream`` builder
-    (caller picks trigger/start); read the admitted corpus back with
-    :func:`read_dedup_state`.
+    Scale shape: because the snapshot CARRIES the signatures
+    (``incremental_near_dedup_presigned``), a batch never re-reads,
+    re-shingles, or re-hashes corpus text — per batch it computes
+    signatures for the batch only (map-only Arrow), joins the stored
+    narrow signature index (id + k longs, ~0.1% of text volume), and
+    shingles only confirm candidates on either side. The corpus is
+    never self-joined. The snapshot rewrite is the one
+    corpus-proportional cost per batch; at 100 TB that write becomes an
+    append/MERGE on a transactional table with the identical gate
+    logic. Internally persisted frames are unpersisted after each
+    commit (a leaked cache per micro-batch would grow without bound).
+    Returns the ``writeStream`` builder (caller picks trigger/start);
+    read the admitted corpus back with :func:`read_dedup_state`.
     """
     import os
 
-    from fourmc_spark.operators.dedup import incremental_near_dedup
+    from fourmc_spark.operators.dedup import incremental_near_dedup_presigned
 
     spark = docs.sparkSession
     os.makedirs(state_dir, exist_ok=True)
-    ptr = os.path.join(state_dir, "_LATEST")
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if os.path.exists(ptr):
-            with open(ptr) as f:
-                cur = f.read().strip()
-            corpus = spark.read.parquet(os.path.join(state_dir, cur))
-            # replay idempotency: rows the snapshot already admitted
-            # would otherwise near-dup their own corpus copy
-            fresh = batch_df.join(
-                corpus.select(id_col), on=id_col, how="left_anti"
-            )
-            admitted = incremental_near_dedup(
-                corpus, fresh, threshold, text_col, id_col
-            )
-            merged = corpus.unionByName(admitted)
-        else:
-            empty = spark.createDataFrame([], batch_df.schema)
-            merged = incremental_near_dedup(
-                empty, batch_df, threshold, text_col, id_col
-            )
-        import uuid
-
-        new = f"v{batch_id}-{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(os.path.join(state_dir, new))
-        tmp = ptr + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(new)
-        os.replace(tmp, ptr)
-        import shutil
-
-        for d in os.listdir(state_dir):
-            if d.startswith("v") and d != new:
-                shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+        registry: list = []
+        try:
+            prev = _snapshot_current(state_dir)
+            if prev is not None:
+                corpus = spark.read.parquet(os.path.join(state_dir, prev))
+                # replay idempotency: rows the snapshot already admitted
+                # would otherwise near-dup their own corpus copy
+                fresh = batch_df.join(
+                    corpus.select(id_col), on=id_col, how="left_anti"
+                )
+                admitted = incremental_near_dedup_presigned(
+                    corpus, fresh, threshold, text_col, id_col,
+                    persist_registry=registry,
+                )
+                merged = corpus.unionByName(admitted)
+            else:
+                merged = incremental_near_dedup_presigned(
+                    None, batch_df, threshold, text_col, id_col,
+                    persist_registry=registry,
+                )
+            _commit_snapshot(state_dir, batch_id, merged)
+        finally:
+            for h in registry:
+                h.unpersist()
 
     return docs.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", os.path.join(state_dir, "_checkpoint")
@@ -572,10 +598,10 @@ def dedup_ingest_stream(
 
 
 def read_dedup_state(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Admitted corpus behind :func:`dedup_ingest_stream`'s pointer."""
-    import os
-
-    ptr = os.path.join(state_dir, "_LATEST")
-    with open(ptr) as f:
-        cur = f.read().strip()
-    return spark.read.parquet(os.path.join(state_dir, cur))
+    """Admitted corpus behind :func:`dedup_ingest_stream`'s pointer, with
+    the internal signature columns dropped. Lazy — materialize before
+    the stream commits another batch (see :func:`_read_snapshot`)."""
+    df = _read_snapshot(spark, state_dir)
+    sig_cols = [c for c in df.columns if c.startswith("mh")
+                and len(c) == 4 and c[2:].isdigit()]
+    return df.drop(*sig_cols)

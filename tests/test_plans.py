@@ -379,12 +379,38 @@ def test_ivf_kmeans_assignment_is_map_only(spark, sf_dir, queries):
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = e.where(F.col("vec_id") < 5)
-    plan = physical_plan(ivf_kmeans_int_topk(e, q))
+    df = ivf_kmeans_int_topk(e, q)
+    plan = physical_plan(df)
     assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
     assert "BroadcastExchange" in plan  # probes broadcast, not shuffled
     assert "CartesianProduct" not in plan
-    # the training rounds themselves: assignment scan -> pandas UDF ->
-    # partial agg with NO exchange before the UDF (map-only)
+    # the whole query's shuffle budget: TWO shuffle exchanges — the
+    # probe-ranking window over the tiny query x cells frame and the
+    # final per-query ranking window. Assignment must stay scan ->
+    # pandas UDF with no exchange in between; a third shuffle here IS
+    # the map-only regression this pin exists to catch.
+    shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert shuffles <= 2, f"assignment stopped being map-only:\n{plan}"
+    # the training rounds: assignment scan -> pandas UDF -> ONE
+    # partial+final agg shuffle per round and nothing else
+    from fourmc_spark.operators.similarity import _quantize_expr
+    import numpy as np
+    import pandas as pd
+
+    qdf = e.select(F.col("vec_id"), _quantize_expr("embedding", 1024).alias("_qv"))
+
+    @F.pandas_udf("long")
+    def fake_cell(batch: pd.Series) -> pd.Series:
+        return pd.Series(np.zeros(len(batch), dtype=np.int64))
+
+    round_df = (
+        qdf.select(fake_cell(F.col("_qv")).alias("cell"), "_qv")
+        .groupBy("cell")
+        .agg(F.sum(F.col("_qv")[0]).alias("d0"))
+    )
+    assert exchange_count(round_df) == 1, physical_plan(round_df)
     cents = kmeans_int_fit(e, n_iter=1)
     assert len(cents) > 0
 
