@@ -642,15 +642,18 @@ def incremental_near_dedup_presigned(
     ``corpus=None`` means empty (first batch). Returns admitted incoming
     rows WITH their signature columns appended (NULL for docs too short
     to shingle — those can never near-dup and are always admitted),
-    ready to append to the snapshot. Frames persisted internally are
-    appended to ``persist_registry`` (if given) for the caller to
-    unpersist after materializing — a streaming caller otherwise leaks
-    one cached frame per micro-batch.
+    ready to append to the snapshot. Nothing is persisted internally:
+    the batch signature frame is recomputed per branch — a map-only
+    Arrow pass over the BATCH, cheaper than a cache, and a persisted
+    frame reused across the bucket branches trips Spark's
+    whole-stage-codegen partition zip when defaultParallelism differs
+    from shuffle partitions ("Can't zip RDDs"). ``persist_registry``
+    collects any cached intermediates (currently none) for the caller
+    to unpersist after materializing — the streaming caller drains it
+    per micro-batch so a future cache cannot leak unboundedly.
     """
     sig_cols = [f"mh{i:02d}" for i in range(k)]
-    inc_sig = minhash_signatures(incoming, text_col, id_col, k).persist()
-    if persist_registry is not None:
-        persist_registry.append(inc_sig)
+    inc_sig = minhash_signatures(incoming, text_col, id_col, k)
 
     right = _band_buckets(inc_sig, id_col, k, rows_per_band).select(
         F.col(id_col).alias("b_id"), "band", "bucket"

@@ -366,3 +366,35 @@ def test_parse_bytes_conf_spellings():
     assert _parse_bytes("128m") == 128 << 20
     assert _parse_bytes("128MB") == 128 << 20
     assert _parse_bytes("1g") == 1 << 30
+
+
+def test_presigned_incremental_matches_batch_operator(spark, sf_dir):
+    # the streaming snapshot path (signatures carried, shingling
+    # restricted to confirm candidates) must admit EXACTLY the same
+    # rows as the batch operator it replaces
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") < 250)
+    inc = docs.where(F.col("doc_id") >= 250)
+    a = {r["doc_id"] for r in
+         dedup.incremental_near_dedup(corpus, inc, 0.8).collect()}
+    csig = corpus.join(dedup.minhash_signatures(corpus), "doc_id", "left")
+    reg = []
+    b = {r["doc_id"] for r in
+         dedup.incremental_near_dedup_presigned(
+             csig, inc, 0.8, persist_registry=reg).collect()}
+    for h in reg:
+        h.unpersist()
+    assert a == b
+    # first-batch path (no corpus)
+    reg2 = []
+    c = {r["doc_id"] for r in
+         dedup.incremental_near_dedup_presigned(
+             None, docs, 0.8, persist_registry=reg2).collect()}
+    for h in reg2:
+        h.unpersist()
+    empty = spark.createDataFrame([], docs.schema)
+    d = {r["doc_id"] for r in
+         dedup.incremental_near_dedup(empty, docs, 0.8).collect()}
+    assert c == d
