@@ -143,3 +143,46 @@ def test_oracle_survives_merge_exhaustion():
     assert rows == [(0, ["a</w>"], 1)]
     merges = con.execute(_bpe_learn_sql(3)).fetchall()
     assert [(r[1], r[2]) for r in merges] == [("a", "</w>")]
+
+
+def _ref_pack(texts, sources, merges, seq_len):
+    # reference packing: per-source doc-order token concat, cut every
+    # seq_len tokens crossing doc boundaries
+    from collections import defaultdict
+
+    streams = defaultdict(list)
+    for i, t in enumerate(texts):
+        toks = _ref_encode(t, merges)
+        if toks:
+            streams[sources[i]].append((i, toks))
+    out = {}
+    for src, docs in streams.items():
+        flat = [tok for _, toks in sorted(docs) for tok in toks]
+        for s in range(0, len(flat), seq_len):
+            seq = flat[s : s + seq_len]
+            out[(src, s // seq_len)] = (seq, len(seq))
+    return out
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    texts=corpus,
+    n_merges=st.integers(min_value=1, max_value=4),
+    seq_len=st.integers(min_value=2, max_value=7),
+)
+def test_pack_tokens_oracle_matches_reference(texts, n_merges, seq_len):
+    from fourmc_spark.queries import _pack_tokens_sql
+
+    sources = [f"s{i % 2}" for i in range(len(texts))]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, '{t}', '{sources[i]}')" for i, t in enumerate(texts)
+        )
+        + ") t(doc_id, text, source)"
+    )
+    merges = _ref_learn(texts, n_merges)
+    rows = con.execute(_pack_tokens_sql(n_merges, seq_len)).fetchall()
+    got = {(r[0], int(r[1])): (list(r[3]), int(r[2])) for r in rows}
+    assert got == _ref_pack(texts, sources, merges, seq_len)
