@@ -52,68 +52,17 @@ sys.path.insert(0, _HERE)
 # surface. _PRIORITY pins this round's most important unverified queries
 # to the very front.
 _PRIORITY = [
-    # round 3: the one red query from r02 first (register_fourmc conf fix),
-    # then every remaining unverified query from rounds 1-2 (46), then the
-    # formerly no-oracle trio (now oracle-backed), then the first of the
-    # round-3 additions — 50 names filling the 50-slot window exactly.
-    # The two other round-3 additions (text_bpe_vocab, curation_pack_tokens)
-    # sort directly after via the unverified-first rest ordering and roll
-    # to the next round's window.
-    "proto_4mc_roundtrip",
-    "text_repetition",
-    "text_pii_redact",
-    "text_tfidf_topk",
-    "text_unigram_logprob",
-    "text_bigram_logprob",
-    "text_vocab_coverage",
-    "text_bpe_pairs",
-    "text_bm25_topk",
-    "text_char_entropy",
-    "text_inverted_index",
-    "text_winnow_fingerprints",
-    "text_quality_classifier",
-    "retrieval_hybrid_rrf",
-    "curation_contamination",
-    "curation_c4_clean",
-    "curation_source_stats",
-    "curation_quality_gate",
-    "curation_split_assign",
-    "curation_mixture_sample",
-    "curation_shuffle_order",
-    "curation_chunk_documents",
-    "curation_pack_sequences",
-    "curation_fixed_k_sample",
-    "curation_token_budget",
-    "pipeline_curation",
-    "multimodal_real_resize",
-    "multimodal_resize",
-    "multimodal_frames",
-    "multimodal_audio_features",
-    "multimodal_video_frames",
-    "asof_join_events",
-    "range_join_bands",
-    "stats_histogram",
-    "stats_profile_table",
-    "layout_zorder_key",
-    "ts_rollup_cascade",
-    "ts_gap_fill",
-    "ts_scd2_intervals",
-    "ts_apply_changes",
-    "ts_funnel_stages",
-    "embedding_random_projection",
-    "embedding_label_centroids",
-    "embedding_assign_centroid",
-    "graph_pagerank",
-    "dedup_global_chunks",
-    # formerly no-oracle trio — round 3 gave all three full hash oracles
-    # (integer-exact unrolled k-means, unrolled BPE merge rounds, batch
-    # twin of the stateful emission rule), so they now carry the same
-    # hash-checked signal as everything above
-    "ann_ivf_kmeans_topk",
-    "text_bpe_learn",
-    "stream_sessionize_stateful",
-    # round-3 addition: the tokenizer APPLY step (train -> encode)
+    # round 4: the five queries without a driver-green row. The first
+    # three were red/at-risk on the driver canonicalizer's list-column
+    # crash (CORRECTNESS_r03) — their gate projections now stringify the
+    # array columns (concat_ws / array_to_string, the q38_array_agg
+    # convention). The last two simply sorted past round 3's 50-slot
+    # window. 5 <= 50, so this window closes the gate at 151/151.
     "text_bpe_encode",
+    "embedding_random_projection",
+    "curation_pack_tokens",
+    "text_bpe_vocab",
+    "stream_dedup_ingest",
 ]
 
 

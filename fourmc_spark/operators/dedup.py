@@ -310,6 +310,34 @@ def _band_buckets(sig: DataFrame, id_col: str, k: int,
     ).select(id_col, "bb.band", "bb.bucket")
 
 
+# partition count for the persisted band-bucket signature index: each
+# snapshot partition holds ~1/SIG_INDEX_PARTS of the corpus index, and a
+# micro-batch only reads the partitions its own buckets hash into. 64 is
+# sized for the local gate; a 100 TB corpus wants 4096+ (set per-call).
+SIG_INDEX_PARTS = 64
+
+
+def _pbucket(n_parts: int):
+    """Partition key for a persisted (band, bucket) index — MUST be the
+    identical expression on the index-build side and the probe side, or
+    pruning silently drops true candidates."""
+    return F.pmod(F.hash(F.col("band"), F.col("bucket")), F.lit(n_parts)).cast("int")
+
+
+def band_bucket_index(sig: DataFrame, id_col: str = "doc_id",
+                      k: int = MINHASH_K, rows_per_band: int = 2,
+                      n_parts: int = SIG_INDEX_PARTS) -> DataFrame:
+    """Exploded ``(id, band, bucket, pb)`` LSH index from a signature
+    frame, ready to persist ``partitionBy("pb")`` — the snapshot-side
+    artifact that lets :func:`incremental_near_dedup_presigned` read only
+    the partitions a batch's own buckets hash into (partition-pruned
+    candidate lookup: admission cost stays O(batch x collision rate) in
+    I/O too, not just compute, at any corpus size)."""
+    return _band_buckets(sig, id_col, k, rows_per_band).withColumn(
+        "pb", _pbucket(n_parts)
+    )
+
+
 def cap_hot_buckets(buckets: DataFrame, max_bucket: int,
                     key_cols: list[str] = ("band", "bucket")) -> DataFrame:
     """Drop LSH buckets larger than *max_bucket* rows before a bucket
@@ -625,6 +653,8 @@ def incremental_near_dedup_presigned(
     k: int = MINHASH_K,
     rows_per_band: int = 2,
     persist_registry: list | None = None,
+    corpus_buckets: DataFrame | None = None,
+    bucket_parts: int = SIG_INDEX_PARTS,
 ) -> DataFrame:
     """:func:`incremental_near_dedup` with a PRE-SIGNED corpus — the
     continuous-ingest shape where the admitted corpus carries its MinHash
@@ -651,6 +681,18 @@ def incremental_near_dedup_presigned(
     collects any cached intermediates (currently none) for the caller
     to unpersist after materializing — the streaming caller drains it
     per micro-batch so a future cache cannot leak unboundedly.
+
+    ``corpus_buckets``: optional PRE-EXPLODED corpus LSH index
+    (:func:`band_bucket_index` output, persisted ``partitionBy("pb")``
+    with the same ``bucket_parts``). When given, the corpus side of the
+    band join reads the index instead of re-exploding corpus
+    signatures, restricted to the partitions the BATCH's own buckets
+    hash into (``pb IN (...)`` — at most ``bucket_parts`` values,
+    collected from a map-only batch-sized job, so the plan shows real
+    PartitionFilters on the snapshot read). Pruning cannot change the
+    answer: a corpus row outside the batch's pb set shares no
+    (band, bucket) with any batch row — ``_pbucket`` is the identical
+    expression on both sides — so it can never be a candidate.
     """
     sig_cols = [f"mh{i:02d}" for i in range(k)]
     inc_sig = minhash_signatures(incoming, text_col, id_col, k)
@@ -662,7 +704,21 @@ def incremental_near_dedup_presigned(
         F.col(id_col).alias("a_id"), F.lit(False).alias("a_corpus"),
         "band", "bucket",
     )
-    if corpus is not None:
+    if corpus is not None and corpus_buckets is not None:
+        # partition-pruned lookup: only index partitions the batch's own
+        # buckets hash into can contain a colliding corpus row
+        pbs = sorted(
+            r["pb"]
+            for r in _band_buckets(inc_sig, id_col, k, rows_per_band)
+            .select(_pbucket(bucket_parts).alias("pb"))
+            .distinct()
+            .collect()
+        )
+        left = corpus_buckets.where(F.col("pb").isin(pbs)).select(
+            F.col(id_col).alias("a_id"), F.lit(True).alias("a_corpus"),
+            "band", "bucket",
+        ).unionByName(left_inc)
+    elif corpus is not None:
         corpus_sig = corpus.select(F.col(id_col), *sig_cols).where(
             F.col(sig_cols[0]).isNotNull()
         )

@@ -867,9 +867,14 @@ def winnow_fingerprints(df: DataFrame, k: int = 3, w: int = 4,
 
 
 # loud-fail bound on the collected (word, freq) vocabulary — a model
-# artifact (distinct word TYPES, not corpus tokens); web-scale corpora
-# stay under this after any sane min-frequency cut
-BPE_MAX_VOCAB = 20_000_000
+# artifact (distinct word TYPES, not corpus tokens). Sized to what the
+# training loop's DRIVER-side state actually costs, not just the collect:
+# each word type carries a symbol list plus pair_counts/pair_words index
+# entries (~1-2 KB/word measured), so 2M types ~= 2-4 GB of driver heap —
+# safe on a default 8g driver, while 20M would pass a row-count guard and
+# then OOM building the index. Web-scale corpora get under this with a
+# min-frequency cut (which standard BPE training applies anyway).
+BPE_MAX_VOCAB = 2_000_000
 
 
 def _apply_merge(syms, left: str, right: str) -> list:
@@ -896,8 +901,10 @@ def bpe_learn(df: DataFrame, n_merges: int = 10, text_col: str = "text",
     The real BPE training trick drives the scale shape: ONE distributed
     corpus pass reduces everything to a (word, frequency) table — that
     table is vocab-sized BY CONSTRUCTION (distinct word types, not
-    corpus tokens; tens of millions of rows at web scale, i.e. a model
-    artifact like a centroid table, guarded by a loud-fail cap). The
+    corpus tokens — a model artifact like a centroid table; at web scale
+    a min-frequency cut keeps it under the memory-sized loud-fail cap
+    ``BPE_MAX_VOCAB``, which accounts for the driver-side pair index,
+    not just the collected rows). The
     greedy merge loop then runs driver-side over that table with the
     classic incremental pair-index update (only words containing the
     merged pair are touched per round — Sennrich's own implementation

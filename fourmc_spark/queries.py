@@ -2403,14 +2403,26 @@ def stream_sessionize_q(spark, sf):
     from fourmc_spark.streaming import read_events_stream, sessionize_stateful
 
     # timestamps round-trip through Arrow in the stateful fn; pin UTC so
-    # the emitted session bounds hash-match the oracle on ANY session
+    # the emitted session bounds hash-match the oracle on ANY session.
+    # The pin is scoped: the stream runs AND the result materializes
+    # (_detach -> toPandas) under UTC, then the caller's prior timeZone
+    # is restored — the query must not permanently mutate session state.
+    prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    sdf = sessionize_stateful(
-        read_events_stream(spark, f"{sf}/events.parquet"), gap_minutes=15
-    )
-    return _run_stream(sdf, output_mode="append").orderBy(
-        "user_id", "session_start"
-    )
+    try:
+        sdf = sessionize_stateful(
+            read_events_stream(spark, f"{sf}/events.parquet"), gap_minutes=15
+        )
+        return _detach(
+            _run_stream(sdf, output_mode="append").orderBy(
+                "user_id", "session_start"
+            )
+        )
+    finally:
+        if prev_tz is None:
+            spark.conf.unset("spark.sql.session.timeZone")
+        else:
+            spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
 @query(
@@ -2549,7 +2561,8 @@ tok AS (
   SELECT dw.doc_id, dw.i,
          str_split(trim(v.enc, chr(1)), {DSEP}) AS toks
   FROM docw dw JOIN {vN} v ON dw.w = v.w)
-SELECT doc_id, flatten(list(toks ORDER BY i)) AS tokens,
+SELECT doc_id,
+       array_to_string(flatten(list(toks ORDER BY i)), '|') AS tokens,
        CAST(len(flatten(list(toks ORDER BY i))) AS BIGINT) AS n_tokens
 FROM tok GROUP BY doc_id ORDER BY doc_id"""
 
@@ -2642,7 +2655,7 @@ flat AS (
   FROM offs, unnest(generate_series(1, len(tokens))) AS t(i))
 SELECT source, CAST(g // {seq_len} AS BIGINT) AS seq_id,
        CAST(count(*) AS BIGINT) AS n_tokens,
-       list(token ORDER BY g % {seq_len}) AS tokens
+       array_to_string(list(token ORDER BY g % {seq_len}), '|') AS tokens
 FROM flat GROUP BY source, g // {seq_len} ORDER BY source, seq_id"""
 
 
@@ -2657,9 +2670,15 @@ def curation_pack_tokens_q(spark, sf):
     merges = text.bpe_learn(docs, n_merges=10)
     enc = text.bpe_encode(docs, merges)
     grouped = enc.join(docs.select("doc_id", "source"), "doc_id")
-    return curation.pack_token_sequences(grouped, seq_len=256).orderBy(
-        "source", "seq_id"
-    )
+    packed = curation.pack_token_sequences(grouped, seq_len=256)
+    # gate projection only: the driver's canonicalizer (pandas
+    # sort_values over every output column) cannot hash raw list cells,
+    # so stringify the token array the q38_array_agg way — order inside
+    # the sequence is deterministic, no sort needed
+    return packed.select(
+        "source", "seq_id", "n_tokens",
+        F.concat_ws("|", "tokens").alias("tokens"),
+    ).orderBy("source", "seq_id")
 
 
 @query("text_bpe_encode", _bpe_encode_sql(10))
@@ -2672,7 +2691,13 @@ def text_bpe_encode_q(spark, sf):
     # word positions) hash-matches.
     docs = _t(spark, sf, "documents")
     merges = text.bpe_learn(docs, n_merges=10)
-    return text.bpe_encode(docs, merges).orderBy("doc_id")
+    # gate projection only (operator API unchanged): stringify the token
+    # array so the driver's pandas-sort canonicalizer can hash the row
+    return text.bpe_encode(docs, merges).select(
+        "doc_id",
+        F.concat_ws("|", "tokens").alias("tokens"),
+        "n_tokens",
+    ).orderBy("doc_id")
 
 
 @query(
@@ -2724,7 +2749,8 @@ WITH q AS (
          list_transform(embedding,
                         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
   FROM embeddings)
-SELECT vec_id, [{", ".join(f"p{j}" for j in range(8))}] AS proj
+SELECT vec_id,
+       array_to_string([{", ".join(f"p{j}" for j in range(8))}], '|') AS proj
 FROM (SELECT vec_id, {comps} FROM q) ORDER BY vec_id"""
 
 
@@ -2734,8 +2760,14 @@ def embedding_random_projection_q(spark, sf):
     # quantized seeded Gaussian matrix): the dimensionality-reduction /
     # sketching primitive, map-only, bit-reproducible on any engine —
     # the float version is not oracle-checkable, the quantized one is.
-    return similarity.random_projection(
+    proj = similarity.random_projection(
         _t(spark, sf, "embeddings"), out_dim=8, seed=113, scale=1000
+    )
+    # gate projection only: stringify the int64 component array so the
+    # driver's pandas-sort canonicalizer can hash the row
+    return proj.select(
+        "vec_id",
+        F.concat_ws("|", F.col("proj").cast("array<string>")).alias("proj"),
     ).orderBy("vec_id")
 
 
@@ -3664,6 +3696,16 @@ def stream_dedup_ingest_q(spark, sf):
     # twin of operators/dedup.incremental_near_dedup). One sealed file =
     # one batch with an empty initial corpus, so the final snapshot must
     # equal the batch rule: admit a doc iff it near-dups no smaller-id doc.
+    #
+    # Oracle recall note (accepted, same convention as dedup_minhash_pairs
+    # / dedup_incremental): the oracle enumerates shingle-sharing pairs
+    # exhaustively while the engine gates via banded MinHash-LSH
+    # candidates (k=16, 8 bands of 2 -> miss prob ~2.8e-4 per pair at
+    # J=0.8, ~1e-11 at J>=0.9). Both sides are deterministic functions of
+    # the fixed parquet corpus, and dedup_minhash_pairs — the SAME
+    # banding against the SAME exhaustive-pairs oracle on the SAME table,
+    # driver-green at sf0.01 since r01 — proves banding recovers every
+    # true J>=0.8 pair on this corpus, so the gap cannot bite the gate.
     import os
     import shutil
     import tempfile

@@ -70,6 +70,14 @@ def get_spark(
 def register_fourmc(spark: SparkSession) -> None:
     """Register the 'fourmc' and 'fourmcproto' DataSources.
 
+    .. note:: SIDE EFFECT — this call sets the session-global conf
+       ``spark.sql.python.filterPushdown.enabled=true`` on the passed
+       session, which affects EVERY Python data source in that session
+       (it turns their ``pushFilters()`` implementations on). This is
+       intentional and required for stock sessions; if your session
+       runs other Python data sources whose pushdown you need off,
+       re-set the conf after registration.
+
     Also enables Python-datasource filter pushdown on the *passed* session:
     FourMcDataSourceReader / FourMcProtoReader implement pushFilters(),
     which Spark 4.x rejects at reader init unless

@@ -474,18 +474,35 @@ def _snapshot_current(state_dir: str) -> str | None:
         return f.read().strip()
 
 
-def _commit_snapshot(state_dir: str, batch_id: int, df: DataFrame) -> None:
+def _commit_snapshot(state_dir: str, batch_id: int, df: DataFrame,
+                     extras: dict | None = None) -> None:
     """Shared exactly-once snapshot commit (cdc_apply_stream and
     dedup_ingest_stream): write the new version into a UNIQUE
     ``v{batch_id}-{nonce}`` dir (a bare v{batch_id} deadlocks replay —
     see cdc_apply_stream's docstring), atomically swap the pointer,
-    retire superseded versions."""
+    retire superseded versions.
+
+    ``extras``: optional ``{name: (df, partition_cols)}`` side artifacts
+    (e.g. the dedup ingest's band-bucket signature index, partitioned for
+    pruned reads). With extras the version dir gains a ``docs/`` subdir
+    for the main frame plus one subdir per extra; everything is written
+    BEFORE the pointer swap, so a version is visible only when complete.
+    """
     import os
     import shutil
     import uuid
 
     new = f"v{batch_id}-{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(os.path.join(state_dir, new))
+    base = os.path.join(state_dir, new)
+    if extras:
+        df.write.mode("overwrite").parquet(os.path.join(base, "docs"))
+        for name, (edf, pcols) in extras.items():
+            w = edf.write.mode("overwrite")
+            if pcols:
+                w = w.partitionBy(*pcols)
+            w.parquet(os.path.join(base, name))
+    else:
+        df.write.mode("overwrite").parquet(base)
     ptr = os.path.join(state_dir, "_LATEST")
     tmp = ptr + ".tmp"
     with open(tmp, "w") as f:
@@ -505,7 +522,12 @@ def _read_snapshot(spark: SparkSession, state_dir: str) -> DataFrame:
     cur = _snapshot_current(state_dir)
     if cur is None:
         raise FileNotFoundError(f"no snapshot committed under {state_dir}")
-    return spark.read.parquet(os.path.join(state_dir, cur))
+    base = os.path.join(state_dir, cur)
+    # layout with side artifacts (see _commit_snapshot extras): the main
+    # frame lives under docs/
+    if os.path.isdir(os.path.join(base, "docs")):
+        base = os.path.join(base, "docs")
+    return spark.read.parquet(base)
 
 
 def read_cdc_state(
@@ -546,23 +568,36 @@ def dedup_ingest_stream(
     Scale shape: because the snapshot CARRIES the signatures
     (``incremental_near_dedup_presigned``), a batch never re-reads,
     re-shingles, or re-hashes corpus text — per batch it computes
-    signatures for the batch only (map-only Arrow), joins the stored
-    narrow signature index (id + k longs, ~0.1% of text volume), and
-    shingles only confirm candidates on either side. The corpus is
-    never self-joined. The snapshot rewrite is the one
-    corpus-proportional cost per batch; at 100 TB that write becomes an
-    append/MERGE on a transactional table with the identical gate
-    logic. Internally persisted frames are unpersisted after each
+    signatures for the batch only (map-only Arrow), probes the stored
+    band-bucket index (``sigidx/``, written ``partitionBy("pb")`` —
+    the batch reads ONLY the partitions its own buckets hash into, so
+    the candidate lookup is partition-pruned I/O, sub-linear in corpus
+    size), and shingles only confirm candidates on either side. The
+    corpus is never self-joined. The snapshot docs+index rewrite is the
+    one corpus-proportional cost per batch; at 100 TB that write
+    becomes an append/MERGE on a transactional table (and the index an
+    appended partition set) with the identical gate logic. Internally persisted frames are unpersisted after each
     commit (a leaked cache per micro-batch would grow without bound).
     Returns the ``writeStream`` builder (caller picks trigger/start);
     read the admitted corpus back with :func:`read_dedup_state`.
     """
     import os
 
-    from fourmc_spark.operators.dedup import incremental_near_dedup_presigned
+    from fourmc_spark.operators.dedup import (
+        MINHASH_K,
+        band_bucket_index,
+        incremental_near_dedup_presigned,
+    )
 
     spark = docs.sparkSession
     os.makedirs(state_dir, exist_ok=True)
+    sig_cols = [f"mh{i:02d}" for i in range(MINHASH_K)]
+
+    def _sig_index(merged: DataFrame) -> DataFrame:
+        sig = merged.select(F.col(id_col), *sig_cols).where(
+            F.col(sig_cols[0]).isNotNull()
+        )
+        return band_bucket_index(sig, id_col)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -571,7 +606,12 @@ def dedup_ingest_stream(
         try:
             prev = _snapshot_current(state_dir)
             if prev is not None:
-                corpus = spark.read.parquet(os.path.join(state_dir, prev))
+                base = os.path.join(state_dir, prev)
+                corpus = spark.read.parquet(os.path.join(base, "docs"))
+                # partitioned LSH index written by the previous commit:
+                # the batch reads ONLY the pb partitions its own buckets
+                # hash into (partition-pruned candidate lookup)
+                sigidx = spark.read.parquet(os.path.join(base, "sigidx"))
                 # replay idempotency: rows the snapshot already admitted
                 # would otherwise near-dup their own corpus copy
                 fresh = batch_df.join(
@@ -579,7 +619,7 @@ def dedup_ingest_stream(
                 )
                 admitted = incremental_near_dedup_presigned(
                     corpus, fresh, threshold, text_col, id_col,
-                    persist_registry=registry,
+                    persist_registry=registry, corpus_buckets=sigidx,
                 )
                 merged = corpus.unionByName(admitted)
             else:
@@ -587,7 +627,10 @@ def dedup_ingest_stream(
                     None, batch_df, threshold, text_col, id_col,
                     persist_registry=registry,
                 )
-            _commit_snapshot(state_dir, batch_id, merged)
+            _commit_snapshot(
+                state_dir, batch_id, merged,
+                extras={"sigidx": (_sig_index(merged), ["pb"])},
+            )
         finally:
             for h in registry:
                 h.unpersist()

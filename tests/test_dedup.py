@@ -398,3 +398,36 @@ def test_presigned_incremental_matches_batch_operator(spark, sf_dir):
     d = {r["doc_id"] for r in
          dedup.incremental_near_dedup(empty, docs, 0.8).collect()}
     assert c == d
+
+
+def test_presigned_with_partitioned_index_matches_and_prunes(spark, sf_dir, tmp_path):
+    # the snapshot-side band-bucket index (band_bucket_index, persisted
+    # partitionBy("pb")) must (a) admit EXACTLY the same rows as the
+    # unpruned presigned path and (b) actually prune: the corpus-side
+    # scan carries PartitionFilters on pb
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") < 250)
+    inc = docs.where(F.col("doc_id") >= 250)
+    csig = corpus.join(dedup.minhash_signatures(corpus), "doc_id", "left")
+
+    idx_path = str(tmp_path / "sigidx")
+    sig_only = csig.select(
+        "doc_id", *[f"mh{i:02d}" for i in range(dedup.MINHASH_K)]
+    ).where(F.col("mh00").isNotNull())
+    dedup.band_bucket_index(sig_only).write.partitionBy("pb").parquet(idx_path)
+    sigidx = spark.read.parquet(idx_path)
+
+    base = {r["doc_id"] for r in
+            dedup.incremental_near_dedup_presigned(csig, inc, 0.8).collect()}
+    pruned = {r["doc_id"] for r in
+              dedup.incremental_near_dedup_presigned(
+                  csig, inc, 0.8, corpus_buckets=sigidx).collect()}
+    assert base == pruned
+
+    # plan check: an isin-restricted read of the partitioned index shows
+    # partition pruning (the exact shape the operator builds internally)
+    plan = sigidx.where(F.col("pb").isin([0, 1, 2]))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PartitionFilters" in plan and "pb" in plan
