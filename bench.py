@@ -305,26 +305,33 @@ def bench_spark_scan(spark, tmpdir: str) -> dict[str, float]:
         assert n > 0
         out[f"spark_scan_{codec}_{level}_mbps"] = round(mb / dt, 1)
 
-        # sink throughput: scan 2 of the files and write them back through
-        # the fourmc sink (uncompressed MB / wall; includes read+compress+
-        # frame+commit — the full write path a job pays). 2 files, not all
-        # 8: the 8-file write set exceeds the kernel's dirty-page budget
-        # and the measurement degenerates to synchronous disk writeback
-        # (sink MB/s collapsed 4x when the output grew past it). Warm
-        # once: the first write pays Python-worker startup.
+        # sink throughput: scan the full 8-file set (512 MB) and write it
+        # back through the fourmc sink (uncompressed MB / wall; includes
+        # read+compress+frame+commit — the full write path a job pays).
+        # 512 MB, not the earlier 128: profiling (round 4) showed the
+        # sink's data-proportional rate is 500-800 MB/s but every Python-
+        # datasource write JOB carries ~0.4-0.6 s of fixed harness cost
+        # (Spark spawns fresh driver-side Python workers for the plan and
+        # commit phases — ~300 ms of pyspark.sql.datasource imports each,
+        # not our code), so a 128 MB job measured mostly that constant.
+        # The once-observed dirty-page collapse at the 8-file size no
+        # longer reproduces (runs are stable across reps); os.sync()
+        # between reps keeps writeback from leaking across measurements.
+        # At steady state the residual limiter is the scan FEED
+        # (python source -> JVM -> python sink double hop), not the sink.
         sink_dir = os.path.join(tmpdir, f"sink-{codec}")
         # feed parallelism must be ratio-independent: compressed-byte
         # slicing alone starves the sink when the corpus compresses well
         # (a 64 MB file at 50x is ~1.3 MB = ONE 4 MiB-bound partition,
-        # so the "sink" number measured 2 feed tasks). 2 blocks/split =
-        # 16 feed partitions regardless of codec ratio.
+        # so the "sink" number measured 2 feed tasks). 2 blocks/split
+        # keeps feed partitions plentiful regardless of codec ratio.
         sink_df = (
             spark.read.format("fourmc")
             .option("maxpartitionbytes", 4 << 20)
             .option("maxblockspersplit", 2)
-            .load(f"{d}/data0{ext},{d}/data1{ext}")
+            .load(d)
         )
-        sink_mb = 2 * len(data) / (1024 * 1024)
+        sink_mb = n_files * len(data) / (1024 * 1024)
 
         def _sink_once() -> float:
             t0 = time.perf_counter()
@@ -340,7 +347,9 @@ def bench_spark_scan(spark, tmpdir: str) -> dict[str, float]:
 
         _sink_once()  # warm: Python-worker spin-up, broadcast of the plan
         os.sync()
-        best = min(_sink_once(), _sink_once())
+        r1 = _sink_once()
+        os.sync()
+        best = min(r1, _sink_once())
         out[f"spark_sink_{codec}_{level}_mbps"] = round(sink_mb / best, 1)
     return out
 

@@ -474,35 +474,19 @@ def _snapshot_current(state_dir: str) -> str | None:
         return f.read().strip()
 
 
-def _commit_snapshot(state_dir: str, batch_id: int, df: DataFrame,
-                     extras: dict | None = None) -> None:
-    """Shared exactly-once snapshot commit (cdc_apply_stream and
-    dedup_ingest_stream): write the new version into a UNIQUE
-    ``v{batch_id}-{nonce}`` dir (a bare v{batch_id} deadlocks replay —
-    see cdc_apply_stream's docstring), atomically swap the pointer,
-    retire superseded versions.
-
-    ``extras``: optional ``{name: (df, partition_cols)}`` side artifacts
-    (e.g. the dedup ingest's band-bucket signature index, partitioned for
-    pruned reads). With extras the version dir gains a ``docs/`` subdir
-    for the main frame plus one subdir per extra; everything is written
-    BEFORE the pointer swap, so a version is visible only when complete.
-    """
+def _commit_snapshot(state_dir: str, batch_id: int, df: DataFrame) -> None:
+    """Exactly-once REWRITE snapshot commit (cdc_apply_stream): write the
+    new version into a UNIQUE ``v{batch_id}-{nonce}`` dir (a bare
+    v{batch_id} deadlocks replay — see cdc_apply_stream's docstring),
+    atomically swap the pointer, retire superseded versions. (The dedup
+    ingest uses the append-only manifest layout instead — see
+    :func:`dedup_ingest_stream` — because its state only ever grows.)"""
     import os
     import shutil
     import uuid
 
     new = f"v{batch_id}-{uuid.uuid4().hex[:8]}"
-    base = os.path.join(state_dir, new)
-    if extras:
-        df.write.mode("overwrite").parquet(os.path.join(base, "docs"))
-        for name, (edf, pcols) in extras.items():
-            w = edf.write.mode("overwrite")
-            if pcols:
-                w = w.partitionBy(*pcols)
-            w.parquet(os.path.join(base, name))
-    else:
-        df.write.mode("overwrite").parquet(base)
+    df.write.mode("overwrite").parquet(os.path.join(state_dir, new))
     ptr = os.path.join(state_dir, "_LATEST")
     tmp = ptr + ".tmp"
     with open(tmp, "w") as f:
@@ -522,12 +506,7 @@ def _read_snapshot(spark: SparkSession, state_dir: str) -> DataFrame:
     cur = _snapshot_current(state_dir)
     if cur is None:
         raise FileNotFoundError(f"no snapshot committed under {state_dir}")
-    base = os.path.join(state_dir, cur)
-    # layout with side artifacts (see _commit_snapshot extras): the main
-    # frame lives under docs/
-    if os.path.isdir(os.path.join(base, "docs")):
-        base = os.path.join(base, "docs")
-    return spark.read.parquet(base)
+    return spark.read.parquet(os.path.join(state_dir, cur))
 
 
 def read_cdc_state(
@@ -565,21 +544,33 @@ def dedup_ingest_stream(
     against the identical corpus state — deterministic, so
     at-least-once delivery yields the exactly-once corpus.
 
-    Scale shape: because the snapshot CARRIES the signatures
-    (``incremental_near_dedup_presigned``), a batch never re-reads,
-    re-shingles, or re-hashes corpus text — per batch it computes
-    signatures for the batch only (map-only Arrow), probes the stored
-    band-bucket index (``sigidx/``, written ``partitionBy("pb")`` —
-    the batch reads ONLY the partitions its own buckets hash into, so
-    the candidate lookup is partition-pruned I/O, sub-linear in corpus
-    size), and shingles only confirm candidates on either side. The
-    corpus is never self-joined. The snapshot docs+index rewrite is the
-    one corpus-proportional cost per batch; at 100 TB that write
-    becomes an append/MERGE on a transactional table (and the index an
-    appended partition set) with the identical gate logic. Internally persisted frames are unpersisted after each
-    commit (a leaked cache per micro-batch would grow without bound).
-    Returns the ``writeStream`` builder (caller picks trigger/start);
-    read the admitted corpus back with :func:`read_dedup_state`.
+    Scale shape — APPEND-ONLY state, O(batch) per batch, nothing
+    corpus-proportional is ever rewritten:
+
+    * because the snapshot CARRIES the signatures
+      (``incremental_near_dedup_presigned``), a batch never re-reads,
+      re-shingles, or re-hashes corpus text — it computes signatures
+      for the batch only (map-only Arrow), probes the stored band-bucket
+      index (``sigidx/``, written ``partitionBy("pb")`` — the batch
+      reads ONLY the partitions its own buckets hash into, so candidate
+      lookup is partition-pruned I/O), and shingles only confirm
+      candidates on either side. The corpus is never self-joined.
+    * admitted state is a MANIFEST over per-batch directories
+      (``batches/b{id}-{nonce}/{docs,sigidx}``): a commit writes the
+      batch's ADMITTED rows + their index and atomically swaps the
+      manifest — the corpus-rewrite cost of the pointer-swap snapshot
+      (``_commit_snapshot``) is gone entirely. A replayed batch id is
+      already in the manifest and commits nothing (exactly-once); a
+      crash between dir write and manifest swap leaves an orphan dir
+      that the next commit garbage-collects. The manifest's dir list
+      grows one entry per batch — compact periodically (coalesce old
+      dirs into one) or map the layout onto a transactional table's
+      append; the gate logic is unchanged either way.
+
+    Internally persisted frames are unpersisted after each commit (a
+    leaked cache per micro-batch would grow without bound). Returns the
+    ``writeStream`` builder (caller picks trigger/start); read the
+    admitted corpus back with :func:`read_dedup_state`.
     """
     import os
 
@@ -593,27 +584,21 @@ def dedup_ingest_stream(
     os.makedirs(state_dir, exist_ok=True)
     sig_cols = [f"mh{i:02d}" for i in range(MINHASH_K)]
 
-    def _sig_index(merged: DataFrame) -> DataFrame:
-        sig = merged.select(F.col(id_col), *sig_cols).where(
-            F.col(sig_cols[0]).isNotNull()
-        )
-        return band_bucket_index(sig, id_col)
-
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        names = _manifest_read(state_dir)
+        if any(n.startswith(f"b{batch_id}-") for n in names):
+            return  # replayed batch: already committed, exactly-once
+        _manifest_gc(state_dir, names)
         registry: list = []
         try:
-            prev = _snapshot_current(state_dir)
-            if prev is not None:
-                base = os.path.join(state_dir, prev)
-                corpus = spark.read.parquet(os.path.join(base, "docs"))
-                # partitioned LSH index written by the previous commit:
-                # the batch reads ONLY the pb partitions its own buckets
-                # hash into (partition-pruned candidate lookup)
-                sigidx = spark.read.parquet(os.path.join(base, "sigidx"))
-                # replay idempotency: rows the snapshot already admitted
-                # would otherwise near-dup their own corpus copy
+            if names:
+                corpus = _manifest_union(spark, state_dir, names, "docs")
+                sigidx = _manifest_union(spark, state_dir, names, "sigidx")
+                # at-least-once safety net beyond the batch-id check:
+                # rows an earlier batch admitted would otherwise
+                # near-dup their own corpus copy
                 fresh = batch_df.join(
                     corpus.select(id_col), on=id_col, how="left_anti"
                 )
@@ -621,16 +606,23 @@ def dedup_ingest_stream(
                     corpus, fresh, threshold, text_col, id_col,
                     persist_registry=registry, corpus_buckets=sigidx,
                 )
-                merged = corpus.unionByName(admitted)
             else:
-                merged = incremental_near_dedup_presigned(
+                admitted = incremental_near_dedup_presigned(
                     None, batch_df, threshold, text_col, id_col,
                     persist_registry=registry,
                 )
-            _commit_snapshot(
-                state_dir, batch_id, merged,
-                extras={"sigidx": (_sig_index(merged), ["pb"])},
+            import uuid
+
+            name = f"b{batch_id}-{uuid.uuid4().hex[:8]}"
+            base = os.path.join(state_dir, "batches", name)
+            admitted.write.parquet(os.path.join(base, "docs"))
+            adm_sig = spark.read.parquet(os.path.join(base, "docs")).select(
+                F.col(id_col), *sig_cols
+            ).where(F.col(sig_cols[0]).isNotNull())
+            band_bucket_index(adm_sig, id_col).write.partitionBy("pb").parquet(
+                os.path.join(base, "sigidx")
             )
+            _manifest_swap(state_dir, names + [name])
         finally:
             for h in registry:
                 h.unpersist()
@@ -640,11 +632,68 @@ def dedup_ingest_stream(
     )
 
 
+def _manifest_read(state_dir: str) -> list[str]:
+    import json
+    import os
+
+    p = os.path.join(state_dir, "_MANIFEST")
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return json.load(f)["batches"]
+
+
+def _manifest_swap(state_dir: str, names: list[str]) -> None:
+    import json
+    import os
+
+    p = os.path.join(state_dir, "_MANIFEST")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"batches": names}, f)
+    os.replace(tmp, p)
+
+
+def _manifest_gc(state_dir: str, names: list[str]) -> None:
+    """Remove orphan batch dirs (written, then crashed before the
+    manifest swap). Single-writer stream, so nothing races this."""
+    import os
+    import shutil
+
+    bdir = os.path.join(state_dir, "batches")
+    if not os.path.isdir(bdir):
+        return
+    keep = set(names)
+    for d in os.listdir(bdir):
+        if d not in keep:
+            shutil.rmtree(os.path.join(bdir, d), ignore_errors=True)
+
+
+def _manifest_union(spark: SparkSession, state_dir: str,
+                    names: list[str], sub: str) -> DataFrame:
+    """Union over the manifest's per-batch dirs. Each ``sigidx`` dir is
+    read with its own basePath so the hive ``pb=`` partition column
+    survives multi-dir reads (and pruning filters push into each)."""
+    import os
+    from functools import reduce
+
+    frames = []
+    for n in names:
+        p = os.path.join(state_dir, "batches", n, sub)
+        frames.append(spark.read.option("basePath", p).parquet(p))
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
 def read_dedup_state(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Admitted corpus behind :func:`dedup_ingest_stream`'s pointer, with
-    the internal signature columns dropped. Lazy — materialize before
-    the stream commits another batch (see :func:`_read_snapshot`)."""
-    df = _read_snapshot(spark, state_dir)
+    """Admitted corpus behind :func:`dedup_ingest_stream`'s manifest,
+    with the internal signature columns dropped. Lazy — but the layout
+    is append-only, so later commits never retire the dirs a snapshot
+    read references (unlike :func:`_read_snapshot`); only a crash-orphan
+    GC could, and that only touches uncommitted dirs."""
+    names = _manifest_read(state_dir)
+    if not names:
+        raise FileNotFoundError(f"no ingest manifest under {state_dir}")
+    df = _manifest_union(spark, state_dir, names, "docs")
     sig_cols = [c for c in df.columns if c.startswith("mh")
                 and len(c) == 4 and c[2:].isdigit()]
     return df.drop(*sig_cols)

@@ -507,3 +507,57 @@ def test_dedup_ingest_stream_incremental(spark, tmp_path):
     q.stop()
     admitted2 = {r["doc_id"] for r in read_dedup_state(spark, state).collect()}
     assert admitted2 == {0, 1, 11}
+
+
+def test_dedup_ingest_state_is_append_only(spark, tmp_path):
+    # the manifest layout must never rewrite committed batch dirs:
+    # batch 2's commit leaves batch 1's files byte-identical (this is
+    # the O(batch)-per-batch property the layout exists for), and the
+    # manifest grows by exactly one entry per non-empty batch
+    import json
+    import os
+
+    from fourmc_spark.streaming import dedup_ingest_stream, read_dedup_state
+
+    in_dir, state = str(tmp_path / "in"), str(tmp_path / "state")
+    os.makedirs(in_dir)
+    b1 = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta", "s")],
+        ["doc_id", "text", "source"],
+    )
+    b1.coalesce(1).write.parquet(os.path.join(in_dir, "b1.parquet"))
+    sdf = spark.readStream.schema(b1.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(in_dir)
+    q = dedup_ingest_stream(sdf, state).start()
+    q.processAllAvailable()
+
+    def snapshot_files():
+        out = {}
+        for root, _, files in os.walk(os.path.join(state, "batches")):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = (os.path.getsize(p), os.path.getmtime(p))
+        return out
+
+    with open(os.path.join(state, "_MANIFEST")) as f:
+        names1 = json.load(f)["batches"]
+    assert len(names1) == 1
+    before = snapshot_files()
+
+    b2 = spark.createDataFrame(
+        [(5, "totally different words entirely here now", "s")],
+        ["doc_id", "text", "source"],
+    )
+    b2.coalesce(1).write.parquet(os.path.join(in_dir, "b2.parquet"))
+    q.processAllAvailable()
+    q.stop()
+
+    with open(os.path.join(state, "_MANIFEST")) as f:
+        names2 = json.load(f)["batches"]
+    assert names2[:1] == names1 and len(names2) == 2
+    after = snapshot_files()
+    for p, meta in before.items():
+        assert after[p] == meta, f"batch-1 file rewritten: {p}"
+    assert {r["doc_id"] for r in read_dedup_state(spark, state).collect()} \
+        == {0, 5}
