@@ -52,17 +52,19 @@ sys.path.insert(0, _HERE)
 # surface. _PRIORITY pins this round's most important unverified queries
 # to the very front.
 _PRIORITY = [
-    # round 4: the five queries without a driver-green row. The first
-    # three were red/at-risk on the driver canonicalizer's list-column
-    # crash (CORRECTNESS_r03) — their gate projections now stringify the
+    # round 4: the queries without a driver-green row. The first three
+    # were red/at-risk on the driver canonicalizer's list-column crash
+    # (CORRECTNESS_r03) — their gate projections now stringify the
     # array columns (concat_ws / array_to_string, the q38_array_agg
-    # convention). The last two simply sorted past round 3's 50-slot
-    # window. 5 <= 50, so this window closes the gate at 151/151.
+    # convention). The next two simply sorted past round 3's 50-slot
+    # window; the last is round 4's new star-contraction components
+    # operator. 6 <= 50, so this window closes the gate at 152/152.
     "text_bpe_encode",
     "embedding_random_projection",
     "curation_pack_tokens",
     "text_bpe_vocab",
     "stream_dedup_ingest",
+    "dedup_components_star",
 ]
 
 

@@ -1011,6 +1011,21 @@ def dedup_components_q(spark, sf):
     ).orderBy("doc_id")
 
 
+@query("dedup_components_star", _DUCK_COMPONENTS)
+def dedup_components_star_q(spark, sf):
+    # the same component closure via alternating large-star/small-star
+    # contraction (Kiveris et al.) — O(log^2 n) rounds in the NODE count
+    # instead of diameter-many, the scale-safe variant for long thin
+    # graphs (chains, entity-resolution paths). Identical output
+    # contract, so it shares dedup_components' exhaustive oracle.
+    edges = dedup.jaccard_pairs(_t(spark, sf, "documents"), threshold=0.6).select(
+        "a_id", "b_id"
+    )
+    return graph.connected_components_star(
+        edges, src="a_id", dst="b_id", id_out="doc_id", comp_out="component_id"
+    ).orderBy("doc_id")
+
+
 # the dedup APPLY step: same component closure as above, then one kept
 # representative per cluster (max n_chars, ties -> min doc_id) and a
 # kept/dropped verdict for EVERY corpus doc (singletons keep themselves)

@@ -131,3 +131,57 @@ def test_pagerank_mass_never_exceeds_total(spark):
     )
     # integer div only loses mass; never creates it
     assert 0 < total <= PAGERANK_SCALE
+
+
+def _cc_star(spark, pairs, **kw):
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    out = graph.connected_components_star(edges, **kw)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+def test_star_matches_propagation_on_hand_graphs(spark):
+    for pairs in (
+        [(1, 2), (2, 3), (10, 11)],
+        [(1, 2), (2, 3), (3, 4), (4, 5), (20, 21), (21, 22), (22, 20)],
+        [(2, 1), (1, 2), (3, 2), (3, 3), (2, 3)],
+        [(1, 2), (2, 3), (1, 3), (7, 8), (8, 9), (7, 9), (3, 7)],
+        [(5, 6)],
+    ):
+        assert _cc_star(spark, pairs) == _cc(spark, pairs)
+
+
+def test_star_matches_propagation_on_random_graph(spark):
+    import random
+
+    rng = random.Random(41)
+    nodes = list(range(400))
+    pairs = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(300)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    assert _cc_star(spark, pairs) == _cc(spark, pairs, max_iter=60)
+
+
+def test_star_converges_on_long_path_where_propagation_cannot(spark):
+    # a 240-hop path with ids scrambled (so the min is mid-chain and
+    # neither propagation direction is "easy"): min-label needs
+    # diameter(=239) rounds, star contraction O(log^2 n)
+    import random
+
+    ids = list(range(240))
+    random.Random(7).shuffle(ids)
+    pairs = list(zip(ids, ids[1:]))
+    with pytest.raises(RuntimeError, match="no convergence"):
+        _cc(spark, pairs, max_iter=12)
+    got = _cc_star(spark, pairs, max_iter=12)
+    m = min(ids)
+    assert got == {n: m for n in ids}
+
+
+def test_star_output_column_names(spark):
+    edges = spark.createDataFrame([(5, 6)], "a_id long, b_id long")
+    out = graph.connected_components_star(
+        edges, src="a_id", dst="b_id", id_out="doc_id", comp_out="component_id"
+    )
+    assert out.columns == ["doc_id", "component_id"]
+    assert {tuple(r) for r in out.collect()} == {(5, 5), (6, 5)}
