@@ -2576,10 +2576,18 @@ tok AS (
   SELECT dw.doc_id, dw.i,
          str_split(trim(v.enc, chr(1)), {DSEP}) AS toks
   FROM docw dw JOIN {vN} v ON dw.w = v.w)
-SELECT doc_id,
-       array_to_string(flatten(list(toks ORDER BY i)), '|') AS tokens,
+SELECT doc_id, flatten(list(toks ORDER BY i)) AS tokens,
        CAST(len(flatten(list(toks ORDER BY i))) AS BIGINT) AS n_tokens
 FROM tok GROUP BY doc_id ORDER BY doc_id"""
+
+
+def _bpe_encode_gate_sql(n_merges: int) -> str:
+    """Gate projection over :func:`_bpe_encode_sql`: the driver's
+    canonicalizer can't hash raw list cells, so the token array goes out
+    pipe-joined (the q38_array_agg convention). The array-producing SQL
+    stays intact — the property-fuzz tests compare it element-wise."""
+    return f"""SELECT doc_id, array_to_string(tokens, '|') AS tokens, n_tokens
+FROM ({_bpe_encode_sql(n_merges)}) ORDER BY doc_id"""
 
 
 @query("text_bpe_learn", _bpe_learn_sql(10))
@@ -2670,11 +2678,19 @@ flat AS (
   FROM offs, unnest(generate_series(1, len(tokens))) AS t(i))
 SELECT source, CAST(g // {seq_len} AS BIGINT) AS seq_id,
        CAST(count(*) AS BIGINT) AS n_tokens,
-       array_to_string(list(token ORDER BY g % {seq_len}), '|') AS tokens
+       list(token ORDER BY g % {seq_len}) AS tokens
 FROM flat GROUP BY source, g // {seq_len} ORDER BY source, seq_id"""
 
 
-@query("curation_pack_tokens", _pack_tokens_sql(10, 256))
+def _pack_tokens_gate_sql(n_merges: int, seq_len: int) -> str:
+    """Gate projection over :func:`_pack_tokens_sql` — same pipe-joined
+    token column as :func:`_bpe_encode_gate_sql`, same reason."""
+    return f"""SELECT source, seq_id, n_tokens,
+       array_to_string(tokens, '|') AS tokens
+FROM ({_pack_tokens_sql(n_merges, seq_len)}) ORDER BY source, seq_id"""
+
+
+@query("curation_pack_tokens", _pack_tokens_gate_sql(10, 256))
 def curation_pack_tokens_q(spark, sf):
     # the terminal LLM data-prep step: learn a tokenizer, encode the
     # corpus, and pack token streams into fixed 256-token training
@@ -2696,7 +2712,7 @@ def curation_pack_tokens_q(spark, sf):
     ).orderBy("source", "seq_id")
 
 
-@query("text_bpe_encode", _bpe_encode_sql(10))
+@query("text_bpe_encode", _bpe_encode_gate_sql(10))
 def text_bpe_encode_q(spark, sf):
     # the tokenizer APPLY step: train the merge table (one corpus pass +
     # driver merge loop), broadcast it, and encode every document in a

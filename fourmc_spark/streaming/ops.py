@@ -587,8 +587,8 @@ def dedup_ingest_stream(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        names = _manifest_read(state_dir)
-        if any(n.startswith(f"b{batch_id}-") for n in names):
+        names, seen = _manifest_read(state_dir)
+        if batch_id in seen:
             return  # replayed batch: already committed, exactly-once
         _manifest_gc(state_dir, names)
         registry: list = []
@@ -622,7 +622,7 @@ def dedup_ingest_stream(
             band_bucket_index(adm_sig, id_col).write.partitionBy("pb").parquet(
                 os.path.join(base, "sigidx")
             )
-            _manifest_swap(state_dir, names + [name])
+            _manifest_swap(state_dir, names + [name], seen + [batch_id])
         finally:
             for h in registry:
                 h.unpersist()
@@ -632,25 +632,30 @@ def dedup_ingest_stream(
     )
 
 
-def _manifest_read(state_dir: str) -> list[str]:
+def _manifest_read(state_dir: str) -> tuple[list[str], list[int]]:
+    """-> (committed batch dir names, batch ids ever committed). Seen
+    ids are tracked separately from dir names so replay protection
+    survives :func:`compact_dedup_state` rewriting the dir list."""
     import json
     import os
 
     p = os.path.join(state_dir, "_MANIFEST")
     if not os.path.exists(p):
-        return []
+        return [], []
     with open(p) as f:
-        return json.load(f)["batches"]
+        m = json.load(f)
+    return m["batches"], m.get("seen_ids", [])
 
 
-def _manifest_swap(state_dir: str, names: list[str]) -> None:
+def _manifest_swap(state_dir: str, names: list[str],
+                   seen_ids: list[int]) -> None:
     import json
     import os
 
     p = os.path.join(state_dir, "_MANIFEST")
     tmp = p + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"batches": names}, f)
+        json.dump({"batches": names, "seen_ids": seen_ids}, f)
     os.replace(tmp, p)
 
 
@@ -690,10 +695,53 @@ def read_dedup_state(spark: SparkSession, state_dir: str) -> DataFrame:
     is append-only, so later commits never retire the dirs a snapshot
     read references (unlike :func:`_read_snapshot`); only a crash-orphan
     GC could, and that only touches uncommitted dirs."""
-    names = _manifest_read(state_dir)
+    names, _ = _manifest_read(state_dir)
     if not names:
         raise FileNotFoundError(f"no ingest manifest under {state_dir}")
     df = _manifest_union(spark, state_dir, names, "docs")
     sig_cols = [c for c in df.columns if c.startswith("mh")
                 and len(c) == 4 and c[2:].isdigit()]
     return df.drop(*sig_cols)
+
+
+def compact_dedup_state(spark: SparkSession, state_dir: str,
+                        id_col: str = "doc_id") -> str:
+    """Coalesce :func:`dedup_ingest_stream`'s per-batch dirs into ONE —
+    the maintenance step that bounds the manifest's growth (one dir per
+    batch otherwise; each dir is one more parquet read in the corpus
+    union and one more pruned probe per admission).
+
+    Rewrites docs + signature index once (O(corpus), the cost the
+    append-only commit path deliberately avoids per batch — compaction
+    amortizes it over however many batches ran in between, exactly like
+    small-file compaction on a transactional table). Seen batch ids are
+    preserved, so replay protection is unaffected. Call while the
+    stream is STOPPED — the state is single-writer.
+
+    Returns the new batch dir name.
+    """
+    import os
+    import uuid
+
+    from fourmc_spark.operators.dedup import MINHASH_K, band_bucket_index
+
+    names, seen = _manifest_read(state_dir)
+    if not names:
+        raise FileNotFoundError(f"no ingest manifest under {state_dir}")
+    if len(names) == 1:
+        return names[0]
+    docs = _manifest_union(spark, state_dir, names, "docs")
+    name = f"compact-{uuid.uuid4().hex[:8]}"
+    base = os.path.join(state_dir, "batches", name)
+    docs.write.parquet(os.path.join(base, "docs"))
+    sig_cols = [f"mh{i:02d}" for i in range(MINHASH_K)]
+    sig = spark.read.parquet(os.path.join(base, "docs"))
+    idx_src = sig.select(F.col(id_col), *sig_cols).where(
+        F.col(sig_cols[0]).isNotNull()
+    )
+    band_bucket_index(idx_src, id_col).write.partitionBy("pb").parquet(
+        os.path.join(base, "sigidx")
+    )
+    _manifest_swap(state_dir, [name], seen)
+    _manifest_gc(state_dir, [name])
+    return name

@@ -561,3 +561,56 @@ def test_dedup_ingest_state_is_append_only(spark, tmp_path):
         assert after[p] == meta, f"batch-1 file rewritten: {p}"
     assert {r["doc_id"] for r in read_dedup_state(spark, state).collect()} \
         == {0, 5}
+
+
+def test_dedup_ingest_compaction(spark, tmp_path):
+    # compact_dedup_state coalesces the manifest's per-batch dirs into
+    # one; admitted rows are unchanged, replay protection (seen ids)
+    # survives, and a post-compaction batch is still gated against the
+    # compacted corpus through its rebuilt signature index
+    import json
+    import os
+
+    from fourmc_spark.streaming import (
+        compact_dedup_state,
+        dedup_ingest_stream,
+        read_dedup_state,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    in_dir, state = str(tmp_path / "in"), str(tmp_path / "state")
+    os.makedirs(in_dir)
+    schema = "doc_id long, text string, source string"
+    b1 = spark.createDataFrame([(0, base, "s"), (1, "first other text with several words", "s")], schema)
+    b1.coalesce(1).write.parquet(os.path.join(in_dir, "b1.parquet"))
+    sdf = spark.readStream.schema(b1.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(in_dir)
+    q = dedup_ingest_stream(sdf, state).start()
+    q.processAllAvailable()
+    b2 = spark.createDataFrame([(5, "second batch genuinely new content entirely", "s")], schema)
+    b2.coalesce(1).write.parquet(os.path.join(in_dir, "b2.parquet"))
+    q.processAllAvailable()
+    q.stop()
+
+    before = {r["doc_id"] for r in read_dedup_state(spark, state).collect()}
+    assert before == {0, 1, 5}
+    name = compact_dedup_state(spark, state)
+    with open(os.path.join(state, "_MANIFEST")) as f:
+        m = json.load(f)
+    assert m["batches"] == [name] and len(m["seen_ids"]) == 2
+    assert os.listdir(os.path.join(state, "batches")) == [name]
+    assert {r["doc_id"] for r in read_dedup_state(spark, state).collect()} \
+        == before
+
+    # batch 3 after compaction: near-dup of doc 0 rejected, novel kept
+    q2 = dedup_ingest_stream(sdf, state).start()
+    b3 = spark.createDataFrame(
+        [(10, base, "s"), (11, "third wave completely fresh material", "s")],
+        schema,
+    )
+    b3.coalesce(1).write.parquet(os.path.join(in_dir, "b3.parquet"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert {r["doc_id"] for r in read_dedup_state(spark, state).collect()} \
+        == {0, 1, 5, 11}
