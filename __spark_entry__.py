@@ -27,10 +27,13 @@ queries()    — every implemented operator from SURVEY.md §2: the Q1-Q44
                sessionization) run as real micro-batch queries.
 oracle_sql() — DuckDB-equivalent SQL for every query (hashes are
                stabilized by pinned aliases, explicit BIGINT casts, and
-               rounding on exact decimal lattices). Only
-               stream_sessionize_stateful (custom stateful streaming)
-               and ann_ivf_kmeans_topk (iterative k-means) omit oracles
-               — not SQL-expressible; the driver records rows-only.
+               rounding on exact decimal lattices). Since round 3 NO
+               query is rows-only: the formerly oracle-less trio
+               (stream_sessionize_stateful, ann_ivf_kmeans_topk,
+               text_bpe_learn) carries full hash oracles via batch-twin
+               / integer-exact unrolled reformulations, and round 4's
+               array-valued outputs are stringified in the gate
+               projections so the driver canonicalizer can hash them.
 """
 
 from __future__ import annotations
