@@ -324,15 +324,28 @@ def _pbucket(n_parts: int):
     return F.pmod(F.hash(F.col("band"), F.col("bucket")), F.lit(n_parts)).cast("int")
 
 
+# partition count for id-bucketed persisted corpora (the docs side of
+# the ingest snapshot): reads keyed by a known id set prune to the
+# buckets those ids hash into. 64 for the local gate; scale per-call.
+ID_INDEX_PARTS = 64
+
+
+def id_bucket(id_col: str, n_parts: int = ID_INDEX_PARTS):
+    """Partition key for an id-bucketed persisted corpus — like
+    :func:`_pbucket`, the expression MUST match between the write and
+    every pruned probe."""
+    return F.pmod(F.hash(F.col(id_col)), F.lit(n_parts)).cast("int")
+
+
 def band_bucket_index(sig: DataFrame, id_col: str = "doc_id",
                       k: int = MINHASH_K, rows_per_band: int = 2,
                       n_parts: int = SIG_INDEX_PARTS) -> DataFrame:
     """Exploded ``(id, band, bucket, pb)`` LSH index from a signature
     frame, ready to persist ``partitionBy("pb")`` — the snapshot-side
     artifact that lets :func:`incremental_near_dedup_presigned` read only
-    the partitions a batch's own buckets hash into (partition-pruned
-    candidate lookup: admission cost stays O(batch x collision rate) in
-    I/O too, not just compute, at any corpus size)."""
+    the partitions a batch's own buckets hash into. Candidate-lookup
+    I/O becomes ceil(buckets touched / n_parts) of the index instead of
+    all of it; compute stays O(batch x collision rate) either way."""
     return _band_buckets(sig, id_col, k, rows_per_band).withColumn(
         "pb", _pbucket(n_parts)
     )
@@ -655,6 +668,8 @@ def incremental_near_dedup_presigned(
     persist_registry: list | None = None,
     corpus_buckets: DataFrame | None = None,
     bucket_parts: int = SIG_INDEX_PARTS,
+    corpus_bucket_col: str | None = None,
+    corpus_bucket_parts: int = ID_INDEX_PARTS,
 ) -> DataFrame:
     """:func:`incremental_near_dedup` with a PRE-SIGNED corpus — the
     continuous-ingest shape where the admitted corpus carries its MinHash
@@ -693,6 +708,16 @@ def incremental_near_dedup_presigned(
     answer: a corpus row outside the batch's pb set shares no
     (band, bucket) with any batch row — ``_pbucket`` is the identical
     expression on both sides — so it can never be a candidate.
+
+    ``corpus_bucket_col``: optional name of an :func:`id_bucket` column
+    carried by ``corpus`` (i.e. the corpus is PERSISTED partitioned by
+    id bucket). When given, the confirm step's corpus TEXT read — the
+    one remaining corpus-proportional scan on this path — is restricted
+    to the id buckets the candidate participants hash into (at most
+    ``corpus_bucket_parts`` values, collected from a candidate-sized
+    job; the candidate subplan is evaluated once more for that collect,
+    which is batch-cost). A corpus row outside those buckets is not a
+    candidate participant, so it cannot affect any confirm decision.
     """
     sig_cols = [f"mh{i:02d}" for i in range(k)]
     inc_sig = minhash_signatures(incoming, text_col, id_col, k)
@@ -705,6 +730,25 @@ def incremental_near_dedup_presigned(
         "band", "bucket",
     )
     if corpus is not None and corpus_buckets is not None:
+        # loud-fail guard against an index built with MORE partitions
+        # than bucket_parts (e.g. a 4096-part 100 TB index probed with
+        # the 64-part default): the pb sets would be disjoint moduli and
+        # pruning would silently drop true candidates. The check prunes
+        # to partitions >= bucket_parts — zero I/O when the index
+        # matches. (The reverse mismatch — index coarser than the probe
+        # — is not detectable from the frame; pass matching
+        # bucket_parts, it is part of the index's identity.)
+        if (
+            corpus_buckets.where(F.col("pb") >= bucket_parts)
+            .limit(1)
+            .count()
+            > 0
+        ):
+            raise ValueError(
+                "incremental_near_dedup_presigned: corpus_buckets contains "
+                f"pb >= bucket_parts ({bucket_parts}) — the index was built "
+                "with a different n_parts; pass the matching bucket_parts"
+            )
         # partition-pruned lookup: only index partitions the batch's own
         # buckets hash into can contain a colliding corpus row
         pbs = sorted(
@@ -744,7 +788,27 @@ def incremental_near_dedup_presigned(
     )
     texts = incoming.select(F.col(id_col), F.col(text_col))
     if corpus is not None:
-        texts = corpus.select(F.col(id_col), F.col(text_col)).unionByName(texts)
+        ctexts = corpus
+        if corpus_bucket_col is not None:
+            # prune the corpus text read to the id buckets any candidate
+            # participant hashes into (the id-bucketed snapshot layout)
+            vals = sorted(
+                {
+                    r["b"]
+                    for r in candidates.select(
+                        id_bucket("a_id", corpus_bucket_parts).alias("b")
+                    )
+                    .unionByName(
+                        candidates.select(
+                            id_bucket("b_id", corpus_bucket_parts).alias("b")
+                        )
+                    )
+                    .distinct()
+                    .collect()
+                }
+            )
+            ctexts = ctexts.where(F.col(corpus_bucket_col).isin(vals))
+        texts = ctexts.select(F.col(id_col), F.col(text_col)).unionByName(texts)
     texts = texts.join(participants, on=id_col, how="leftsemi")
     confirmed = jaccard_pairs(texts, threshold, text_col, id_col,
                               candidates=candidates)

@@ -2409,7 +2409,10 @@ wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM ev),
 r AS (SELECT g.*, row_number() OVER (PARTITION BY user_id
                                      ORDER BY session_start DESC) AS rn
       FROM g)
-SELECT user_id, session_start, session_end, n_events
+SELECT user_id,
+       strftime(session_start, '%Y-%m-%dT%H:%M:%S.%f') AS session_start,
+       strftime(session_end, '%Y-%m-%dT%H:%M:%S.%f') AS session_end,
+       n_events
 FROM r WHERE rn > 1
    OR epoch_ms(session_end) + 15*60*1000 < epoch_ms((SELECT w FROM wm))
 ORDER BY user_id, session_start""",
@@ -2419,20 +2422,29 @@ def stream_sessionize_q(spark, sf):
 
     # timestamps round-trip through Arrow in the stateful fn; pin UTC so
     # the emitted session bounds hash-match the oracle on ANY session.
-    # The pin is scoped: the stream runs AND the result materializes
-    # (_detach -> toPandas) under UTC, then the caller's prior timeZone
-    # is restored — the query must not permanently mutate session state.
+    # The pin is scoped (restored in the finally — the query must not
+    # permanently mutate session state), and the session bounds leave
+    # as UTC STRINGS rendered inside the pinned scope: a timestamp
+    # column re-rendered by a later toPandas under the caller's restored
+    # timezone would shift, so the output is made timezone-independent
+    # before the pin lifts (review finding, round 4).
     prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         sdf = sessionize_stateful(
             read_events_stream(spark, f"{sf}/events.parquet"), gap_minutes=15
         )
-        return _detach(
-            _run_stream(sdf, output_mode="append").orderBy(
-                "user_id", "session_start"
-            )
-        )
+        out = _run_stream(sdf, output_mode="append").select(
+            "user_id",
+            F.date_format(
+                "session_start", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+            ).alias("session_start"),
+            F.date_format(
+                "session_end", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+            ).alias("session_end"),
+            "n_events",
+        ).orderBy("user_id", "session_start")
+        return _detach(out)
     finally:
         if prev_tz is None:
             spark.conf.unset("spark.sql.session.timeZone")

@@ -544,28 +544,38 @@ def dedup_ingest_stream(
     against the identical corpus state — deterministic, so
     at-least-once delivery yields the exactly-once corpus.
 
-    Scale shape — APPEND-ONLY state, O(batch) per batch, nothing
-    corpus-proportional is ever rewritten:
+    Scale shape — APPEND-ONLY state; per-batch COMPUTE is
+    O(batch x collision rate), and every remaining corpus touch is a
+    partition-pruned read (write amplification is zero — nothing
+    corpus-proportional is ever rewritten):
 
     * because the snapshot CARRIES the signatures
-      (``incremental_near_dedup_presigned``), a batch never re-reads,
-      re-shingles, or re-hashes corpus text — it computes signatures
-      for the batch only (map-only Arrow), probes the stored band-bucket
-      index (``sigidx/``, written ``partitionBy("pb")`` — the batch
-      reads ONLY the partitions its own buckets hash into, so candidate
-      lookup is partition-pruned I/O), and shingles only confirm
-      candidates on either side. The corpus is never self-joined.
+      (``incremental_near_dedup_presigned``), a batch never re-shingles
+      or re-hashes corpus text — it computes signatures for the batch
+      only (map-only Arrow) and shingles only confirm candidates on
+      either side. The corpus is never self-joined.
+    * three corpus READS remain, each pruned by a partition key the
+      probe recomputes identically: the candidate lookup reads only the
+      ``sigidx/pb=`` partitions the batch's own buckets hash into; the
+      replay anti-join reads only the ``docs/_idb=`` id buckets present
+      in the batch; the confirm step reads corpus text only from the id
+      buckets candidate participants hash into. Each is
+      ceil(buckets touched / n_parts) of the corpus — sub-linear for a
+      small batch, and the parts constants scale per deployment
+      (``ID_INDEX_PARTS`` / ``SIG_INDEX_PARTS``).
     * admitted state is a MANIFEST over per-batch directories
       (``batches/b{id}-{nonce}/{docs,sigidx}``): a commit writes the
       batch's ADMITTED rows + their index and atomically swaps the
       manifest — the corpus-rewrite cost of the pointer-swap snapshot
       (``_commit_snapshot``) is gone entirely. A replayed batch id is
-      already in the manifest and commits nothing (exactly-once); a
-      crash between dir write and manifest swap leaves an orphan dir
-      that the next commit garbage-collects. The manifest's dir list
-      grows one entry per batch — compact periodically (coalesce old
-      dirs into one) or map the layout onto a transactional table's
-      append; the gate logic is unchanged either way.
+      in the manifest's seen list and commits nothing (exactly-once); a
+      batch whose every row is rejected records its id but no dir (a
+      dataless dir would poison later reads); a crash between dir write
+      and manifest swap leaves an orphan dir the next commit
+      garbage-collects. The manifest's dir list grows one entry per
+      batch — :func:`compact_dedup_state` coalesces it, or map the
+      layout onto a transactional table's append; the gate logic is
+      unchanged either way.
 
     Internally persisted frames are unpersisted after each commit (a
     leaked cache per micro-batch would grow without bound). Returns the
@@ -573,16 +583,16 @@ def dedup_ingest_stream(
     admitted corpus back with :func:`read_dedup_state`.
     """
     import os
+    import uuid
 
     from fourmc_spark.operators.dedup import (
-        MINHASH_K,
-        band_bucket_index,
+        ID_INDEX_PARTS,
+        id_bucket,
         incremental_near_dedup_presigned,
     )
 
     spark = docs.sparkSession
     os.makedirs(state_dir, exist_ok=True)
-    sig_cols = [f"mh{i:02d}" for i in range(MINHASH_K)]
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -595,34 +605,40 @@ def dedup_ingest_stream(
         try:
             if names:
                 corpus = _manifest_union(spark, state_dir, names, "docs")
-                sigidx = _manifest_union(spark, state_dir, names, "sigidx")
+                sigidx = _sigidx_union(spark, state_dir, names)
                 # at-least-once safety net beyond the batch-id check:
                 # rows an earlier batch admitted would otherwise
-                # near-dup their own corpus copy
+                # near-dup their own corpus copy. Pruned: an earlier
+                # copy of a batch row lives in the same id bucket.
+                b_idbs = sorted(
+                    r["b"]
+                    for r in batch_df.select(
+                        id_bucket(id_col, ID_INDEX_PARTS).alias("b")
+                    ).distinct().collect()
+                )
+                corpus_ids = corpus.where(
+                    F.col("_idb").isin(b_idbs)
+                ).select(id_col)
                 fresh = batch_df.join(
-                    corpus.select(id_col), on=id_col, how="left_anti"
+                    corpus_ids, on=id_col, how="left_anti"
                 )
                 admitted = incremental_near_dedup_presigned(
                     corpus, fresh, threshold, text_col, id_col,
                     persist_registry=registry, corpus_buckets=sigidx,
+                    corpus_bucket_col="_idb",
+                    corpus_bucket_parts=ID_INDEX_PARTS,
                 )
             else:
                 admitted = incremental_near_dedup_presigned(
                     None, batch_df, threshold, text_col, id_col,
                     persist_registry=registry,
                 )
-            import uuid
-
             name = f"b{batch_id}-{uuid.uuid4().hex[:8]}"
-            base = os.path.join(state_dir, "batches", name)
-            admitted.write.parquet(os.path.join(base, "docs"))
-            adm_sig = spark.read.parquet(os.path.join(base, "docs")).select(
-                F.col(id_col), *sig_cols
-            ).where(F.col(sig_cols[0]).isNotNull())
-            band_bucket_index(adm_sig, id_col).write.partitionBy("pb").parquet(
-                os.path.join(base, "sigidx")
-            )
-            _manifest_swap(state_dir, names + [name], seen + [batch_id])
+            if _write_batch_dir(spark, state_dir, name, admitted, id_col):
+                names = names + [name]
+            # an all-rejected batch commits no dir but its id is still
+            # recorded — replaying it must stay a no-op
+            _manifest_swap(state_dir, names, seen + [batch_id])
         finally:
             for h in registry:
                 h.unpersist()
@@ -630,6 +646,77 @@ def dedup_ingest_stream(
     return docs.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", os.path.join(state_dir, "_checkpoint")
     )
+
+
+def _has_parquet(path: str) -> bool:
+    import os
+
+    for root, _, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def _write_batch_dir(spark: SparkSession, state_dir: str, name: str,
+                     admitted: DataFrame, id_col: str) -> bool:
+    """Write one committed batch dir: ``docs/`` partitioned by the id
+    bucket (pruned replay/confirm reads) and ``sigidx/`` partitioned by
+    the band bucket (pruned candidate lookup). Returns False — and
+    leaves NO dir — when the admitted set is empty: a zero-row dynamic-
+    partition write emits no data files, and a dataless dir in the
+    manifest would crash every later read with UNABLE_TO_INFER_SCHEMA
+    (round-4 review finding). Shared by the stream commit and
+    :func:`compact_dedup_state` so the two layouts can never diverge."""
+    import os
+    import shutil
+
+    from fourmc_spark.operators.dedup import (
+        ID_INDEX_PARTS,
+        MINHASH_K,
+        band_bucket_index,
+        id_bucket,
+    )
+
+    base = os.path.join(state_dir, "batches", name)
+    docs_dir = os.path.join(base, "docs")
+    (
+        admitted.withColumn("_idb", id_bucket(id_col, ID_INDEX_PARTS))
+        .write.partitionBy("_idb")
+        .parquet(docs_dir)
+    )
+    if not _has_parquet(docs_dir):
+        shutil.rmtree(base, ignore_errors=True)
+        return False
+    sig_cols = [f"mh{i:02d}" for i in range(MINHASH_K)]
+    adm = spark.read.option("basePath", docs_dir).parquet(docs_dir)
+    idx_src = adm.select(F.col(id_col), *sig_cols).where(
+        F.col(sig_cols[0]).isNotNull()
+    )
+    # an all-null-signature batch leaves sigidx dataless on purpose —
+    # _sigidx_union skips dirs without data files
+    band_bucket_index(idx_src, id_col).write.partitionBy("pb").parquet(
+        os.path.join(base, "sigidx")
+    )
+    return True
+
+
+def _sigidx_union(spark: SparkSession, state_dir: str,
+                  names: list[str]) -> DataFrame | None:
+    """Union of the manifest dirs' band-bucket indexes, skipping dirs
+    a zero-signature batch left dataless. None when nothing remains —
+    the caller falls back to re-exploding corpus signatures (correct,
+    just unpruned; only possible while the corpus has no signed doc)."""
+    import os
+    from functools import reduce
+
+    frames = []
+    for n in names:
+        p = os.path.join(state_dir, "batches", n, "sigidx")
+        if _has_parquet(p):
+            frames.append(spark.read.option("basePath", p).parquet(p))
+    if not frames:
+        return None
+    return reduce(lambda a, b: a.unionByName(b), frames)
 
 
 def _manifest_read(state_dir: str) -> tuple[list[str], list[int]]:
@@ -701,7 +788,7 @@ def read_dedup_state(spark: SparkSession, state_dir: str) -> DataFrame:
     df = _manifest_union(spark, state_dir, names, "docs")
     sig_cols = [c for c in df.columns if c.startswith("mh")
                 and len(c) == 4 and c[2:].isdigit()]
-    return df.drop(*sig_cols)
+    return df.drop(*sig_cols, "_idb")
 
 
 def compact_dedup_state(spark: SparkSession, state_dir: str,
@@ -720,28 +807,19 @@ def compact_dedup_state(spark: SparkSession, state_dir: str,
 
     Returns the new batch dir name.
     """
-    import os
     import uuid
-
-    from fourmc_spark.operators.dedup import MINHASH_K, band_bucket_index
 
     names, seen = _manifest_read(state_dir)
     if not names:
         raise FileNotFoundError(f"no ingest manifest under {state_dir}")
     if len(names) == 1:
         return names[0]
-    docs = _manifest_union(spark, state_dir, names, "docs")
+    docs = _manifest_union(spark, state_dir, names, "docs").drop("_idb")
     name = f"compact-{uuid.uuid4().hex[:8]}"
-    base = os.path.join(state_dir, "batches", name)
-    docs.write.parquet(os.path.join(base, "docs"))
-    sig_cols = [f"mh{i:02d}" for i in range(MINHASH_K)]
-    sig = spark.read.parquet(os.path.join(base, "docs"))
-    idx_src = sig.select(F.col(id_col), *sig_cols).where(
-        F.col(sig_cols[0]).isNotNull()
-    )
-    band_bucket_index(idx_src, id_col).write.partitionBy("pb").parquet(
-        os.path.join(base, "sigidx")
-    )
+    if not _write_batch_dir(spark, state_dir, name, docs, id_col):
+        raise RuntimeError(
+            f"compact_dedup_state: manifest {names} united to zero rows"
+        )
     _manifest_swap(state_dir, [name], seen)
     _manifest_gc(state_dir, [name])
     return name

@@ -431,3 +431,51 @@ def test_presigned_with_partitioned_index_matches_and_prunes(spark, sf_dir, tmp_
     plan = sigidx.where(F.col("pb").isin([0, 1, 2]))._jdf.queryExecution() \
         .executedPlan().toString()
     assert "PartitionFilters" in plan and "pb" in plan
+
+
+def test_presigned_bucket_parts_mismatch_raises(spark, sf_dir, tmp_path):
+    # an index built with MORE partitions than bucket_parts would make
+    # the probe's pb moduli disjoint from the index's -> silent missed
+    # candidates; the guard must fail loudly instead
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") < 250)
+    inc = docs.where(F.col("doc_id") >= 250)
+    csig = corpus.join(dedup.minhash_signatures(corpus), "doc_id", "left")
+    sig_only = csig.select(
+        "doc_id", *[f"mh{i:02d}" for i in range(dedup.MINHASH_K)]
+    ).where(F.col("mh00").isNotNull())
+    idx_path = str(tmp_path / "sigidx4096")
+    dedup.band_bucket_index(sig_only, n_parts=4096).write.partitionBy(
+        "pb"
+    ).parquet(idx_path)
+    sigidx = spark.read.parquet(idx_path)
+    with pytest.raises(ValueError, match="bucket_parts"):
+        dedup.incremental_near_dedup_presigned(
+            csig, inc, 0.8, corpus_buckets=sigidx
+        ).collect()
+
+
+def test_presigned_id_bucketed_corpus_matches(spark, sf_dir, tmp_path):
+    # the id-bucketed corpus layout (confirm-text partition pruning)
+    # must admit exactly the same rows as the unbucketed path
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") < 250)
+    inc = docs.where(F.col("doc_id") >= 250)
+    csig = corpus.join(dedup.minhash_signatures(corpus), "doc_id", "left")
+
+    cpath = str(tmp_path / "docs")
+    csig.withColumn("_idb", dedup.id_bucket("doc_id")).write.partitionBy(
+        "_idb"
+    ).parquet(cpath)
+    bucketed = spark.read.option("basePath", cpath).parquet(cpath)
+
+    base = {r["doc_id"] for r in
+            dedup.incremental_near_dedup_presigned(csig, inc, 0.8).collect()}
+    got = {r["doc_id"] for r in
+           dedup.incremental_near_dedup_presigned(
+               bucketed, inc, 0.8, corpus_bucket_col="_idb").collect()}
+    assert base == got

@@ -614,3 +614,45 @@ def test_dedup_ingest_compaction(spark, tmp_path):
     q2.stop()
     assert {r["doc_id"] for r in read_dedup_state(spark, state).collect()} \
         == {0, 1, 5, 11}
+
+
+def test_dedup_ingest_all_rejected_batch_does_not_poison_state(spark, tmp_path):
+    # a batch whose EVERY row near-dups the corpus must commit no dir
+    # (a dataless dynamic-partition dir would crash later reads with
+    # UNABLE_TO_INFER_SCHEMA) while still recording the batch id; the
+    # stream must keep working afterwards
+    import json
+    import os
+
+    from fourmc_spark.streaming import dedup_ingest_stream, read_dedup_state
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    in_dir, state = str(tmp_path / "in"), str(tmp_path / "state")
+    os.makedirs(in_dir)
+    schema = "doc_id long, text string, source string"
+    b1 = spark.createDataFrame([(0, base, "s")], schema)
+    b1.coalesce(1).write.parquet(os.path.join(in_dir, "b1.parquet"))
+    sdf = spark.readStream.schema(b1.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(in_dir)
+    q = dedup_ingest_stream(sdf, state).start()
+    q.processAllAvailable()
+
+    # batch 2: only near-dups -> nothing admitted
+    b2 = spark.createDataFrame([(5, base, "s"), (6, base, "s")], schema)
+    b2.coalesce(1).write.parquet(os.path.join(in_dir, "b2.parquet"))
+    q.processAllAvailable()
+    with open(os.path.join(state, "_MANIFEST")) as f:
+        m = json.load(f)
+    assert len(m["batches"]) == 1 and len(m["seen_ids"]) == 2
+    assert {r["doc_id"] for r in read_dedup_state(spark, state).collect()} == {0}
+
+    # batch 3 after the all-rejected batch: state still functional
+    b3 = spark.createDataFrame(
+        [(9, "entirely new material for the third batch", "s")], schema
+    )
+    b3.coalesce(1).write.parquet(os.path.join(in_dir, "b3.parquet"))
+    q.processAllAvailable()
+    q.stop()
+    assert {r["doc_id"] for r in read_dedup_state(spark, state).collect()} \
+        == {0, 9}
