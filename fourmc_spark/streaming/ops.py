@@ -528,6 +528,7 @@ def dedup_ingest_stream(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    compact_every: int | None = None,
 ):
     """Streaming near-dup-gated corpus ingest — the micro-batch twin of
     ``operators/dedup.incremental_near_dedup`` (the daily-ingest batch
@@ -576,6 +577,13 @@ def dedup_ingest_stream(
       batch — :func:`compact_dedup_state` coalesces it, or map the
       layout onto a transactional table's append; the gate logic is
       unchanged either way.
+
+    ``compact_every``: opt-in inline maintenance — when the manifest
+    reaches this many dirs, the commit runs :func:`compact_dedup_state`
+    before returning (safe: foreachBatch IS the single writer). That
+    batch pays the amortized O(corpus) rewrite inline, so
+    latency-sensitive deployments should leave this None and compact
+    out-of-band between stream restarts instead.
 
     Internally persisted frames are unpersisted after each commit (a
     leaked cache per micro-batch would grow without bound). Returns the
@@ -639,6 +647,8 @@ def dedup_ingest_stream(
             # an all-rejected batch commits no dir but its id is still
             # recorded — replaying it must stay a no-op
             _manifest_swap(state_dir, names, seen + [batch_id])
+            if compact_every is not None and len(names) >= compact_every:
+                compact_dedup_state(spark, state_dir, id_col)
         finally:
             for h in registry:
                 h.unpersist()

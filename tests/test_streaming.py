@@ -656,3 +656,37 @@ def test_dedup_ingest_all_rejected_batch_does_not_poison_state(spark, tmp_path):
     q.stop()
     assert {r["doc_id"] for r in read_dedup_state(spark, state).collect()} \
         == {0, 9}
+
+
+def test_dedup_ingest_auto_compaction(spark, tmp_path):
+    # compact_every=2: after the second committed dir the commit runs
+    # compaction inline, so the manifest never grows past 2 dirs and
+    # results stay identical
+    import json
+    import os
+
+    from fourmc_spark.streaming import dedup_ingest_stream, read_dedup_state
+
+    in_dir, state = str(tmp_path / "in"), str(tmp_path / "state")
+    os.makedirs(in_dir)
+    schema = "doc_id long, text string, source string"
+    sdf_schema = spark.createDataFrame([], schema).schema
+    sdf = spark.readStream.schema(sdf_schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(in_dir)
+    q = dedup_ingest_stream(sdf, state, compact_every=2).start()
+    for i, txt in enumerate([
+        "alpha beta gamma delta words one",
+        "epsilon zeta eta theta words two",
+        "iota kappa lambda mu words three",
+    ]):
+        spark.createDataFrame([(i, txt, "s")], schema).coalesce(1).write.parquet(
+            os.path.join(in_dir, f"b{i}.parquet")
+        )
+        q.processAllAvailable()
+    q.stop()
+    with open(os.path.join(state, "_MANIFEST")) as f:
+        m = json.load(f)
+    assert len(m["batches"]) <= 2 and len(m["seen_ids"]) == 3
+    assert {r["doc_id"] for r in read_dedup_state(spark, state).collect()} \
+        == {0, 1, 2}
