@@ -344,8 +344,9 @@ def band_bucket_index(sig: DataFrame, id_col: str = "doc_id",
     frame, ready to persist ``partitionBy("pb")`` — the snapshot-side
     artifact that lets :func:`incremental_near_dedup_presigned` read only
     the partitions a batch's own buckets hash into. Candidate-lookup
-    I/O becomes ceil(buckets touched / n_parts) of the index instead of
-    all of it; compute stays O(batch x collision rate) either way."""
+    I/O becomes at most (distinct buckets touched)/n_parts of the index
+    instead of all of it; compute stays O(batch x collision rate)
+    either way."""
     return _band_buckets(sig, id_col, k, rows_per_band).withColumn(
         "pb", _pbucket(n_parts)
     )
@@ -790,6 +791,26 @@ def incremental_near_dedup_presigned(
     if corpus is not None:
         ctexts = corpus
         if corpus_bucket_col is not None:
+            # same loud-fail guard as corpus_buckets/pb above: a corpus
+            # persisted with MORE id buckets than corpus_bucket_parts
+            # would make the prune moduli disjoint and silently drop
+            # candidate participants' text. Partition pruning makes the
+            # probe zero-I/O when the layouts match.
+            if (
+                corpus.where(
+                    F.col(corpus_bucket_col) >= corpus_bucket_parts
+                )
+                .limit(1)
+                .count()
+                > 0
+            ):
+                raise ValueError(
+                    "incremental_near_dedup_presigned: corpus "
+                    f"{corpus_bucket_col} contains values >= "
+                    f"corpus_bucket_parts ({corpus_bucket_parts}) — the "
+                    "corpus was bucketed with a different n_parts; pass "
+                    "the matching corpus_bucket_parts"
+                )
             # prune the corpus text read to the id buckets any candidate
             # participant hashes into (the id-bucketed snapshot layout)
             vals = sorted(

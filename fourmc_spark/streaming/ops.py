@@ -536,14 +536,14 @@ def dedup_ingest_stream(
 
     Each micro-batch admits only documents that near-dup (MinHash-LSH
     candidates, exact-Jaccard confirm >= ``threshold``) neither the
-    ALREADY-ADMITTED corpus snapshot nor an earlier-id document of the
-    same batch; survivors append — WITH their MinHash signatures — to a
-    versioned corpus snapshot behind an atomically-swapped pointer (the
-    :func:`cdc_apply_stream` idempotency mechanics, shared via
-    :func:`_commit_snapshot`). Replayed batches first anti-join away
-    rows the snapshot already admitted, then re-evaluate the rest
-    against the identical corpus state — deterministic, so
-    at-least-once delivery yields the exactly-once corpus.
+    ALREADY-ADMITTED corpus nor an earlier-id document of the same
+    batch; survivors are committed — WITH their MinHash signatures —
+    as one new per-batch directory under an atomically-swapped
+    MANIFEST (see the scale-shape section below). A replayed batch id
+    is a manifest no-op, and rows an earlier batch admitted are
+    anti-joined away before re-evaluation against the identical corpus
+    state — deterministic, so at-least-once delivery yields the
+    exactly-once corpus.
 
     Scale shape — APPEND-ONLY state; per-batch COMPUTE is
     O(batch x collision rate), and every remaining corpus touch is a
@@ -560,10 +560,12 @@ def dedup_ingest_stream(
       ``sigidx/pb=`` partitions the batch's own buckets hash into; the
       replay anti-join reads only the ``docs/_idb=`` id buckets present
       in the batch; the confirm step reads corpus text only from the id
-      buckets candidate participants hash into. Each is
-      ceil(buckets touched / n_parts) of the corpus — sub-linear for a
-      small batch, and the parts constants scale per deployment
-      (``ID_INDEX_PARTS`` / ``SIG_INDEX_PARTS``).
+      buckets candidate participants hash into. Each reads at most
+      (distinct buckets touched)/n_parts of that artifact — sub-linear
+      for a small batch. The parts constants are recorded in the
+      manifest at state creation and reused for every later probe and
+      append (``ID_INDEX_PARTS`` / ``SIG_INDEX_PARTS`` only seed NEW
+      state — changing them never corrupts existing state).
     * admitted state is a MANIFEST over per-batch directories
       (``batches/b{id}-{nonce}/{docs,sigidx}``): a commit writes the
       batch's ADMITTED rows + their index and atomically swaps the
@@ -594,7 +596,6 @@ def dedup_ingest_stream(
     import uuid
 
     from fourmc_spark.operators.dedup import (
-        ID_INDEX_PARTS,
         id_bucket,
         incremental_near_dedup_presigned,
     )
@@ -605,7 +606,7 @@ def dedup_ingest_stream(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        names, seen = _manifest_read(state_dir)
+        names, seen, id_parts, sig_parts = _manifest_read(state_dir)
         if batch_id in seen:
             return  # replayed batch: already committed, exactly-once
         _manifest_gc(state_dir, names)
@@ -613,15 +614,21 @@ def dedup_ingest_stream(
         try:
             if names:
                 corpus = _manifest_union(spark, state_dir, names, "docs")
-                sigidx = _sigidx_union(spark, state_dir, names)
+                sigidx = _manifest_union(
+                    spark, state_dir, names, "sigidx", skip_dataless=True
+                )
                 # at-least-once safety net beyond the batch-id check:
                 # rows an earlier batch admitted would otherwise
                 # near-dup their own corpus copy. Pruned: an earlier
                 # copy of a batch row lives in the same id bucket.
+                # id_parts/sig_parts come FROM THE MANIFEST, never the
+                # module constants: state written under one layout must
+                # be probed under that same layout forever, or pruning
+                # silently misses rows (round-4 review finding).
                 b_idbs = sorted(
                     r["b"]
                     for r in batch_df.select(
-                        id_bucket(id_col, ID_INDEX_PARTS).alias("b")
+                        id_bucket(id_col, id_parts).alias("b")
                     ).distinct().collect()
                 )
                 corpus_ids = corpus.where(
@@ -633,8 +640,9 @@ def dedup_ingest_stream(
                 admitted = incremental_near_dedup_presigned(
                     corpus, fresh, threshold, text_col, id_col,
                     persist_registry=registry, corpus_buckets=sigidx,
+                    bucket_parts=sig_parts,
                     corpus_bucket_col="_idb",
-                    corpus_bucket_parts=ID_INDEX_PARTS,
+                    corpus_bucket_parts=id_parts,
                 )
             else:
                 admitted = incremental_near_dedup_presigned(
@@ -642,11 +650,13 @@ def dedup_ingest_stream(
                     persist_registry=registry,
                 )
             name = f"b{batch_id}-{uuid.uuid4().hex[:8]}"
-            if _write_batch_dir(spark, state_dir, name, admitted, id_col):
+            if _write_batch_dir(spark, state_dir, name, admitted, id_col,
+                                id_parts, sig_parts):
                 names = names + [name]
             # an all-rejected batch commits no dir but its id is still
             # recorded — replaying it must stay a no-op
-            _manifest_swap(state_dir, names, seen + [batch_id])
+            _manifest_swap(state_dir, names, seen + [batch_id],
+                           id_parts, sig_parts)
             if compact_every is not None and len(names) >= compact_every:
                 compact_dedup_state(spark, state_dir, id_col)
         finally:
@@ -668,7 +678,8 @@ def _has_parquet(path: str) -> bool:
 
 
 def _write_batch_dir(spark: SparkSession, state_dir: str, name: str,
-                     admitted: DataFrame, id_col: str) -> bool:
+                     admitted: DataFrame, id_col: str,
+                     id_parts: int, sig_parts: int) -> bool:
     """Write one committed batch dir: ``docs/`` partitioned by the id
     bucket (pruned replay/confirm reads) and ``sigidx/`` partitioned by
     the band bucket (pruned candidate lookup). Returns False — and
@@ -681,7 +692,6 @@ def _write_batch_dir(spark: SparkSession, state_dir: str, name: str,
     import shutil
 
     from fourmc_spark.operators.dedup import (
-        ID_INDEX_PARTS,
         MINHASH_K,
         band_bucket_index,
         id_bucket,
@@ -690,7 +700,7 @@ def _write_batch_dir(spark: SparkSession, state_dir: str, name: str,
     base = os.path.join(state_dir, "batches", name)
     docs_dir = os.path.join(base, "docs")
     (
-        admitted.withColumn("_idb", id_bucket(id_col, ID_INDEX_PARTS))
+        admitted.withColumn("_idb", id_bucket(id_col, id_parts))
         .write.partitionBy("_idb")
         .parquet(docs_dir)
     )
@@ -703,56 +713,60 @@ def _write_batch_dir(spark: SparkSession, state_dir: str, name: str,
         F.col(sig_cols[0]).isNotNull()
     )
     # an all-null-signature batch leaves sigidx dataless on purpose —
-    # _sigidx_union skips dirs without data files
-    band_bucket_index(idx_src, id_col).write.partitionBy("pb").parquet(
-        os.path.join(base, "sigidx")
-    )
+    # readers pass skip_dataless to _manifest_union
+    band_bucket_index(idx_src, id_col, n_parts=sig_parts).write.partitionBy(
+        "pb"
+    ).parquet(os.path.join(base, "sigidx"))
     return True
 
 
-def _sigidx_union(spark: SparkSession, state_dir: str,
-                  names: list[str]) -> DataFrame | None:
-    """Union of the manifest dirs' band-bucket indexes, skipping dirs
-    a zero-signature batch left dataless. None when nothing remains —
-    the caller falls back to re-exploding corpus signatures (correct,
-    just unpruned; only possible while the corpus has no signed doc)."""
-    import os
-    from functools import reduce
-
-    frames = []
-    for n in names:
-        p = os.path.join(state_dir, "batches", n, "sigidx")
-        if _has_parquet(p):
-            frames.append(spark.read.option("basePath", p).parquet(p))
-    if not frames:
-        return None
-    return reduce(lambda a, b: a.unionByName(b), frames)
-
-
-def _manifest_read(state_dir: str) -> tuple[list[str], list[int]]:
-    """-> (committed batch dir names, batch ids ever committed). Seen
-    ids are tracked separately from dir names so replay protection
-    survives :func:`compact_dedup_state` rewriting the dir list."""
+def _manifest_read(
+    state_dir: str,
+) -> tuple[list[str], list[int], int, int]:
+    """-> (committed batch dir names, batch ids ever committed,
+    id-bucket partition count, band-bucket partition count). Seen ids
+    are tracked separately from dir names so replay protection survives
+    :func:`compact_dedup_state` rewriting the dir list. The partition
+    counts are RECORDED AT STATE CREATION and returned from the
+    manifest thereafter: state written under one bucket layout must be
+    probed and appended under that same layout forever — recomputing
+    from module constants would silently break pruning if a constant
+    changed between runs."""
     import json
     import os
 
+    from fourmc_spark.operators.dedup import ID_INDEX_PARTS, SIG_INDEX_PARTS
+
     p = os.path.join(state_dir, "_MANIFEST")
     if not os.path.exists(p):
-        return [], []
+        return [], [], ID_INDEX_PARTS, SIG_INDEX_PARTS
     with open(p) as f:
         m = json.load(f)
-    return m["batches"], m.get("seen_ids", [])
+    return (
+        m["batches"],
+        m.get("seen_ids", []),
+        m.get("id_parts", 64),
+        m.get("sig_parts", 64),
+    )
 
 
-def _manifest_swap(state_dir: str, names: list[str],
-                   seen_ids: list[int]) -> None:
+def _manifest_swap(state_dir: str, names: list[str], seen_ids: list[int],
+                   id_parts: int, sig_parts: int) -> None:
     import json
     import os
 
     p = os.path.join(state_dir, "_MANIFEST")
     tmp = p + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"batches": names, "seen_ids": seen_ids}, f)
+        json.dump(
+            {
+                "batches": names,
+                "seen_ids": seen_ids,
+                "id_parts": id_parts,
+                "sig_parts": sig_parts,
+            },
+            f,
+        )
     os.replace(tmp, p)
 
 
@@ -772,27 +786,37 @@ def _manifest_gc(state_dir: str, names: list[str]) -> None:
 
 
 def _manifest_union(spark: SparkSession, state_dir: str,
-                    names: list[str], sub: str) -> DataFrame:
-    """Union over the manifest's per-batch dirs. Each ``sigidx`` dir is
-    read with its own basePath so the hive ``pb=`` partition column
-    survives multi-dir reads (and pruning filters push into each)."""
+                    names: list[str], sub: str,
+                    skip_dataless: bool = False) -> DataFrame | None:
+    """Union over the manifest's per-batch dirs. Each dir is read with
+    its own basePath so the hive partition column (``pb``/``_idb``)
+    survives multi-dir reads (and pruning filters push into each).
+    ``skip_dataless`` tolerates dirs a zero-signature batch left with
+    no data files (the sigidx case) and returns None when nothing
+    remains — callers then fall back to re-deriving from docs."""
     import os
     from functools import reduce
 
     frames = []
     for n in names:
         p = os.path.join(state_dir, "batches", n, sub)
+        if skip_dataless and not _has_parquet(p):
+            continue
         frames.append(spark.read.option("basePath", p).parquet(p))
+    if not frames:
+        return None
     return reduce(lambda a, b: a.unionByName(b), frames)
 
 
 def read_dedup_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """Admitted corpus behind :func:`dedup_ingest_stream`'s manifest,
-    with the internal signature columns dropped. Lazy — but the layout
-    is append-only, so later commits never retire the dirs a snapshot
-    read references (unlike :func:`_read_snapshot`); only a crash-orphan
-    GC could, and that only touches uncommitted dirs."""
-    names, _ = _manifest_read(state_dir)
+    with the internal signature columns dropped. Lazy — ordinary
+    commits only APPEND dirs, so the frame stays readable across them;
+    but COMPACTION (manual :func:`compact_dedup_state` or a stream
+    started with ``compact_every``) retires the committed dirs it
+    coalesced — materialize before compaction can run if you hold the
+    frame across commits."""
+    names, _, _, _ = _manifest_read(state_dir)
     if not names:
         raise FileNotFoundError(f"no ingest manifest under {state_dir}")
     df = _manifest_union(spark, state_dir, names, "docs")
@@ -819,17 +843,18 @@ def compact_dedup_state(spark: SparkSession, state_dir: str,
     """
     import uuid
 
-    names, seen = _manifest_read(state_dir)
+    names, seen, id_parts, sig_parts = _manifest_read(state_dir)
     if not names:
         raise FileNotFoundError(f"no ingest manifest under {state_dir}")
     if len(names) == 1:
         return names[0]
     docs = _manifest_union(spark, state_dir, names, "docs").drop("_idb")
     name = f"compact-{uuid.uuid4().hex[:8]}"
-    if not _write_batch_dir(spark, state_dir, name, docs, id_col):
+    if not _write_batch_dir(spark, state_dir, name, docs, id_col,
+                            id_parts, sig_parts):
         raise RuntimeError(
             f"compact_dedup_state: manifest {names} united to zero rows"
         )
-    _manifest_swap(state_dir, [name], seen)
+    _manifest_swap(state_dir, [name], seen, id_parts, sig_parts)
     _manifest_gc(state_dir, [name])
     return name

@@ -479,3 +479,24 @@ def test_presigned_id_bucketed_corpus_matches(spark, sf_dir, tmp_path):
            dedup.incremental_near_dedup_presigned(
                bucketed, inc, 0.8, corpus_bucket_col="_idb").collect()}
     assert base == got
+
+
+def test_presigned_id_bucket_parts_mismatch_raises(spark, sf_dir, tmp_path):
+    # same failure class as the pb guard: an id-bucketed corpus written
+    # with more partitions than corpus_bucket_parts must fail loudly,
+    # not silently drop candidate participants' text
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") < 250)
+    inc = docs.where(F.col("doc_id") >= 250)
+    csig = corpus.join(dedup.minhash_signatures(corpus), "doc_id", "left")
+    cpath = str(tmp_path / "docs4096")
+    csig.withColumn("_idb", dedup.id_bucket("doc_id", 4096)).write.partitionBy(
+        "_idb"
+    ).parquet(cpath)
+    bucketed = spark.read.option("basePath", cpath).parquet(cpath)
+    with pytest.raises(ValueError, match="corpus_bucket_parts"):
+        dedup.incremental_near_dedup_presigned(
+            bucketed, inc, 0.8, corpus_bucket_col="_idb"
+        ).collect()

@@ -690,3 +690,48 @@ def test_dedup_ingest_auto_compaction(spark, tmp_path):
     assert len(m["batches"]) <= 2 and len(m["seen_ids"]) == 3
     assert {r["doc_id"] for r in read_dedup_state(spark, state).collect()} \
         == {0, 1, 2}
+
+
+def test_dedup_ingest_parts_recorded_in_manifest(spark, tmp_path, monkeypatch):
+    # the bucket layout constants are recorded at state creation and
+    # reused thereafter: raising the module constants between runs must
+    # not corrupt replay protection or pruning on existing state
+    import json
+    import os
+
+    import fourmc_spark.operators.dedup as D
+    from fourmc_spark.streaming import dedup_ingest_stream, read_dedup_state
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    in_dir, state = str(tmp_path / "in"), str(tmp_path / "state")
+    os.makedirs(in_dir)
+    schema = "doc_id long, text string, source string"
+    b1 = spark.createDataFrame([(0, base, "s")], schema)
+    b1.coalesce(1).write.parquet(os.path.join(in_dir, "b1.parquet"))
+    sdf = spark.readStream.schema(b1.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(in_dir)
+    q = dedup_ingest_stream(sdf, state).start()
+    q.processAllAvailable()
+    q.stop()
+    with open(os.path.join(state, "_MANIFEST")) as f:
+        m = json.load(f)
+    assert m["id_parts"] == D.ID_INDEX_PARTS
+    assert m["sig_parts"] == D.SIG_INDEX_PARTS
+
+    # simulate a redeploy with raised constants: batch 2 carries a
+    # near-dup of doc 0 AND an exact replay row (same id); both must
+    # still be rejected because probes use the RECORDED parts
+    monkeypatch.setattr(D, "ID_INDEX_PARTS", 4096)
+    monkeypatch.setattr(D, "SIG_INDEX_PARTS", 4096)
+    b2 = spark.createDataFrame(
+        [(0, base, "s"), (7, base, "s"),
+         (8, "genuinely novel words for the second run", "s")],
+        schema,
+    )
+    b2.coalesce(1).write.parquet(os.path.join(in_dir, "b2.parquet"))
+    q2 = dedup_ingest_stream(sdf, state).start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert {r["doc_id"] for r in read_dedup_state(spark, state).collect()} \
+        == {0, 8}
