@@ -2410,41 +2410,37 @@ r AS (SELECT g.*, row_number() OVER (PARTITION BY user_id
                                      ORDER BY session_start DESC) AS rn
       FROM g)
 SELECT user_id,
-       strftime(session_start, '%Y-%m-%dT%H:%M:%S.%f') AS session_start,
-       strftime(session_end, '%Y-%m-%dT%H:%M:%S.%f') AS session_end,
+       CAST(epoch_us(session_start) AS BIGINT) AS session_start_us,
+       CAST(epoch_us(session_end) AS BIGINT) AS session_end_us,
        n_events
 FROM r WHERE rn > 1
    OR epoch_ms(session_end) + 15*60*1000 < epoch_ms((SELECT w FROM wm))
-ORDER BY user_id, session_start""",
+ORDER BY user_id, session_start_us""",
 )
 def stream_sessionize_q(spark, sf):
     from fourmc_spark.streaming import read_events_stream, sessionize_stateful
 
     # timestamps round-trip through Arrow in the stateful fn; pin UTC so
-    # the emitted session bounds hash-match the oracle on ANY session.
-    # The pin is scoped (restored in the finally — the query must not
-    # permanently mutate session state), and the session bounds leave
-    # as UTC STRINGS rendered inside the pinned scope: a timestamp
-    # column re-rendered by a later toPandas under the caller's restored
-    # timezone would shift, so the output is made timezone-independent
-    # before the pin lifts (review finding, round 4).
+    # the stateful processing is identical on ANY session, and restore
+    # the caller's timezone after (the query must not permanently mutate
+    # session state). The session bounds leave as EPOCH MICROSECONDS
+    # (unix_micros — pure instant arithmetic, no timezone rendering at
+    # all), so the lazy frame stays hash-stable no matter what timezone
+    # the caller or driver later collects it under (review finding,
+    # round 4: strings/timestamps rendered after the restore would
+    # shift on non-UTC sessions).
     prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         sdf = sessionize_stateful(
             read_events_stream(spark, f"{sf}/events.parquet"), gap_minutes=15
         )
-        out = _run_stream(sdf, output_mode="append").select(
+        return _run_stream(sdf, output_mode="append").select(
             "user_id",
-            F.date_format(
-                "session_start", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
-            ).alias("session_start"),
-            F.date_format(
-                "session_end", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
-            ).alias("session_end"),
+            F.unix_micros("session_start").alias("session_start_us"),
+            F.unix_micros("session_end").alias("session_end_us"),
             "n_events",
-        ).orderBy("user_id", "session_start")
-        return _detach(out)
+        ).orderBy("user_id", "session_start_us")
     finally:
         if prev_tz is None:
             spark.conf.unset("spark.sql.session.timeZone")
