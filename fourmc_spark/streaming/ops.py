@@ -699,8 +699,14 @@ def _write_batch_dir(spark: SparkSession, state_dir: str, name: str,
 
     base = os.path.join(state_dir, "batches", name)
     docs_dir = os.path.join(base, "docs")
+    # repartition ON the partition key before each dynamic-partition
+    # write: without it every writer task emits a file into every
+    # bucket dir (n_parts x tasks tiny files per batch — measured as
+    # the dominant per-batch cost growth in scripts/stress_ingest.py);
+    # with it each bucket holds exactly one file per batch
     (
         admitted.withColumn("_idb", id_bucket(id_col, id_parts))
+        .repartition("_idb")
         .write.partitionBy("_idb")
         .parquet(docs_dir)
     )
@@ -714,9 +720,12 @@ def _write_batch_dir(spark: SparkSession, state_dir: str, name: str,
     )
     # an all-null-signature batch leaves sigidx dataless on purpose —
     # readers pass skip_dataless to _manifest_union
-    band_bucket_index(idx_src, id_col, n_parts=sig_parts).write.partitionBy(
-        "pb"
-    ).parquet(os.path.join(base, "sigidx"))
+    (
+        band_bucket_index(idx_src, id_col, n_parts=sig_parts)
+        .repartition("pb")
+        .write.partitionBy("pb")
+        .parquet(os.path.join(base, "sigidx"))
+    )
     return True
 
 
