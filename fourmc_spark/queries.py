@@ -2414,7 +2414,7 @@ SELECT user_id,
        CAST(epoch_us(session_end) AS BIGINT) AS session_end_us,
        n_events
 FROM r WHERE rn > 1
-   OR epoch_ms(session_end) + 15*60*1000 < epoch_ms((SELECT w FROM wm))
+   OR epoch_us(session_end) + 15*60*1000000 < epoch_us((SELECT w FROM wm))
 ORDER BY user_id, session_start_us""",
 )
 def stream_sessionize_q(spark, sf):
@@ -2435,12 +2435,22 @@ def stream_sessionize_q(spark, sf):
         sdf = sessionize_stateful(
             read_events_stream(spark, f"{sf}/events.parquet"), gap_minutes=15
         )
-        return _run_stream(sdf, output_mode="append").select(
+        out = _run_stream(sdf, output_mode="append").select(
             "user_id",
             F.unix_micros("session_start").alias("session_start_us"),
             F.unix_micros("session_end").alias("session_end_us"),
             "n_events",
         ).orderBy("user_id", "session_start_us")
+        # keep _detach's loud-fail size guard (a misconfigured SF must
+        # raise, not OOM the driver) without its pandas materialization
+        # — BIGINT columns are tz-independent, so the lazy frame itself
+        # is safe to return
+        if out.limit(_DETACH_MAX_ROWS + 1).count() > _DETACH_MAX_ROWS:
+            raise ValueError(
+                f"streaming query result exceeds the {_DETACH_MAX_ROWS}-row "
+                "driver detach bound; run at a smaller SF"
+            )
+        return out
     finally:
         if prev_tz is None:
             spark.conf.unset("spark.sql.session.timeZone")

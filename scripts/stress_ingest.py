@@ -75,13 +75,22 @@ def main() -> None:
         q.stop()
         n = read_dedup_state(spark, state).count()
         print(f"admitted: {n} / {next_id} fed")
-        head = sum(times[1:4]) / 3
-        tail = sum(times[-3:]) / 3
-        print(
-            f"mean batch time: first(1-3) {head:.2f}s vs last 3 {tail:.2f}s "
-            f"-> growth x{tail / head:.2f} while corpus grew "
-            f"x{(n_batches - 1):d}"
-        )
+        if n_batches >= 8:
+            # compare non-overlapping windows and report the CORPUS
+            # ratio between the window midpoints, not the whole-run
+            # ratio (the honest flatness figure)
+            hw, tw = times[1:4], times[-3:]
+            head, tail = sum(hw) / len(hw), sum(tw) / len(tw)
+            # midpoint corpus sizes: batch b sees ~b batch-loads
+            c_head, c_tail = 2, n_batches - 2
+            print(
+                f"mean batch time: batches 1-3 {head:.2f}s vs last 3 "
+                f"{tail:.2f}s -> time x{tail / head:.2f} while the "
+                f"corpus between those windows grew "
+                f"x{c_tail / c_head:.1f}"
+            )
+        else:
+            print("(need n_batches >= 8 for the windowed summary)")
     finally:
         spark.stop()
         shutil.rmtree(tmp, ignore_errors=True)
