@@ -500,3 +500,19 @@ def test_presigned_id_bucket_parts_mismatch_raises(spark, sf_dir, tmp_path):
         dedup.incremental_near_dedup_presigned(
             bucketed, inc, 0.8, corpus_bucket_col="_idb"
         ).collect()
+
+
+def test_id_bucketed_corpus_read_prunes_partitions(spark, sf_dir, tmp_path):
+    # the confirm-text prune must be REAL partition pruning on the
+    # id-bucketed corpus read, not a post-scan filter
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    cpath = str(tmp_path / "docs")
+    docs.withColumn("_idb", dedup.id_bucket("doc_id")).write.partitionBy(
+        "_idb"
+    ).parquet(cpath)
+    bucketed = spark.read.option("basePath", cpath).parquet(cpath)
+    plan = bucketed.where(F.col("_idb").isin([0, 3, 7]))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PartitionFilters" in plan and "_idb" in plan
