@@ -196,10 +196,16 @@ def canonicalize(
     src: str = "a_id",
     dst: str = "b_id",
     max_iter: int = 30,
+    method: str = "propagation",
 ) -> DataFrame:
     """The dedup *apply* step: near-dup pairs -> duplicate clusters -> one
     kept representative per cluster (max ``weight_col``, ties to the
     smallest id — "keep the longest member", the common corpus-dedup rule).
+
+    ``method``: ``"propagation"`` (min-label, rounds = cluster diameter
+    — the right default for dense near-dup clusters) or ``"star"``
+    (large/small-star contraction, O(log^2 n) rounds — for graphs that
+    can be long and thin; see :func:`connected_components_star`).
 
     Output: one row per input doc — ``(id, component_id, canonical_id,
     kept)`` with ``kept`` 1 iff the doc is its cluster's representative;
@@ -212,7 +218,11 @@ def canonicalize(
     shuffles. Representative election is one ``max_by`` hash aggregate
     (partial+final), not a window over the corpus.
     """
-    comps = connected_components(
+    if method not in ("propagation", "star"):
+        raise ValueError(f"canonicalize: unknown method {method!r}")
+    cc = connected_components if method == "propagation" \
+        else connected_components_star
+    comps = cc(
         edges, src=src, dst=dst, id_out=id_col, comp_out="component_id",
         max_iter=max_iter,
     )

@@ -185,3 +185,16 @@ def test_star_output_column_names(spark):
     )
     assert out.columns == ["doc_id", "component_id"]
     assert {tuple(r) for r in out.collect()} == {(5, 5), (6, 5)}
+
+
+def test_canonicalize_star_method_matches(spark):
+    docs = [(i, 10 + i) for i in range(8)]
+    pairs = [(1, 2), (2, 3), (5, 6)]
+    d = spark.createDataFrame(docs, "doc_id long, n_chars long")
+    e = spark.createDataFrame(pairs, "a_id long, b_id long")
+    a = {tuple(r) for r in graph.canonicalize(d, e).collect()}
+    b = {tuple(r) for r in graph.canonicalize(d, e, method="star").collect()}
+    assert a == b
+
+    with pytest.raises(ValueError, match="unknown method"):
+        graph.canonicalize(d, e, method="nope")
