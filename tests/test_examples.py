@@ -23,3 +23,16 @@ def test_curate_corpus_example(spark, tmp_path):
     # output is a readable splittable corpus
     back = spark.read.format("fourmc").load(out)
     assert back.count() == stats["curated_docs"]
+
+
+def test_continuous_ingest_example(spark):
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    )
+    from examples.continuous_ingest import run
+
+    stats = run(spark, n_days=3, docs_per_day=120)
+    assert stats["fed"] == 360
+    # cross-day re-deliveries must have been rejected
+    assert 0 < stats["admitted"] < stats["fed"]
