@@ -54,20 +54,13 @@ sys.path.insert(0, _HERE)
 # rotate to the BACK so every round's window lands on still-unverified
 # surface. _PRIORITY pins this round's most important unverified queries
 # to the very front.
-_PRIORITY = [
-    # round 4: the queries without a driver-green row. The first three
-    # were red/at-risk on the driver canonicalizer's list-column crash
-    # (CORRECTNESS_r03) — their gate projections now stringify the
-    # array columns (concat_ws / array_to_string, the q38_array_agg
-    # convention). The next two simply sorted past round 3's 50-slot
-    # window; the last is round 4's new star-contraction components
-    # operator. 6 <= 50, so this window closes the gate at 152/152.
-    "text_bpe_encode",
-    "embedding_random_projection",
-    "curation_pack_tokens",
-    "text_bpe_vocab",
-    "stream_dedup_ingest",
-    "dedup_components_star",
+_PRIORITY: list[str] = [
+    # round 5: all 152 registered queries are driver-verified
+    # (CORRECTNESS_r01-r04 union = 152/152 green), so nothing needs
+    # pinning. The rotation below puts long-verified queries first in
+    # dict order, giving the driver's 50-slot window a free regression
+    # re-confirmation pass each round. New queries added this round (if
+    # any) sort ahead of verified ones automatically via _ordered().
 ]
 
 
