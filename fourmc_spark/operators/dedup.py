@@ -671,6 +671,8 @@ def incremental_near_dedup_presigned(
     bucket_parts: int = SIG_INDEX_PARTS,
     corpus_bucket_col: str | None = None,
     corpus_bucket_parts: int = ID_INDEX_PARTS,
+    layout_verified: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """:func:`incremental_near_dedup` with a PRE-SIGNED corpus — the
     continuous-ingest shape where the admitted corpus carries its MinHash
@@ -719,6 +721,30 @@ def incremental_near_dedup_presigned(
     job; the candidate subplan is evaluated once more for that collect,
     which is batch-cost). A corpus row outside those buckets is not a
     candidate participant, so it cannot affect any confirm decision.
+
+    ``layout_verified``: skip the two loud-fail layout guard probes
+    (each a ``limit(1).count()`` Spark job per call). Pass True ONLY
+    when the caller itself attests the bucket layouts — the streaming
+    ingest does, because ``bucket_parts``/``corpus_bucket_parts`` come
+    from the same manifest the state was written under (recorded at
+    creation, never recomputed). The probes re-derive exactly what that
+    manifest states, so inside the ingest hot path they are two
+    redundant jobs per micro-batch. Direct API callers should leave
+    this False: a hand-assembled corpus/index pair with mismatched
+    n_parts would otherwise silently drop true candidates.
+
+    ``max_bucket``: :func:`cap_hot_buckets` applied to the combined
+    (corpus + batch) bucket frame before the candidate join — a
+    degenerate bucket (template spam, boilerplate, empty docs all
+    sharing one signature slice) otherwise makes the per-batch
+    candidate fan-out O(bucket²). Bucket sizes are EXACT even under
+    the pruned ``corpus_buckets`` read: ``pb`` is a function of
+    (band, bucket), so every corpus row of any bucket the batch
+    touches lives in a partition the prune keeps. Documented semantic
+    trade: rows whose ONLY shared buckets are over the cap are
+    admitted (recall loss confined to degenerate cohorts an exact
+    content-hash pass catches at O(n)); decisions for every other row
+    are unchanged.
     """
     sig_cols = [f"mh{i:02d}" for i in range(k)]
     inc_sig = minhash_signatures(incoming, text_col, id_col, k)
@@ -739,7 +765,7 @@ def incremental_near_dedup_presigned(
         # matches. (The reverse mismatch — index coarser than the probe
         # — is not detectable from the frame; pass matching
         # bucket_parts, it is part of the index's identity.)
-        if (
+        if not layout_verified and (
             corpus_buckets.where(F.col("pb") >= bucket_parts)
             .limit(1)
             .count()
@@ -773,6 +799,12 @@ def incremental_near_dedup_presigned(
         ).unionByName(left_inc)
     else:
         left = left_inc
+    if max_bucket is not None:
+        # capping LEFT alone suffices: candidates only arise from a
+        # left∧right key match, and left already holds every corpus AND
+        # batch row of each bucket — the size the window counts is the
+        # bucket's true combined size
+        left = cap_hot_buckets(left, max_bucket)
     candidates = (
         left.join(right, on=["band", "bucket"])
         .where(F.col("a_corpus") | (F.col("a_id") < F.col("b_id")))
@@ -796,7 +828,7 @@ def incremental_near_dedup_presigned(
             # would make the prune moduli disjoint and silently drop
             # candidate participants' text. Partition pruning makes the
             # probe zero-I/O when the layouts match.
-            if (
+            if not layout_verified and (
                 corpus.where(
                     F.col(corpus_bucket_col) >= corpus_bucket_parts
                 )

@@ -36,6 +36,23 @@ __all__ = [
 ]
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free the block-manager storage behind a ``localCheckpoint``-ed
+    frame that will never be read again. Spark keeps each checkpointed
+    RDD's blocks until the JVM-side reference is garbage-collected —
+    non-deterministic from Python, so an iterative loop would hold up
+    to max_iter rounds' edge/label sets in storage simultaneously on a
+    large graph. Best-effort: reaches the checkpointed RDD through the
+    analyzed LogicalRDD (internal accessor); if the plan shape ever
+    changes, the blocks simply wait for GC as before. NEVER call this
+    on a frame that may still be read — a localCheckpoint truncates
+    lineage, so unpersisted blocks cannot be recomputed."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -89,6 +106,10 @@ def connected_components(
                 .limit(1)
                 .count()
             )
+            # the changed-count above was this round's last read of the
+            # OLD labels — release its checkpoint blocks now, or the
+            # loop accumulates one label set per round in storage
+            _release_local_checkpoint(labels)
             labels = new_labels
             if changed == 0:
                 return labels.select(
@@ -172,9 +193,15 @@ def connected_components_star(
             .localCheckpoint(eager=True)
         )
         # fixpoint: same canonical edge set as last round
-        if small.count() == cur.count() and (
+        converged = small.count() == cur.count() and (
             small.exceptAll(cur).limit(1).count() == 0
-        ):
+        )
+        # that comparison was the last read of the previous round's
+        # edge set either way — release it so the loop holds at most
+        # two rounds' checkpoints (small + cur) at any moment instead
+        # of max_iter of them
+        _release_local_checkpoint(cur)
+        if converged:
             labels = small.select(
                 F.col("hi").alias(id_out), F.col("lo").alias(comp_out)
             ).unionByName(

@@ -529,6 +529,7 @@ def dedup_ingest_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     compact_every: int | None = None,
+    max_bucket: int | None = 4096,
 ):
     """Streaming near-dup-gated corpus ingest — the micro-batch twin of
     ``operators/dedup.incremental_near_dedup`` (the daily-ingest batch
@@ -571,7 +572,10 @@ def dedup_ingest_stream(
       batch's ADMITTED rows + their index and atomically swaps the
       manifest — the corpus-rewrite cost of the pointer-swap snapshot
       (``_commit_snapshot``) is gone entirely. A replayed batch id is
-      in the manifest's seen list and commits nothing (exactly-once); a
+      at or below the manifest's committed high-water mark
+      (``max_seen`` — ids are strictly increasing under the pinned
+      checkpoint, so one integer replaces an ever-growing seen-id
+      list) and commits nothing (exactly-once); a
       batch whose every row is rejected records its id but no dir (a
       dataless dir would poison later reads); a crash between dir write
       and manifest swap leaves an orphan dir the next commit
@@ -579,6 +583,19 @@ def dedup_ingest_stream(
       batch — :func:`compact_dedup_state` coalesces it, or map the
       layout onto a transactional table's append; the gate logic is
       unchanged either way.
+
+    ``max_bucket``: hot-LSH-bucket cap (:func:`cap_hot_buckets` inside
+    the presigned operator), DEFAULT-ON here unlike the batch API —
+    template-spam cohorts sharing one signature slice are exactly what
+    a web-scale feed serves, and one 100k-row degenerate bucket alone
+    is 10^10 candidate pairs in a single micro-batch. At the 4096
+    default the cap is invisible on healthy data (a bucket that size is
+    pathological by construction) while bounding any bucket's fan-out
+    at max_bucket². Documented trade: rows whose ONLY shared buckets
+    are over the cap are admitted — bounded-latency ingest wins over
+    exhaustive recall on degenerate cohorts, which an exact
+    content-hash pass catches at O(n). Pass None to restore the
+    uncapped batch-API semantics.
 
     ``compact_every``: opt-in inline maintenance — when the manifest
     reaches this many dirs, the commit runs :func:`compact_dedup_state`
@@ -603,11 +620,32 @@ def dedup_ingest_stream(
     spark = docs.sparkSession
     os.makedirs(state_dir, exist_ok=True)
 
+    # checkpoint-wipe guard: the replay check below is batch-id-only,
+    # and batch ids are only strictly increasing while THIS checkpoint
+    # survives. If the manifest says batches were committed but the
+    # pinned checkpoint is gone (a common ops reset), a restarted query
+    # would hand out ids from 0 again, collide with the high-water mark,
+    # and silently SKIP genuinely new batches. Fail at construction
+    # instead: either restore the checkpoint, or compact + clear
+    # max_seen deliberately (accepting re-evaluation of in-flight data).
+    names0, hwm0, _, _ = _manifest_read(state_dir)
+    if hwm0 >= 0 and not os.path.isdir(os.path.join(state_dir,
+                                                    "_checkpoint")):
+        raise ValueError(
+            f"dedup_ingest_stream: manifest under {state_dir} records "
+            f"committed batches (max_seen={hwm0}) but the pinned "
+            "checkpoint dir is missing — a wiped checkpoint restarts "
+            "batch ids at 0 and the replay guard would silently drop "
+            "new data. Restore _checkpoint, or reset max_seen in "
+            "_MANIFEST explicitly if the source is being replayed "
+            "from scratch."
+        )
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        names, seen, id_parts, sig_parts = _manifest_read(state_dir)
-        if batch_id in seen:
+        names, hwm, id_parts, sig_parts = _manifest_read(state_dir)
+        if batch_id <= hwm:
             return  # replayed batch: already committed, exactly-once
         _manifest_gc(state_dir, names)
         registry: list = []
@@ -643,19 +681,27 @@ def dedup_ingest_stream(
                     bucket_parts=sig_parts,
                     corpus_bucket_col="_idb",
                     corpus_bucket_parts=id_parts,
+                    # the parts above come FROM the manifest the state
+                    # was written under, so the layouts are attested by
+                    # construction — the in-frame guard probes would be
+                    # two redundant Spark jobs per micro-batch
+                    layout_verified=True,
+                    max_bucket=max_bucket,
                 )
             else:
                 admitted = incremental_near_dedup_presigned(
                     None, batch_df, threshold, text_col, id_col,
                     persist_registry=registry,
+                    max_bucket=max_bucket,
                 )
             name = f"b{batch_id}-{uuid.uuid4().hex[:8]}"
             if _write_batch_dir(spark, state_dir, name, admitted, id_col,
                                 id_parts, sig_parts):
                 names = names + [name]
-            # an all-rejected batch commits no dir but its id is still
-            # recorded — replaying it must stay a no-op
-            _manifest_swap(state_dir, names, seen + [batch_id],
+            # an all-rejected batch commits no dir but its id still
+            # advances the high-water mark — replaying it must stay a
+            # no-op
+            _manifest_swap(state_dir, names, max(hwm, batch_id),
                            id_parts, sig_parts)
             if compact_every is not None and len(names) >= compact_every:
                 compact_dedup_state(spark, state_dir, id_col)
@@ -731,16 +777,23 @@ def _write_batch_dir(spark: SparkSession, state_dir: str, name: str,
 
 def _manifest_read(
     state_dir: str,
-) -> tuple[list[str], list[int], int, int]:
-    """-> (committed batch dir names, batch ids ever committed,
-    id-bucket partition count, band-bucket partition count). Seen ids
-    are tracked separately from dir names so replay protection survives
-    :func:`compact_dedup_state` rewriting the dir list. The partition
-    counts are RECORDED AT STATE CREATION and returned from the
-    manifest thereafter: state written under one bucket layout must be
-    probed and appended under that same layout forever — recomputing
-    from module constants would silently break pruning if a constant
-    changed between runs."""
+) -> tuple[list[str], int, int, int]:
+    """-> (committed batch dir names, max batch id ever committed (-1 if
+    none), id-bucket partition count, band-bucket partition count).
+
+    Replay protection is a HIGH-WATER MARK, not a seen-id list: under
+    the pinned checkpoint batch ids are strictly increasing, so one
+    integer carries the same information as the full list without
+    O(batches) manifest growth and O(batches^2) cumulative rewrite I/O
+    over the stream's life. It is tracked separately from dir names so
+    replay protection survives :func:`compact_dedup_state` rewriting
+    the dir list. (Legacy ``seen_ids``-list manifests are read as their
+    max.) The partition counts are RECORDED AT STATE CREATION and
+    returned from the manifest thereafter: state written under one
+    bucket layout must be probed and appended under that same layout
+    forever — a manifest that lists batches but lacks the counts is
+    CORRUPT (hand-edited or foreign) and raises rather than guessing a
+    default that would silently mis-prune."""
     import json
     import os
 
@@ -748,18 +801,27 @@ def _manifest_read(
 
     p = os.path.join(state_dir, "_MANIFEST")
     if not os.path.exists(p):
-        return [], [], ID_INDEX_PARTS, SIG_INDEX_PARTS
+        return [], -1, ID_INDEX_PARTS, SIG_INDEX_PARTS
     with open(p) as f:
         m = json.load(f)
-    return (
-        m["batches"],
-        m.get("seen_ids", []),
-        m.get("id_parts", 64),
-        m.get("sig_parts", 64),
-    )
+    if "max_seen" in m:
+        hwm = m["max_seen"]
+    elif m.get("seen_ids"):
+        hwm = max(m["seen_ids"])
+    else:
+        hwm = -1
+    if "id_parts" not in m or "sig_parts" not in m:
+        raise ValueError(
+            f"dedup ingest manifest {p} lacks id_parts/sig_parts — the "
+            "bucket layout is part of the state's identity and is "
+            "recorded at creation; a manifest without it is corrupt "
+            "(hand-edited or produced by foreign tooling) and cannot "
+            "be probed safely"
+        )
+    return m["batches"], hwm, m["id_parts"], m["sig_parts"]
 
 
-def _manifest_swap(state_dir: str, names: list[str], seen_ids: list[int],
+def _manifest_swap(state_dir: str, names: list[str], max_seen: int,
                    id_parts: int, sig_parts: int) -> None:
     import json
     import os
@@ -770,7 +832,7 @@ def _manifest_swap(state_dir: str, names: list[str], seen_ids: list[int],
         json.dump(
             {
                 "batches": names,
-                "seen_ids": seen_ids,
+                "max_seen": max_seen,
                 "id_parts": id_parts,
                 "sig_parts": sig_parts,
             },
@@ -852,7 +914,7 @@ def compact_dedup_state(spark: SparkSession, state_dir: str,
     """
     import uuid
 
-    names, seen, id_parts, sig_parts = _manifest_read(state_dir)
+    names, hwm, id_parts, sig_parts = _manifest_read(state_dir)
     if not names:
         raise FileNotFoundError(f"no ingest manifest under {state_dir}")
     if len(names) == 1:
@@ -864,6 +926,6 @@ def compact_dedup_state(spark: SparkSession, state_dir: str,
         raise RuntimeError(
             f"compact_dedup_state: manifest {names} united to zero rows"
         )
-    _manifest_swap(state_dir, [name], seen, id_parts, sig_parts)
+    _manifest_swap(state_dir, [name], hwm, id_parts, sig_parts)
     _manifest_gc(state_dir, [name])
     return name

@@ -9,6 +9,13 @@ corpus read is partition-pruned — so batch times stay flat while the
 admitted corpus grows linearly.
 
     python scripts/stress_ingest.py [n_batches] [batch_rows] [compact_every]
+
+SPARK_GRAFT_STRESS_SPAM=1 switches to the DEGENERATE fixture: every doc
+in every batch is the same template text, so all rows of the stream
+share one LSH bucket per band. Uncapped, the candidate join is
+O((corpus+batch)²) per batch; with the streaming default
+``max_bucket=4096`` it must stay O(batch) — this is the adversarial
+evidence for the default-on hot-bucket cap.
 """
 
 from __future__ import annotations
@@ -42,8 +49,12 @@ def main() -> None:
 
     rng = random.Random(17)
     words = [f"w{i:04d}" for i in range(2000)]
+    spam = os.environ.get("SPARK_GRAFT_STRESS_SPAM") == "1"
+    template = " ".join(f"spam{i % 7}" for i in range(40))
 
     def doc(i: int) -> str:
+        if spam:
+            return template  # one text -> one bucket per band, forever
         r = random.Random(i)
         return " ".join(r.choice(words) for _ in range(40))
 

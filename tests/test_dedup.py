@@ -516,3 +516,88 @@ def test_id_bucketed_corpus_read_prunes_partitions(spark, sf_dir, tmp_path):
     plan = bucketed.where(F.col("_idb").isin([0, 3, 7]))._jdf.queryExecution() \
         .executedPlan().toString()
     assert "PartitionFilters" in plan and "_idb" in plan
+
+
+def test_presigned_layout_verified_skips_guards_same_admissions(
+    spark, sf_dir, tmp_path
+):
+    # layout_verified=True (the streaming ingest path, where the
+    # manifest attests the bucket layouts) must admit EXACTLY the same
+    # rows — the guards it skips are probes, not semantics — and must
+    # not raise on the matched layouts it attests
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") < 250)
+    inc = docs.where(F.col("doc_id") >= 250)
+    csig = corpus.join(dedup.minhash_signatures(corpus), "doc_id", "left")
+
+    idx_path = str(tmp_path / "sigidx")
+    sig_only = csig.select(
+        "doc_id", *[f"mh{i:02d}" for i in range(dedup.MINHASH_K)]
+    ).where(F.col("mh00").isNotNull())
+    dedup.band_bucket_index(sig_only).write.partitionBy("pb").parquet(idx_path)
+    sigidx = spark.read.parquet(idx_path)
+    cpath = str(tmp_path / "docs")
+    csig.withColumn("_idb", dedup.id_bucket("doc_id")).write.partitionBy(
+        "_idb"
+    ).parquet(cpath)
+    bucketed = spark.read.option("basePath", cpath).parquet(cpath)
+
+    guarded = {r["doc_id"] for r in
+               dedup.incremental_near_dedup_presigned(
+                   bucketed, inc, 0.8, corpus_buckets=sigidx,
+                   corpus_bucket_col="_idb").collect()}
+    attested = {r["doc_id"] for r in
+                dedup.incremental_near_dedup_presigned(
+                    bucketed, inc, 0.8, corpus_buckets=sigidx,
+                    corpus_bucket_col="_idb",
+                    layout_verified=True).collect()}
+    assert guarded == attested
+
+
+def test_presigned_max_bucket_caps_degenerate_cohort(spark):
+    # a template-spam batch (every doc one identical text -> one
+    # signature -> ONE bucket per band) must stay bounded under the
+    # cap: with max_bucket below the cohort size the degenerate
+    # buckets produce NO candidates, so the whole cohort is admitted
+    # (the documented recall trade), while a healthy near-dup pair in
+    # the same batch is still caught
+    from pyspark.sql import functions as F
+
+    spam_text = "click here to win a free prize now " * 4
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, spam_text, "s") for i in range(50)]
+    rows += [(100, base, "s"), (101, base + " extra", "s")]
+    inc = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    out = dedup.incremental_near_dedup_presigned(
+        None, inc, 0.8, max_bucket=10
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert set(range(50)) <= kept          # spam cohort admitted (cap)
+    assert 100 in kept and 101 not in kept  # healthy pair still gated
+
+    # uncapped control: the spam cohort near-dups itself down to one
+    kept_uncapped = {r["doc_id"] for r in
+                     dedup.incremental_near_dedup_presigned(
+                         None, inc, 0.8).collect()}
+    assert kept_uncapped & set(range(50)) == {0}
+
+
+def test_presigned_default_cap_invisible_on_healthy_data(spark, sf_dir):
+    # the streaming default (max_bucket=4096) must not change a single
+    # admission decision on real document data — no sf0.01 bucket is
+    # anywhere near 4096 rows, so capped == uncapped exactly
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") < 250)
+    inc = docs.where(F.col("doc_id") >= 250)
+    csig = corpus.join(dedup.minhash_signatures(corpus), "doc_id", "left")
+    a = {r["doc_id"] for r in
+         dedup.incremental_near_dedup_presigned(csig, inc, 0.8).collect()}
+    b = {r["doc_id"] for r in
+         dedup.incremental_near_dedup_presigned(
+             csig, inc, 0.8, max_bucket=4096).collect()}
+    assert a == b

@@ -198,3 +198,34 @@ def test_canonicalize_star_method_matches(spark):
 
     with pytest.raises(ValueError, match="unknown method"):
         graph.canonicalize(d, e, method="nope")
+
+
+def test_cc_loops_release_checkpoint_storage(spark):
+    # each round localCheckpoints a frame; without an explicit release
+    # the loop holds up to max_iter rounds' blocks in storage at once.
+    # After convergence at most a couple of live checkpoints may remain
+    # (the returned frame and the last round's input) — on a 240-hop
+    # path the star variant runs ~10 rounds and propagation hundreds of
+    # label updates, so an unreleased loop shows up as dozens of
+    # persisted RDDs here.
+    from pyspark.sql import functions as F
+
+    sc = spark.sparkContext
+
+    def n_persisted():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    base = n_persisted()
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(240)], "src long, dst long"
+    )
+    out = graph.connected_components_star(edges, max_iter=25)
+    assert out.where(F.col("component") != 0).count() == 0
+    assert n_persisted() - base <= 2
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(25)], "src long, dst long"
+    )
+    out2 = graph.connected_components(chain, max_iter=30)
+    assert out2.where(F.col("component") != 0).count() == 0
+    assert n_persisted() - base <= 4

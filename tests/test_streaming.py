@@ -598,7 +598,7 @@ def test_dedup_ingest_compaction(spark, tmp_path):
     name = compact_dedup_state(spark, state)
     with open(os.path.join(state, "_MANIFEST")) as f:
         m = json.load(f)
-    assert m["batches"] == [name] and len(m["seen_ids"]) == 2
+    assert m["batches"] == [name] and m["max_seen"] == 1
     assert os.listdir(os.path.join(state, "batches")) == [name]
     assert {r["doc_id"] for r in read_dedup_state(spark, state).collect()} \
         == before
@@ -644,7 +644,7 @@ def test_dedup_ingest_all_rejected_batch_does_not_poison_state(spark, tmp_path):
     q.processAllAvailable()
     with open(os.path.join(state, "_MANIFEST")) as f:
         m = json.load(f)
-    assert len(m["batches"]) == 1 and len(m["seen_ids"]) == 2
+    assert len(m["batches"]) == 1 and m["max_seen"] == 1
     assert {r["doc_id"] for r in read_dedup_state(spark, state).collect()} == {0}
 
     # batch 3 after the all-rejected batch: state still functional
@@ -687,7 +687,7 @@ def test_dedup_ingest_auto_compaction(spark, tmp_path):
     q.stop()
     with open(os.path.join(state, "_MANIFEST")) as f:
         m = json.load(f)
-    assert len(m["batches"]) <= 2 and len(m["seen_ids"]) == 3
+    assert len(m["batches"]) <= 2 and m["max_seen"] == 2
     assert {r["doc_id"] for r in read_dedup_state(spark, state).collect()} \
         == {0, 1, 2}
 
@@ -735,3 +735,73 @@ def test_dedup_ingest_parts_recorded_in_manifest(spark, tmp_path, monkeypatch):
     q2.stop()
     assert {r["doc_id"] for r in read_dedup_state(spark, state).collect()} \
         == {0, 8}
+
+
+def test_dedup_ingest_checkpoint_wipe_raises(spark, tmp_path):
+    # replay protection is batch-id-only and batch ids restart at 0
+    # when the pinned checkpoint is wiped — committed state with no
+    # checkpoint would silently SKIP genuinely new batches, so stream
+    # construction must refuse loudly instead
+    import os
+    import shutil
+
+    import pytest
+
+    from fourmc_spark.streaming import dedup_ingest_stream
+
+    in_dir, state = str(tmp_path / "in"), str(tmp_path / "state")
+    os.makedirs(in_dir)
+    schema = "doc_id long, text string, source string"
+    b1 = spark.createDataFrame(
+        [(0, "alpha beta gamma delta words one", "s")], schema
+    )
+    b1.coalesce(1).write.parquet(os.path.join(in_dir, "b1.parquet"))
+    sdf = spark.readStream.schema(b1.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(in_dir)
+    q = dedup_ingest_stream(sdf, state).start()
+    q.processAllAvailable()
+    q.stop()
+
+    shutil.rmtree(os.path.join(state, "_checkpoint"))
+    with pytest.raises(ValueError, match="checkpoint"):
+        dedup_ingest_stream(sdf, state)
+
+
+def test_dedup_ingest_manifest_missing_parts_raises(spark, tmp_path):
+    # the bucket layout is recorded at state creation and is part of
+    # the state's identity: a manifest that lists batches but lacks the
+    # partition counts is corrupt — defaulting would silently mis-prune
+    import json
+    import os
+
+    import pytest
+
+    from fourmc_spark.streaming.ops import _manifest_read
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    with open(os.path.join(state, "_MANIFEST"), "w") as f:
+        json.dump({"batches": ["b0-deadbeef"], "max_seen": 0}, f)
+    with pytest.raises(ValueError, match="id_parts"):
+        _manifest_read(state)
+
+
+def test_dedup_ingest_reads_legacy_seen_ids_manifest(spark, tmp_path):
+    # pre-high-water-mark manifests carried the full seen-id list; they
+    # must read back as max(seen_ids) so replay protection carries over
+    import json
+    import os
+
+    from fourmc_spark.streaming.ops import _manifest_read
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    with open(os.path.join(state, "_MANIFEST"), "w") as f:
+        json.dump(
+            {"batches": [], "seen_ids": [0, 1, 2],
+             "id_parts": 64, "sig_parts": 64},
+            f,
+        )
+    names, hwm, id_parts, sig_parts = _manifest_read(state)
+    assert hwm == 2 and id_parts == 64 and sig_parts == 64
