@@ -3,9 +3,10 @@
 Pure numpy + struct — no pillow/libjpeg in the container, but these are
 REAL formats with real parsers, so the multimodal pipeline
 (:mod:`.multimodal`) can decode actual image bytes end-to-end instead of
-stubbing. Anything a camera/tool can export as P6/P5 or 24-bit BMP flows
-through the engine's decode → feature-extract → resize path unchanged;
-compressed formats (JPEG/PNG) still need an external decoder and raise
+stubbing. Anything a camera/tool can export as P6/P5, 24-bit BMP, or
+baseline JPEG (the pure-numpy decoder in :mod:`.jpeg`) flows through the
+engine's decode → feature-extract → resize path unchanged; PNG and
+progressive JPEG still need an external decoder and raise
 ``UnsupportedImageError`` with a clear message.
 
 Formats:
@@ -205,9 +206,16 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_pnm(data)
     if fmt == "bmp":
         return decode_bmp(data)
+    if fmt == "jpeg":
+        # pure-numpy baseline decoder (operators/jpeg.py); progressive
+        # and arithmetic streams still raise UnsupportedImageError
+        from fourmc_spark.operators.jpeg import decode_jpeg
+
+        arr = decode_jpeg(data)
+        return arr if arr.ndim == 3 else arr[:, :, None]
     raise UnsupportedImageError(
-        f"format {fmt!r} needs an external decoder (pillow/libjpeg); "
-        "supported here: PPM (P6), PGM (P5), 24-bit BMP"
+        f"format {fmt!r} needs an external decoder (pillow/libpng); "
+        "supported here: PPM (P6), PGM (P5), 24-bit BMP, baseline JPEG"
     )
 
 

@@ -5,13 +5,14 @@ struct. The decode step is a Pandas-UDF `mapInPandas` pipeline — Arrow
 batches in, Arrow batches out — which is exactly the shape a real
 libjpeg/ffmpeg decode would take.
 
-Decode is REAL for PPM/PGM/BMP via the dependency-free codecs in
-:mod:`.imaging` (`decode_stub=False`, and the ``extract_image_features``
-/ ``resize_image_stats`` operators): payload bytes are parsed as actual
+Decode is REAL for PPM/PGM/BMP and baseline JPEG via the
+dependency-free codecs in :mod:`.imaging` and :mod:`.jpeg`
+(`decode_stub=False`, and the ``extract_image_features`` /
+``resize_image_stats`` operators): payload bytes are parsed as actual
 image files and pixels come back as numpy arrays inside the Arrow batch.
-Compressed formats (JPEG/PNG) still raise — the container has no
-libjpeg — and the legacy `decode_stub=True` path keeps the deterministic
-fake dimensions for plumbing tests.
+PNG and progressive JPEG still raise — the container has no external
+decoder — and the legacy `decode_stub=True` path keeps the
+deterministic fake dimensions for plumbing tests.
 """
 
 from __future__ import annotations
@@ -27,6 +28,7 @@ __all__ = [
     "extract_audio_features",
     "extract_features",
     "extract_image_features",
+    "jpeg_roundtrip_stats",
     "resize_image_stats",
     "resize_images",
     "sample_frames",
@@ -76,6 +78,56 @@ def synthesize_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(
         batches, schema=f"{id_col} long, payload binary, fmt string"
     )
+
+
+def jpeg_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL baseline-JPEG encode → decode per row, Arrow-batched.
+
+    Each row synthesizes a constant-gray image (``w = 5 + id % 13``,
+    ``h = 4 + id % 11``, value ``id % 256``), compresses it to actual
+    JFIF bytes (``operators/jpeg.encode_jpeg``, quality 100), parses
+    those bytes back through the full marker/Huffman/IDCT pipeline, and
+    reports what the DECODER saw. A constant image is DC-only and the
+    quality-100 table is all-ones, so the lossy pipeline is EXACT here
+    — width/height/pix_sum are closed-form in SQL and any defect in the
+    entropy coder, zigzag, quantizer, IDCT, or MCU walk (including the
+    edge-replicated partial blocks these non-multiple-of-8 dims force)
+    breaks the hash match. Scale shape: map-only, one small ndarray per
+    row inside the Arrow batch; nothing shuffles.
+
+    Output: (id, width, height, pix_sum, jpeg_bytes_ok).
+    """
+    from fourmc_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    out_schema = (
+        f"{id_col} long, width long, height long, pix_sum long, "
+        "jpeg_bytes_ok boolean"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws, hs, sums, oks = [], [], [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h, v = 5 + d % 13, 4 + d % 11, d % 256
+                img = np.full((h, w), v, dtype=np.uint8)
+                enc = encode_jpeg(img, quality=100)
+                dec = decode_jpeg(enc)
+                hs.append(dec.shape[0])
+                ws.append(dec.shape[1])
+                sums.append(int(dec.astype(np.int64).sum()))
+                oks.append(enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": np.asarray(ws, dtype=np.int64),
+                    "height": np.asarray(hs, dtype=np.int64),
+                    "pix_sum": np.asarray(sums, dtype=np.int64),
+                    "jpeg_bytes_ok": oks,
+                }
+            )
+
+    return df.select(id_col).mapInPandas(batches, schema=out_schema)
 
 
 def synthesize_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -303,7 +355,8 @@ def extract_features(df: DataFrame, id_col: str = "doc_id",
     def _decode(payload: bytes) -> tuple[int, int]:
         if not decode_stub:
             # real path: parse the payload as an actual image file
-            # (PPM/PGM/BMP; JPEG/PNG raise UnsupportedImageError)
+            # (PPM/PGM/BMP/baseline JPEG; PNG and progressive JPEG
+            # raise UnsupportedImageError)
             from fourmc_spark.operators import imaging
 
             arr = imaging.decode_image(bytes(payload))

@@ -1678,6 +1678,27 @@ def multimodal_real_resize_q(spark, sf):
     ).orderBy("doc_id")
 
 
+@query(
+    "multimodal_jpeg_roundtrip",
+    """SELECT doc_id,
+              CAST(5 + doc_id % 13 AS BIGINT) AS width,
+              CAST(4 + doc_id % 11 AS BIGINT) AS height,
+              CAST((doc_id % 256) * (5 + doc_id % 13) * (4 + doc_id % 11)
+                   AS BIGINT) AS pix_sum,
+              TRUE AS jpeg_bytes_ok
+       FROM documents ORDER BY doc_id""",
+)
+def multimodal_jpeg_roundtrip_q(spark, sf):
+    # REAL baseline-JPEG compress + decompress per doc through the
+    # oracle gate (operators/jpeg: pure-numpy T.81 baseline codec).
+    # The constant-gray / quality-100 construction makes the lossy
+    # pipeline exact, so DuckDB recomputes every reported value in
+    # closed form while Spark actually Huffman-codes and IDCTs bytes.
+    return multimodal.jpeg_roundtrip_stats(
+        _t(spark, sf, "documents")
+    ).orderBy("doc_id")
+
+
 # documents.text is ASCII (asserted in tests), so DuckDB's varchar
 # substring/md5 sees the same bytes the Spark-side pandas decode slices.
 @query(
