@@ -213,9 +213,19 @@ def decode_image(data: bytes) -> np.ndarray:
 
         arr = decode_jpeg(data)
         return arr if arr.ndim == 3 else arr[:, :, None]
+    if fmt == "png":
+        # stdlib-zlib + numpy decoder (operators/png.py); 16-bit
+        # samples fold to 8 via the high byte to keep this dispatch's
+        # uint8 contract (call decode_png directly for full precision)
+        from fourmc_spark.operators.png import decode_png
+
+        arr = decode_png(data)
+        if arr.dtype == np.uint16:
+            arr = (arr >> 8).astype(np.uint8)
+        return arr
     raise UnsupportedImageError(
-        f"format {fmt!r} needs an external decoder (pillow/libpng); "
-        "supported here: PPM (P6), PGM (P5), 24-bit BMP, baseline JPEG"
+        f"format {fmt!r} needs an external decoder; supported here: "
+        "PPM (P6), PGM (P5), 24-bit BMP, baseline JPEG, PNG"
     )
 
 

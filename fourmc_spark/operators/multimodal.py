@@ -29,6 +29,7 @@ __all__ = [
     "extract_features",
     "extract_image_features",
     "jpeg_roundtrip_stats",
+    "png_roundtrip_stats",
     "resize_image_stats",
     "resize_images",
     "sample_frames",
@@ -124,6 +125,61 @@ def jpeg_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "height": np.asarray(hs, dtype=np.int64),
                     "pix_sum": np.asarray(sums, dtype=np.int64),
                     "jpeg_bytes_ok": oks,
+                }
+            )
+
+    return df.select(id_col).mapInPandas(batches, schema=out_schema)
+
+
+def png_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL PNG encode → decode per row, Arrow-batched and LOSSLESS —
+    so unlike :func:`jpeg_roundtrip_stats` the full pixel lattice is the
+    oracle, not a DC-only special case.
+
+    Each row builds the same closed-form image as
+    :func:`synthesize_images` (``w = 4 + id % 13``, ``h = 3 + id % 11``,
+    ``v(x,y,c) = (3x + 7y + 11c + id) % 256``), writes actual PNG bytes
+    (``operators/png.encode_png``: chunk framing + CRC + zlib deflate)
+    and parses them back through chunk/CRC verification, inflate, and
+    scanline unfiltering. Any bit error anywhere in that path changes
+    pix_sum. Map-only; nothing shuffles.
+
+    Output: (id, width, height, channels, pix_sum, png_bytes).
+    """
+    from fourmc_spark.operators.png import decode_png, encode_png
+
+    out_schema = (
+        f"{id_col} long, width long, height long, channels long, "
+        "pix_sum long, png_bytes long"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws, hs, sums, lens = [], [], [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 4 + d % 13, 3 + d % 11
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                c = np.arange(3, dtype=np.int64)
+                v = (
+                    3 * x[None, :, None] + 7 * y[:, None, None]
+                    + 11 * c[None, None, :] + d
+                ) % 256
+                enc = encode_png(v.astype(np.uint8))
+                dec = decode_png(enc)
+                hs.append(dec.shape[0])
+                ws.append(dec.shape[1])
+                sums.append(int(dec.astype(np.int64).sum()))
+                lens.append(len(enc))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": np.asarray(ws, dtype=np.int64),
+                    "height": np.asarray(hs, dtype=np.int64),
+                    "channels": np.int64(3),
+                    "pix_sum": np.asarray(sums, dtype=np.int64),
+                    "png_bytes": np.asarray(lens, dtype=np.int64),
                 }
             )
 

@@ -1,0 +1,262 @@
+"""PNG codec (RFC 2083 / ISO 15948) on stdlib zlib + numpy.
+
+The DEFLATE stream inside PNG is Python's built-in ``zlib`` — the only
+genuinely missing piece in this container was the PNG layer itself:
+chunk framing with CRC verification, scanline unfiltering (all five
+filter types), bit-depth unpacking, palette resolution, and Adam7
+deinterlacing. With this module the multimodal decode path accepts
+every common lossless web image; combined with :mod:`.jpeg` nothing in
+the image brief raises for format reasons anymore.
+
+Decoder support: bit depths 1/2/4/8/16, color types 0 (gray),
+2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), interlace 0 and 1
+(Adam7). 16-bit samples come back as uint16; everything else uint8.
+A ``tRNS`` chunk on a palette image is honored (palette -> RGBA);
+ancillary chunks are skipped. Corrupt framing/CRC raises ``ValueError``.
+
+Encoder: color types 0/2/6 at bit depth 8, filter 0 scanlines,
+``zlib`` best compression — deterministic bytes, so encoded payloads
+are content-addressable like the other fixture encoders.
+
+Scale shape: per-payload kernel for the Arrow-batched pandas UDFs in
+``operators/multimodal.py`` — map-only across Spark tasks; the hot
+inner loops (unfilter sub/up, bit unpack, palette gather) are numpy;
+only the sequential average/paeth filters fall back to a per-byte loop.
+
+Reference parity: the reference repo has no image surface — this is
+LLM-pipeline-brief work (multimodal columns), not a port.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from fourmc_spark.operators.imaging import UnsupportedImageError
+
+__all__ = ["decode_png", "encode_png"]
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_ALLOWED_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+# Adam7: (xoff, yoff, xstep, ystep) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _chunks(buf: bytes):
+    if buf[:8] != _SIG:
+        raise ValueError("not a PNG stream (bad signature)")
+    pos = 8
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack(">I", buf[pos:pos + 4])
+        ctype = buf[pos + 4:pos + 8]
+        data = buf[pos + 8:pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(buf):
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        (crc,) = struct.unpack(">I", buf[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} fails CRC")
+        yield ctype, data
+        pos += 12 + length
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG stream ended without IEND")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo per-scanline filtering -> (h, stride) uint8 of raw bytes."""
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG pixel data is {len(raw)} bytes, expected {h * (stride + 1)}"
+        )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ftype == 0:
+            rec = line
+        elif ftype == 1:  # sub: per-lane cumulative sum (mod 256)
+            rec = line.reshape(-1, bpp) if stride % bpp == 0 else None
+            if rec is None:
+                rec = line
+                for i in range(bpp, stride):
+                    rec[i] = (int(rec[i]) + int(rec[i - bpp])) & 0xFF
+            else:
+                rec = np.cumsum(rec, axis=0, dtype=np.uint64).astype(
+                    np.uint8
+                ).reshape(-1)
+        elif ftype == 2:  # up
+            rec = line + prev
+        elif ftype == 3:  # average (sequential in x)
+            rec = line
+            for i in range(stride):
+                left = int(rec[i - bpp]) if i >= bpp else 0
+                rec[i] = (int(rec[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif ftype == 4:  # paeth (sequential in x)
+            rec = line
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                rec[i] = (int(rec[i]) + _paeth(a, int(prev[i]), c)) & 0xFF
+        else:
+            raise ValueError(f"PNG scanline filter {ftype} is invalid")
+        out[y] = rec
+        prev = out[y]
+    return out
+
+
+def _bytes_to_samples(rows: np.ndarray, w: int, channels: int,
+                      depth: int) -> np.ndarray:
+    """(h, stride) raw bytes -> (h, w, channels) samples."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * channels].reshape(h, w, channels)
+    if depth == 16:
+        a = rows[:, : w * channels * 2].reshape(h, w * channels, 2)
+        return (
+            (a[:, :, 0].astype(np.uint16) << 8) | a[:, :, 1]
+        ).reshape(h, w, channels)
+    # sub-byte depths: MSB-first packed, one channel by spec
+    bits = np.unpackbits(rows, axis=1)
+    spp = 8 // depth
+    vals = np.zeros((h, rows.shape[1] * spp), dtype=np.uint8)
+    for b in range(depth):
+        vals = (vals << 1) | bits[:, b::depth][:, : vals.shape[1]]
+    return vals[:, :w].reshape(h, w, 1)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, channels) array; uint16 iff bit depth 16.
+
+    Gray -> 1 channel, gray+alpha -> 2, RGB -> 3, RGBA -> 4; palette
+    resolves to RGB (or RGBA when a tRNS chunk is present). Sub-byte
+    gray depths are SCALED to 8-bit (the spec's left-bit-replication),
+    so a 1-bit white pixel decodes as 255, not 1.
+    """
+    buf = bytes(data)
+    ihdr = None
+    plte = None
+    trns = None
+    idat = bytearray()
+    for ctype, cdata in _chunks(buf):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", cdata)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(cdata, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(cdata, dtype=np.uint8)
+        elif ctype == b"IDAT":
+            idat += cdata
+    if ihdr is None:
+        raise ValueError("PNG has no IHDR")
+    w, h, depth, ctype_, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG uses a non-standard compression/filter method")
+    if ctype_ not in _CHANNELS:
+        raise UnsupportedImageError(f"PNG color type {ctype_} unsupported")
+    if depth not in _ALLOWED_DEPTHS[ctype_]:
+        raise ValueError(f"PNG bit depth {depth} invalid for type {ctype_}")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} invalid")
+    if w == 0 or h == 0:
+        raise ValueError("PNG with zero dimension")
+    channels = _CHANNELS[ctype_]
+    bpp = max(1, (depth * channels) // 8)
+    raw = zlib.decompress(bytes(idat))
+
+    def pass_decode(buf_part: bytes, pw: int, ph: int) -> np.ndarray:
+        stride = (pw * channels * depth + 7) // 8
+        rows = _unfilter(buf_part, ph, stride, bpp)
+        return _bytes_to_samples(rows, pw, channels, depth)
+
+    if interlace == 0:
+        img = pass_decode(raw, w, h)
+    else:
+        dt = np.uint16 if depth == 16 else np.uint8
+        img = np.zeros((h, w, channels), dtype=dt)
+        pos = 0
+        for xoff, yoff, xstep, ystep in _ADAM7:
+            pw = (w - xoff + xstep - 1) // xstep
+            ph = (h - yoff + ystep - 1) // ystep
+            if pw == 0 or ph == 0:
+                continue
+            stride = (pw * channels * depth + 7) // 8
+            nbytes = ph * (stride + 1)
+            img[yoff::ystep, xoff::xstep] = pass_decode(
+                raw[pos:pos + nbytes], pw, ph
+            )
+            pos += nbytes
+        if pos != len(raw):
+            raise ValueError("PNG interlaced data length mismatch")
+
+    if ctype_ == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        idx = img[:, :, 0]
+        if int(idx.max()) >= len(plte):
+            raise ValueError("palette index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    if depth in (1, 2, 4):
+        # left-bit replication to full 8-bit range
+        scale = 255 // ((1 << depth) - 1)
+        return (img * scale).astype(np.uint8)
+    return img
+
+
+# --------------------------------------------------------------- encode
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """uint8 (h, w[, {1,3,4}]) -> PNG bytes (filter 0, max deflate)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 3, 4):
+        raise ValueError(f"PNG encoder wants (h, w, 1|3|4), got {arr.shape}")
+    h, w, channels = a.shape
+    if h == 0 or w == 0:
+        raise ValueError("cannot encode an empty image")
+    ctype = {1: 0, 3: 2, 4: 6}[channels]
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    scan = np.zeros((h, 1 + w * channels), dtype=np.uint8)
+    scan[:, 1:] = a.reshape(h, w * channels)
+    idat = zlib.compress(scan.tobytes(), 9)
+    return (
+        _SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )

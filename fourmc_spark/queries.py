@@ -1679,6 +1679,34 @@ def multimodal_real_resize_q(spark, sf):
 
 
 @query(
+    "multimodal_png_roundtrip",
+    f"""WITH dims AS ({_IMG_DIMS}),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (3*gx.x + 7*gy.y + 11*gc.c + d.doc_id) % 256 AS v
+  FROM dims d
+  JOIN range(16) gx(x) ON gx.x < d.w
+  JOIN range(13) gy(y) ON gy.y < d.h
+  CROSS JOIN range(3) gc(c))
+SELECT doc_id, CAST(min(w) AS BIGINT) AS width,
+       CAST(min(h) AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels, CAST(sum(v) AS BIGINT) AS pix_sum
+FROM px GROUP BY doc_id ORDER BY doc_id""",
+)
+def multimodal_png_roundtrip_q(spark, sf):
+    # REAL PNG compress + decompress per doc (operators/png: stdlib
+    # zlib + numpy chunk/CRC/unfilter codec). PNG is LOSSLESS, so the
+    # oracle recomputes the FULL pixel lattice — same lattice as
+    # multimodal_features, but the bytes in between are an actual
+    # deflate stream with CRC-verified chunk framing. png_bytes (the
+    # deflate length) is not SQL-derivable and stays out of the gate
+    # projection.
+    return multimodal.png_roundtrip_stats(
+        _t(spark, sf, "documents")
+    ).drop("png_bytes").orderBy("doc_id")
+
+
+@query(
     "multimodal_jpeg_roundtrip",
     """SELECT doc_id,
               CAST(5 + doc_id % 13 AS BIGINT) AS width,
