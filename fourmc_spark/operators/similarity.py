@@ -322,39 +322,53 @@ def kmeans_fit(embeddings: DataFrame, n_iter: int = 3,
     correctness is pinned against a single-node numpy reference
     implementation in tests/test_ann_recall.py instead.
     """
-    init = sorted(
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in embeddings.where((F.col(id_col) % centroid_stride) == 0)
-        .select(id_col, vec_col)
-        .collect()
-    )
-    if not init:
-        raise ValueError("no centroids: centroid_stride larger than id range")
-    cmat = np.array([v for _, v in init], dtype=np.float64)
-    dim = cmat.shape[1]
-
-    vecs = embeddings.select(vec_col)
-    for _ in range(n_iter):
-        frozen = cmat.copy()
-        cnorms = np.linalg.norm(frozen, axis=1)
-
-        @F.pandas_udf("int")
-        def nearest(batch: pd.Series) -> pd.Series:
-            m = np.array(batch.tolist(), dtype=np.float64)
-            sims = (m @ frozen.T) / (
-                np.linalg.norm(m, axis=1, keepdims=True) * cnorms
-            )
-            return pd.Series(np.argmax(sims, axis=1).astype("int32"))
-
-        means = (
-            vecs.select(nearest(F.col(vec_col)).alias("cell"), vec_col)
-            .groupBy("cell")
-            .agg(*[F.avg(F.col(vec_col)[i]).alias(f"d{i}") for i in range(dim)])
+    # n_iter+1 jobs read the vector column (init collect + one
+    # assign+update per round): persist it once — same pattern as
+    # kmeans_int_fit's qdf and MLlib's iterative trainers. MEMORY_AND_DISK
+    # default: at cluster scale the column spills rather than re-scanning
+    # the source parquet every round.
+    vecs = embeddings.select(id_col, vec_col).persist()
+    try:
+        init = sorted(
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in vecs.where((F.col(id_col) % centroid_stride) == 0)
             .collect()
         )
-        cmat = frozen.copy()  # empty cells keep their previous centroid
-        for r in means:
-            cmat[r["cell"]] = [r[f"d{i}"] for i in range(dim)]
+        if not init:
+            raise ValueError(
+                "no centroids: centroid_stride larger than id range"
+            )
+        cmat = np.array([v for _, v in init], dtype=np.float64)
+        dim = cmat.shape[1]
+
+        for _ in range(n_iter):
+            frozen = cmat.copy()
+            cnorms = np.linalg.norm(frozen, axis=1)
+
+            @F.pandas_udf("int")
+            def nearest(batch: pd.Series) -> pd.Series:
+                m = np.array(batch.tolist(), dtype=np.float64)
+                sims = (m @ frozen.T) / (
+                    np.linalg.norm(m, axis=1, keepdims=True) * cnorms
+                )
+                return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+            means = (
+                vecs.select(nearest(F.col(vec_col)).alias("cell"), vec_col)
+                .groupBy("cell")
+                .agg(
+                    *[
+                        F.avg(F.col(vec_col)[i]).alias(f"d{i}")
+                        for i in range(dim)
+                    ]
+                )
+                .collect()
+            )
+            cmat = frozen.copy()  # empty cells keep their previous centroid
+            for r in means:
+                cmat[r["cell"]] = [r[f"d{i}"] for i in range(dim)]
+    finally:
+        vecs.unpersist()
     return [(i, [float(x) for x in cmat[i]]) for i in range(cmat.shape[0])]
 
 

@@ -83,12 +83,19 @@ def test_sniff_and_dispatch():
     b"P6\n3 2\n255\n\x00",    # raster truncated
     b"P6\n3 2\n65535\n" + b"\0" * 18,  # 16-bit maxval
     b"GIF89a......",          # unsupported container
-    b"\x89PNG\r\n\x1a\n....",  # png needs external decoder
     b"BM" + b"\x00" * 10,     # BMP header truncated
 ])
 def test_decode_rejects(bad):
     with pytest.raises(imaging.UnsupportedImageError):
         imaging.decode_image(bad)
+
+
+def test_decode_corrupt_png_raises_value_error():
+    # PNG is decoded for real now (operators/png), so garbage after a
+    # valid signature is a CORRUPT stream (plain ValueError), no longer
+    # an unsupported format
+    with pytest.raises(ValueError):
+        imaging.decode_image(b"\x89PNG\r\n\x1a\n....")
 
 
 def test_decode_corrupt_jpeg_raises_value_error():
