@@ -384,6 +384,9 @@ def bench_spark_scan(spark, tmpdir: str) -> dict[str, float]:
         c1 = _sink_cached()
         os.sync()
         cbest = min(c1, _sink_cached())
+        # NOTE: before round 5 this key carried the roundtrip number —
+        # that series continues under spark_sink_roundtrip_* above, so
+        # cross-round comparisons of this key jump ~2x at the rename
         out[f"spark_sink_{codec}_{level}_mbps"] = round(sink_mb / cbest, 1)
         cached.unpersist()
     return out
@@ -571,9 +574,15 @@ def _settle_load() -> dict:
         )
         time.sleep(10)
         waited += 10
-        load = _loadavg1()
+        nxt = _loadavg1()
+        if nxt is None:  # /proc/loadavg vanished mid-poll: keep last read
+            break
+        load = nxt
     return {
-        "loadavg_start": load,
+        # the TRUE first reading — a capture that began loaded must stay
+        # self-describing even after it settles
+        "loadavg_start": start,
+        "loadavg_settled": load,
         "load_settled": load <= max_load,
         "load_threshold": max_load,
     }

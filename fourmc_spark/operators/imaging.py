@@ -3,10 +3,11 @@
 Pure numpy + struct — no pillow/libjpeg in the container, but these are
 REAL formats with real parsers, so the multimodal pipeline
 (:mod:`.multimodal`) can decode actual image bytes end-to-end instead of
-stubbing. Anything a camera/tool can export as P6/P5, 24-bit BMP, or
-baseline JPEG (the pure-numpy decoder in :mod:`.jpeg`) flows through the
-engine's decode → feature-extract → resize path unchanged; PNG and
-progressive JPEG still need an external decoder and raise
+stubbing. Anything a camera/tool can export as P6/P5, 24-bit BMP,
+baseline JPEG (the pure-numpy decoder in :mod:`.jpeg`), or PNG (the
+stdlib-zlib decoder in :mod:`.png`) flows through the engine's
+decode → feature-extract → resize path unchanged; only
+progressive/arithmetic JPEG still needs an external decoder and raises
 ``UnsupportedImageError`` with a clear message.
 
 Formats:
@@ -230,6 +231,25 @@ def decode_image(data: bytes) -> np.ndarray:
 
 
 # -------------------------------------------------------------- resize
+
+def drop_alpha(arr: np.ndarray) -> np.ndarray:
+    """Normalize a decoded (h, w, c) array to an encodable channel
+    count before PPM/PGM re-encoding: gray (1) and RGB (3) pass
+    through, gray+alpha (2) keeps the gray plane, RGBA (4) keeps RGB.
+    Alpha is DISCARDED, not composited — deterministic and
+    oracle-checkable (compositing would need a background color choice).
+    The PNG decoder is what lets 2/4-channel arrays into the pipeline;
+    without this step they were silently re-encoded as a 1-channel PGM
+    of channel 0 only."""
+    c = arr.shape[2]
+    if c in (1, 3):
+        return arr
+    if c == 2:
+        return arr[:, :, :1]
+    if c == 4:
+        return arr[:, :, :3]
+    raise UnsupportedImageError(f"{c}-channel image has no PPM/PGM encoding")
+
 
 def resize_nearest(arr: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
     """Nearest-neighbor resample to (target_h, target_w, channels).

@@ -199,9 +199,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     Supports: SOF0 (baseline sequential), 8-bit precision, 1 or 3
     components, any sampling factors up to 4 (4:4:4 / 4:2:2 / 4:2:0
     included), restart intervals, multiple DQT/DHT segments, stuffed
-    bytes. Raises :class:`UnsupportedImageError` for progressive /
-    arithmetic / hierarchical streams and ``ValueError`` for corrupt
-    ones.
+    bytes, and multi-scan baseline files (one SOS per component, legal
+    per T.81 — each single-component scan decodes non-interleaved on
+    the component's own block grid). Raises
+    :class:`UnsupportedImageError` for progressive / arithmetic /
+    hierarchical streams and ``ValueError`` for corrupt or truncated
+    ones (every marker/segment read is bounds-checked so malformed
+    input can never surface IndexError/struct.error).
     """
     buf = bytes(data)
     if buf[:2] != b"\xff\xd8":
@@ -211,8 +215,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     hufftabs: dict[tuple[int, int], dict] = {}  # (class, id) -> lut
     restart_interval = 0
     frame = None  # (h, w, comps) where comps = [(cid, hsamp, vsamp, tq)]
+    planes: list[np.ndarray] | None = None  # persist across scans
+    scanned: set[int] = set()  # component ids entropy-decoded so far
+    saw_eoi = False
 
-    while pos < len(buf):
+    while True:
+        if pos + 2 > len(buf):
+            raise ValueError("truncated JPEG (stream ends before EOI)")
         if buf[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}, got {buf[pos]:#x}")
         marker = buf[pos + 1]
@@ -220,38 +229,58 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI
+            saw_eoi = True
             break
+        if pos + 2 > len(buf):
+            raise ValueError("truncated JPEG segment header")
         (seglen,) = struct.unpack(">H", buf[pos:pos + 2])
+        if seglen < 2 or pos + seglen > len(buf):
+            raise ValueError(f"truncated JPEG segment at {pos}")
         seg = buf[pos + 2:pos + seglen]
         if marker == 0xDB:  # DQT — possibly several tables per segment
             i = 0
             while i < len(seg):
                 pq, tq = seg[i] >> 4, seg[i] & 15
                 i += 1
+                width = 128 if pq else 64
+                if i + width > len(seg):
+                    raise ValueError("truncated DQT segment")
                 if pq == 0:
                     t = np.frombuffer(seg[i:i + 64], dtype=np.uint8)
-                    i += 64
                 else:
                     t = np.frombuffer(seg[i:i + 128], dtype=">u2")
-                    i += 128
+                i += width
                 qtables[tq] = t.astype(np.int32)
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
+                if i + 17 > len(seg):
+                    raise ValueError("truncated DHT segment")
                 tc, th = seg[i] >> 4, seg[i] & 15
                 bits = list(seg[i + 1:i + 17])
                 nv = sum(bits)
+                if i + 17 + nv > len(seg):
+                    raise ValueError("truncated DHT segment")
                 vals = list(seg[i + 17:i + 17 + nv])
                 hufftabs[(tc, th)] = _huff_decode_lut(bits, vals)
                 i += 17 + nv
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline ok
+            if len(seg) < 6:
+                raise ValueError("truncated SOF segment")
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise UnsupportedImageError(f"{prec}-bit JPEG unsupported")
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("truncated SOF segment")
+            if h == 0 or w == 0 or nc == 0:
+                raise ValueError("SOF declares an empty frame")
             comps = []
             for c in range(nc):
                 cid, samp, tq = seg[6 + 3 * c:9 + 3 * c]
-                comps.append((cid, samp >> 4, samp & 15, tq))
+                hs, vs = samp >> 4, samp & 15
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(f"invalid sampling factors {hs}x{vs}")
+                comps.append((cid, hs, vs, tq))
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -261,79 +290,58 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 "hierarchical)"
             )
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated DRI segment")
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
+            h, w, comps = frame
+            if len(seg) < 1:
+                raise ValueError("truncated SOS header")
             ns = seg[0]
-            scan_tabs = {}
+            if len(seg) < 1 + 2 * ns:
+                raise ValueError("truncated SOS header")
+            if planes is None:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                planes = [
+                    np.zeros((mcuy * vs * 8, mcux * hs * 8),
+                             dtype=np.float64)
+                    for _, hs, vs, _ in comps
+                ]
+            by_id = {c[0]: ci for ci, c in enumerate(comps)}
+            scan_sel = []  # (ci, cid, hs, vs, tq, dc_table, ac_table)
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan_tabs[cs] = (tt >> 4, tt & 15)
-            return _decode_scan(
-                buf, pos + seglen, frame, scan_tabs, qtables, hufftabs,
-                restart_interval,
+                if cs not in by_id:
+                    raise ValueError(
+                        f"SOS references component {cs} absent from SOF"
+                    )
+                ci = by_id[cs]
+                scan_sel.append((ci, *comps[ci], tt >> 4, tt & 15))
+            pos = _decode_scan(
+                buf, pos + seglen, frame, scan_sel, qtables, hufftabs,
+                restart_interval, planes,
             )
+            scanned |= {s[1] for s in scan_sel}
+            continue  # pos already points at the next marker
         pos += seglen
-    raise ValueError("no scan data found (missing SOS)")
 
-
-def _decode_scan(buf, pos, frame, scan_tabs, qtables, hufftabs,
-                 restart_interval) -> np.ndarray:
+    if planes is None:
+        raise ValueError("no scan data found (missing SOS)")
     h, w, comps = frame
+    missing = [cid for cid, _, _, _ in comps if cid not in scanned]
+    if missing:
+        raise ValueError(
+            f"stream {'ended' if saw_eoi else 'stopped'} with no scan "
+            f"for component(s) {missing}"
+        )
+    # upsample each component to the luma grid and crop
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = []
-    for cid, hs, vs, tq in comps:
-        planes.append(np.zeros((mcuy * vs * 8, mcux * hs * 8),
-                               dtype=np.float64))
-
-    r = _BitReader(buf, pos)
-    preds = [0] * len(comps)
-    at = _A.T
-    n_rst = 0
-    for m in range(mcux * mcuy):
-        if restart_interval and m and m % restart_interval == 0:
-            r.expect_rst(n_rst)
-            n_rst += 1
-            preds = [0] * len(comps)
-        my, mx = divmod(m, mcux)
-        for ci, (cid, hs, vs, tq) in enumerate(comps):
-            dc_lut = hufftabs.get((0, scan_tabs[cid][0]))
-            ac_lut = hufftabs.get((1, scan_tabs[cid][1]))
-            q = qtables[tq]
-            if dc_lut is None or ac_lut is None:
-                raise ValueError("scan references an undefined DHT table")
-            for v in range(vs):
-                for hh in range(hs):
-                    zz = np.zeros(64, dtype=np.int64)
-                    s = _decode_symbol(r, dc_lut)
-                    preds[ci] += _receive_extend(r, s)
-                    zz[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _decode_symbol(r, ac_lut)
-                        run, size = rs >> 4, rs & 15
-                        if size == 0:
-                            if run == 15:
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += run
-                        if k > 63:
-                            raise ValueError("AC coefficient overrun")
-                        zz[k] = _receive_extend(r, size)
-                        k += 1
-                    coef = np.zeros((8, 8))
-                    coef[_ZZ_ROWS, _ZZ_COLS] = zz * q
-                    block = at @ coef @ _A + 128.0
-                    y0 = (my * vs + v) * 8
-                    x0 = (mx * hs + hh) * 8
-                    planes[ci][y0:y0 + 8, x0:x0 + 8] = block
-
-    # upsample each component to the luma grid and crop
     out = []
     for (cid, hs, vs, tq), plane in zip(comps, planes):
         if hs != hmax or vs != vmax:
@@ -350,6 +358,113 @@ def _decode_scan(buf, pos, frame, scan_tabs, qtables, hufftabs,
         axis=-1,
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _next_marker_pos(buf: bytes, pos: int) -> int:
+    """First byte offset at/after ``pos`` holding a real marker (0xFF
+    followed by anything but the 0x00 stuffing escape)."""
+    while pos + 1 < len(buf):
+        if buf[pos] == 0xFF:
+            if buf[pos + 1] == 0x00:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    raise ValueError("truncated JPEG (no marker after scan data)")
+
+
+def _decode_block(r, dc_lut, ac_lut, pred: int) -> tuple[np.ndarray, int]:
+    """Entropy-decode one 8x8 data unit -> (zigzag coefficients, new DC
+    prediction)."""
+    zz = np.zeros(64, dtype=np.int64)
+    s = _decode_symbol(r, dc_lut)
+    pred += _receive_extend(r, s)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = _decode_symbol(r, ac_lut)
+        run, size = rs >> 4, rs & 15
+        if size == 0:
+            if run == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC coefficient overrun")
+        zz[k] = _receive_extend(r, size)
+        k += 1
+    return zz, pred
+
+
+def _decode_scan(buf, pos, frame, scan_sel, qtables, hufftabs,
+                 restart_interval, planes) -> int:
+    """Entropy-decode one scan into ``planes``; returns the byte offset
+    of the marker following the scan's entropy-coded data.
+
+    ``scan_sel`` rows are (ci, cid, hs, vs, tq, dc_id, ac_id). Multiple
+    components -> interleaved MCUs on the frame's MCU grid (T.81 A.2.3);
+    a single component -> non-interleaved, MCU = ONE data unit walking
+    the component's OWN block grid (T.81 A.2.2) — its sampling factors
+    size its grid but do NOT multiply blocks per MCU.
+    """
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    at = _A.T
+    luts = []
+    for ci, cid, hs, vs, tq, dc_id, ac_id in scan_sel:
+        dc_lut = hufftabs.get((0, dc_id))
+        ac_lut = hufftabs.get((1, ac_id))
+        if dc_lut is None or ac_lut is None:
+            raise ValueError("scan references an undefined DHT table")
+        if tq not in qtables:
+            raise ValueError("scan references an undefined DQT table")
+        luts.append((dc_lut, ac_lut, qtables[tq]))
+
+    r = _BitReader(buf, pos)
+    preds = [0] * len(scan_sel)
+    n_rst = 0
+
+    def _place(si: int, by: int, bx: int) -> None:
+        ci, cid, hs, vs, tq, _, _ = scan_sel[si]
+        dc_lut, ac_lut, q = luts[si]
+        zz, preds[si] = _decode_block(r, dc_lut, ac_lut, preds[si])
+        coef = np.zeros((8, 8))
+        coef[_ZZ_ROWS, _ZZ_COLS] = zz * q
+        planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+            at @ coef @ _A + 128.0
+        )
+
+    if len(scan_sel) > 1:
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                r.expect_rst(n_rst)
+                n_rst += 1
+                preds = [0] * len(scan_sel)
+            my, mx = divmod(m, mcux)
+            for si, (ci, cid, hs, vs, tq, _, _) in enumerate(scan_sel):
+                for v in range(vs):
+                    for hh in range(hs):
+                        _place(si, my * vs + v, mx * hs + hh)
+    else:
+        (ci, cid, hs, vs, tq, _, _) = scan_sel[0]
+        # the component's own dimensions (T.81 A.1.1) and block grid
+        cw = -(-w * hs // hmax)
+        ch = -(-h * vs // vmax)
+        bw = -(-cw // 8)
+        bh = -(-ch // 8)
+        for m in range(bw * bh):
+            if restart_interval and m and m % restart_interval == 0:
+                r.expect_rst(n_rst)
+                n_rst += 1
+                preds = [0] * len(scan_sel)
+            by, bx = divmod(m, bw)
+            _place(0, by, bx)
+
+    return _next_marker_pos(buf, r.pos)
 
 
 # --------------------------------------------------------------- encode

@@ -5,14 +5,14 @@ struct. The decode step is a Pandas-UDF `mapInPandas` pipeline — Arrow
 batches in, Arrow batches out — which is exactly the shape a real
 libjpeg/ffmpeg decode would take.
 
-Decode is REAL for PPM/PGM/BMP and baseline JPEG via the
-dependency-free codecs in :mod:`.imaging` and :mod:`.jpeg`
+Decode is REAL for PPM/PGM/BMP, baseline JPEG, and PNG via the
+dependency-free codecs in :mod:`.imaging`, :mod:`.jpeg`, and :mod:`.png`
 (`decode_stub=False`, and the ``extract_image_features`` /
 ``resize_image_stats`` operators): payload bytes are parsed as actual
 image files and pixels come back as numpy arrays inside the Arrow batch.
-PNG and progressive JPEG still raise — the container has no external
-decoder — and the legacy `decode_stub=True` path keeps the
-deterministic fake dimensions for plumbing tests.
+Only progressive/arithmetic JPEG still raises ``UnsupportedImageError``;
+the legacy `decode_stub=True` path keeps the deterministic fake
+dimensions for plumbing tests.
 """
 
 from __future__ import annotations
@@ -365,7 +365,11 @@ def resize_image_stats(df: DataFrame, target_w: int = 8, target_h: int = 6,
             sums, lens = [], []
             for payload in pdf["payload"]:
                 arr = imaging.decode_image(bytes(payload))
-                small = imaging.resize_nearest(arr, target_w, target_h)
+                # drop_alpha: gray+alpha/RGBA (PNG) fold to gray/RGB
+                # before re-encoding — PPM/PGM carry no alpha plane
+                small = imaging.drop_alpha(
+                    imaging.resize_nearest(arr, target_w, target_h)
+                )
                 sums.append(int(small.sum(dtype=np.int64)))
                 if small.shape[2] == 3:
                     enc = imaging.encode_ppm(small)
@@ -411,8 +415,8 @@ def extract_features(df: DataFrame, id_col: str = "doc_id",
     def _decode(payload: bytes) -> tuple[int, int]:
         if not decode_stub:
             # real path: parse the payload as an actual image file
-            # (PPM/PGM/BMP/baseline JPEG; PNG and progressive JPEG
-            # raise UnsupportedImageError)
+            # (PPM/PGM/BMP/baseline JPEG/PNG; progressive JPEG raises
+            # UnsupportedImageError)
             from fourmc_spark.operators import imaging
 
             arr = imaging.decode_image(bytes(payload))
@@ -461,7 +465,11 @@ def resize_images(df: DataFrame, target_w: int = 320, target_h: int = 240,
             from fourmc_spark.operators import imaging
 
             arr = imaging.decode_image(bytes(payload))
-            small = imaging.resize_nearest(arr, target_w, target_h)
+            # drop_alpha: gray+alpha/RGBA (PNG) fold to gray/RGB before
+            # re-encoding — PPM/PGM carry no alpha plane
+            small = imaging.drop_alpha(
+                imaging.resize_nearest(arr, target_w, target_h)
+            )
             if small.shape[2] == 3:
                 return imaging.encode_ppm(small)
             return imaging.encode_pgm(small[:, :, 0])

@@ -164,6 +164,10 @@ def decode_png(data: bytes) -> np.ndarray:
     idat = bytearray()
     for ctype, cdata in _chunks(buf):
         if ctype == b"IHDR":
+            if len(cdata) != 13:
+                raise ValueError(
+                    f"PNG IHDR must be 13 bytes, got {len(cdata)}"
+                )
             ihdr = struct.unpack(">IIBBBBB", cdata)
         elif ctype == b"PLTE":
             plte = np.frombuffer(cdata, dtype=np.uint8).reshape(-1, 3)
@@ -186,7 +190,14 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("PNG with zero dimension")
     channels = _CHANNELS[ctype_]
     bpp = max(1, (depth * channels) // 8)
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # keep the module's corrupt-stream contract: zlib.error is not a
+        # ValueError, so callers catching (ValueError,
+        # UnsupportedImageError) would crash on a CRC-valid chunk whose
+        # deflate payload is garbage
+        raise ValueError(f"PNG IDAT deflate stream is corrupt: {e}") from e
 
     def pass_decode(buf_part: bytes, pw: int, ph: int) -> np.ndarray:
         stride = (pw * channels * depth + 7) // 8

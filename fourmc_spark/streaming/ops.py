@@ -816,7 +816,10 @@ def _manifest_read(
             "bucket layout is part of the state's identity and is "
             "recorded at creation; a manifest without it is corrupt "
             "(hand-edited or produced by foreign tooling) and cannot "
-            "be probed safely"
+            "be probed safely. Migration: if you KNOW the layout the "
+            "state was written under, add id_parts/sig_parts keys to "
+            "the manifest by hand (64/64 for state produced by "
+            "versions that predate layout recording)"
         )
     return m["batches"], hwm, m["id_parts"], m["sig_parts"]
 

@@ -201,3 +201,32 @@ def test_decode_stub_false_uses_real_decoder(spark):
         enc = imaging.encode_ppm(small)
         assert resized[d]["resized_bytes"] == len(enc)
         assert resized[d]["resized_md5"] == hashlib.md5(enc).hexdigest()
+
+
+def test_drop_alpha_folds_png_alpha_channels():
+    # RGBA/gray+alpha arrays (PNG-only shapes) must fold to RGB/gray
+    # before PPM/PGM re-encode, not silently collapse to channel 0
+    rgba = np.arange(2 * 3 * 4, dtype=np.uint8).reshape(2, 3, 4)
+    assert np.array_equal(imaging.drop_alpha(rgba), rgba[:, :, :3])
+    ga = np.arange(2 * 3 * 2, dtype=np.uint8).reshape(2, 3, 2)
+    assert np.array_equal(imaging.drop_alpha(ga), ga[:, :, :1])
+    rgb = rgba[:, :, :3]
+    assert imaging.drop_alpha(rgb) is rgb
+    gray = ga[:, :, :1]
+    assert imaging.drop_alpha(gray) is gray
+    with pytest.raises(imaging.UnsupportedImageError):
+        imaging.drop_alpha(np.zeros((2, 2, 5), dtype=np.uint8))
+
+
+def test_resize_rgba_png_payload_keeps_rgb(spark):
+    # finding regression: an RGBA PNG payload used to be re-encoded as a
+    # one-channel PGM of the red plane only; it must fold to RGB
+    from fourmc_spark.operators.png import encode_png
+
+    rgba = _rand(10, 9, 4, 42)
+    payload = encode_png(rgba)
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    r = multimodal.resize_image_stats(df, target_w=4, target_h=3).collect()[0]
+    small = imaging.resize_nearest(rgba, 4, 3)[:, :, :3]
+    assert r["resized_pix_sum"] == int(small.sum(dtype=np.int64))
+    assert r["resized_bytes"] == len(imaging.encode_ppm(small))

@@ -152,3 +152,136 @@ def test_quality_monotonic_in_error():
         out = decode_jpeg(encode_jpeg(img, quality=q))
         errs.append(np.abs(out.astype(int) - img.astype(int)).mean())
     assert errs[0] >= errs[1] >= errs[2]
+
+
+# ---------------------------------------------------------------------------
+# error contract: corrupt/truncated input must raise ValueError, never
+# IndexError/struct.error — callers follow decode_image's documented
+# (ValueError, UnsupportedImageError) contract
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("bad", [
+    b"\xff\xd8\xff",                  # marker byte cut in half
+    b"\xff\xd8\xff\xdb",              # segment header missing entirely
+    b"\xff\xd8\xff\xdb\x00\x05\x00",  # DQT seglen runs past the buffer
+    b"\xff\xd8\xff\xdb\x00\x04\x00\x00",   # DQT too short for a table
+    b"\xff\xd8\xff\xc4\x00\x04\x00\x00",   # DHT too short for bits[]
+    b"\xff\xd8\xff\xc0\x00\x05\x08\x00\x08",  # SOF cut mid-dimensions
+    b"\xff\xd8\xff\xdd\x00\x03\x00",  # DRI with 1-byte payload
+    b"\xff\xd8\xff\xda\x00\x03\x01",  # SOS before any SOF
+])
+def test_corrupt_headers_raise_value_error(bad):
+    with pytest.raises(ValueError):
+        decode_jpeg(bad)
+
+
+def test_single_component_scan_with_sampling_factors():
+    # A grayscale baseline file whose SOF declares 2x2 sampling: per
+    # T.81 A.2.2 a single-component scan is NON-interleaved — one data
+    # unit per MCU on the component's own block grid — so the entropy
+    # stream is identical to the 1x1 encoding and must decode to the
+    # same pixels. (The interleaved-only reading walks 4 blocks/MCU on
+    # a half-size grid and desyncs.)
+    g = (np.arange(24 * 17, dtype=np.uint8).reshape(24, 17) * 3) % 251
+    data = bytearray(encode_jpeg(g, quality=100))
+    sof = data.find(b"\xff\xc0")
+    assert sof > 0
+    # SOF0 layout: marker(2) len(2) prec(1) h(2) w(2) nc(1) id(1) samp(1)
+    samp_off = sof + 2 + 2 + 1 + 2 + 2 + 1 + 1
+    assert data[samp_off] == 0x11
+    data[samp_off] = 0x22
+    patched = decode_jpeg(bytes(data))
+    baseline = decode_jpeg(encode_jpeg(g, quality=100))
+    assert np.array_equal(patched, baseline)
+
+
+def _encode_multiscan_rgb(arr: np.ndarray, quality: int) -> bytes:
+    """A 4:4:4 color baseline stream written as THREE sequential
+    single-component scans (legal per T.81) — same tables and
+    coefficients as encode_jpeg's interleaved output, different scan
+    structure. Built from the module's own primitives so the fixture
+    never goes stale against the table format."""
+    import struct
+
+    from fourmc_spark.operators.jpeg import (
+        _ZZ_COLS,
+        _ZZ_ROWS,
+        _BitWriter,
+        _encode_block,
+        _fixed_length_table,
+        _huff_encode_lut,
+        _padded_block,
+        _quant_table,
+    )
+
+    h, w = arr.shape[:2]
+    q = _quant_table(quality)
+    qzz = q[_ZZ_ROWS, _ZZ_COLS]
+    rgb = arr.astype(np.float64)
+    y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    cb = (128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1]
+          + 0.5 * rgb[:, :, 2])
+    cr = (128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1]
+          - 0.081312 * rgb[:, :, 2])
+    planes = [y, cb, cr]
+
+    dc_bits, dc_vals = _fixed_length_table(list(range(12)))
+    ac_bits, ac_vals = _fixed_length_table(
+        [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    )
+    dc_enc = _huff_encode_lut(dc_bits, dc_vals)
+    ac_enc = _huff_encode_lut(ac_bits, ac_vals)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" \
+        + bytes(int(v) for v in qzz)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    for i in range(3):
+        sof += bytes([i + 1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, (bits, vals) in ((0, (dc_bits, dc_vals)),
+                             (1, (ac_bits, ac_vals))):
+        body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    bw_blocks = -(-w // 8)
+    bh_blocks = -(-h // 8)
+    for ci, plane in enumerate(planes):
+        sos = bytes([1, ci + 1, 0x00]) + b"\x00\x3f\x00"
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        bw = _BitWriter()
+        preds = [0] * 3
+        for m in range(bw_blocks * bh_blocks):
+            by, bx = divmod(m, bw_blocks)
+            block = _padded_block(plane, by * 8, bx * 8) - 128.0
+            coef = _A @ block @ _A.T
+            zz = np.round(coef[_ZZ_ROWS, _ZZ_COLS] / qzz).astype(np.int64)
+            _encode_block(bw, zz, preds, ci, dc_enc, ac_enc)
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_multiscan_baseline_decodes_like_interleaved():
+    # Three sequential single-component scans carry exactly the same
+    # coefficients as the interleaved encoding — the decoder must
+    # accumulate scans until EOI and produce identical pixels
+    arr = _gradient_rgb(21, 30)
+    multi = _encode_multiscan_rgb(arr, quality=90)
+    inter = encode_jpeg(arr, quality=90)
+    assert np.array_equal(decode_jpeg(multi), decode_jpeg(inter))
+
+
+def test_multiscan_missing_component_raises():
+    # a stream that reaches EOI having scanned only some components is
+    # corrupt (truncated mid-pipeline), not silently half-gray
+    arr = _gradient_rgb(16, 16)
+    multi = bytearray(_encode_multiscan_rgb(arr, quality=90))
+    # chop everything after the FIRST scan's data: find the second SOS
+    first_sos = multi.find(b"\xff\xda")
+    second_sos = multi.find(b"\xff\xda", first_sos + 2)
+    assert second_sos > 0
+    chopped = bytes(multi[:second_sos]) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="component"):
+        decode_jpeg(chopped)

@@ -166,3 +166,28 @@ def test_decode_image_dispatch_handles_png():
     assert np.array_equal(out, img)
     gray = decode_image(encode_png(_rand(6, 5, 1, 4)))
     assert gray.shape == (6, 5, 1)
+
+
+def test_corrupt_deflate_raises_value_error():
+    # CRC-valid framing around a garbage deflate payload must reject as
+    # ValueError (the documented corrupt-stream contract), never leak
+    # zlib.error to callers catching (ValueError, UnsupportedImageError)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bad = (
+        _SIG + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", b"\x00not-deflate\xff")
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="deflate"):
+        decode_png(bad)
+
+
+def test_wrong_size_ihdr_raises_value_error():
+    # 12-byte IHDR with a valid CRC: struct.error must not escape
+    bad = (
+        _SIG + _chunk(b"IHDR", b"\x00" * 12)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 5))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IHDR"):
+        decode_png(bad)
