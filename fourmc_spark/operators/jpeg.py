@@ -41,7 +41,13 @@ import numpy as np
 
 from fourmc_spark.operators.imaging import UnsupportedImageError
 
-__all__ = ["decode_jpeg", "encode_jpeg"]
+__all__ = ["decode_jpeg", "encode_jpeg", "MAX_PIXELS"]
+
+# per-payload decode budget (~67M pixels — beyond any sane camera
+# image; an 8K frame is 33M). Decoding runs per-document inside Arrow
+# batches, so this caps one adversarial payload's executor memory at
+# ~frame bytes instead of letting a 20-byte SOF demand gigabytes.
+MAX_PIXELS = 1 << 26
 
 
 # --------------------------------------------------------------- tables
@@ -274,6 +280,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("truncated SOF segment")
             if h == 0 or w == 0 or nc == 0:
                 raise ValueError("SOF declares an empty frame")
+            if h * w > MAX_PIXELS:
+                # executor-memory safety: a tiny payload can declare a
+                # 65535x65535 frame; per-payload decode inside an Arrow
+                # batch must not OOM the worker on adversarial input
+                raise ValueError(
+                    f"JPEG frame {w}x{h} exceeds the decoder pixel "
+                    f"budget ({MAX_PIXELS}); raise jpeg.MAX_PIXELS if "
+                    "the image is real"
+                )
             comps = []
             for c in range(nc):
                 cid, samp, tq = seg[6 + 3 * c:9 + 3 * c]
@@ -378,6 +393,11 @@ def _decode_block(r, dc_lut, ac_lut, pred: int) -> tuple[np.ndarray, int]:
     prediction)."""
     zz = np.zeros(64, dtype=np.int64)
     s = _decode_symbol(r, dc_lut)
+    if s > 15:
+        # baseline DC categories are 0..11; a corrupt DHT can map a
+        # code to any byte, and read_bits(255) would build an arbitrary-
+        # precision int that overflows the int64 coefficient store
+        raise ValueError(f"invalid DC category {s} in scan data")
     pred += _receive_extend(r, s)
     zz[0] = pred
     k = 1

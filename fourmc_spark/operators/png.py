@@ -36,9 +36,15 @@ import numpy as np
 
 from fourmc_spark.operators.imaging import UnsupportedImageError
 
-__all__ = ["decode_png", "encode_png"]
+__all__ = ["decode_png", "encode_png", "MAX_PIXELS"]
 
 _SIG = b"\x89PNG\r\n\x1a\n"
+
+# per-payload decode budget (~67M pixels — beyond any sane web image;
+# an 8K frame is 33M). Decoding runs per-document inside Arrow batches,
+# so this caps one adversarial payload's executor memory at ~frame
+# bytes instead of letting a 30-byte header demand gigabytes.
+MAX_PIXELS = 1 << 26
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 _ALLOWED_DEPTHS = {
     0: (1, 2, 4, 8, 16),
@@ -190,14 +196,43 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("PNG with zero dimension")
     channels = _CHANNELS[ctype_]
     bpp = max(1, (depth * channels) // 8)
+    if w * h > MAX_PIXELS:
+        # executor-memory safety: a 30-byte payload can declare a
+        # 2^31 x 2^31 frame; decoding is per-payload inside an Arrow
+        # batch, so one adversarial document must not OOM the worker
+        raise ValueError(
+            f"PNG frame {w}x{h} exceeds the decoder pixel budget "
+            f"({MAX_PIXELS}); raise png.MAX_PIXELS if the image is real"
+        )
+    # exact expected size of the filtered stream (spec: nothing else may
+    # follow) — also the inflate cap, so a deflate bomb inside a
+    # CRC-valid IDAT cannot balloon past one frame's bytes
+    if interlace == 0:
+        expected = h * ((w * channels * depth + 7) // 8 + 1)
+    else:
+        expected = 0
+        for xoff, yoff, xstep, ystep in _ADAM7:
+            pw = (w - xoff + xstep - 1) // xstep
+            ph = (h - yoff + ystep - 1) // ystep
+            if pw and ph:
+                expected += ph * ((pw * channels * depth + 7) // 8 + 1)
     try:
-        raw = zlib.decompress(bytes(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected)
+        if d.decompress(b"", 1) or d.unconsumed_tail:
+            raise ValueError(
+                "PNG IDAT inflates past the frame's pixel data"
+            )
     except zlib.error as e:
         # keep the module's corrupt-stream contract: zlib.error is not a
         # ValueError, so callers catching (ValueError,
         # UnsupportedImageError) would crash on a CRC-valid chunk whose
         # deflate payload is garbage
         raise ValueError(f"PNG IDAT deflate stream is corrupt: {e}") from e
+    if len(raw) != expected:
+        raise ValueError(
+            f"PNG pixel data is {len(raw)} bytes, frame needs {expected}"
+        )
 
     def pass_decode(buf_part: bytes, pw: int, ph: int) -> np.ndarray:
         stride = (pw * channels * depth + 7) // 8
