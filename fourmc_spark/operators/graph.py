@@ -223,16 +223,23 @@ def canonicalize(
     src: str = "a_id",
     dst: str = "b_id",
     max_iter: int = 30,
-    method: str = "propagation",
+    method: str = "star",
 ) -> DataFrame:
     """The dedup *apply* step: near-dup pairs -> duplicate clusters -> one
     kept representative per cluster (max ``weight_col``, ties to the
     smallest id — "keep the longest member", the common corpus-dedup rule).
 
-    ``method``: ``"propagation"`` (min-label, rounds = cluster diameter
-    — the right default for dense near-dup clusters) or ``"star"``
-    (large/small-star contraction, O(log^2 n) rounds — for graphs that
-    can be long and thin; see :func:`connected_components_star`).
+    ``method``: ``"star"`` (large/small-star contraction, O(log^2 n)
+    rounds, diameter-independent — the DEFAULT, decided by measurement:
+    on dense star-shaped clusters at 1k/10k/50k clusters star ran
+    0.66-0.91x of propagation's wall time, and on chains ≥50 hops
+    propagation cannot converge inside max_iter at all while star
+    finishes in ~6-8 s; ``scripts/measure_components_crossover.py``
+    reproduces the table) or ``"propagation"`` (min-label, rounds =
+    cluster diameter — same labels, kept for graphs known to be dense
+    where its per-round plan is simpler to reason about). Both label a
+    component by its minimum member id, so results are identical
+    wherever both converge.
 
     Output: one row per input doc — ``(id, component_id, canonical_id,
     kept)`` with ``kept`` 1 iff the doc is its cluster's representative;
