@@ -168,3 +168,61 @@ def test_budget_constants_are_sane():
     # 8K video frames (33M pixels) must pass; the cap is above them
     assert jpeg.MAX_PIXELS >= 7680 * 4320
     assert png.MAX_PIXELS >= 7680 * 4320
+
+
+# --------------------------------------------------------- audio / video
+
+from fourmc_spark.operators.av import (  # noqa: E402
+    decode_wav,
+    encode_wav,
+    encode_y4m,
+    iter_y4m_frames,
+)
+
+_WAV_FIXTURE = encode_wav(
+    (np.sin(np.linspace(0, 20, 800)) * 20000).astype(np.int16)
+)
+_Y4M_FIXTURE = encode_y4m([_gray(16, 16, s) for s in range(3)])
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=150))
+def test_wav_riff_prefixed_garbage(tail):
+    try:
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVE" + tail)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=150))
+def test_y4m_prefixed_garbage(tail):
+    try:
+        for _ in iter_y4m_frames(b"YUV4MPEG2 " + tail):
+            pass
+    except ValueError:
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(0, len(_WAV_FIXTURE) - 1), st.integers(0, 255))
+def test_wav_single_byte_mutation(pos, val):
+    buf = bytearray(_WAV_FIXTURE)
+    buf[pos] = val
+    try:
+        arr, rate = decode_wav(bytes(buf))
+        assert arr.ndim == 2 and rate >= 0
+    except ValueError:
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(0, len(_Y4M_FIXTURE) - 1), st.integers(0, 255))
+def test_y4m_single_byte_mutation(pos, val):
+    buf = bytearray(_Y4M_FIXTURE)
+    buf[pos] = val
+    try:
+        for _, luma in iter_y4m_frames(bytes(buf)):
+            assert luma.dtype == np.uint8
+    except ValueError:
+        pass
