@@ -26,6 +26,7 @@ import json
 import os
 import sys
 import time
+import zlib
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -87,6 +88,11 @@ BENCH_QUERIES = [
     "multimodal_features",
     "multimodal_audio_features",
     "multimodal_video_frames",
+    # round 5: real JPEG/PNG codecs (encode + decode per doc inside one
+    # map-only mapInPandas) — first-class operators belong in the
+    # headline even though they grow the total
+    "multimodal_jpeg_roundtrip",
+    "multimodal_png_roundtrip",
     # round-2 curation/sketching additions
     "text_quality_classifier",
     "curation_c4_clean",
@@ -541,6 +547,29 @@ def bench_stress(spark) -> dict[str, float]:
     return out
 
 
+def _canary() -> dict:
+    """Fixed single-thread hardware-speed probe: ~0.5 s of zlib and one
+    BLAS matmul. Recorded at capture start AND end, because /proc/loadavg
+    only sees THIS VM's runnable tasks — host-level contention (CPU
+    steal, a noisy neighbor) slows identical work 1.5-2x with loadavg
+    still at 0, and round 4/5 forensics burned hours separating that
+    from engine regressions. Same canary + slower queries = engine
+    problem; slower canary = VM weather, rerun before concluding."""
+    import numpy as np
+
+    blob = np.random.default_rng(7).integers(
+        0, 255, 8 << 20, dtype=np.uint8
+    ).tobytes()
+    t0 = time.perf_counter()
+    zlib.compress(blob, 6)
+    zlib_mbps = round(8 / (time.perf_counter() - t0), 1)
+    a = np.random.default_rng(7).random((1024, 1024))
+    t0 = time.perf_counter()
+    (a @ a).sum()
+    gflops = round(2 * 1024 ** 3 / (time.perf_counter() - t0) / 1e9, 1)
+    return {"zlib1t_mbps": zlib_mbps, "blas_gflops": gflops}
+
+
 def _loadavg1() -> float | None:
     try:
         with open("/proc/loadavg") as f:
@@ -595,6 +624,7 @@ def main() -> None:
     from fourmc_spark.session import get_spark
 
     loadinfo = _settle_load()
+    loadinfo["canary_start"] = _canary()
     tmpdir = tempfile.mkdtemp(prefix="fourmc-bench-")
     try:
         t0 = time.perf_counter()
@@ -628,6 +658,7 @@ def main() -> None:
             os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
         )
         loadinfo["loadavg_end"] = _loadavg1()
+        loadinfo["canary_end"] = _canary()
         with open(detail_path, "w") as f:
             json.dump(
                 {
