@@ -36,3 +36,19 @@ def test_continuous_ingest_example(spark):
     assert stats["fed"] == 360
     # cross-day re-deliveries must have been rejected
     assert 0 < stats["admitted"] < stats["fed"]
+
+
+def test_semantic_search_example(spark):
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    )
+    from examples.semantic_search import main
+
+    stats = main("/root/testdata/sf0.001")
+    # trained-quantizer ANN must agree with exact search on most of top-5
+    assert stats["recall"] >= 0.5
+    # exactly the 5 planted exact-copy vectors must be dropped
+    assert stats["total"] - stats["kept"] == 5
+    assert stats["bm25_rows"] == 5
+    assert stats["fused_rows"] == 5
