@@ -192,7 +192,12 @@ def test_canonicalize_star_method_matches(spark):
     pairs = [(1, 2), (2, 3), (5, 6)]
     d = spark.createDataFrame(docs, "doc_id long, n_chars long")
     e = spark.createDataFrame(pairs, "a_id long, b_id long")
-    a = {tuple(r) for r in graph.canonicalize(d, e).collect()}
+    # compare the two methods EXPLICITLY (the default became star in
+    # round 5 — naming both keeps this from degenerating to star==star)
+    a = {
+        tuple(r)
+        for r in graph.canonicalize(d, e, method="propagation").collect()
+    }
     b = {tuple(r) for r in graph.canonicalize(d, e, method="star").collect()}
     assert a == b
 
