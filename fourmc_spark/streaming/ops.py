@@ -528,7 +528,7 @@ def dedup_ingest_stream(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    compact_every: int | None = None,
+    compact_every: int | None = 64,
     max_bucket: int | None = 4096,
 ):
     """Streaming near-dup-gated corpus ingest — the micro-batch twin of
@@ -597,11 +597,15 @@ def dedup_ingest_stream(
     content-hash pass catches at O(n). Pass None to restore the
     uncapped batch-API semantics.
 
-    ``compact_every``: opt-in inline maintenance — when the manifest
-    reaches this many dirs, the commit runs :func:`compact_dedup_state`
-    before returning (safe: foreachBatch IS the single writer). That
-    batch pays the amortized O(corpus) rewrite inline, so
-    latency-sensitive deployments should leave this None and compact
+    ``compact_every``: inline maintenance, DEFAULT-ON at 64 since
+    round 5 — when the manifest reaches this many dirs, the commit runs
+    :func:`compact_dedup_state` before returning (safe: foreachBatch IS
+    the single writer). Without it the manifest dir count grows one per
+    batch forever and every corpus-side read fans across all of them;
+    the round-4 stress run measured per-batch time FLAT-to-declining
+    with compaction (x0.77 over x4.0 corpus growth) vs x1.81 without.
+    The compacting batch pays the amortized O(corpus) rewrite inline,
+    so strictly-latency-bound deployments can pass None and compact
     out-of-band between stream restarts instead.
 
     Internally persisted frames are unpersisted after each commit (a
