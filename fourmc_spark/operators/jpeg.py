@@ -271,6 +271,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 hufftabs[(tc, th)] = _huff_decode_lut(bits, vals)
                 i += 17 + nv
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline ok
+            if frame is not None:
+                # libjpeg also rejects duplicate SOF; without this a
+                # second SOF rebinds frame/comps while planes keep the
+                # first frame's shape, and a following SOS indexes
+                # planes[ci] out of range (IndexError escaping the
+                # ValueError error contract)
+                raise ValueError("multiple SOF segments")
             if len(seg) < 6:
                 raise ValueError("truncated SOF segment")
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
@@ -315,6 +322,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if len(seg) < 1:
                 raise ValueError("truncated SOS header")
             ns = seg[0]
+            if ns == 0 or ns > 4:
+                # T.81 B.2.3: 1 <= Ns <= 4. ns=0 would make scan_sel
+                # empty and _decode_scan's non-interleaved branch index
+                # scan_sel[0] -> IndexError outside the error contract
+                raise ValueError(f"SOS declares {ns} components")
             if len(seg) < 1 + 2 * ns:
                 raise ValueError("truncated SOS header")
             if planes is None:

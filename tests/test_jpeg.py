@@ -175,6 +175,30 @@ def test_corrupt_headers_raise_value_error(bad):
         decode_jpeg(bad)
 
 
+def test_sos_with_zero_components_raises_value_error():
+    # ns=0 would make scan_sel empty -> scan_sel[0] IndexError before
+    # the guard existed; must stay inside the ValueError contract
+    img = _gradient_rgb(16, 16)
+    enc = bytearray(encode_jpeg(img[:, :, 0]))
+    i = enc.find(b"\xff\xda")
+    assert i >= 0 and enc[i + 4] == 1  # gray scan declares 1 component
+    enc[i + 4] = 0
+    with pytest.raises(ValueError, match="SOS declares 0 components"):
+        decode_jpeg(bytes(enc))
+
+
+def test_duplicate_sof_raises_value_error():
+    # a gray SOF+SOS followed by a 3-component SOF+SOS used to rebind
+    # frame/comps without reallocating planes -> planes[ci] IndexError
+    gray = bytearray(encode_jpeg(_gradient_rgb(16, 16)[:, :, 0]))
+    color = encode_jpeg(_gradient_rgb(16, 16))
+    assert gray[-2:] == b"\xff\xd9"
+    j = color.find(b"\xff\xc0")  # splice color's SOF..EOI after gray's scan
+    crafted = bytes(gray[:-2]) + color[j:]
+    with pytest.raises(ValueError, match="multiple SOF"):
+        decode_jpeg(crafted)
+
+
 def test_single_component_scan_with_sampling_factors():
     # A grayscale baseline file whose SOF declares 2x2 sampling: per
     # T.81 A.2.2 a single-component scan is NON-interleaved — one data
