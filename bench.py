@@ -18,6 +18,14 @@ driver collect). Codec numbers come in two flavors:
   BASELINE.md's single-thread Silesia tables.
 
 Plus a parallel Spark scan MB/s over the DataSource.
+
+Weather robustness: this VM suffers host-level CPU steal that
+/proc/loadavg cannot see (it poisoned three consecutive official
+captures). Both the I/O pass and the query pass are bracketed by a
+hardware canary; the query pass always runs >=2 full rounds and
+publishes per-query minima, unhealthy passes are retried (bounded), and
+every pass's canary readings land in the "load" block so any capture is
+self-describing.
 """
 
 from __future__ import annotations
@@ -578,6 +586,37 @@ def _loadavg1() -> float | None:
         return None  # non-Linux: no guard possible
 
 
+MIN_GFLOPS = float(os.environ.get("SPARK_GRAFT_MIN_GFLOPS", 10))
+
+
+def _healthy(canary: dict) -> bool:
+    return canary["blas_gflops"] >= MIN_GFLOPS
+
+
+def _settle_canary(waited: float, budget: float) -> tuple[dict, dict, float]:
+    """Wait (bounded) until the hardware canary reads healthy. loadavg
+    only counts THIS VM's runnable tasks — host-level CPU steal is
+    invisible to it, and it is the larger confound (observed swinging
+    the canary 1.2-254 GFLOPs at loadavg ~0). The 10 GFLOPs default
+    floor is deliberately conservative: any healthy x86 core does
+    several times that, so only severe steal trips it; a genuinely slow
+    machine just spends the bounded budget once and proceeds,
+    self-described by the recorded canary readings. Returns
+    (first_reading, last_reading, waited)."""
+    first = canary = _canary()
+    while canary["blas_gflops"] < MIN_GFLOPS and waited < budget:
+        print(
+            f"bench: canary {canary['blas_gflops']} GFLOPs < "
+            f"{MIN_GFLOPS:.0f} (host CPU steal), settling "
+            f"({waited:.0f}/{budget:.0f}s)...",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        waited += 15
+        canary = _canary()
+    return first, canary, waited
+
+
 def _settle_load() -> dict:
     """Refuse to measure under system load: BENCH_r04 was captured while
     other work ran (wall x1.65 for identical work), which inflated the
@@ -587,58 +626,141 @@ def _settle_load() -> dict:
     (default max(2, CPUS/10): effectively idle for a dedicated runner)
     or the settle budget runs out; either way the observed numbers are
     RECORDED in the output so a loaded capture is self-describing
-    instead of silently wrong."""
+    instead of silently wrong. The canary settle runs even when
+    /proc/loadavg is unavailable (non-Linux) — the CPU-steal signal
+    must not have a platform-dependent schema."""
     max_load = float(os.environ.get("SPARK_GRAFT_MAX_LOAD",
                                     max(2.0, int(CPUS) / 10)))
     budget = float(os.environ.get("SPARK_GRAFT_SETTLE_SEC", 300))
     start = _loadavg1()
-    if start is None:
-        return {"loadavg_start": None, "load_settled": None}
     load, waited = start, 0.0
-    while load > max_load and waited < budget:
-        print(
-            f"bench: load {load:.2f} > {max_load:.2f}, settling "
-            f"({waited:.0f}/{budget:.0f}s)...",
-            file=sys.stderr,
-        )
-        time.sleep(10)
-        waited += 10
-        nxt = _loadavg1()
-        if nxt is None:  # /proc/loadavg vanished mid-poll: keep last read
-            break
-        load = nxt
-    # loadavg only counts THIS VM's runnable tasks — host-level CPU
-    # steal is invisible to it, and it is the larger confound (observed
-    # swinging the canary 1.2-254 GFLOPs at loadavg ~0). Also wait out
-    # canary-level throttle, within the same settle budget. The 10
-    # GFLOPs default floor is deliberately conservative: any healthy
-    # x86 core does several times that, so only severe steal trips it;
-    # a genuinely slow machine just spends the bounded budget once and
-    # proceeds, self-described by canary_first/canary_start.
-    min_gflops = float(os.environ.get("SPARK_GRAFT_MIN_GFLOPS", 10))
-    first_canary = canary = _canary()
-    while canary["blas_gflops"] < min_gflops and waited < budget:
-        print(
-            f"bench: canary {canary['blas_gflops']} GFLOPs < "
-            f"{min_gflops:.0f} (host CPU steal), settling "
-            f"({waited:.0f}/{budget:.0f}s)...",
-            file=sys.stderr,
-        )
-        time.sleep(15)
-        waited += 15
-        canary = _canary()
+    if start is not None:
+        while load > max_load and waited < budget:
+            print(
+                f"bench: load {load:.2f} > {max_load:.2f}, settling "
+                f"({waited:.0f}/{budget:.0f}s)...",
+                file=sys.stderr,
+            )
+            time.sleep(10)
+            waited += 10
+            nxt = _loadavg1()
+            if nxt is None:  # /proc/loadavg vanished mid-poll: keep last
+                break
+            load = nxt
+    first_canary, canary, waited = _settle_canary(waited, budget)
     return {
         # the TRUE first readings — a capture that began loaded must
         # stay self-describing even after it settles
         "loadavg_start": start,
         "loadavg_settled": load,
-        "load_settled": load <= max_load
-        and canary["blas_gflops"] >= min_gflops,
+        "load_settled": (load is None or load <= max_load)
+        and _healthy(canary),
         "load_threshold": max_load,
-        "min_gflops": min_gflops,
+        "min_gflops": MIN_GFLOPS,
         "canary_first": first_canary,
         "canary_start": canary,
     }
+
+
+def bench_io_robust(spark, tmpdir: str) -> tuple[dict, list[dict]]:
+    """Weather-robust I/O capture. Three rounds running (r3-r5), the
+    driver's official BENCH_r*.json was taken under host CPU steal the
+    settle guard could not wait out, publishing throughput numbers far
+    below what the engine does on quiet hardware (r5: sink lz4 242 vs
+    376 MB/s one hour apart, same commit). Bracket the whole I/O pass
+    with hardware canaries; if either end reads unhealthy, settle and
+    re-run (bounded by SPARK_GRAFT_IO_PASSES_MAX), then merge per key:
+    max for throughput (mbps — steal only ever UNDERSTATES throughput),
+    min for durations, latest for ratios/counts (deterministic). Every
+    attempt's canaries are recorded so the capture stays
+    self-describing."""
+    max_attempts = int(os.environ.get("SPARK_GRAFT_IO_PASSES_MAX", 3))
+    retry_budget = float(os.environ.get("SPARK_GRAFT_RETRY_SETTLE_SEC", 120))
+    attempts: list[dict] = []
+    meta: list[dict] = []
+    for i in range(max_attempts):
+        c0 = _canary()
+        t0 = time.perf_counter()
+        res = bench_codecs(tmpdir)
+        res.update(bench_spark_scan(spark, tmpdir))
+        res.update(bench_spark_bigio(spark, tmpdir))
+        res.update(bench_stress(spark))
+        c1 = _canary()
+        attempts.append(res)
+        meta.append({
+            "canary_start": c0,
+            "canary_end": c1,
+            "healthy": _healthy(c0) and _healthy(c1),
+            "pass_wall_sec": round(time.perf_counter() - t0, 3),
+        })
+        if meta[-1]["healthy"]:
+            break
+        if i + 1 < max_attempts:
+            print(
+                f"bench: io pass {i + 1} bracketed by unhealthy canary "
+                f"({c0['blas_gflops']}/{c1['blas_gflops']} GFLOPs), "
+                "retrying...",
+                file=sys.stderr,
+            )
+            _settle_canary(0.0, retry_budget)
+    return _merge_io(attempts), meta
+
+
+def _merge_io(attempts: list[dict]) -> dict:
+    """Fold repeated I/O passes: max for throughput (contention only
+    ever understates mbps), min for durations, latest for
+    ratios/counts (deterministic per corpus)."""
+    merged = dict(attempts[-1])
+    for a in attempts:
+        for k, v in a.items():
+            if "mbps" in k:
+                merged[k] = max(merged[k], v)
+            elif k.endswith("_sec"):
+                merged[k] = min(merged[k], v)
+    return merged
+
+
+def bench_queries_robust(spark) -> tuple[dict[str, float], list[dict]]:
+    """Weather-robust query capture: at least SPARK_GRAFT_QUERY_PASSES
+    (default 2) full passes over BENCH_QUERIES, per-query MIN across
+    passes (each pass is itself warm + min-of-2, so the published number
+    is min-of-4 spread across ~6 minutes of wall — a steal window has to
+    cover every sample of a query to poison it). If no pass is bracketed
+    by healthy canaries, keep re-running (settling in between) up to
+    SPARK_GRAFT_QUERY_PASSES_MAX. Per-pass canaries are recorded."""
+    min_passes = max(1, int(os.environ.get("SPARK_GRAFT_QUERY_PASSES", 2)))
+    max_passes = max(
+        min_passes, int(os.environ.get("SPARK_GRAFT_QUERY_PASSES_MAX", 4))
+    )
+    retry_budget = float(os.environ.get("SPARK_GRAFT_RETRY_SETTLE_SEC", 120))
+    passes: list[dict[str, float]] = []
+    meta: list[dict] = []
+    while True:
+        c0 = _canary()
+        t0 = time.perf_counter()
+        q = bench_queries(spark)
+        c1 = _canary()
+        passes.append(q)
+        meta.append({
+            "canary_start": c0,
+            "canary_end": c1,
+            "healthy": _healthy(c0) and _healthy(c1),
+            "pass_wall_sec": round(time.perf_counter() - t0, 3),
+        })
+        if len(passes) >= max_passes:
+            break
+        if len(passes) >= min_passes and any(m["healthy"] for m in meta):
+            break
+        if not meta[-1]["healthy"]:
+            print(
+                f"bench: query pass {len(passes)} bracketed by unhealthy "
+                f"canary ({c0['blas_gflops']}/{c1['blas_gflops']} GFLOPs), "
+                "settling before next pass...",
+                file=sys.stderr,
+            )
+            _settle_canary(0.0, retry_budget)
+    queries = {k: min(p[k] for p in passes) for k in passes[0]}
+    return queries, meta
 
 
 def main() -> None:
@@ -657,15 +779,17 @@ def main() -> None:
         # sink 6x (189 vs 755, 25.6 vs 145 MB/s standalone).
         spark = get_spark("fourmc-bench-io", master=f"local[{CPUS}]")
         spark.sparkContext.setLogLevel("ERROR")
-        codec = bench_codecs(tmpdir)
-        codec.update(bench_spark_scan(spark, tmpdir))
-        codec.update(bench_spark_bigio(spark, tmpdir))
-        codec.update(bench_stress(spark))
+        codec, io_meta = bench_io_robust(spark, tmpdir)
         spark.stop()
 
         spark = get_spark("fourmc-bench", master=f"local[{CPUS}]")
         spark.sparkContext.setLogLevel("ERROR")
-        queries = bench_queries(spark)
+        queries, q_meta = bench_queries_robust(spark)
+        loadinfo["io_passes"] = io_meta
+        loadinfo["query_passes"] = q_meta
+        loadinfo["capture_healthy"] = any(
+            m["healthy"] for m in io_meta
+        ) and any(m["healthy"] for m in q_meta)
         total = round(time.perf_counter() - t0, 3)
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
         try:
