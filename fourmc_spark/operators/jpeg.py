@@ -85,16 +85,49 @@ _A = _dct_matrix()
 
 # --------------------------------------------------------------- huffman
 
-def _huff_decode_lut(bits: list[int], vals: list[int]) -> dict:
-    """Canonical Huffman: (length, code) -> symbol."""
-    lut, code, k = {}, 0, 0
+class _HuffTable:
+    """Flat 16-bit-window decode LUT (libjpeg's fast-path shape): for a
+    window w of the next 16 bits, ``sym[w]``/``length[w]`` give the
+    decoded symbol and its code length (0 = invalid code). Python lists,
+    not numpy arrays — scalar indexing is the hot path and list access
+    is ~3x cheaper than numpy scalar extraction."""
+
+    __slots__ = ("sym", "length")
+
+    def __init__(self, sym: list[int], length: list[int]) -> None:
+        self.sym = sym
+        self.length = length
+
+
+_HUFF_MEMO: dict[tuple[bytes, bytes], _HuffTable] = {}
+
+
+def _huff_decode_lut(bits: list[int], vals: list[int]) -> _HuffTable:
+    """Canonical Huffman -> 16-bit-window LUT. Memoized on the DHT
+    payload: building 65536 entries costs ~1 ms, and a corpus decoded in
+    one Arrow batch typically repeats a handful of tables."""
+    key = (bytes(bits), bytes(vals))
+    t = _HUFF_MEMO.get(key)
+    if t is not None:
+        return t
+    sym = np.zeros(1 << 16, np.int32)
+    ln = np.zeros(1 << 16, np.int32)
+    code, k = 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            lut[(length, code)] = vals[k]
+            if code >= (1 << length):
+                # canonical overflow: more codes than the length can hold
+                raise ValueError("invalid DHT: canonical code overflow")
+            lo = code << (16 - length)
+            sym[lo:lo + (1 << (16 - length))] = vals[k]
+            ln[lo:lo + (1 << (16 - length))] = length
             k += 1
             code += 1
         code <<= 1
-    return lut
+    t = _HuffTable(sym.tolist(), ln.tolist())
+    if len(_HUFF_MEMO) < 256:  # bounded: adversarial streams can't bloat it
+        _HUFF_MEMO[key] = t
+    return t
 
 
 def _huff_encode_lut(bits: list[int], vals: list[int]) -> dict:
@@ -109,92 +142,84 @@ def _huff_encode_lut(bits: list[int], vals: list[int]) -> dict:
     return lut
 
 
-class _BitReader:
-    """MSB-first bit reader over entropy-coded data with 0xFF00
-    byte-stuffing removal. Stops (pads zeros) at any non-RST marker;
-    restart markers are consumed explicitly via expect_rst()."""
+class _FastBits:
+    """MSB-first bit cursor over DESTUFFED entropy data. Past the end it
+    supplies zeros forever — T.81 decoders treat the terminating marker
+    as an endless zero tail, and block counts bound consumption."""
 
-    def __init__(self, buf: bytes, pos: int) -> None:
-        self.buf = buf
-        self.pos = pos
+    __slots__ = ("data", "i", "acc", "n")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.i = 0
         self.acc = 0
         self.n = 0
-        self.hit_marker = False
 
-    def _fill(self) -> None:
-        if self.hit_marker or self.pos >= len(self.buf):
-            self.acc = (self.acc << 8)
-            self.n += 8
-            self.hit_marker = True
-            return
-        b = self.buf[self.pos]
-        if b == 0xFF:
-            nxt = self.buf[self.pos + 1] if self.pos + 1 < len(self.buf) else 0xD9
-            if nxt == 0x00:
-                self.pos += 2  # stuffed literal 0xFF
+    def _ensure(self, k: int) -> None:
+        # drop consumed high bits so acc stays a small int
+        acc, n = self.acc & ((1 << self.n) - 1), self.n
+        while n < k:
+            chunk = self.data[self.i:self.i + 8]
+            if chunk:
+                acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+                n += 8 * len(chunk)
+                self.i += len(chunk)
             else:
-                # a real marker: scan data ends here; pad with zeros
-                self.hit_marker = True
-                self.acc = self.acc << 8
-                self.n += 8
-                return
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.n += 8
+                acc <<= 16
+                n += 16
+        self.acc, self.n = acc, n
 
-    def read_bit(self) -> int:
-        if self.n == 0:
-            self._fill()
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+    def peek16(self) -> int:
+        if self.n < 16:
+            self._ensure(16)
+        return (self.acc >> (self.n - 16)) & 0xFFFF
 
-    def read_bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.read_bit()
-        return v
+    def skip(self, k: int) -> None:
+        self.n -= k
 
-    def expect_rst(self, i: int) -> None:
-        """Byte-align and consume the RSTi marker ending an interval."""
-        self.acc, self.n = 0, 0
-        self.hit_marker = False
-        while self.pos + 1 < len(self.buf):
-            if self.buf[self.pos] == 0xFF:
-                m = self.buf[self.pos + 1]
-                if m == 0x00:
-                    self.pos += 2  # stuffed data byte left before align
-                    continue
-                if 0xD0 <= m <= 0xD7:
-                    if m != 0xD0 + (i % 8):
-                        raise ValueError(
-                            f"restart marker out of order: got {m:#x}, "
-                            f"expected {0xD0 + (i % 8):#x}"
-                        )
-                    self.pos += 2
-                    return
-                raise ValueError(f"expected RST marker, found {m:#x}")
-            self.pos += 1
-        raise ValueError("scan ended while expecting a restart marker")
+    def get(self, k: int) -> int:
+        if self.n < k:
+            self._ensure(k)
+        self.n -= k
+        return (self.acc >> self.n) & ((1 << k) - 1)
 
 
-def _decode_symbol(r: _BitReader, lut: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | r.read_bit()
-        v = lut.get((length, code))
-        if v is not None:
-            return v
-    raise ValueError("invalid Huffman code in scan data")
+def _destuff(seg: bytes) -> bytes:
+    """Remove 0xFF00 byte-stuffing. Left-to-right non-overlapping
+    replace is exactly the stuffing rule: every 0xFF DATA byte is
+    followed by one 0x00 escape (so FF 00 00 -> data FF, 00 and
+    FF 00 FF 00 -> data FF, FF)."""
+    if b"\xff" not in seg:
+        return seg
+    return seg.replace(b"\xff\x00", b"\xff")
 
 
-def _receive_extend(r: _BitReader, s: int) -> int:
-    if s == 0:
-        return 0
-    v = r.read_bits(s)
-    if v < (1 << (s - 1)):
-        v -= (1 << s) - 1
-    return v
+def _segment_scan(
+    buf: bytes, pos: int
+) -> tuple[list[bytes], list[int], int]:
+    """Split the entropy-coded data starting at ``pos`` into destuffed
+    per-restart-interval segments. Returns (segments, rst_ids, end_pos)
+    where ``rst_ids`` are the RSTn indices BETWEEN segments (validated
+    lazily at each consumed boundary, like a streaming decoder) and
+    ``end_pos`` is the offset of the terminating non-RST marker."""
+    a = np.frombuffer(buf, np.uint8)
+    segments: list[bytes] = []
+    rst_ids: list[int] = []
+    seg_start = pos
+    # all candidate marker prefixes in one vector pass
+    for j in (np.flatnonzero(a[pos:len(buf) - 1] == 0xFF) + pos).tolist():
+        if j < seg_start:
+            continue  # 0xFF inside an already-consumed RST pair
+        m = buf[j + 1]
+        if m == 0x00:
+            continue  # stuffing escape: data byte
+        segments.append(_destuff(buf[seg_start:j]))
+        if 0xD0 <= m <= 0xD7:
+            rst_ids.append(m - 0xD0)
+            seg_start = j + 2
+            continue
+        return segments, rst_ids, j
+    raise ValueError("truncated JPEG (no marker after scan data)")
 
 
 # --------------------------------------------------------------- decode
@@ -387,46 +412,80 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
-def _next_marker_pos(buf: bytes, pos: int) -> int:
-    """First byte offset at/after ``pos`` holding a real marker (0xFF
-    followed by anything but the 0x00 stuffing escape)."""
-    while pos + 1 < len(buf):
-        if buf[pos] == 0xFF:
-            if buf[pos + 1] == 0x00:
-                pos += 2
-                continue
-            return pos
-        pos += 1
-    raise ValueError("truncated JPEG (no marker after scan data)")
+def _decode_block(bits: _FastBits, dc: _HuffTable, ac: _HuffTable,
+                  pred: int, row: np.ndarray) -> int:
+    """Entropy-decode one 8x8 data unit into ``row`` (a zero (64,) int32
+    view in zigzag order); returns the new DC prediction.
 
-
-def _decode_block(r, dc_lut, ac_lut, pred: int) -> tuple[np.ndarray, int]:
-    """Entropy-decode one 8x8 data unit -> (zigzag coefficients, new DC
-    prediction)."""
-    zz = np.zeros(64, dtype=np.int64)
-    s = _decode_symbol(r, dc_lut)
+    Symbol decode is one 16-bit-window LUT probe (libjpeg's fast path)
+    instead of a per-bit tree walk; RECEIVE+EXTEND reads all magnitude
+    bits at once."""
+    w = bits.peek16()
+    length = dc.length[w]
+    if length == 0:
+        raise ValueError("invalid Huffman code in scan data")
+    bits.skip(length)
+    s = dc.sym[w]
     if s > 15:
         # baseline DC categories are 0..11; a corrupt DHT can map a
-        # code to any byte, and read_bits(255) would build an arbitrary-
-        # precision int that overflows the int64 coefficient store
+        # code to any byte and a 200-bit magnitude read would build an
+        # arbitrary-precision int
         raise ValueError(f"invalid DC category {s} in scan data")
-    pred += _receive_extend(r, s)
-    zz[0] = pred
+    if s:
+        v = bits.get(s)
+        if v < (1 << (s - 1)):
+            v -= (1 << s) - 1
+        pred += v
+        # a malformed stream can walk the prediction out of int32 (the
+        # coefficient store); a conforming one cannot get anywhere near
+        if pred > 0x3FFFFFFF or pred < -0x3FFFFFFF:
+            raise ValueError("DC prediction out of range")
+    row[0] = pred
     k = 1
     while k < 64:
-        rs = _decode_symbol(r, ac_lut)
-        run, size = rs >> 4, rs & 15
+        w = bits.peek16()
+        length = ac.length[w]
+        if length == 0:
+            raise ValueError("invalid Huffman code in scan data")
+        bits.skip(length)
+        rs = ac.sym[w]
+        size = rs & 15
         if size == 0:
-            if run == 15:
+            if rs == 0xF0:  # ZRL
                 k += 16
                 continue
             break  # EOB
-        k += run
+        k += rs >> 4
         if k > 63:
             raise ValueError("AC coefficient overrun")
-        zz[k] = _receive_extend(r, size)
+        v = bits.get(size)
+        if v < (1 << (size - 1)):
+            v -= (1 << size) - 1
+        row[k] = v
         k += 1
-    return zz, pred
+    return pred
+
+
+# IDCT batch size: bounds float64 temporaries to ~17 MB per slab so an
+# adversarial MAX_PIXELS frame can't triple the per-payload footprint
+_IDCT_CHUNK = 1 << 15
+
+
+def _idct_scatter(plane: np.ndarray, coeffs: np.ndarray, q: np.ndarray,
+                  by: np.ndarray, bx: np.ndarray) -> None:
+    """Dequantize + inverse-DCT a whole component's blocks as batched
+    matmuls and scatter them into the plane's (bh, 8, bw, 8) view —
+    one BLAS call per slab instead of one 8x8 matmul per block."""
+    at = _A.T
+    ph, pw = plane.shape
+    view = plane.reshape(ph // 8, 8, pw // 8, 8)
+    qf = q.astype(np.float64)
+    for s0 in range(0, coeffs.shape[0], _IDCT_CHUNK):
+        sl = slice(s0, min(s0 + _IDCT_CHUNK, coeffs.shape[0]))
+        dq = coeffs[sl].astype(np.float64) * qf[None, :]
+        blk = np.zeros((dq.shape[0], 8, 8))
+        blk[:, _ZZ_ROWS, _ZZ_COLS] = dq
+        view[by[sl], :, bx[sl], :] = at @ blk @ _A + 128.0
 
 
 def _decode_scan(buf, pos, frame, scan_sel, qtables, hufftabs,
@@ -439,13 +498,16 @@ def _decode_scan(buf, pos, frame, scan_sel, qtables, hufftabs,
     a single component -> non-interleaved, MCU = ONE data unit walking
     the component's OWN block grid (T.81 A.2.2) — its sampling factors
     size its grid but do NOT multiply blocks per MCU.
-    """
+
+    Two passes: a sequential entropy pass (inherently serial — every
+    Huffman code's position depends on the previous one) filling one
+    (nblocks, 64) coefficient array per scan component, then a batched
+    dequant+IDCT+scatter per component (_idct_scatter)."""
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    at = _A.T
     luts = []
     for ci, cid, hs, vs, tq, dc_id, ac_id in scan_sel:
         dc_lut = hufftabs.get((0, dc_id))
@@ -456,47 +518,78 @@ def _decode_scan(buf, pos, frame, scan_sel, qtables, hufftabs,
             raise ValueError("scan references an undefined DQT table")
         luts.append((dc_lut, ac_lut, qtables[tq]))
 
-    r = _BitReader(buf, pos)
-    preds = [0] * len(scan_sel)
+    segments, rst_ids, end_pos = _segment_scan(buf, pos)
+    seg_i = 0
+    bits = _FastBits(segments[0] if segments else b"")
     n_rst = 0
+    nsel = len(scan_sel)
+    preds = [0] * nsel
 
-    def _place(si: int, by: int, bx: int) -> None:
-        ci, cid, hs, vs, tq, _, _ = scan_sel[si]
-        dc_lut, ac_lut, q = luts[si]
-        zz, preds[si] = _decode_block(r, dc_lut, ac_lut, preds[si])
-        coef = np.zeros((8, 8))
-        coef[_ZZ_ROWS, _ZZ_COLS] = zz * q
-        planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
-            at @ coef @ _A + 128.0
-        )
+    def _restart() -> None:
+        """Advance to the next restart segment (validates the RSTn id
+        lazily, like a streaming decoder: junk after the point where
+        decoding completes must not raise)."""
+        nonlocal seg_i, bits
+        if seg_i + 1 >= len(segments):
+            raise ValueError("scan ended while expecting a restart marker")
+        got = rst_ids[seg_i]
+        exp = n_rst % 8
+        if got != exp:
+            raise ValueError(
+                f"restart marker out of order: got {0xD0 + got:#x}, "
+                f"expected {0xD0 + exp:#x}"
+            )
+        seg_i += 1
+        bits = _FastBits(segments[seg_i])
 
-    if len(scan_sel) > 1:
-        for m in range(mcux * mcuy):
+    if nsel > 1:
+        nm = mcux * mcuy
+        per = [hs * vs for _, _, hs, vs, _, _, _ in scan_sel]
+        coeffs = [np.zeros((nm * p, 64), np.int32) for p in per]
+        idx = [0] * nsel
+        for m in range(nm):
             if restart_interval and m and m % restart_interval == 0:
-                r.expect_rst(n_rst)
+                _restart()
                 n_rst += 1
-                preds = [0] * len(scan_sel)
-            my, mx = divmod(m, mcux)
-            for si, (ci, cid, hs, vs, tq, _, _) in enumerate(scan_sel):
-                for v in range(vs):
-                    for hh in range(hs):
-                        _place(si, my * vs + v, mx * hs + hh)
+                preds = [0] * nsel
+            for si in range(nsel):
+                dc, ac, _q = luts[si]
+                co = coeffs[si]
+                p = preds[si]
+                b0 = idx[si]
+                for b in range(b0, b0 + per[si]):
+                    p = _decode_block(bits, dc, ac, p, co[b])
+                idx[si] = b0 + per[si]
+                preds[si] = p
+        # block positions in stream order: per MCU, vs rows x hs cols
+        marange = np.arange(nm)
+        for si, (ci, cid, hs, vs, tq, _, _) in enumerate(scan_sel):
+            m_rep = np.repeat(marange, hs * vs)
+            v_idx = np.tile(np.repeat(np.arange(vs), hs), nm)
+            h_idx = np.tile(np.arange(hs), vs * nm)
+            by = (m_rep // mcux) * vs + v_idx
+            bx = (m_rep % mcux) * hs + h_idx
+            _idct_scatter(planes[ci], coeffs[si], luts[si][2], by, bx)
     else:
         (ci, cid, hs, vs, tq, _, _) = scan_sel[0]
+        dc, ac, q = luts[0]
         # the component's own dimensions (T.81 A.1.1) and block grid
         cw = -(-w * hs // hmax)
         ch = -(-h * vs // vmax)
         bw = -(-cw // 8)
         bh = -(-ch // 8)
+        co = np.zeros((bw * bh, 64), np.int32)
+        p = 0
         for m in range(bw * bh):
             if restart_interval and m and m % restart_interval == 0:
-                r.expect_rst(n_rst)
+                _restart()
                 n_rst += 1
-                preds = [0] * len(scan_sel)
-            by, bx = divmod(m, bw)
-            _place(0, by, bx)
+                p = 0
+            p = _decode_block(bits, dc, ac, p, co[m])
+        m_all = np.arange(bw * bh)
+        _idct_scatter(planes[ci], co, q, m_all // bw, m_all % bw)
 
-    return _next_marker_pos(buf, r.pos)
+    return end_pos
 
 
 # --------------------------------------------------------------- encode
@@ -552,6 +645,128 @@ def _quant_table(quality: int) -> np.ndarray:
 
 def _category(v: int) -> int:
     return int(v).bit_length() if v != 0 else 0
+
+
+# ---- vectorized entropy encode: the scalar primitives above (_BitWriter,
+# _encode_block) remain as the readable reference implementation — tests
+# pin byte-equality between the two, and the multiscan fixture builds on
+# them — while encode_jpeg itself uses the batched pipeline below.
+
+def _huff_encode_arrays(bits: list[int],
+                        vals: list[int]) -> tuple[np.ndarray, np.ndarray]:
+    """symbol -> (code, length) as flat arrays for vectorized gather."""
+    code_arr = np.zeros(256, np.int64)
+    len_arr = np.zeros(256, np.int64)
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            code_arr[vals[k]] = code
+            len_arr[vals[k]] = length
+            k += 1
+            code += 1
+        code <<= 1
+    return code_arr, len_arr
+
+
+def _bitlen(a: np.ndarray) -> np.ndarray:
+    """Element-wise bit length of non-negative ints (exact below 2^52:
+    frexp's exponent IS the bit length for positive integers)."""
+    return np.frexp(a.astype(np.float64))[1].astype(np.int64)
+
+
+def _pack_bits(values: np.ndarray, lengths: np.ndarray) -> bytes:
+    """MSB-first concatenation of variable-length codes (int64 value,
+    length <= 31 bits), final partial byte padded with 1-bits per T.81
+    F.1.2.3. Each code is shifted into a 5-byte window at its bit offset
+    and OR-scattered — one ufunc pass per window byte instead of a
+    Python loop per symbol."""
+    if len(values) == 0:
+        return b""
+    offs = np.cumsum(lengths) - lengths
+    total = int(offs[-1] + lengths[-1])
+    nbytes = (total + 7) // 8
+    out = np.zeros(nbytes + 5, np.uint8)
+    win = values << (40 - (offs & 7) - lengths)
+    base = offs >> 3
+    for b in range(5):
+        np.bitwise_or.at(out, base + b,
+                         ((win >> (8 * (4 - b))) & 0xFF).astype(np.uint8))
+    if total & 7:
+        out[nbytes - 1] |= (1 << (8 - (total & 7))) - 1
+    return out[:nbytes].tobytes()
+
+
+def _stuff(b: bytes) -> bytes:
+    """Insert the 0x00 escape after every 0xFF data byte."""
+    if b"\xff" not in b:
+        return b
+    a = np.frombuffer(b, np.uint8)
+    return np.insert(a, np.flatnonzero(a == 0xFF) + 1, 0).tobytes()
+
+
+def _entropy_records(
+    zz: np.ndarray, ranks: np.ndarray, per: int, restart_interval: int,
+    dc_codes: np.ndarray, dc_lens: np.ndarray,
+    ac_codes: np.ndarray, ac_lens: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Huffman-code one component's stream-ordered blocks (nb, 64) into
+    (sort_keys, code_values, code_lengths) record arrays.
+
+    Key layout puts records in T.81 stream order when sorted:
+    rank*256 + {0 for DC, zigzag_k*4 + t for the ZRLs (t<3) and the
+    coefficient itself (t=3), 255 for EOB} — EOB can't collide with a
+    coefficient at k=63 because EOB is only emitted when zz[63]==0.
+    Each record value packs huffcode<<maglen | magnitude (<= 27 bits)."""
+    nb = zz.shape[0]
+    dc = zz[:, 0].astype(np.int64)
+    prev = np.concatenate(([0], dc[:-1]))
+    if restart_interval:
+        # DC prediction resets at each restart interval boundary
+        prev[np.arange(nb) % (restart_interval * per) == 0] = 0
+    d = dc - prev
+    s = _bitlen(np.abs(d))
+    mv = np.where(d >= 0, d, d + (1 << s) - 1)
+    dc_v = (dc_codes[s] << s) | mv
+    dc_l = dc_lens[s] + s
+    dc_k = ranks * 256
+
+    acs = zz[:, 1:]
+    bj, kj = np.nonzero(acs)
+    kk = kj + 1  # zigzag index 1..63
+    val = acs[bj, kj].astype(np.int64)
+    same = np.zeros(len(bj), bool)
+    same[1:] = bj[1:] == bj[:-1]
+    pk = np.where(same, np.concatenate(([0], kk[:-1])), 0)
+    run = kk - pk - 1  # zeros since the previous nonzero (or block start)
+    zrl = run >> 4
+    rem = run & 15
+    sa = _bitlen(np.abs(val))
+    if sa.size and int(sa.max()) > 10:
+        raise ValueError("AC coefficient out of baseline range")
+    mva = np.where(val >= 0, val, val + (1 << sa) - 1)
+    sym = (rem << 4) | sa
+    ac_v = (ac_codes[sym] << sa) | mva
+    ac_l = ac_lens[sym] + sa
+    ac_k = ranks[bj] * 256 + kk * 4 + 3
+
+    tot = int(zrl.sum())
+    if tot:
+        src = np.repeat(np.arange(len(zrl)), zrl)
+        t = np.arange(tot) - np.repeat(np.cumsum(zrl) - zrl, zrl)
+        zr_k = ranks[bj[src]] * 256 + kk[src] * 4 + t
+        zr_v = np.full(tot, ac_codes[0xF0])
+        zr_l = np.full(tot, ac_lens[0xF0])
+    else:
+        zr_k = zr_v = zr_l = np.zeros(0, np.int64)
+
+    eb = np.flatnonzero(zz[:, 63] == 0)  # trailing zeros exist -> EOB
+    eo_k = ranks[eb] * 256 + 255
+    eo_v = np.full(len(eb), ac_codes[0x00])
+    eo_l = np.full(len(eb), ac_lens[0x00])
+
+    return (np.concatenate([dc_k, ac_k, zr_k, eo_k]),
+            np.concatenate([dc_v, ac_v, zr_v, eo_v]),
+            np.concatenate([dc_l, ac_l, zr_l, eo_l]))
 
 
 def encode_jpeg(arr: np.ndarray, quality: int = 90,
@@ -634,28 +849,57 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
-    bw = _BitWriter()
-    preds = [0] * nc
-    n_rst = 0
-    for m in range(mcux * mcuy):
-        if restart_interval and m and m % restart_interval == 0:
-            bw.flush()
-            bw.out += bytes([0xFF, 0xD0 + (n_rst % 8)])
-            n_rst += 1
-            preds = [0] * nc
-        my, mx = divmod(m, mcux)
-        for ci, ((hs, vs), plane) in enumerate(zip(samps, planes)):
-            for v in range(vs):
-                for hh in range(hs):
-                    y0 = (my * vs + v) * 8
-                    x0 = (mx * hs + hh) * 8
-                    block = _padded_block(plane, y0, x0) - 128.0
-                    coef = _A @ block @ _A.T
-                    zz = np.round(coef[_ZZ_ROWS, _ZZ_COLS] / qzz
-                                  ).astype(np.int64)
-                    _encode_block(bw, zz, preds, ci, dc_enc, ac_enc)
-    bw.flush()
-    out += bw.out
+    # vectorized entropy stage: per component, batch-DCT every block,
+    # gather into T.81 stream order, emit (key, code, length) record
+    # arrays, then one global sort + bit-pack. Byte-identical to the
+    # scalar reference loop (_encode_block/_BitWriter, pinned by test)
+    # at ~50x the throughput — this is the per-payload kernel behind the
+    # Arrow-batched multimodal UDFs.
+    del dc_enc, ac_enc  # scalar LUTs kept above only for the reference path
+    per = [hs * vs for hs, vs in samps]
+    seq = sum(per)  # blocks per MCU across the scan
+    nm = mcux * mcuy
+    dc_codes, dc_lens = _huff_encode_arrays(dc_bits, dc_vals)
+    ac_codes, ac_lens = _huff_encode_arrays(ac_bits, ac_vals)
+    all_k, all_v, all_l = [], [], []
+    off = 0
+    for ci, ((hs, vs), plane) in enumerate(zip(samps, planes)):
+        gh, gw = mcuy * vs, mcux * hs  # component block grid
+        p = np.pad(plane, ((0, gh * 8 - plane.shape[0]),
+                           (0, gw * 8 - plane.shape[1])), mode="edge")
+        blocks = p.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3).reshape(
+            -1, 8, 8) - 128.0
+        coef = _A @ blocks @ _A.T
+        zz = np.round(coef[:, _ZZ_ROWS, _ZZ_COLS] / qzz).astype(np.int32)
+        # row-major grid -> stream order (per MCU: vs rows x hs cols)
+        m = np.repeat(np.arange(nm), per[ci])
+        v = np.tile(np.repeat(np.arange(vs), hs), nm)
+        hh = np.tile(np.arange(hs), vs * nm)
+        zz = zz[((m // mcux) * vs + v) * gw + (m % mcux) * hs + hh]
+        ranks = m * seq + off + np.tile(np.arange(per[ci]), nm)
+        k_, v_, l_ = _entropy_records(
+            zz, ranks, per[ci], restart_interval,
+            dc_codes, dc_lens, ac_codes, ac_lens,
+        )
+        all_k.append(k_)
+        all_v.append(v_)
+        all_l.append(l_)
+        off += per[ci]
+    keys = np.concatenate(all_k)
+    values = np.concatenate(all_v)
+    lengths = np.concatenate(all_l)
+    order = np.argsort(keys, kind="stable")
+    values, lengths = values[order], lengths[order]
+    if restart_interval:
+        # each interval is byte-aligned (1-padded) and separated by RSTn
+        iv = (keys[order] >> 8) // seq // restart_interval
+        for i in range(-(-nm // restart_interval)):
+            if i:
+                out += bytes([0xFF, 0xD0 + ((i - 1) % 8)])
+            lo, hi = np.searchsorted(iv, [i, i + 1])
+            out += _stuff(_pack_bits(values[lo:hi], lengths[lo:hi]))
+    else:
+        out += _stuff(_pack_bits(values, lengths))
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 

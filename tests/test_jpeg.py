@@ -287,6 +287,128 @@ def _encode_multiscan_rgb(arr: np.ndarray, quality: int) -> bytes:
     return bytes(out)
 
 
+def _encode_scalar_reference(arr: np.ndarray, quality: int,
+                             subsample: bool = False,
+                             restart_interval: int = 0) -> bytes:
+    """The pre-vectorization per-MCU/_BitWriter encode loop, kept as a
+    byte-level oracle: encode_jpeg's batched record pipeline must emit
+    the IDENTICAL stream (same tables, same headers, same entropy
+    bits)."""
+    import struct
+
+    from fourmc_spark.operators.jpeg import (
+        _ZZ_COLS,
+        _ZZ_ROWS,
+        _BitWriter,
+        _box2,
+        _encode_block,
+        _fixed_length_table,
+        _huff_encode_lut,
+        _padded_block,
+        _quant_table,
+    )
+
+    a = np.asarray(arr)
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    q = _quant_table(quality)
+    qzz = q[_ZZ_ROWS, _ZZ_COLS]
+    if gray:
+        planes = [a.astype(np.float64)]
+        samps = [(1, 1)]
+    else:
+        rgb = a.astype(np.float64)
+        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        cb = (128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1]
+              + 0.5 * rgb[:, :, 2])
+        cr = (128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1]
+              - 0.081312 * rgb[:, :, 2])
+        if subsample:
+            cb, cr = _box2(cb), _box2(cr)
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samps = [(1, 1)] * 3
+        planes = [y, cb, cr]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    dc_bits, dc_vals = _fixed_length_table(list(range(12)))
+    ac_bits, ac_vals = _fixed_length_table(
+        [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    )
+    dc_enc = _huff_encode_lut(dc_bits, dc_vals)
+    ac_enc = _huff_encode_lut(ac_bits, ac_vals)
+
+    out = bytearray(b"\xff\xd8")
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" \
+        + bytes(int(v) for v in qzz)
+    nc = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for i, (hs, vs) in enumerate(samps):
+        sof += bytes([i + 1, (hs << 4) | vs, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, (bits, vals) in ((0, (dc_bits, dc_vals)),
+                             (1, (ac_bits, ac_vals))):
+        body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    bw = _BitWriter()
+    preds = [0] * nc
+    n_rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + (n_rst % 8)])
+            n_rst += 1
+            preds = [0] * nc
+        my, mx = divmod(m, mcux)
+        for ci, ((hs, vs), plane) in enumerate(zip(samps, planes)):
+            for v in range(vs):
+                for hh in range(hs):
+                    block = _padded_block(
+                        plane, (my * vs + v) * 8, (mx * hs + hh) * 8
+                    ) - 128.0
+                    coef = _A @ block @ _A.T
+                    zz = np.round(coef[_ZZ_ROWS, _ZZ_COLS] / qzz
+                                  ).astype(np.int64)
+                    _encode_block(bw, zz, preds, ci, dc_enc, ac_enc)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("shape,subsample,ri,quality", [
+    ((16, 16), False, 0, 90),
+    ((17, 23, 3), False, 0, 100),   # partial edge blocks, dense coeffs
+    ((32, 24, 3), True, 0, 80),     # 4:2:0 interleaved MCUs
+    ((21, 30, 3), True, 3, 60),     # subsampled + restart intervals
+    ((16, 16), False, 1, 35),       # restart every MCU, gray
+])
+def test_vectorized_encoder_byte_identical_to_scalar_reference(
+        shape, subsample, ri, quality):
+    rng = np.random.default_rng(hash(shape) % 2**32)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    got = encode_jpeg(img, quality=quality, subsample=subsample,
+                      restart_interval=ri)
+    want = _encode_scalar_reference(img, quality=quality,
+                                    subsample=subsample,
+                                    restart_interval=ri)
+    assert got == want
+
+
 def test_multiscan_baseline_decodes_like_interleaved():
     # Three sequential single-component scans carry exactly the same
     # coefficients as the interleaved encoding — the decoder must
