@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -336,31 +337,54 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 15) -> DataFrame:
         else:
             start_us = last_us = -1
             n = 0
-        out_rows: list[tuple[int, int, int]] = []
-        ts_us_all: list[int] = []
-        for pdf in pdf_iter:
-            ts_us_all.extend(
-                int(t.value // 1000) for t in pd.to_datetime(pdf["ts"])
-            )
-        for t in sorted(ts_us_all):
-            if start_us < 0:
-                start_us, last_us, n = t, t, 1
-            elif t - last_us > gap_us:
-                out_rows.append((start_us, last_us, n))
-                start_us, last_us, n = t, t, 1
-            else:
-                last_us, n = t, n + 1
+        # numpy segment math instead of a per-event Python loop: sort the
+        # batch's event times once, cut where the gap exceeds gap_us, and
+        # merge the first segment with the carried-open session when its
+        # first event lands within the gap (same emission rule as the
+        # scalar loop this replaced: session start stays the carried
+        # start, the end is the segment's max NEW event time)
+        parts = [
+            pdf["ts"].values.astype("datetime64[us]").astype(np.int64)
+            for pdf in pdf_iter
+        ]
+        ts = (np.sort(np.concatenate(parts))
+              if parts else np.zeros(0, np.int64))
+        out_s: np.ndarray = np.zeros(0, np.int64)
+        out_e: np.ndarray = np.zeros(0, np.int64)
+        out_n: np.ndarray = np.zeros(0, np.int64)
+        if ts.size:
+            cut = np.flatnonzero(np.diff(ts) > gap_us) + 1
+            seg_lo = np.concatenate(([0], cut))
+            seg_hi = np.concatenate((cut, [ts.size]))
+            seg_start = ts[seg_lo]
+            seg_last = ts[seg_hi - 1]
+            seg_n = seg_hi - seg_lo
+            carried_closed = False
+            if start_us >= 0:
+                if ts[0] - last_us <= gap_us:
+                    seg_start[0] = start_us
+                    seg_n[0] += n
+                else:
+                    carried_closed = True
+            out_s, out_e, out_n = seg_start[:-1], seg_last[:-1], seg_n[:-1]
+            if carried_closed:
+                out_s = np.concatenate(([start_us], out_s))
+                out_e = np.concatenate(([last_us], out_e))
+                out_n = np.concatenate(([n], out_n))
+            start_us = int(seg_start[-1])
+            last_us = int(seg_last[-1])
+            n = int(seg_n[-1])
         state.update((start_us, last_us, n))
         # close the open session if the group goes quiet past the gap
         wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(max(last_us // 1000 + gap_minutes * 60_000, wm + 1))
-        if out_rows:
+        if out_s.size:
             yield pd.DataFrame(
                 {
-                    "user_id": [user_id] * len(out_rows),
-                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in out_rows],
-                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in out_rows],
-                    "n_events": [c for _, _, c in out_rows],
+                    "user_id": [user_id] * len(out_s),
+                    "session_start": out_s.astype("datetime64[us]"),
+                    "session_end": out_e.astype("datetime64[us]"),
+                    "n_events": out_n,
                 }
             )
 
