@@ -200,6 +200,55 @@ def sniff_format(data: bytes) -> str:
     return "unknown"
 
 
+# Lazily-probed external JPEG backend (Pillow/libjpeg). None = not yet
+# probed, False = unavailable/disabled, else the PIL.Image module.
+# Cluster images usually ship Pillow; this container does not, so the
+# pure-numpy path is what tests exercise by default and a fake-module
+# test covers the dispatch itself.
+_EXTERNAL_JPEG = None
+
+
+def _pil_image_module():
+    global _EXTERNAL_JPEG
+    if _EXTERNAL_JPEG is None:
+        import os
+
+        if os.environ.get("FOURMC_PURE_DECODE"):
+            _EXTERNAL_JPEG = False  # explicit kill-switch: always pure numpy
+        else:
+            try:
+                from PIL import Image
+
+                _EXTERNAL_JPEG = Image
+            except Exception:
+                _EXTERNAL_JPEG = False
+    return _EXTERNAL_JPEG
+
+
+def _decode_jpeg_external(data: bytes) -> np.ndarray | None:
+    """Decode via libjpeg (Pillow) when importable; None -> caller falls
+    back to the pure-numpy decoder. Only L/RGB outputs are taken (the
+    modes whose channel semantics match operators/jpeg exactly); any
+    failure falls back rather than raising a foreign exception type.
+    With Pillow present this also decodes progressive streams the pure
+    baseline decoder rejects — a capability gain on real clusters, while
+    the oracle queries stay backend-independent (their constant/q100
+    construction is exact under ANY conforming decoder)."""
+    image_mod = _pil_image_module()
+    if not image_mod:
+        return None
+    import io
+
+    try:
+        with image_mod.open(io.BytesIO(data)) as im:
+            if im.mode not in ("L", "RGB"):
+                return None
+            arr = np.asarray(im, dtype=np.uint8)
+        return arr if arr.ndim == 3 else arr[:, :, None]
+    except Exception:
+        return None
+
+
 def decode_image(data: bytes) -> np.ndarray:
     """Sniff + decode any supported payload -> uint8 (h, w, channels)."""
     fmt = sniff_format(data)
@@ -208,6 +257,9 @@ def decode_image(data: bytes) -> np.ndarray:
     if fmt == "bmp":
         return decode_bmp(data)
     if fmt == "jpeg":
+        ext = _decode_jpeg_external(data)
+        if ext is not None:
+            return ext
         # pure-numpy baseline decoder (operators/jpeg.py); progressive
         # and arithmetic streams still raise UnsupportedImageError
         from fourmc_spark.operators.jpeg import decode_jpeg
