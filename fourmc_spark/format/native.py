@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import ctypes
 import ctypes.util
+import os
 import threading
 
 __all__ = [
@@ -401,6 +402,20 @@ if _zstd is not None and hasattr(_zstd, "ZSTD_createDStream"):
         ctypes.POINTER(_ZstdBuffer),
         ctypes.POINTER(_ZstdBuffer),
     ]
+    _HAS_DCTX_PARAM = hasattr(_zstd, "ZSTD_DCtx_setParameter")
+    if _HAS_DCTX_PARAM:
+        _zstd.ZSTD_DCtx_setParameter.restype = ctypes.c_size_t
+        _zstd.ZSTD_DCtx_setParameter.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ]
+    _ZSTD_D_WINDOWLOGMAX = 100  # enum ZSTD_d_windowLogMax (zstd.h)
+    # Frames from `zstd --long=N` piped input declare the FULL long-mode
+    # window (content size unknown), and libzstd's default decode limit
+    # (2^27) rejects them as if corrupt — the stock CLI needs an explicit
+    # --long on decode too. A cluster reader shouldn't: accept up to
+    # 2^30 (1 GiB window, an executor-sized bound against tiny frames
+    # demanding huge windows) by default, env-overridable.
+    _WINDOW_LOG_MAX = int(os.environ.get("FOURMC_ZSTD_WINDOW_LOG_MAX", 30))
 
     def zstd_stream_decompress_chunks(chunks) -> "Iterator[bytes]":
         """Decode an iterable of compressed byte chunks into decompressed
@@ -408,6 +423,10 @@ if _zstd is not None and hasattr(_zstd, "ZSTD_createDStream"):
         ds = _zstd.ZSTD_createDStream()
         if not ds:
             raise MemoryError("ZSTD_createDStream failed")
+        if _HAS_DCTX_PARAM:
+            _zstd.ZSTD_DCtx_setParameter(
+                ds, _ZSTD_D_WINDOWLOGMAX, _WINDOW_LOG_MAX
+            )
         try:
             out_cap = 1 << 20
             out_raw = ctypes.create_string_buffer(out_cap)
@@ -426,7 +445,13 @@ if _zstd is not None and hasattr(_zstd, "ZSTD_createDStream"):
                         ds, ctypes.byref(outb), ctypes.byref(inb)
                     )
                     if _zstd.ZSTD_isError(rc):
-                        raise ValueError("corrupt .zst stream")
+                        detail = ""
+                        if hasattr(_zstd, "ZSTD_getErrorName"):
+                            _zstd.ZSTD_getErrorName.restype = ctypes.c_char_p
+                            detail = " (%s)" % _zstd.ZSTD_getErrorName(
+                                rc
+                            ).decode("ascii", "replace")
+                        raise ValueError(f"corrupt .zst stream{detail}")
                     if outb.pos:
                         yield out_raw.raw[: outb.pos]
         finally:
