@@ -551,6 +551,20 @@ def bench_stress(spark) -> dict[str, float]:
     out["stress_tokenize_pack_sec"] = round(time.perf_counter() - t0, 3)
     out["stress_sequences"] = float(nseq)
 
+    # image codec paths at X-times volume: map-only mapInPandas plans,
+    # so these should scale ~linearly with the corpus (and with cores
+    # once the input has >1 split) — a superlinear jump means a decode
+    # budget or per-batch overhead regression
+    from fourmc_spark.operators import multimodal
+
+    for key, op in (("stress_jpeg_roundtrip_sec",
+                     multimodal.jpeg_roundtrip_stats),
+                    ("stress_png_roundtrip_sec",
+                     multimodal.png_roundtrip_stats)):
+        t0 = time.perf_counter()
+        assert op(stress).count() == n
+        out[key] = round(time.perf_counter() - t0, 3)
+
     stress.unpersist()
     return out
 
