@@ -101,6 +101,9 @@ BENCH_QUERIES = [
     # headline even though they grow the total
     "multimodal_jpeg_roundtrip",
     "multimodal_png_roundtrip",
+    # round 6: interleaved 4:2:0 color twin (vectorized entropy stages
+    # landed this round, so the decode-heavy trio stays affordable)
+    "multimodal_jpeg_420_roundtrip",
     # round-2 curation/sketching additions
     "text_quality_classifier",
     "curation_c4_clean",

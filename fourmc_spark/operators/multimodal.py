@@ -28,6 +28,7 @@ __all__ = [
     "extract_audio_features",
     "extract_features",
     "extract_image_features",
+    "jpeg420_roundtrip_stats",
     "jpeg_roundtrip_stats",
     "png_roundtrip_stats",
     "resize_image_stats",
@@ -113,6 +114,59 @@ def jpeg_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 w, h, v = 5 + d % 13, 4 + d % 11, d % 256
                 img = np.full((h, w), v, dtype=np.uint8)
                 enc = encode_jpeg(img, quality=100)
+                dec = decode_jpeg(enc)
+                hs.append(dec.shape[0])
+                ws.append(dec.shape[1])
+                sums.append(int(dec.astype(np.int64).sum()))
+                oks.append(enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": np.asarray(ws, dtype=np.int64),
+                    "height": np.asarray(hs, dtype=np.int64),
+                    "pix_sum": np.asarray(sums, dtype=np.int64),
+                    "jpeg_bytes_ok": oks,
+                }
+            )
+
+    return df.select(id_col).mapInPandas(batches, schema=out_schema)
+
+
+def jpeg420_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL interleaved 4:2:0 color JPEG encode → decode per row.
+
+    Complements :func:`jpeg_roundtrip_stats` (gray, single-component
+    scan) by putting the SUBSAMPLED path — box-averaged chroma, 16x16
+    interleaved MCUs, per-component Huffman streams, chroma upsampling —
+    under the hash gate. Exactness argument for the constant-color
+    construction (``r = id % 256, g = id*7 % 256, b = id*13 % 256``):
+    a constant image is DC-only in every component; at quality 100 all
+    quant steps are 1 so each plane's reconstruction error is <= 1/16
+    (one rounding of 8*(level-128)); constant chroma survives box
+    average + replication upsample bit-exactly; the YCbCr->RGB inverse
+    amplifies the combined perturbation to < 0.5 of the original
+    INTEGER sample, so the final round restores it exactly. Hence
+    pix_sum = (r+g+b)*w*h in closed form. Dims 9..29 x 9..25 force
+    partial edge MCUs in both axes. Scale shape: map-only mapInPandas,
+    nothing shuffles.
+    """
+    from fourmc_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    out_schema = (
+        f"{id_col} long, width long, height long, pix_sum long, "
+        "jpeg_bytes_ok boolean"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws, hs, sums, oks = [], [], [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 9 + d % 21, 9 + d % 17
+                rgb = (d % 256, d * 7 % 256, d * 13 % 256)
+                img = np.empty((h, w, 3), dtype=np.uint8)
+                img[:, :] = rgb
+                enc = encode_jpeg(img, quality=100, subsample=True)
                 dec = decode_jpeg(enc)
                 hs.append(dec.shape[0])
                 ws.append(dec.shape[1])

@@ -1727,6 +1727,28 @@ def multimodal_jpeg_roundtrip_q(spark, sf):
     ).orderBy("doc_id")
 
 
+@query(
+    "multimodal_jpeg_420_roundtrip",
+    """SELECT doc_id,
+              CAST(9 + doc_id % 21 AS BIGINT) AS width,
+              CAST(9 + doc_id % 17 AS BIGINT) AS height,
+              CAST((doc_id % 256 + doc_id * 7 % 256 + doc_id * 13 % 256)
+                   * (9 + doc_id % 21) * (9 + doc_id % 17)
+                   AS BIGINT) AS pix_sum,
+              TRUE AS jpeg_bytes_ok
+       FROM documents ORDER BY doc_id""",
+)
+def multimodal_jpeg_420_roundtrip_q(spark, sf):
+    # interleaved 4:2:0 COLOR twin of multimodal_jpeg_roundtrip: puts
+    # box-averaged chroma, 16x16 interleaved MCUs, and the upsampling
+    # path under the hash gate via a constant-color construction whose
+    # exactness is provable at quality 100 (operators/multimodal.py
+    # jpeg420_roundtrip_stats docstring carries the bound argument)
+    return multimodal.jpeg420_roundtrip_stats(
+        _t(spark, sf, "documents")
+    ).orderBy("doc_id")
+
+
 # documents.text is ASCII (asserted in tests), so DuckDB's varchar
 # substring/md5 sees the same bytes the Spark-side pandas decode slices.
 @query(

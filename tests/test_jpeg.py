@@ -409,6 +409,23 @@ def test_vectorized_encoder_byte_identical_to_scalar_reference(
     assert got == want
 
 
+def test_constant_color_420_roundtrip_exact_across_id_sweep():
+    # exactness claim behind the multimodal_jpeg_420_roundtrip oracle:
+    # constant-color 4:2:0 at quality 100 decodes to EXACTLY the source
+    # constants (DC-only planes, <=1/16 per-plane error, inverse color
+    # transform amplification < 0.5). Sweep the query's id construction
+    # over one full period of each modulus interaction sample.
+    for d in list(range(60)) + [255, 256, 1000, 4095, 9999]:
+        w, h = 9 + d % 21, 9 + d % 17
+        rgb = (d % 256, d * 7 % 256, d * 13 % 256)
+        img = np.empty((h, w, 3), np.uint8)
+        img[:, :] = rgb
+        dec = decode_jpeg(encode_jpeg(img, quality=100, subsample=True))
+        assert dec.shape == (h, w, 3)
+        assert (dec == img).all(), (d, rgb, np.unique(dec.reshape(-1, 3),
+                                                      axis=0))
+
+
 def test_multiscan_baseline_decodes_like_interleaved():
     # Three sequential single-component scans carry exactly the same
     # coefficients as the interleaved encoding — the decoder must
