@@ -23,10 +23,13 @@ the decoder's interleaved-MCU + upsampling path.
 
 Scale shape: this is the per-payload kernel behind the Arrow-batched
 pandas UDFs in ``operators/multimodal.py`` — decoding parallelizes
-across Spark tasks per batch; within one payload it is Python-loop
-entropy decoding + numpy block math (the honest dependency-free
-trade; swap in libjpeg via the same ``decode_image`` dispatch when the
-cluster image has it).
+across Spark tasks per batch. Within one payload the entropy pass is a
+per-symbol Python loop over 16-bit-window Huffman LUTs (libjpeg's
+fast-path shape; the bit dependencies are inherently serial) while
+everything block-shaped — dequant, IDCT, scatter, and the encoder's
+entire DCT/RLE/bit-pack pipeline — runs as batched numpy/BLAS passes.
+``decode_image`` dispatches to libjpeg (Pillow) automatically when the
+cluster image ships it; this module is the dependency-free floor.
 
 Reference parity: the reference repo (fingltd/4mc) has no image
 surface at all — this is part of the LLM-pipeline brief
