@@ -691,7 +691,7 @@ def bench_io_robust(spark, tmpdir: str) -> tuple[dict, list[dict]]:
     min for durations, latest for ratios/counts (deterministic). Every
     attempt's canaries are recorded so the capture stays
     self-describing."""
-    max_attempts = int(os.environ.get("SPARK_GRAFT_IO_PASSES_MAX", 3))
+    max_attempts = max(1, int(os.environ.get("SPARK_GRAFT_IO_PASSES_MAX", 3)))
     retry_budget = float(os.environ.get("SPARK_GRAFT_RETRY_SETTLE_SEC", 120))
     attempts: list[dict] = []
     meta: list[dict] = []

@@ -424,9 +424,19 @@ if _zstd is not None and hasattr(_zstd, "ZSTD_createDStream"):
         if not ds:
             raise MemoryError("ZSTD_createDStream failed")
         if _HAS_DCTX_PARAM:
-            _zstd.ZSTD_DCtx_setParameter(
+            rc = _zstd.ZSTD_DCtx_setParameter(
                 ds, _ZSTD_D_WINDOWLOGMAX, _WINDOW_LOG_MAX
             )
+            if _zstd.ZSTD_isError(rc):
+                # an out-of-range env override would otherwise silently
+                # leave the library default (2^27) in place — the
+                # opposite of what the knob promised
+                _zstd.ZSTD_freeDStream(ds)
+                raise ValueError(
+                    "FOURMC_ZSTD_WINDOW_LOG_MAX="
+                    f"{_WINDOW_LOG_MAX} rejected by libzstd "
+                    "(valid range is 10..31)"
+                )
         try:
             out_cap = 1 << 20
             out_raw = ctypes.create_string_buffer(out_cap)

@@ -208,6 +208,12 @@ def sniff_format(data: bytes) -> str:
 _EXTERNAL_JPEG = None
 
 
+def jpeg_budget() -> int:
+    from fourmc_spark.operators.jpeg import MAX_PIXELS
+
+    return MAX_PIXELS
+
+
 def _pil_image_module():
     global _EXTERNAL_JPEG
     if _EXTERNAL_JPEG is None:
@@ -243,8 +249,18 @@ def _decode_jpeg_external(data: bytes) -> np.ndarray | None:
         with image_mod.open(io.BytesIO(data)) as im:
             if im.mode not in ("L", "RGB"):
                 return None
+            w, h = im.size
+            if w * h > jpeg_budget():
+                # same executor-memory budget the pure decoder enforces
+                # (operators/jpeg.MAX_PIXELS) — the external backend must
+                # not quietly void it before pixels materialize
+                raise ValueError(
+                    f"JPEG frame {w}x{h} exceeds the decoder pixel budget"
+                )
             arr = np.asarray(im, dtype=np.uint8)
         return arr if arr.ndim == 3 else arr[:, :, None]
+    except ValueError:
+        raise
     except Exception:
         return None
 

@@ -128,8 +128,14 @@ def _huff_decode_lut(bits: list[int], vals: list[int]) -> _HuffTable:
             code += 1
         code <<= 1
     t = _HuffTable(sym.tolist(), ln.tolist())
-    if len(_HUFF_MEMO) < 256:  # bounded: adversarial streams can't bloat it
-        _HUFF_MEMO[key] = t
+    # bounded: each entry is two 65536-slot lists (~1 MB). The cache only
+    # pays off for repeated tables (our encoder's fixed tables, one
+    # producer's optimize_coding output); a diverse corpus of
+    # image-specific DHTs would just churn it, so keep the ceiling small
+    # rather than pinning hundreds of MB per executor
+    if len(_HUFF_MEMO) >= 32:
+        _HUFF_MEMO.pop(next(iter(_HUFF_MEMO)))  # FIFO evict
+    _HUFF_MEMO[key] = t
     return t
 
 

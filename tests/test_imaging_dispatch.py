@@ -32,6 +32,8 @@ def _fake_pil(monkeypatch, mode: str, arr: np.ndarray | None = None,
     class _Im:
         def __init__(self) -> None:
             self.mode = mode
+            self.size = ((arr.shape[1], arr.shape[0])
+                         if arr is not None else (8, 8))
 
         def __enter__(self):
             return self
@@ -92,6 +94,35 @@ def test_kill_switch_forces_pure_path(reset_probe, monkeypatch):
     monkeypatch.setenv("FOURMC_PURE_DECODE", "1")
     out = imaging.decode_image(JPEG)
     assert np.array_equal(out[:, :, 0], decode_jpeg(JPEG))
+
+
+def test_external_backend_respects_pixel_budget(reset_probe, monkeypatch):
+    # the external decode must enforce the same MAX_PIXELS executor
+    # budget as the pure decoder, BEFORE pixels materialize
+    class _HugeIm:
+        mode = "RGB"
+        size = (1 << 14, 1 << 14)  # 268M pixels > MAX_PIXELS
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def __array__(self, dtype=None, copy=None):  # pragma: no cover
+            raise AssertionError("pixels must not materialize")
+
+    class _Image:
+        @staticmethod
+        def open(fp):
+            return _HugeIm()
+
+    pil = types.ModuleType("PIL")
+    pil.Image = _Image
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", _Image)
+    with pytest.raises(ValueError, match="pixel budget"):
+        imaging.decode_image(JPEG)
 
 
 def test_absent_backend_uses_pure_path(reset_probe, monkeypatch):

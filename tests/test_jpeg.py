@@ -391,11 +391,19 @@ def _encode_scalar_reference(arr: np.ndarray, quality: int,
 
 
 @pytest.mark.parametrize("shape,subsample,ri,quality", [
+    # at or below the 32-block dispatch threshold: scalar path
     ((16, 16), False, 0, 90),
     ((17, 23, 3), False, 0, 100),   # partial edge blocks, dense coeffs
     ((32, 24, 3), True, 0, 80),     # 4:2:0 interleaved MCUs
     ((21, 30, 3), True, 3, 60),     # subsampled + restart intervals
     ((16, 16), False, 1, 35),       # restart every MCU, gray
+    # above the threshold: the VECTORIZED record pipeline must emit the
+    # same bytes as the scalar loop (these are the cases that actually
+    # exercise _entropy_records/_pack_bits/_stuff)
+    ((48, 48, 3), False, 0, 75),    # 108 blocks, 4:4:4
+    ((64, 48, 3), True, 0, 85),     # 4:2:0 interleaved, partial MCUs
+    ((48, 48, 3), False, 3, 55),    # vectorized + restart intervals
+    ((41, 57), False, 5, 100),      # gray, dense coeffs, restarts
 ])
 def test_vectorized_encoder_byte_identical_to_scalar_reference(
         shape, subsample, ri, quality):

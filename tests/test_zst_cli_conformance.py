@@ -80,6 +80,18 @@ def test_line_iteration_offsets_over_cli_frame(tmp_path):
         pos += len(ln) + 1
 
 
+def test_out_of_range_window_knob_fails_loudly(monkeypatch):
+    # an env override libzstd rejects must raise a config error, not
+    # silently keep the 2^27 default
+    from fourmc_spark.format import native
+
+    if not getattr(native, "_HAS_DCTX_PARAM", False):
+        pytest.skip("libzstd without ZSTD_DCtx_setParameter")
+    monkeypatch.setattr(native, "_WINDOW_LOG_MAX", 50)
+    with pytest.raises(ValueError, match="FOURMC_ZSTD_WINDOW_LOG_MAX"):
+        _read_all(_cli(DATA[:100], "-3"))
+
+
 def test_window_beyond_cap_still_rejected(monkeypatch):
     # the cap is a budget, not unlimited trust: a frame demanding a
     # window above FOURMC_ZSTD_WINDOW_LOG_MAX must fail loudly with the
