@@ -41,6 +41,26 @@ __all__ = [
 ]
 
 
+def _balanced_ids(df: DataFrame, id_col: str) -> DataFrame:
+    """Project the kernel's id column and balance it across cores.
+
+    The codec kernels behind these ops cost ~0.1-1 ms of CPU per row
+    while their input is 8 bytes/row, so a round-robin exchange is
+    effectively free — and without it, however the ids happened to be
+    split drives the decode wall-clock: at bench scale the whole table
+    is ONE parquet split (fully serial), and at cluster scale a skewed
+    split serializes its share. Never reduces parallelism: target is
+    max(input splits, scheduler default). Downstream payload consumers
+    inherit the balanced partitioning, so the exchange happens once per
+    chain on the cheapest possible column."""
+    ids = df.select(id_col)
+    target = max(
+        ids.rdd.getNumPartitions(),
+        df.sparkSession.sparkContext.defaultParallelism,
+    )
+    return ids.repartition(target)
+
+
 def synthesize_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic REAL image per row: odd ids encode as binary PPM
     (P6), even ids as 24-bit BMP — so a downstream decoder must handle
@@ -77,7 +97,7 @@ def synthesize_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {id_col: pdf[id_col], "payload": payloads, "fmt": fmts}
             )
 
-    return df.select(id_col).mapInPandas(
+    return _balanced_ids(df, id_col).mapInPandas(
         batches, schema=f"{id_col} long, payload binary, fmt string"
     )
 
@@ -94,8 +114,10 @@ def jpeg_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     — width/height/pix_sum are closed-form in SQL and any defect in the
     entropy coder, zigzag, quantizer, IDCT, or MCU walk (including the
     edge-replicated partial blocks these non-multiple-of-8 dims force)
-    breaks the hash match. Scale shape: map-only, one small ndarray per
-    row inside the Arrow batch; nothing shuffles.
+    breaks the hash match. Scale shape: one round-robin exchange of the
+    8-byte id column to balance the CPU-bound kernel across cores
+    (_balanced_ids), then map-only; one small ndarray per row inside
+    the Arrow batch.
 
     Output: (id, width, height, pix_sum, jpeg_bytes_ok).
     """
@@ -129,7 +151,7 @@ def jpeg_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(batches, schema=out_schema)
+    return _balanced_ids(df, id_col).mapInPandas(batches, schema=out_schema)
 
 
 def jpeg420_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -147,8 +169,8 @@ def jpeg420_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     amplifies the combined perturbation to < 0.5 of the original
     INTEGER sample, so the final round restores it exactly. Hence
     pix_sum = (r+g+b)*w*h in closed form. Dims 9..29 x 9..25 force
-    partial edge MCUs in both axes. Scale shape: map-only mapInPandas,
-    nothing shuffles.
+    partial edge MCUs in both axes. Scale shape: balanced-id exchange
+    (_balanced_ids) then map-only mapInPandas.
     """
     from fourmc_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
@@ -182,7 +204,7 @@ def jpeg420_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(batches, schema=out_schema)
+    return _balanced_ids(df, id_col).mapInPandas(batches, schema=out_schema)
 
 
 def png_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -196,7 +218,7 @@ def png_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     (``operators/png.encode_png``: chunk framing + CRC + zlib deflate)
     and parses them back through chunk/CRC verification, inflate, and
     scanline unfiltering. Any bit error anywhere in that path changes
-    pix_sum. Map-only; nothing shuffles.
+    pix_sum. Balanced-id exchange (_balanced_ids) then map-only.
 
     Output: (id, width, height, channels, pix_sum, png_bytes).
     """
@@ -237,7 +259,7 @@ def png_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(batches, schema=out_schema)
+    return _balanced_ids(df, id_col).mapInPandas(batches, schema=out_schema)
 
 
 def synthesize_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -262,7 +284,7 @@ def synthesize_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(
+    return _balanced_ids(df, id_col).mapInPandas(
         batches, schema=f"{id_col} long, payload binary"
     )
 
@@ -323,7 +345,7 @@ def synthesize_video(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(av.encode_y4m(frames))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(
+    return _balanced_ids(df, id_col).mapInPandas(
         batches, schema=f"{id_col} long, payload binary"
     )
 
