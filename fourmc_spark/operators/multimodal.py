@@ -50,9 +50,13 @@ def _balanced_ids(df: DataFrame, id_col: str) -> DataFrame:
     split drives the decode wall-clock: at bench scale the whole table
     is ONE parquet split (fully serial), and at cluster scale a skewed
     split serializes its share. Never reduces parallelism: target is
-    max(input splits, scheduler default). Downstream payload consumers
-    inherit the balanced partitioning, so the exchange happens once per
-    chain on the cheapest possible column."""
+    max(input splits, scheduler default).
+
+    Applied ONLY to the JPEG/PNG roundtrip kernels, where A/B
+    measurement at sf0.1 showed a 2-6x win; the lighter synthesize
+    kernels (~0.1 ms/row) measured a 3x LOSS from the same exchange
+    (the extra Python stage setup outweighs the kernel), so they stay
+    fused map-only chains."""
     ids = df.select(id_col)
     target = max(
         ids.rdd.getNumPartitions(),
@@ -97,7 +101,11 @@ def synthesize_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {id_col: pdf[id_col], "payload": payloads, "fmt": fmts}
             )
 
-    return _balanced_ids(df, id_col).mapInPandas(
+    # NOT balanced: at ~0.1 ms/row this kernel is cheaper than the
+    # 32-task Python stage setup an exchange costs (measured 0.9 s ->
+    # 2.6 s at sf0.1); input splits parallelize it at cluster scale and
+    # the whole synth->extract chain stays one fused map stage
+    return df.select(id_col).mapInPandas(
         batches, schema=f"{id_col} long, payload binary, fmt string"
     )
 
@@ -284,7 +292,8 @@ def synthesize_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return _balanced_ids(df, id_col).mapInPandas(
+    # NOT balanced — same fused-chain reasoning as synthesize_images
+    return df.select(id_col).mapInPandas(
         batches, schema=f"{id_col} long, payload binary"
     )
 
@@ -345,7 +354,8 @@ def synthesize_video(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(av.encode_y4m(frames))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return _balanced_ids(df, id_col).mapInPandas(
+    # NOT balanced — same fused-chain reasoning as synthesize_images
+    return df.select(id_col).mapInPandas(
         batches, schema=f"{id_col} long, payload binary"
     )
 
