@@ -4,10 +4,10 @@ Pure numpy + struct — no pillow/libjpeg in the container, but these are
 REAL formats with real parsers, so the multimodal pipeline
 (:mod:`.multimodal`) can decode actual image bytes end-to-end instead of
 stubbing. Anything a camera/tool can export as P6/P5, 24-bit BMP,
-baseline JPEG (the pure-numpy decoder in :mod:`.jpeg`), or PNG (the
-stdlib-zlib decoder in :mod:`.png`) flows through the engine's
-decode → feature-extract → resize path unchanged; only
-progressive/arithmetic JPEG still needs an external decoder and raises
+baseline OR progressive JPEG (the pure-numpy decoder in :mod:`.jpeg`),
+or PNG (the stdlib-zlib decoder in :mod:`.png`) flows through the
+engine's decode → feature-extract → resize path unchanged; only
+arithmetic/lossless JPEG still needs an external decoder and raises
 ``UnsupportedImageError`` with a clear message.
 
 Formats:
@@ -236,10 +236,10 @@ def _decode_jpeg_external(data: bytes) -> np.ndarray | None:
     back to the pure-numpy decoder. Only L/RGB outputs are taken (the
     modes whose channel semantics match operators/jpeg exactly); any
     failure falls back rather than raising a foreign exception type.
-    With Pillow present this also decodes progressive streams the pure
-    baseline decoder rejects — a capability gain on real clusters, while
-    the oracle queries stay backend-independent (their constant/q100
-    construction is exact under ANY conforming decoder)."""
+    The pure decoder handles baseline AND progressive itself; the
+    external backend is a throughput upgrade, and the oracle queries
+    stay backend-independent (their constant/q100 construction is exact
+    under ANY conforming decoder)."""
     image_mod = _pil_image_module()
     if not image_mod:
         return None
@@ -276,8 +276,8 @@ def decode_image(data: bytes) -> np.ndarray:
         ext = _decode_jpeg_external(data)
         if ext is not None:
             return ext
-        # pure-numpy baseline decoder (operators/jpeg.py); progressive
-        # and arithmetic streams still raise UnsupportedImageError
+        # pure-numpy decoder (operators/jpeg.py), baseline + progressive;
+        # arithmetic/lossless streams raise UnsupportedImageError
         from fourmc_spark.operators.jpeg import decode_jpeg
 
         arr = decode_jpeg(data)

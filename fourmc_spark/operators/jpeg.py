@@ -4,12 +4,14 @@ Closes the last multimodal-column gap: the container has no libjpeg, so
 compressed camera formats previously raised ``UnsupportedImageError``
 and only PPM/PGM/BMP flowed through the decode → feature → resize path
 (``operators/imaging.py``). This module implements the baseline
-sequential DCT process from the PUBLIC spec — marker parsing, DQT/DHT/
-SOF0/SOS/DRI, canonical Huffman entropy decoding with byte-stuffing and
-restart markers, dequantization, 8x8 inverse DCT as one numpy matmul
-per block, chroma upsampling (4:4:4 / 4:2:2 / 4:2:0), and the JFIF
-YCbCr→RGB transform. Progressive (SOF2), arithmetic coding, and
-hierarchical modes are out of scope and raise with a clear message.
+sequential DCT process AND the progressive Huffman process (SOF2,
+T.81 annex G: DC first/refinement scans, AC spectral bands with EOB
+runs, successive-approximation correction bits) from the PUBLIC spec —
+marker parsing, DQT/DHT/SOF/SOS/DRI, canonical Huffman entropy decoding
+with byte-stuffing and restart markers, dequantization, batched inverse
+DCT, chroma upsampling (4:4:4 / 4:2:2 / 4:2:0), and the JFIF YCbCr→RGB
+transform. Arithmetic coding, lossless, and hierarchical modes are out
+of scope and raise with a clear message.
 
 A matching baseline ENCODER is included so pipelines (and tests) can
 produce real JPEG fixtures without external tools. It is
@@ -234,15 +236,19 @@ def _segment_scan(
 # --------------------------------------------------------------- decode
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> uint8 array (h, w, 3) RGB or (h, w) gray.
+    """JPEG bytes -> uint8 array (h, w, 3) RGB or (h, w) gray.
 
-    Supports: SOF0 (baseline sequential), 8-bit precision, 1 or 3
+    Supports: SOF0/SOF1 (baseline/extended sequential Huffman) AND SOF2
+    (progressive Huffman, T.81 annex G — DC first + refinement scans,
+    AC spectral-selection bands with EOB runs, successive-approximation
+    correction bits; validated against JDK-produced multi-scan streams,
+    see tests/jpeg_golden_fixtures.py); 8-bit precision, 1 or 3
     components, any sampling factors up to 4 (4:4:4 / 4:2:2 / 4:2:0
     included), restart intervals, multiple DQT/DHT segments, stuffed
     bytes, and multi-scan baseline files (one SOS per component, legal
     per T.81 — each single-component scan decodes non-interleaved on
     the component's own block grid). Raises
-    :class:`UnsupportedImageError` for progressive / arithmetic /
+    :class:`UnsupportedImageError` for arithmetic / lossless /
     hierarchical streams and ``ValueError`` for corrupt or truncated
     ones (every marker/segment read is bounds-checked so malformed
     input can never surface IndexError/struct.error).
@@ -258,6 +264,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     planes: list[np.ndarray] | None = None  # persist across scans
     scanned: set[int] = set()  # component ids entropy-decoded so far
     saw_eoi = False
+    progressive = False
+    # progressive only: per-component coefficient store on the PADDED
+    # MCU grid, accumulated across scans and inverse-transformed at EOI
+    coefs: list[np.ndarray] | None = None
 
     while True:
         if pos + 2 > len(buf):
@@ -304,7 +314,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[i + 17:i + 17 + nv])
                 hufftabs[(tc, th)] = _huff_decode_lut(bits, vals)
                 i += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline ok
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline (SOF0/1), progressive (SOF2)
             if frame is not None:
                 # libjpeg also rejects duplicate SOF; without this a
                 # second SOF rebinds frame/comps while planes keep the
@@ -338,12 +348,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError(f"invalid sampling factors {hs}x{vs}")
                 comps.append((cid, hs, vs, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedImageError(
                 f"JPEG SOF marker {marker:#x}: only baseline sequential "
-                "(SOF0/SOF1) is supported (no progressive/arithmetic/"
-                "hierarchical)"
+                "(SOF0/SOF1) and progressive Huffman (SOF2) are supported "
+                "(no arithmetic/lossless/hierarchical)"
             )
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
@@ -363,7 +374,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError(f"SOS declares {ns} components")
             if len(seg) < 1 + 2 * ns:
                 raise ValueError("truncated SOS header")
-            if planes is None:
+            if planes is None and not progressive:
                 hmax = max(c[1] for c in comps)
                 vmax = max(c[2] for c in comps)
                 mcux = -(-w // (8 * hmax))
@@ -383,6 +394,48 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     )
                 ci = by_id[cs]
                 scan_sel.append((ci, *comps[ci], tt >> 4, tt & 15))
+            if progressive:
+                if len(seg) < 1 + 2 * ns + 3:
+                    raise ValueError("truncated SOS header")
+                band_lo, band_hi = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                approx = seg[3 + 2 * ns]
+                ah, al = approx >> 4, approx & 15
+                if band_lo == 0:
+                    if band_hi != 0:
+                        raise ValueError(
+                            "progressive DC scan must have Se = 0"
+                        )
+                elif not band_lo <= band_hi <= 63:
+                    raise ValueError(
+                        f"invalid spectral band {band_lo}..{band_hi}"
+                    )
+                if al > 13 or ah > 13 or (ah and ah != al + 1):
+                    raise ValueError(
+                        f"invalid successive approximation Ah={ah} Al={al}"
+                    )
+                if band_lo > 0 and any(
+                    s[1] not in scanned for s in scan_sel
+                ):
+                    raise ValueError(
+                        "progressive AC scan before the component's "
+                        "DC scan"
+                    )
+                if coefs is None:
+                    hmax = max(c[1] for c in comps)
+                    vmax = max(c[2] for c in comps)
+                    mcux = -(-w // (8 * hmax))
+                    mcuy = -(-h // (8 * vmax))
+                    coefs = [
+                        np.zeros((mcuy * vs * mcux * hs, 64), np.int32)
+                        for _, hs, vs, _ in comps
+                    ]
+                pos = _decode_scan_progressive(
+                    buf, pos + seglen, frame, scan_sel, hufftabs,
+                    restart_interval, coefs, band_lo, band_hi, ah, al,
+                )
+                if band_lo == 0:
+                    scanned |= {s[1] for s in scan_sel}
+                continue
             pos = _decode_scan(
                 buf, pos + seglen, frame, scan_sel, qtables, hufftabs,
                 restart_interval, planes,
@@ -391,6 +444,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             continue  # pos already points at the next marker
         pos += seglen
 
+    if progressive and coefs is not None:
+        # all scans accumulated into the coefficient store; one batched
+        # dequant+IDCT per component now (same kernel as baseline)
+        planes = _reconstruct_progressive(frame, coefs, qtables)
     if planes is None:
         raise ValueError("no scan data found (missing SOS)")
     h, w, comps = frame
@@ -603,6 +660,224 @@ def _decode_scan(buf, pos, frame, scan_sel, qtables, hufftabs,
         _idct_scatter(planes[ci], co, q, m_all // bw, m_all % bw)
 
     return end_pos
+
+
+def _decode_scan_progressive(buf, pos, frame, scan_sel, hufftabs,
+                             restart_interval, coefs, band_lo, band_hi,
+                             ah, al) -> int:
+    """Entropy-decode one PROGRESSIVE scan (T.81 annex G) into the
+    per-component coefficient stores; returns the offset of the marker
+    after the scan data.
+
+    DC scans (band 0..0) walk the interleaved MCU grid (or a single
+    component's own block grid) exactly like baseline; a first pass
+    (Ah=0) decodes diffs shifted left by Al, refinements (Ah>0) add one
+    raw bit per block at position Al. AC scans are single-component
+    bands with EOB-run coding; refinements use the correction-bit walk
+    (the same algorithm libjpeg implements from G.1.2.3: every
+    nonzero-history coefficient passed over consumes a correction bit,
+    runs count only zero-history positions)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    segments, rst_ids, end_pos = _segment_scan(buf, pos)
+    seg_i = 0
+    bits = _FastBits(segments[0] if segments else b"")
+    n_rst = 0
+    nsel = len(scan_sel)
+    preds = [0] * nsel
+    eobrun = 0
+
+    def _restart() -> None:
+        nonlocal seg_i, bits, n_rst, preds, eobrun
+        if seg_i + 1 >= len(segments):
+            raise ValueError("scan ended while expecting a restart marker")
+        got = rst_ids[seg_i]
+        exp = n_rst % 8
+        if got != exp:
+            raise ValueError(
+                f"restart marker out of order: got {0xD0 + got:#x}, "
+                f"expected {0xD0 + exp:#x}"
+            )
+        seg_i += 1
+        bits = _FastBits(segments[seg_i])
+        n_rst += 1
+        preds = [0] * nsel
+        eobrun = 0
+
+    if band_lo == 0:  # ---- DC scan (first or refinement) ----
+        luts = []
+        for ci, cid, hs, vs, tq, dc_id, ac_id in scan_sel:
+            lut = hufftabs.get((0, dc_id)) if ah == 0 else None
+            if ah == 0 and lut is None:
+                raise ValueError("scan references an undefined DHT table")
+            luts.append(lut)
+
+        def _dc_block(si: int, idx: int) -> None:
+            co = coefs[scan_sel[si][0]]
+            if ah == 0:
+                dc = luts[si]
+                wdw = bits.peek16()
+                length = dc.length[wdw]
+                if length == 0:
+                    raise ValueError("invalid Huffman code in scan data")
+                bits.skip(length)
+                s = dc.sym[wdw]
+                if s > 15:
+                    raise ValueError(f"invalid DC category {s} in scan data")
+                if s:
+                    v = bits.get(s)
+                    if v < (1 << (s - 1)):
+                        v -= (1 << s) - 1
+                    preds[si] += v
+                    if not -0x3FFFFFF < preds[si] < 0x3FFFFFF:
+                        raise ValueError("DC prediction out of range")
+                co[idx, 0] = preds[si] << al
+            elif bits.get(1):
+                co[idx, 0] |= 1 << al
+
+        if nsel > 1:
+            for m in range(mcux * mcuy):
+                if restart_interval and m and m % restart_interval == 0:
+                    _restart()
+                my, mx = divmod(m, mcux)
+                for si, (ci, cid, hs, vs, tq, _, _) in enumerate(scan_sel):
+                    gw = mcux * hs
+                    for v in range(vs):
+                        for hh in range(hs):
+                            _dc_block(si, (my * vs + v) * gw + mx * hs + hh)
+        else:
+            (ci, cid, hs, vs, tq, _, _) = scan_sel[0]
+            gw = mcux * hs
+            cw = -(-w * hs // hmax)
+            ch = -(-h * vs // vmax)
+            bw = -(-cw // 8)
+            bh = -(-ch // 8)
+            for m in range(bw * bh):
+                if restart_interval and m and m % restart_interval == 0:
+                    _restart()
+                by, bx = divmod(m, bw)
+                _dc_block(0, by * gw + bx)
+        return end_pos
+
+    # ---- AC scan: exactly one component (T.81 B.2.3) ----
+    if nsel != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    (ci, cid, hs, vs, tq, dc_id, ac_id) = scan_sel[0]
+    ac = hufftabs.get((1, ac_id))
+    if ac is None:
+        raise ValueError("scan references an undefined DHT table")
+    gw = mcux * hs
+    cw = -(-w * hs // hmax)
+    ch = -(-h * vs // vmax)
+    bw = -(-cw // 8)
+    bh = -(-ch // 8)
+    co = coefs[ci]
+    p1, n1 = 1 << al, -1 << al
+    for m in range(bw * bh):
+        if restart_interval and m and m % restart_interval == 0:
+            _restart()
+        by, bx = divmod(m, bw)
+        row = co[by * gw + bx]
+        if ah == 0:  # first pass for this band
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = band_lo
+            while k <= band_hi:
+                wdw = bits.peek16()
+                length = ac.length[wdw]
+                if length == 0:
+                    raise ValueError("invalid Huffman code in scan data")
+                bits.skip(length)
+                rs = ac.sym[wdw]
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r < 15:  # EOBn: 2^r - 1 + extension bits blocks
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += bits.get(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > band_hi:
+                    raise ValueError("AC coefficient overrun")
+                v = bits.get(s)
+                if v < (1 << (s - 1)):
+                    v -= (1 << s) - 1
+                row[k] = v << al
+                k += 1
+        else:  # refinement pass
+            k = band_lo
+            if eobrun == 0:
+                while k <= band_hi:
+                    wdw = bits.peek16()
+                    length = ac.length[wdw]
+                    if length == 0:
+                        raise ValueError("invalid Huffman code in scan data")
+                    bits.skip(length)
+                    rs = ac.sym[wdw]
+                    r, s = rs >> 4, rs & 15
+                    val = 0
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += bits.get(r)
+                            break  # rest of the block via the EOB walk
+                        # r == 15: ZRL — pass over 16 zero-history slots
+                    elif s == 1:
+                        val = p1 if bits.get(1) else n1
+                    else:
+                        raise ValueError(
+                            "invalid refinement magnitude category"
+                        )
+                    # advance: nonzero-history coefficients consume a
+                    # correction bit; the run counts zero-history only
+                    while k <= band_hi:
+                        cur = int(row[k])
+                        if cur:
+                            if bits.get(1) and not cur & p1:
+                                row[k] = cur + (p1 if cur > 0 else n1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= band_hi:
+                        row[k] = val
+                    k += 1
+            if eobrun:
+                while k <= band_hi:  # correction bits to the band's end
+                    cur = int(row[k])
+                    if cur and bits.get(1) and not cur & p1:
+                        row[k] = cur + (p1 if cur > 0 else n1)
+                    k += 1
+                eobrun -= 1
+    return end_pos
+
+
+def _reconstruct_progressive(frame, coefs, qtables) -> list[np.ndarray]:
+    """Dequantize + IDCT the accumulated progressive coefficient stores
+    into sample planes (same batched kernel as the baseline path)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for (cid, hs, vs, tq), co in zip(comps, coefs):
+        if tq not in qtables:
+            raise ValueError("scan references an undefined DQT table")
+        gh, gw = mcuy * vs, mcux * hs
+        plane = np.zeros((gh * 8, gw * 8))
+        m_all = np.arange(gh * gw)
+        _idct_scatter(plane, co, qtables[tq], m_all // gw, m_all % gw)
+        planes.append(plane)
+    return planes
 
 
 # --------------------------------------------------------------- encode

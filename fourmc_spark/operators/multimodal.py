@@ -10,7 +10,8 @@ dependency-free codecs in :mod:`.imaging`, :mod:`.jpeg`, and :mod:`.png`
 (`decode_stub=False`, and the ``extract_image_features`` /
 ``resize_image_stats`` operators): payload bytes are parsed as actual
 image files and pixels come back as numpy arrays inside the Arrow batch.
-Only progressive/arithmetic JPEG still raises ``UnsupportedImageError``;
+Progressive JPEG (SOF2) decodes too; only arithmetic/lossless/
+hierarchical JPEG still raises ``UnsupportedImageError``;
 the legacy `decode_stub=True` path keeps the deterministic fake
 dimensions for plumbing tests.
 """

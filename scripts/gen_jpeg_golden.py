@@ -41,13 +41,14 @@ import java.nio.file.*;
 import javax.imageio.*;
 import javax.imageio.stream.*;
 
-// JpegTool encode <raw-in> <w> <h> <gray|rgb> <quality> <jpeg-out>
+// JpegTool encode <raw-in> <w> <h> <gray|rgb> <quality> <jpeg-out> [prog]
 // JpegTool decode <jpeg-in> <raw-rgb-out>   (prints "w h" on stdout)
 public class JpegTool {
     public static void main(String[] args) throws Exception {
         if (args[0].equals("encode")) {
             int w = Integer.parseInt(args[2]), h = Integer.parseInt(args[3]);
             boolean gray = args[4].equals("gray");
+            boolean prog = args.length > 7 && args[7].equals("prog");
             float q = Float.parseFloat(args[5]);
             byte[] raw = Files.readAllBytes(Paths.get(args[1]));
             BufferedImage img = new BufferedImage(
@@ -70,6 +71,7 @@ public class JpegTool {
             ImageWriteParam p = wr.getDefaultWriteParam();
             p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
             p.setCompressionQuality(q);
+            if (prog) p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT);
             try (ImageOutputStream os =
                      ImageIO.createImageOutputStream(new File(args[6]))) {
                 wr.setOutput(os);
@@ -104,31 +106,43 @@ public class JpegTool {
 """
 
 
-def _images() -> list[tuple[str, np.ndarray, float]]:
+def _images() -> list[tuple[str, np.ndarray, float, bool]]:
     rng = np.random.default_rng(42)
     out = []
     # gray gradient: no chroma, exercises DC prediction + IDCT only
     y, x = np.mgrid[0:16, 0:24]
     out.append(("gray_gradient_16x24",
-                ((y * 7 + x * 5) % 256).astype(np.uint8), 0.9))
+                ((y * 7 + x * 5) % 256).astype(np.uint8), 0.9, False))
     # gray noise at an odd size: partial edge MCUs, heavy AC energy
     out.append(("gray_noise_17x13",
-                rng.integers(0, 256, (17, 13), dtype=np.uint8), 0.7))
+                rng.integers(0, 256, (17, 13), dtype=np.uint8), 0.7, False))
     # constant color: every block is DC-only; decode must be spatially flat
     c = np.zeros((16, 16, 3), np.uint8)
     c[:] = (80, 160, 40)
-    out.append(("rgb_constant_16x16", c, 0.9))
+    out.append(("rgb_constant_16x16", c, 0.9, False))
     # smooth color gradient (JDK default 4:2:0 subsampling on 3-channel):
     # exercises chroma upsampling on content where interpolation
     # differences between implementations stay small
     y, x = np.mgrid[0:32, 0:24]
     g = np.stack([(y * 4) % 256, (x * 5) % 256, ((x + y) * 3) % 256],
                  axis=-1).astype(np.uint8)
-    out.append(("rgb_gradient_32x24", g, 0.9))
+    out.append(("rgb_gradient_32x24", g, 0.9, False))
     # odd-size color with moderate texture: partial MCUs + subsampling
     t = (rng.integers(0, 5, (19, 21, 3), dtype=np.int32) * 8
          + np.arange(21)[None, :, None] * 3).clip(0, 255).astype(np.uint8)
-    out.append(("rgb_texture_19x21", t, 0.5))
+    out.append(("rgb_texture_19x21", t, 0.5, False))
+    # PROGRESSIVE (SOF2): the JDK writer emits ~10 scans (DC first +
+    # refinement, AC bands + successive approximation, EOB runs) — the
+    # whole annex-G surface in one fixture each for gray and color
+    out.append(("gray_prog_29x37",
+                ((np.mgrid[0:29, 0:37][0] * 3 + np.mgrid[0:29, 0:37][1] * 5)
+                 % 256 + rng.integers(0, 40, (29, 37))).astype(np.uint8)
+                % 256, 0.85, True))
+    out.append(("rgb_prog_32x40",
+                np.stack([(y2 := np.mgrid[0:32, 0:40][0]) * 7 % 256,
+                          (x2 := np.mgrid[0:32, 0:40][1]) * 6 % 256,
+                          (y2 + x2) * 3 % 256], -1).astype(np.uint8),
+                0.8, True))
     return out
 
 
@@ -146,7 +160,7 @@ def main() -> None:
         ).stdout
 
     fixtures = []
-    for name, img, q in _images():
+    for name, img, q, prog in _images():
         gray = img.ndim == 2
         raw = os.path.join(tmp, f"{name}.raw")
         jpg = os.path.join(tmp, f"{name}.jpg")
@@ -155,7 +169,9 @@ def main() -> None:
         with open(raw, "wb") as f:
             f.write(img.tobytes())
         jrun("encode", raw, str(w), str(h), "gray" if gray else "rgb",
-             str(q), jpg)
+             str(q), jpg, *(["prog"] if prog else []))
+        if prog:
+            assert b"\xff\xc2" in open(jpg, "rb").read(), name
         wh = jrun("decode", jpg, dec).split()
         assert [int(wh[0]), int(wh[1])] == [w, h]
         jpeg_bytes = open(jpg, "rb").read()
@@ -165,14 +181,14 @@ def main() -> None:
         # sanity: the JDK's own decode must be near the source image
         err = np.abs(expected.astype(int)
                      - (np.stack([img] * 3, -1) if gray else img).astype(int))
-        fixtures.append((name, w, h, gray, q, jpeg_bytes, expected,
+        fixtures.append((name, w, h, gray, q, prog, jpeg_bytes, expected,
                          int(err.max())))
         print(f"{name}: {len(jpeg_bytes)} jpeg bytes, "
               f"jdk-vs-source maxdiff {err.max()}")
 
     # reverse direction: OUR encoder -> JDK decoder (generation-time check)
     from fourmc_spark.operators.jpeg import decode_jpeg, encode_jpeg
-    for name, img, _q in _images():
+    for name, img, _q, _prog in _images():
         ours = encode_jpeg(img, quality=90)
         jpg = os.path.join(tmp, "rev.jpg")
         dec = os.path.join(tmp, "rev.dec")
@@ -214,9 +230,10 @@ def main() -> None:
                 "def _unpack(s: str) -> bytes:\n"
                 "    return zlib.decompress(base64.b85decode(s))\n\n\n"
                 "FIXTURES = [\n")
-        for name, w, h, gray, q, jpeg_bytes, expected, maxdiff in fixtures:
+        for (name, w, h, gray, q, prog, jpeg_bytes, expected,
+                maxdiff) in fixtures:
             f.write(f"    dict(\n        name={name!r}, w={w}, h={h}, "
-                    f"gray={gray}, quality={q},\n"
+                    f"gray={gray}, quality={q}, progressive={prog},\n"
                     f"        jdk_vs_source_maxdiff={maxdiff},\n"
                     f"        jpeg_b85={lit(jpeg_bytes)},\n"
                     f"        pixels_b85={lit(expected.tobytes())},\n"

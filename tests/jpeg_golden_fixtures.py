@@ -18,7 +18,7 @@ def _unpack(s: str) -> bytes:
 
 FIXTURES = [
     dict(
-        name='gray_gradient_16x24', w=24, h=16, gray=True, quality=0.9,
+        name='gray_gradient_16x24', w=24, h=16, gray=True, quality=0.9, progressive=False,
         jdk_vs_source_maxdiff=1,
         jpeg_b85=(
     "c-s4a<NpH&0WUXCHwH!~1_nkTWcYuZ!I^=Xi3x;&fCY$HIapa)SXjB(+1WUFxOjNDxwy"
@@ -48,7 +48,7 @@ FIXTURES = [
 ),
     ),
     dict(
-        name='gray_noise_17x13', w=13, h=17, gray=True, quality=0.7,
+        name='gray_noise_17x13', w=13, h=17, gray=True, quality=0.7, progressive=False,
         jdk_vs_source_maxdiff=32,
         jpeg_b85=(
     "c-jHt0UiGT*#F=F5K2Z#MgRc<000310RRC1+W<oV3I_)W2L=iV2nY)b3JVSx5DpCu4jm"
@@ -78,7 +78,7 @@ FIXTURES = [
 ),
     ),
     dict(
-        name='rgb_constant_16x16', w=16, h=16, gray=False, quality=0.9,
+        name='rgb_constant_16x16', w=16, h=16, gray=False, quality=0.9, progressive=False,
         jdk_vs_source_maxdiff=1,
         jpeg_b85=(
     "c-s4a<NpH&0WUXCHwH!~1_nkTWcYuZ!I^=Xi3x;&fCY$HIapa)SXjB(+1WUFxOjNDxwy"
@@ -96,7 +96,7 @@ FIXTURES = [
 ),
     ),
     dict(
-        name='rgb_gradient_32x24', w=24, h=32, gray=False, quality=0.9,
+        name='rgb_gradient_32x24', w=24, h=32, gray=False, quality=0.9, progressive=False,
         jdk_vs_source_maxdiff=4,
         jpeg_b85=(
     "c-s4a<NpH&0WUXCHwH!~1_nkTWcYuZ!I^=Xi3x;&fCY$HIapa)SXjB(+1WUFxOjNDxwy"
@@ -154,7 +154,7 @@ FIXTURES = [
 ),
     ),
     dict(
-        name='rgb_texture_19x21', w=21, h=19, gray=False, quality=0.5,
+        name='rgb_texture_19x21', w=21, h=19, gray=False, quality=0.5, progressive=False,
         jdk_vs_source_maxdiff=31,
         jpeg_b85=(
     "c-s4a<NpH&0WUXCHwH!~1_nkTWcYuZ!I?pTn}?5wOMs7;Pe@QeSVBWeLQG7;P+3)0!^+"
@@ -184,6 +184,148 @@ FIXTURES = [
     "(G<Nq<NY>Fy+tR-|bq7Z&!zWN5IVwgt@Q~mx{d8h4J!9pNreQs_5!Qlbq0&by?iWA<aU"
     "XTwE*uBK7hQu2~uNxY=kl7iP=JYQ2ypQ62QBs&<~Qw#wnC8An;)fi9^M%*0tvlGLzG{B"
     "8dMSFYFb"
+),
+    ),
+    dict(
+        name='gray_prog_29x37', w=37, h=29, gray=True, quality=0.85, progressive=True,
+        jdk_vs_source_maxdiff=252,
+        jpeg_b85=(
+    "c-s4a<NpH&0WUXCHwH!~1_nkTWcYuZ!I^=TnT3UgnH5N|va+(V^Kh^O0Y4WvCyyY%kdP"
+    "q1pn$NLjJU9fl&FB9grbC$jI6x8ys)^Eijtg)jGVmO|3eJi91OAys*H?+4F8WXNB~V{1"
+    "{#h4EKJO-?Eh~ua4>>|8J~0Qd-43v6n9Gv7ehU-t@c1YG6G;dNZObfm<1VGgcOCL`WRW"
+    "6*1TDh1BC7^A!Z?E%%2u+I{GrgURzq*T1#5@lErz&4Ksgza5)?MF}uzQXrzt+0|PS~D-"
+    "#<t%t%HiK_MkW$G}8Ir=+5V%7wy4K@%r^XxwxWY6Y7;llGR=+x_p~SQo5!*Zf)52dfRI"
+    "w_Sgh^`qp`q}z$>jl)kZI{RP;>*=VTyo+5Ay!Gzd=dBmLm2eKE_G8Sl*lkjuO=}E7eOA"
+    "A`TzxG2ibnTp(=^ATYm23~B<&VCz1{cctUckG)AMHE1Df<|RcimV>wD7HH*fUJ-Ei&Wt"
+    "gl=OWn#HTI~cBPU2*KK{7Jq`e=_CkUOx$W`{$C~-&@8mne%Qey6y01*=M)H$SBX%8S+!"
+    "^WgJ!fW2oXTQz$T@eTlnhZ-_6@<B9?dOpL%FXM_hPqo5)K(BFj<6B`#k+z1O$d&SH<pZ"
+    "C4}xi3~lr<(Ci?FtWe!ISf|-v&Ngr=EYSW^Tm1d5N3KXY092h}kQ@EB{=j%OJ#gqW1h&"
+    "juRZ78)tvpZ6%~LvxtA@-&HenRZYIn)(e%}r1r0WEB9}k-p}T57HDodsW)BwclZw(@$G"
+    "MGSD*g&;8xDgkamHx8FRM99pAmi=CFRr-BUmBy<1eE<RWn=X8qK+TJe%6=ANGVdGE@9k"
+    "DvZ$sN{-<ry7AN&i_HFO9_}#m_PuYRv^Ah3~VesIC0^{4{+}Zv@{9b)C_z1TIc6>{ZA7"
+    "gUEgNm%&Fz((wpzT|L_@SMrMb&jdIJobw0SLyr^muDXvnAy)n1rig&MsSN4{-3w&2qo|"
+    "bOZ^)fwQU>oURF}cO|UGOi#KC4iP2!o&e$vu}7G+K0gX7Omf^YRp%;!#rJzjLx`md-B!"
+    "+(Wj(dYNu&cKI{14?Z-|l2jEEVES|C`2mFhB}Jj^B>NkNdw(aa?*7v#@=TjG<jMXWynZ"
+    "ZA%qH65ujI>=_FU3@6ZyR}U;Y100O^QoPy"
+),
+        pixels_b85=(
+    "c-l?ZRS1?_69r(q69fxXj@{VZiHeGW-Q9_G?C$RF?(P=B4&>NifT)*x<CXsd126y0Vwk"
+    "<Z*|YY{Uh{tW^5sjBBE>)d`~!35%n5Vl%9S>4+ES%TvCEb%n<h<~diCnDD^;oln>B03)"
+    "1W~EcGs?5VZ(+EQ>RYdq)C%lh3(t7=NUhKJi9}O4sg(*L9kb^ULwz#Ge?A}Q>XGQTC^x"
+    "-%9INiE@ZD+v&OGhuU^fbIdi6++qZ9rJ9qBnIdI?rJb3V+{U=VG2pb+gd>G!ndl#NLa|"
+    "T|yas|G6^$KRso*fn`QY1m_VBNZPomHVi1$O1im0^t<H8N$&)TmLTurp@N7+gAb><D}J"
+    "?wu}Ox}igdvitPu!|v9tn>}ove*OBvv17-=1q&9WN|kEHj2UdmUb}WJd-LYa5F`0-*sy"
+    "`Ud-v|dzjf<Y`5ZlZl)Yoe4tq9j+Jt*B3N8;HK6EY*eDvs%Jz273;V)XWC_5@xpg;jwy"
+    "?S+6wQ5xns#K}MhBE2Ysgs*;-MY01O`A65A2@Je)QDd-F>2SYU9gr<|Ni|U?&2(7yx1P"
+    ">tj?M>%ZWVMvSnMkbZL0Rx0*R~=2fd!X{6wSJOBFi>+RpOXOB4h_wSE;5bgN!<LuL?Pq"
+    "Sf$3>j|TyvcL_{(YD`cW%GUlP3?maN)ut6e?7R-Mo48s8RHu-$n)XWb|RytXaEv?=D)G"
+    "E?s!~_U-H3Aw!0+hYcHMXQ2Lcfo!J?A3hvn#6M-qltBFu>~txVx%-Je+_-V0{n3G!FJG"
+    "3My2!+;Q^IrU(j^{Mv**Hv3-0{JjT`LGpFdm0ON4?23-aX6o7ZZI5+&Hhix*GcTB}yAq"
+    "Cf4&lwGS<Eiv1+Z5yu)4jw!h4j3>%w2>o6Iz70I8a2w!>C>n4Oqejip850V!)@EPxs4@"
+    "DmP8exdL^%E-@bj$I(F<Bd&`zB;smd=XV3CPO}#ibbM4wSHw>*}$N&8KbNJ!Ihp3&q(t"
+    "-9so@&*qLA@uYZuF~i<;uyebm`Le=rQNwBDc<+JKLk0Q9-|I(V~UbP!b($b@JrNZ2f7^"
+    "iWMvTYTmqgJY&X;NuNGFPp}hT?W_iO^_BUNBS%CFozZnrALhuBBUqd|bxK#feEE|7<jE"
+    "6f-MMpz9Uiq)sZbS}JF85YGXMYLV8x0R`Ae2889gaNC<(=Y`Vcm5+}Qm@C%0+SMn0oQk"
+    "B%27+ldn=@~a@k)N#QsSkTE(iKu3DX6U5X7pv>mtrHDX_Z)htf?g{|&U*a#G0&SfZ{WL"
+    "k?-GT1_UswdhjK1ozC5HYBGU@d^j=H^ejaDlu3g)0s2wiB4j0_<@+%&{3V(13J@Fn@4H"
+    "q`elwnMYUAuP4jgt5+n?K$i^?)l^u7u~$pNAJOUW6x4o|K7hbh_@9Nlbyjr%#{C<i(2@"
+    "PWkxpqiAp6zO_Gp{`^+4gEec`v<j0Nsh6ERa_G^c2M;BQHx=EL%rd<Eih9U-+O%nK(xg"
+    "dtsvX<?+Y@t5{&r%d_m(YN7S(}XS?Hn6dF%;oId|@y9H@tAG2N)W)vH&pvTxtM?e-o#c"
+    "wiMr`1R}8q(AG|ub)hTu!|Kd=C|s?HplfgzjLEwgCm{cH^pQUwV)WXjfqB8<YQ{H6SYq"
+    "!IK_~IRln7f@g74VMF_RuyLT_Ve*L;k)Xtt@>h<wNPvRv4<p2Ktd$5N8{r4aI^XE@YI#"
+    "{Pp9jF7bh^n=0*%InT(P#xbls|cEvQ-^+)G;_(jecW~8#hk0nA)L-iDLLIE@nzhy_nag"
+    "vl&M#l76G@PV~yKa3^~5(4j;8@zz55%>o(H5ca1}pWx4*KjHiL??WMVZ1T!Piy5sta#K"
+    "4oLl1*Ryet*8$|JX^m!6cv+_`g;4#Y?;)XUD<vuEQ%C1R$BGQ@Waq>7>Wq4Vtc*3y&W>"
+    "p-`G5r1%xu6zCZHT?GNTd0aXYRdlg>lgg;<qHo+@#3O7$pnvYOPZg2EBeX`J%nD9dkD2"
+    "3F=9kA@6-$863QT-(DP6~UmEcRm7wn{7&FdXbCcAAee2dOcOEY*a*iqX<Hrw3Jw%3y-&"
+    "^xiqCbEC{tf^B{Tp-5efsvmRDZhdm<4*$S)r5hwQPRb)3ayK_^QM%Y`w=%=bf0aa~57Q"
+    "k8j|Z*OVk`DsxPOkvNd8UgCsK-n(}%-ksIxK&xI~FbcJg4y2Is4}aW4R5MmFqV^O+WE`"
+    "Cv-;nWNAm&#nj4%A8QobbZq4|maFJHdg&UjhAuk_)+|NiS-U;9x<k+J(9^sX{N"
+),
+    ),
+    dict(
+        name='rgb_prog_32x40', w=40, h=32, gray=False, quality=0.8, progressive=True,
+        jdk_vs_source_maxdiff=5,
+        jpeg_b85=(
+    "c-s4a<NpH&0WUXCHwH!~1_nkTWcYuZ!I^=Lg_Vt!g^i7sjh&s1gG+#mi<6T}gpZ#`KwL"
+    "yZLR>^lOiET&UP@Y7ModgWM?qOlT~kX_QeM|USHnP6LsJ7}2qQZ?I~NC+Fc+7whLo6;2"
+    "Fc+6AqGJX1_cHUW=16jCP7AKLB{__7$g`Nm>GfYL;@_V%<MoJNk#@{AVdO8%&d$o?Eh~"
+    "u@GvtnFbOaV0R8w}G<<c_y;WbsB^xgmRh|uf_4do%SL;IqBV?Jvfrf|)pc(--1!w{X&`"
+    "w5HrdgANvV1*PnyM|ig3j~@IZhD6am*}CieUXf346wx$Is2}-Ot$-7k>d+Cdi1Unvp>e"
+    "te6R;*i&bcw?0srhyWv+lN_KfVzXyb$E$$RUQsm^2*P230QQ~0s)md;{6LN3Aorr`R5T"
+    "2PJ6B+pR!?eRNU}Y4w+b-8-6}BUswMW&Q#6D-MW9QmW03|n;{QzmCn|iE"
+),
+        pixels_b85=(
+    "c-jrYi#r+$!vOGHvYq3y4Rd5}8|9HqB==^yW>JQia*4{)Ws#Cxs-c>Sn6fEtaw{{Jvz4"
+    "7;J99rH=bU9G=lu@v^L(6_{T1)~`vCv|fUAqM`(-C@4}iZXAml0l><fVUxy1OpAa1y%1"
+    "i9S3>69A=z(qI{qMV4govYzaG=wuF5zv?l5TF1eG@v^Z(39=lo9F!Wo{O%)W%RzwRI$@"
+    "+ne*Fnz<ZMOC$iIKjq@(e`AfaaH@4H?jjpFW*K+~T$r%U)x_SKQ=I!MQy6PJ03k3TCq5"
+    "f|0fJ^Z~Kct5KfDU)d1q1O=U}-dv2){&*1JaN{W-_o5<swXX5oZErIY0&GQh)v>ZNX(7"
+    "{_<$Co0;G?SMFvZ0pC{vS8H9jD3@*Y%XXIAA?MNw@6uWG4;MmD=gS^$KYIR;&o%b|ANS"
+    "CoJRl&Cs2g6fL0-tvt7&0ZGa|h5BE9g@UZrqP62hw{(TkSi#Z2?y-u<yP<3~x3hb+%ii"
+    "S-)5dua===!>oxOFgF_c+OXNE!KD})p)Ma+_&ql>@lzGbFLgUd7TKZo(ZphZ})Nj@w%J"
+    "mb&o4P{{#BTClurp5$FpG@r%9XhYa&ijquBe^ut8^;$yB85WYm@b#k&VEzOUKzRu0`5$"
+    "5_x@_eNQK1$s6{`-E~qMvl7{>Jj_rV79LYCkK*cZqs^jqbZ$e|?YbXK(a#@cmANerFv&"
+    "U5Ek!9)Z9sf$lzm*RBWng91Ws1VVy?pf^Ke!h@0Ekd(-fyHP>8F@d<)pb}(Yc~VeSS|I"
+    "gKFe5XNn;qDacSDQ~?8XQ76bAPdhYXek4?hSol7gqIg61ee7Fys^UC=5cXp<eh+Zg<XA"
+    "ABebK5h#-6^ER6h6B99U9W-N{lM1(!u*57LPEpCZ-qyOfny>dh{%ZK=!o<fa1J7@02yA"
+    "A5=KmgRHuhiGr}3!;SG7W1O>N5`0(zM@Fyh@bs6~SgNWhEh?mviDGGR&27X%~{tF}g6F"
+    "Y2^1KDYU{3!r`YXkqE7;@SPIhRHOe4<?aU>-MM-a$~%O=w716c`)@g+#|dqvK(>Q{XXZ"
+    "1S~fJR*)1$KtYLjqpLGuwCpHmUQ}Z~w52doTm+Mr!4wao`-#z-irYH!?a^A8sSY+rhgn"
+    "!r@7b``2Iy8(^seBxy*>I+1pB))`cxi$p@?<%ivxn<+=F7hZ^He-@Q?^NI1&zpB4TbM;"
+    "$z}d<KxkZh}_gTJSvWWh7&X5$T@M;+&CsSmRksKDTa$m;j;2rMFm1#h0s(ZbQHvB9m2$"
+    "jons*^jd4rdxKF&;Ek4558gCcHJ38Z!rHIp>_zP8{6DZLwFwr9v=@W(oMIb{Xk&q~46f"
+    "7wQo)jOOoSKl7k(`7<CF0W)2$_k*tRylfk%moV6((|vkSzqHq&!hdN>o%O^^=n{HOV?!"
+    "@+dvg#7dZZlw@s6T;e6JHYaWhlWn48yCm7sopk&p=}eV!u0}cCKmmi(JZ`0VLsCG{l+f"
+    "t32zXjlEGiax2bqwbnv{-CL*=ET@R=w=b}A8br#c@+E4afdN^2@j6B1J-6)0&nN<qG(r"
+    "ry!e&^ku?80(ISgPLzbSp{j!Eq7MiP}}Y4Hc7g@8+G&qb)vX)+LwMYkmVGb?G~2h5s~Q"
+    "=i4KTH--KsIATnX`*>OqP3CTHWsW}<xS$P>*g*n+}*h~^Or=~EAR+P;u%WNvoY^_8;uF"
+    "jIxW+^Gz{SR}rbc~*zGsel8ZpvC{&RT5ETyD!=6J>2b&ap{z_T@Q8%A6B*?mwEGiy^Gj"
+    "Evy^3zypf)xqUAHelIj03rV~OOUjQ;$w#7asp+_kjC@RXL1A8gX#tj0m`^Uj))DfV<yd"
+    "ZIp0GMkLcz-Fuu3|vpM}%1ae5BU*pzSP=g$lCt?l=g#Mre?>{eHSO<u6C!Z~_zCr@!_L"
+    "%8q5MF2<<Fp}U7EB1yLgW~RoCKQ2_i=iomm^4CsIw1vJnvq4w%`L&_mk<g|%8N?KrNy-"
+    "J5+<prvAU?Grbt99mePwAj8gTZQVpk6*GL%U6HJ1Vxwc}9xaj@k;??frO?k;~55e9?I2"
+    "<TF9x6T6m7N<%fJhP$MsmMRx)xXNpHLo>L;|M~Bkxqe(G>`ERZ3RXT}%b$UIh+UQBp)K"
+    "Csb5FAW}&rW)+EBOKPbr7t@JS2C0W#+1F4p*i<>puN)PSrrJoe9Tk>N();d;)gIDDPvx"
+    "$v@=Jfkp{C;adFB6)RQ=~=trLt2jG?$AYQ2$UP%=3*wHA_I8<jzg&7vZ+X{ot1G?s!Xp"
+    "y2OQ2!vYV0}7c$p;l3ulv*yWR#;yvW>Tc=T15j@-9#H~t{ZNl8QUl(QSEFe#VV~`l2cb"
+    "zl&xN>ZGiSgOLIJ<9qVbQFKOpvbf?=4U@XHOS?`ln2TH9ALD3=T`lu`hJcohIWv1pa(F"
+    "OGwd_At1QTm{sL}HMu7_=G&lSb!0q_;5XVm4jMp)0sdHJ_<zX6f6Q#tw%0F=I|zZ<W)R"
+    "dg@pE>bKMk+aT-9Gv?ti^Vq;T8)IEea-85CAcEtW!0}08gHY_yyBtU+2b$9W$21`G8dI"
+    "^2XnX_aJ_ko=C@trZDjLXS4voTL(Ky_Cwvf#hbJ(&*wt~k|3mP;nTzv=EC~h!!J(`z3v"
+    "i7i-m5<i?A8ijb?rIzC!wn8Y!?CgPY=V1X;ycChfyidhB)(4?FW@dOG=mSx=0h<pG54C"
+    "0SYaBjC8MYrQ!KzgXf7r3Nmb3{T0V`&XFcR|nN30tSJKFn^LR>upubh1ZEMkYv=|>Zo4"
+    "fe)a-LP$wA9C2d&=7$Y~Fj`Vjtl<UN)ah2+pPi-={lV5=6ixkq4^7H@z(&v+ZVfdjzIE"
+    "3M+;eh>^I*Y4;_W1kt@RQ6WiGTHQ{n71hw%>*(z)R(sQ<)>dw-gx4+?w5eJ}10A9vk$6"
+    "NR9_#LymUYZ4M2qV7rGbt$ZQJ&9(eHZk{!8)Exai*|(LXby?{iY;B&l1f%p<+qJF_bwy"
+    "E8OT8j&xJ!pY%<Pmsm(RDwLCOqNHI;wz<unr<RhN`BZ)V@O$?uBN80R(_X6*d=T0QnpL"
+    "`B{FTNRNpNdmrKox?uA~Nb)b7$BVBvmy{(t-8Dw^&>}XPUGA%osm0c{ToYGXl^gegA$~"
+    "#--pQ{SSsvtNOv``H%QpXe2DP?MOxjMJ97gy6;LQxUxdaD^KDqF>BRB`!Ap+F&SQ^-0L"
+    "3Q@1RvscsIr<19TJ-sHCYJQ;CqE#&o^{(oAw+wx|#=b9;eTUP1f6w-w&a2PgXaILKu4t"
+    "`$j@BD92+AJ}!D+&aG?B&Hm{M(g*|TKQ(A`RHZjH8pqAj6oi1pfPwuaiEVep=E1y5Vr2"
+    "E-kM($1$nokMD=c2NFoSgAGkYE1*0xxqopv#0NMnoowo&6h(v<3oR%G>0>qzvqWeEkhS"
+    "pJs`v2nl<8)H{yfUf$+M}`+6`z4=pvo%MD24i<GLD88suh)Dc{rfxy%g9~sD8J*`R46z"
+    "I6E!$Q$>i9{!p>Xb4={}Y2o`9jxcF!qm_HTt>ddh5vWl3`?ZRJS#5*fqVdzcw7skNo|{"
+    "aQ4n{u{7qCJqE;#dE^^?@S~vO(GY?WTs{gVj>lAt$5&0JQpPiA<Cyw!9CMt&86!3r$-G"
+    "gTz{qSfHi=#cAHNWHkIH&Rm5T9x)wrg2TsJUo)ELdrjdQv&>r3PE*y!qnacgqi_G;WdH"
+    "{p0QalANwx-@aIVsgqex!p5);7mUEO(4Q#XxS8)GzG1gj;S&u$*)pruQDD^W0+<<+e~P"
+    "jBJ!rlEt7RZ6H7G3lS~M^CMEJonQ~I8GWYkHwQ93|&^$I|GV7-1Uziq+lgks6Yg3b3)8"
+    "@T7)Bc-j$D;Y<7xUT5tMgxHov^cRxLJ>)S?`h=(1V#!(kz5L7gaM4r_3X%3#s%4G;<Ea"
+    "nZq}}Ch%uS&9BL=GqjG^?9SIs-LG1oypkwpWPLNr{@MPgv)aM=k>~Scy4PmI?7VSyaq{"
+    ")@)a$jGncrT|*%s#ZEwe|z%$}^woqn3XShYA8THWqjJP8(`vbO=GH=$M52#OU(U5u?;O"
+    "nCS%jrlI)(PAFgisvns2`!|y#TtpFPGV(C-}2-?w<&*q-1|m8@K!l!8PHmWh89Qki{l2"
+    "%E2Cv$!m?<7yE1KApL_G$&(=Mwb^pEf=!50ozrOotWAXdevQyCtknq9t!Lo0~asYWbw0"
+    "1dywj4$O2xojmGC!uWKW1`2V0a%2g&#}XR!E|in$G1q=?Y7}+@yTps(vpSSe9#+RL@oh"
+    "bRUNFAN4O+#*8b|lS>Px73<8>^6c{3o2Biy%X{xW?60gie*JK=@!_AXkKaFU07^Do%Qo"
+    "FBHoU9WLAC24)HTS%btq#qhP4^b-cI3cqj{UT%^Uc(%@Xkjv2%mmy-t&FFqLcE-nEv2P"
+    "vXIK+0eRTcvC&Hp*3vkjGM;s4YO%&etO+9yS6mHzG_+De7CW?ylMZmak#p9vbAxxvvs~"
+    "_1C-fZi8l8t+qK#qf9mHD`YwdI6Uq8LhO>ug{3C_;$KB?=+*TW|!&dTmr@Y%%E!&~??6"
+    "UfHxlca}HJ`=Lcci)<h2ExqVbd7*bmM!Yrd`wY&fM&db>Z{U+uhZ7pEuv{?S9<*vSxE^"
+    "*p7d*o!Wjs|6|{&;w!Lv-@Rtvn`Q?+{1U?a3VCFYYB+#%50LzCDS~fk;Q^-OEAH{vlJ0"
+    "$?{A;yxpW648HDGVj{@MEMPl^7E%wSi%*zY&)YbU<yrVhqt?B>_@xrKe}Tl>=D{@T))?"
+    "GImVt6%M#Umc(KkM|Bv|2R0eA39eZy45&5C=OrxH&FezQ1)R&!y%0OS8VfNNWoue!oM;"
+    ")jxb^ezU!}2`4LHRRMU4@H*mxnJZyS)&^mk|F&xNW9;ikg{SyxD)RAG@F+S^<o<Cf8>s"
+    "YiNto(AgzVhw2Uk~@z5BIknN4t)bKaT#f|Lgm~e*yP;b)x"
 ),
     ),
 ]

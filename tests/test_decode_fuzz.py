@@ -83,6 +83,53 @@ def test_jpeg_single_byte_mutation(pos, val):
         pass
 
 
+def _progressive_fixture_bytes() -> bytes:
+    import base64
+    import sys
+    import zlib as _z
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from jpeg_golden_fixtures import FIXTURES
+
+    for fx in FIXTURES:
+        if fx.get("progressive"):
+            return _z.decompress(base64.b85decode(fx["jpeg_b85"]))
+    raise AssertionError("no progressive fixture")
+
+
+_PROG_FIXTURE = _progressive_fixture_bytes()
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.integers(0, len(_PROG_FIXTURE) - 1),
+    st.integers(0, 255),
+)
+def test_progressive_single_byte_mutation(pos, val):
+    # the annex-G scan machinery (EOB runs, refinement walks, band
+    # bookkeeping) has its own branch surface; the error contract is
+    # the same as baseline
+    buf = bytearray(_PROG_FIXTURE)
+    buf[pos] = val
+    try:
+        out = decode_jpeg(bytes(buf))
+        assert out.dtype == np.uint8
+    except ValueError:
+        pass  # UnsupportedImageError subclasses ValueError
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(2, len(_PROG_FIXTURE) - 1))
+def test_progressive_truncation(cut):
+    # any truncation either raises ValueError or (cut past the first
+    # complete DC scan, re-terminated) decodes as a legal coarse preview
+    try:
+        out = decode_jpeg(_PROG_FIXTURE[:cut] + b"\xff\xd9")
+        assert out.dtype == np.uint8
+    except ValueError:
+        pass
+
+
 @settings(max_examples=120, deadline=None)
 @given(
     st.integers(0, len(_PNG_FIXTURE) - 1),

@@ -116,13 +116,68 @@ def test_subsampled_restart_markers():
     assert np.abs(out.astype(int) - img.astype(int)).mean() < 8
 
 
-def test_progressive_raises_unsupported():
+def test_sof2_marker_on_baseline_stream_raises_value_error():
+    # SOF2 is now DECODED (annex G) — but relabeling a baseline stream
+    # as progressive makes it structurally invalid: its SOS declares the
+    # band 0..63, which a progressive DC scan cannot carry
     img = _gradient_rgb(16, 16)
     enc = bytearray(encode_jpeg(img))
     i = enc.find(b"\xff\xc0")
     enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(UnsupportedImageError, match="baseline"):
+    with pytest.raises(ValueError, match="Se = 0"):
         decode_jpeg(bytes(enc))
+
+
+def test_arithmetic_sof_raises_unsupported():
+    img = _gradient_rgb(16, 16)
+    enc = bytearray(encode_jpeg(img))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC9  # SOF9: arithmetic sequential
+    with pytest.raises(UnsupportedImageError, match="arithmetic"):
+        decode_jpeg(bytes(enc))
+
+
+def _progressive_fixture():
+    import sys as _sys
+
+    _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from jpeg_golden_fixtures import load
+
+    for fx, jpeg, expected in load():
+        if fx["name"] == "rgb_prog_32x40":
+            return fx, jpeg, expected
+    raise AssertionError("progressive fixture missing")
+
+
+def test_progressive_prefix_decodes_as_preview():
+    # T.81 G: any prefix of a progressive stream is a legal coarse
+    # image once every component has a DC scan. Chop the JDK fixture
+    # after its third scan, terminate with EOI, decode both.
+    fx, jpeg, _expected = _progressive_fixture()
+    sos = []
+    i = 0
+    while True:
+        i = jpeg.find(b"\xff\xda", i + 2)
+        if i < 0:
+            break
+        sos.append(i)
+    assert len(sos) >= 4, "JDK emitted fewer scans than expected"
+    preview = decode_jpeg(jpeg[:sos[3]] + b"\xff\xd9")
+    full = decode_jpeg(jpeg)
+    assert preview.shape == full.shape == (fx["h"], fx["w"], 3)
+    d = np.abs(preview.astype(int) - full.astype(int))
+    # a preview is the same picture, coarser: close on average but not
+    # equal (later scans add AC detail / precision bits)
+    assert d.mean() < 32
+    assert d.max() > 0
+
+
+def test_progressive_missing_dc_scan_raises():
+    # chop BEFORE any scan: no component has DC data
+    fx, jpeg, _expected = _progressive_fixture()
+    first_sos = jpeg.find(b"\xff\xda")
+    with pytest.raises(ValueError, match="no scan data"):
+        decode_jpeg(jpeg[:first_sos] + b"\xff\xd9")
 
 
 def test_not_a_jpeg_raises():

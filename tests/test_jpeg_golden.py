@@ -30,6 +30,11 @@ TOL = {
     "rgb_constant_16x16": 0,
     "rgb_gradient_32x24": 6,
     "rgb_texture_19x21": 6,
+    # progressive (SOF2, ~10 scans): gray is IDCT-rounding-only (measured
+    # maxdiff 1); color rides the JDK's fancy-vs-replication 4:2:0
+    # upsampling difference like the baseline color fixtures (measured 7)
+    "gray_prog_29x37": 2,
+    "rgb_prog_32x40": 8,
 }
 
 
