@@ -708,17 +708,22 @@ def _decode_scan_progressive(buf, pos, frame, scan_sel, hufftabs,
         eobrun = 0
 
     if band_lo == 0:  # ---- DC scan (first or refinement) ----
-        luts = []
+        # hoisted per scan component: (coefficient store, DHT LUT)
+        targets = []
         for ci, cid, hs, vs, tq, dc_id, ac_id in scan_sel:
             lut = hufftabs.get((0, dc_id)) if ah == 0 else None
             if ah == 0 and lut is None:
                 raise ValueError("scan references an undefined DHT table")
-            luts.append(lut)
+            targets.append((coefs[ci], lut))
+        # the store is int32 and the stored value is pred << al, so the
+        # range guard must bound the SHIFTED value (a crafted Al=13 scan
+        # can walk pred high enough that pred<<al wraps int32 — NumPy 2
+        # raises OverflowError, escaping the ValueError contract)
+        pred_cap = 0x3FFFFFFF >> al
 
         def _dc_block(si: int, idx: int) -> None:
-            co = coefs[scan_sel[si][0]]
+            co, dc = targets[si]
             if ah == 0:
-                dc = luts[si]
                 wdw = bits.peek16()
                 length = dc.length[wdw]
                 if length == 0:
@@ -732,7 +737,7 @@ def _decode_scan_progressive(buf, pos, frame, scan_sel, hufftabs,
                     if v < (1 << (s - 1)):
                         v -= (1 << s) - 1
                     preds[si] += v
-                    if not -0x3FFFFFF < preds[si] < 0x3FFFFFF:
+                    if not -pred_cap < preds[si] < pred_cap:
                         raise ValueError("DC prediction out of range")
                 co[idx, 0] = preds[si] << al
             elif bits.get(1):
@@ -869,13 +874,17 @@ def _reconstruct_progressive(frame, coefs, qtables) -> list[np.ndarray]:
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     planes = []
-    for (cid, hs, vs, tq), co in zip(comps, coefs):
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
         if tq not in qtables:
             raise ValueError("scan references an undefined DQT table")
         gh, gw = mcuy * vs, mcux * hs
         plane = np.zeros((gh * 8, gw * 8))
         m_all = np.arange(gh * gw)
-        _idct_scatter(plane, co, qtables[tq], m_all // gw, m_all % gw)
+        _idct_scatter(plane, coefs[ci], qtables[tq], m_all // gw, m_all % gw)
+        # release each coefficient store as soon as it is consumed:
+        # keeping all int32 stores alive under all float64 planes would
+        # raise the adversarial per-payload peak ~50% over baseline
+        coefs[ci] = None
         planes.append(plane)
     return planes
 

@@ -84,16 +84,14 @@ def test_jpeg_single_byte_mutation(pos, val):
 
 
 def _progressive_fixture_bytes() -> bytes:
-    import base64
     import sys
-    import zlib as _z
 
     sys.path.insert(0, __file__.rsplit("/", 1)[0])
-    from jpeg_golden_fixtures import FIXTURES
+    from jpeg_golden_fixtures import FIXTURES, _unpack
 
     for fx in FIXTURES:
         if fx.get("progressive"):
-            return _z.decompress(base64.b85decode(fx["jpeg_b85"]))
+            return _unpack(fx["jpeg_b85"])
     raise AssertionError("no progressive fixture")
 
 

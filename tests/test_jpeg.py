@@ -172,6 +172,30 @@ def test_progressive_prefix_decodes_as_preview():
     assert d.max() > 0
 
 
+def test_progressive_dc_shift_overflow_raises_value_error():
+    # crafted SOF2 stream: DC scan at Al=13 whose DHT maps the 1-bit
+    # code '0' to category 15, with magnitude bits all ones — pred walks
+    # +32767 per block and pred << 13 would exceed int32 after a few
+    # blocks (NumPy 2 raises OverflowError on the store, escaping the
+    # ValueError contract, before the shifted-value guard existed)
+    import struct
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + b"\x01" * 64
+    sof = bytes([8]) + struct.pack(">HH", 8, 80) + bytes([1, 1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    bits = [0] * 16
+    bits[0] = 1  # one 1-bit code
+    dht = bytes([0x00]) + bytes(bits) + bytes([15])  # code '0' -> cat 15
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    sos = bytes([1, 1, 0x00, 0, 0, 0x0D])  # Ss=0 Se=0 Ah=0 Al=13
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += b"\x7f\xff" * 10  # per block: code bit 0 + 15 one-bits = +32767
+    out += b"\xff\xd9"
+    with pytest.raises(ValueError, match="DC prediction out of range"):
+        decode_jpeg(bytes(out))
+
+
 def test_progressive_missing_dc_scan_raises():
     # chop BEFORE any scan: no component has DC data
     fx, jpeg, _expected = _progressive_fixture()
