@@ -196,6 +196,53 @@ def test_progressive_dc_shift_overflow_raises_value_error():
         decode_jpeg(bytes(out))
 
 
+def _crafted_progressive_dc_stream(n_blocks: int, restart_interval: int,
+                                   rst_ids=None) -> bytes:
+    # minimal gray SOF2 stream: one DC scan (Al=0), category-0 diffs
+    # everywhere (each block is the single 1-bit code '0'), optional
+    # DRI + RSTn markers with 1-padded byte alignment per interval
+    import struct
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + b"\x01" * 64
+    sof = bytes([8]) + struct.pack(">HH", 8, 8 * n_blocks) + bytes(
+        [1, 1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    bits = [0] * 16
+    bits[0] = 1
+    dht = bytes([0x00]) + bytes(bits) + bytes([0])  # code '0' -> category 0
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([1, 1, 0x00, 0, 0, 0x00])  # Ss=0 Se=0 Ah=0 Al=0
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    intervals = ([n_blocks] if not restart_interval else
+                 [restart_interval] * (n_blocks // restart_interval))
+    for i, nb in enumerate(intervals):
+        # nb code bits of '0', padded to a byte with 1-bits
+        nbytes = (nb + 7) // 8
+        val = ((1 << (nbytes * 8 - nb)) - 1)  # low pad bits set
+        out += val.to_bytes(nbytes, "big")
+        if i + 1 < len(intervals):
+            rid = (rst_ids[i] if rst_ids else i % 8)
+            out += bytes([0xFF, 0xD0 + rid])
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_dc_scan_with_restart_markers():
+    dec = decode_jpeg(_crafted_progressive_dc_stream(8, restart_interval=2))
+    assert dec.shape == (8, 64)
+    assert (dec == 128).all()  # all-zero DC + level shift
+
+
+def test_progressive_restart_out_of_order_raises():
+    bad = _crafted_progressive_dc_stream(8, restart_interval=2,
+                                         rst_ids=[0, 2, 1])
+    with pytest.raises(ValueError, match="restart marker out of order"):
+        decode_jpeg(bad)
+
+
 def test_progressive_missing_dc_scan_raises():
     # chop BEFORE any scan: no component has DC data
     fx, jpeg, _expected = _progressive_fixture()
