@@ -1099,8 +1099,9 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
                 restart_interval: int = 0) -> bytes:
     """uint8 (h, w, 3) RGB or (h, w[, 1]) gray -> baseline JFIF bytes.
 
-    ``subsample=True`` writes 4:2:0 chroma (box-averaged), exercising
-    the interleaved-MCU layout; default is 4:4:4.
+    ``subsample=True`` (or ``"420"``) writes 4:2:0 chroma (box-averaged)
+    and ``"422"`` horizontal-only 4:2:2 chroma, exercising the
+    interleaved-MCU layouts; default is 4:4:4.
     ``restart_interval``: emit a DRI segment and RSTn markers every N
     MCUs (resynchronization points a parallel/streaming decoder seeks
     to; also exercises the decoder's restart path).
@@ -1126,11 +1127,18 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
             + 0.5 * rgb[:, :, 2]
         cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] \
             - 0.081312 * rgb[:, :, 2]
-        if subsample:
+        mode = ("420" if subsample is True else str(subsample)) \
+            if subsample else "444"
+        if mode == "420":
             cb, cr = _box2(cb), _box2(cr)
             samps = [(2, 2), (1, 1), (1, 1)]
-        else:
+        elif mode == "422":  # horizontal-only chroma subsampling
+            cb, cr = _boxh(cb), _boxh(cr)
+            samps = [(2, 1), (1, 1), (1, 1)]
+        elif mode == "444":
             samps = [(1, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unknown subsampling mode {subsample!r}")
         planes = [y, cb, cr]
 
     hmax = max(s[0] for s in samps)
@@ -1264,6 +1272,13 @@ def _box2(p: np.ndarray) -> np.ndarray:
         p = np.hstack([p, p[:, -1:]])
     return (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2]
             + p[1::2, 1::2]) / 4.0
+
+
+def _boxh(p: np.ndarray) -> np.ndarray:
+    """Horizontal 2x box-average (4:2:2 chroma) with edge replication."""
+    if p.shape[1] % 2:
+        p = np.hstack([p, p[:, -1:]])
+    return (p[:, 0::2] + p[:, 1::2]) / 2.0
 
 
 def _padded_block(plane: np.ndarray, y0: int, x0: int) -> np.ndarray:

@@ -96,6 +96,33 @@ def test_roundtrip_noise_exercises_stuffing():
     assert np.abs(out.astype(int) - img.astype(int)).mean() < 16
 
 
+def test_roundtrip_rgb_422_subsampled():
+    # 4:2:2: chroma halved horizontally only — exercises the (2,1)
+    # sampling-factor decode path with smooth chroma so the box-average
+    # + replication loss stays small
+    yy, xx = np.mgrid[0:24, 0:33]
+    img = np.stack([yy * 5, xx * 4, (yy + xx) * 3], -1).clip(
+        0, 255).astype(np.uint8)
+    enc = encode_jpeg(img, quality=92, subsample="422")
+    out = decode_jpeg(enc)
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 6
+
+
+def test_constant_color_422_roundtrip_exact():
+    # same exactness argument as 4:2:0: constant chroma survives the
+    # horizontal box average + replication bit-exactly at quality 100
+    img = np.empty((13, 19, 3), np.uint8)
+    img[:, :] = (200, 30, 90)
+    out = decode_jpeg(encode_jpeg(img, quality=100, subsample="422"))
+    assert (out == img).all()
+
+
+def test_unknown_subsampling_mode_raises():
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(_gradient_rgb(16, 16), subsample="411")
+
+
 def test_roundtrip_with_restart_markers():
     img = _gradient_rgb(48, 48)
     enc = encode_jpeg(img, quality=95, restart_interval=3)
@@ -451,7 +478,12 @@ def _encode_scalar_reference(arr: np.ndarray, quality: int,
               + 0.5 * rgb[:, :, 2])
         cr = (128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1]
               - 0.081312 * rgb[:, :, 2])
-        if subsample:
+        if subsample == "422":
+            from fourmc_spark.operators.jpeg import _boxh
+
+            cb, cr = _boxh(cb), _boxh(cr)
+            samps = [(2, 1), (1, 1), (1, 1)]
+        elif subsample:
             cb, cr = _box2(cb), _box2(cr)
             samps = [(2, 2), (1, 1), (1, 1)]
         else:
@@ -530,6 +562,8 @@ def _encode_scalar_reference(arr: np.ndarray, quality: int,
     ((64, 48, 3), True, 0, 85),     # 4:2:0 interleaved, partial MCUs
     ((48, 48, 3), False, 3, 55),    # vectorized + restart intervals
     ((41, 57), False, 5, 100),      # gray, dense coeffs, restarts
+    ((21, 27, 3), "422", 0, 80),    # 4:2:2, scalar dispatch
+    ((48, 50, 3), "422", 2, 70),    # 4:2:2, vectorized + restarts
 ])
 def test_vectorized_encoder_byte_identical_to_scalar_reference(
         shape, subsample, ri, quality):

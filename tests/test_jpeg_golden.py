@@ -99,6 +99,7 @@ def test_our_encoder_bytes_decode_identically_under_jdk(tmp_path):
         ("rgb420_smooth", smooth, True, 6),
         ("rgb420_texture", (rng.integers(0, 6, (21, 19, 3), np.int32) * 7
                             ).clip(0, 255).astype(np.uint8), True, 20),
+        ("rgb422_smooth", smooth, "422", 6),
     ]
     for name, img, sub, tol in cases:
         ours = encode_jpeg(img, quality=90, subsample=sub)
