@@ -1031,17 +1031,16 @@ def _stuff(b: bytes) -> bytes:
 
 def _entropy_records(
     zz: np.ndarray, ranks: np.ndarray, per: int, restart_interval: int,
-    dc_codes: np.ndarray, dc_lens: np.ndarray,
-    ac_codes: np.ndarray, ac_lens: np.ndarray,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Huffman-code one component's stream-ordered blocks (nb, 64) into
-    (sort_keys, code_values, code_lengths) record arrays.
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """RLE one component's stream-ordered blocks (nb, 64) into symbol
+    records: (sort_keys, symbols, magnitudes, magnitude_lengths, is_dc).
 
     Key layout puts records in T.81 stream order when sorted:
     rank*256 + {0 for DC, zigzag_k*4 + t for the ZRLs (t<3) and the
     coefficient itself (t=3), 255 for EOB} — EOB can't collide with a
     coefficient at k=63 because EOB is only emitted when zz[63]==0.
-    Each record value packs huffcode<<maglen | magnitude (<= 27 bits)."""
+    Code assignment (fixed or per-image optimized tables) happens later
+    via one vectorized gather over the symbols."""
     nb = zz.shape[0]
     dc = zz[:, 0].astype(np.int64)
     prev = np.concatenate(([0], dc[:-1]))
@@ -1051,8 +1050,6 @@ def _entropy_records(
     d = dc - prev
     s = _bitlen(np.abs(d))
     mv = np.where(d >= 0, d, d + (1 << s) - 1)
-    dc_v = (dc_codes[s] << s) | mv
-    dc_l = dc_lens[s] + s
     dc_k = ranks * 256
 
     acs = zz[:, 1:]
@@ -1070,8 +1067,6 @@ def _entropy_records(
         raise ValueError("AC coefficient out of baseline range")
     mva = np.where(val >= 0, val, val + (1 << sa) - 1)
     sym = (rem << 4) | sa
-    ac_v = (ac_codes[sym] << sa) | mva
-    ac_l = ac_lens[sym] + sa
     ac_k = ranks[bj] * 256 + kk * 4 + 3
 
     tot = int(zrl.sum())
@@ -1079,24 +1074,84 @@ def _entropy_records(
         src = np.repeat(np.arange(len(zrl)), zrl)
         t = np.arange(tot) - np.repeat(np.cumsum(zrl) - zrl, zrl)
         zr_k = ranks[bj[src]] * 256 + kk[src] * 4 + t
-        zr_v = np.full(tot, ac_codes[0xF0])
-        zr_l = np.full(tot, ac_lens[0xF0])
+        zr_s = np.full(tot, 0xF0, np.int64)
     else:
-        zr_k = zr_v = zr_l = np.zeros(0, np.int64)
+        zr_k = zr_s = np.zeros(0, np.int64)
 
     eb = np.flatnonzero(zz[:, 63] == 0)  # trailing zeros exist -> EOB
     eo_k = ranks[eb] * 256 + 255
-    eo_v = np.full(len(eb), ac_codes[0x00])
-    eo_l = np.full(len(eb), ac_lens[0x00])
+    z = np.zeros
 
-    return (np.concatenate([dc_k, ac_k, zr_k, eo_k]),
-            np.concatenate([dc_v, ac_v, zr_v, eo_v]),
-            np.concatenate([dc_l, ac_l, zr_l, eo_l]))
+    keys = np.concatenate([dc_k, ac_k, zr_k, eo_k])
+    syms = np.concatenate([s, sym, zr_s, z(len(eb), np.int64)])
+    mags = np.concatenate([mv, mva, z(tot, np.int64), z(len(eb), np.int64)])
+    mlen = np.concatenate([s, sa, z(tot, np.int64), z(len(eb), np.int64)])
+    isdc = np.concatenate([
+        np.ones(nb, bool), np.zeros(len(bj) + tot + len(eb), bool),
+    ])
+    return keys, syms, mags, mlen, isdc
+
+
+def _optimal_table(freq: np.ndarray) -> tuple[list[int], list[int]]:
+    """Per-image length-limited canonical Huffman table from symbol
+    frequencies — the T.81 annex K.2 code-size procedure (the same
+    algorithm libjpeg's optimize_coding runs): pairwise merge of the
+    two least-frequent entries with an 'others' chain, 16-bit length
+    adjustment, and a reserved pseudo-symbol whose minimal frequency
+    forces it onto the longest code so the all-ones code stays unused."""
+    freqs = [int(f) for f in freq] + [1]  # pseudo-symbol
+    n = len(freqs)
+    others = [-1] * n
+    codesize = [0] * n
+    while True:
+        v1 = v2 = -1
+        for i in range(n):  # least frequency, ties -> larger index
+            if freqs[i] > 0 and (v1 < 0 or freqs[i] <= freqs[v1]):
+                v1 = i
+        for i in range(n):
+            if freqs[i] > 0 and i != v1 and (v2 < 0 or freqs[i] <= freqs[v2]):
+                v2 = i
+        if v2 < 0:
+            break
+        freqs[v1] += freqs[v2]
+        freqs[v2] = 0
+        codesize[v1] += 1
+        while others[v1] >= 0:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] >= 0:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for cs in codesize:
+        if cs:
+            bits[cs] += 1
+    i = 32  # K.2 ADJUST_BITS: fold lengths > 16 down
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the pseudo-symbol's (longest) code
+    vals = [sym for _, sym in
+            sorted((cs, sym) for sym, cs in enumerate(codesize[:-1]) if cs)]
+    return bits[1:17], vals
 
 
 def encode_jpeg(arr: np.ndarray, quality: int = 90,
                 subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0,
+                optimize_huffman: bool = False) -> bytes:
     """uint8 (h, w, 3) RGB or (h, w[, 1]) gray -> baseline JFIF bytes.
 
     ``subsample=True`` (or ``"420"``) writes 4:2:0 chroma (box-averaged)
@@ -1105,6 +1160,11 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
     ``restart_interval``: emit a DRI segment and RSTn markers every N
     MCUs (resynchronization points a parallel/streaming decoder seeks
     to; also exercises the decoder's restart path).
+    ``optimize_huffman``: build per-image optimal canonical tables from
+    the actual symbol histogram (T.81 annex K.2, what libjpeg's
+    optimize_coding does) instead of the deterministic fixed-length
+    tables — identical pixels, typically 20-40% smaller files; off by
+    default so output stays byte-stable for fixture pinning.
     """
     a = np.asarray(arr)
     if a.ndim == 3 and a.shape[2] == 1:
@@ -1162,19 +1222,19 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
     for i, (hs, vs) in enumerate(samps):
         sof += bytes([i + 1, (hs << 4) | vs, 0])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-    # DHT: DC table 0, AC table 0 (shared by all components)
-    for tc, (bits, vals) in ((0, (dc_bits, dc_vals)),
-                             (1, (ac_bits, ac_vals))):
-        body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
-        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
-    if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    # SOS
-    sos = bytes([nc])
-    for i in range(nc):
-        sos += bytes([i + 1, 0x00])
-    sos += b"\x00\x3f\x00"
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    def _emit_tables_and_sos(db, dv, ab, av) -> None:
+        # DHT: DC table 0, AC table 0 (shared by all components)
+        for tc, (bits, vals) in ((0, (db, dv)), (1, (ab, av))):
+            body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+            out.extend(b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body)
+        if restart_interval:
+            out.extend(b"\xff\xdd" + struct.pack(">HH", 4, restart_interval))
+        sos = bytes([nc])
+        for i in range(nc):
+            sos += bytes([i + 1, 0x00])
+        sos += b"\x00\x3f\x00"
+        out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos)
 
     per = [hs * vs for hs, vs in samps]
     seq = sum(per)  # blocks per MCU across the scan
@@ -1184,8 +1244,11 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
     # pipeline pays ~40 numpy-call setups regardless of size, which
     # dominates below a few dozen blocks (measured crossover ~32; the
     # oracle-gate payloads are 1-24 blocks). Both paths are pinned
-    # byte-identical by tests/test_jpeg.py.
-    if nm * seq <= _SCALAR_ENCODE_MAX_BLOCKS:
+    # byte-identical by tests/test_jpeg.py. Optimized-Huffman encodes
+    # always take the vectorized path (the records double as the
+    # symbol histogram).
+    if nm * seq <= _SCALAR_ENCODE_MAX_BLOCKS and not optimize_huffman:
+        _emit_tables_and_sos(dc_bits, dc_vals, ac_bits, ac_vals)
         bw_ = _BitWriter()
         preds = [0] * nc
         n_rst = 0
@@ -1212,15 +1275,14 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
         return bytes(out)
 
     # vectorized entropy stage: per component, batch-DCT every block,
-    # gather into T.81 stream order, emit (key, code, length) record
-    # arrays, then one global sort + bit-pack. Byte-identical to the
-    # scalar reference loop at ~50-150x the throughput on real frames —
-    # this is the per-payload kernel behind the Arrow-batched
-    # multimodal UDFs.
+    # gather into T.81 stream order, emit symbol records, choose tables
+    # (fixed, or per-image optimal K.2 tables when optimize_huffman),
+    # then one vectorized symbol->code gather + global sort + bit-pack.
+    # With fixed tables this is byte-identical to the scalar reference
+    # loop at ~50-150x the throughput on real frames — the per-payload
+    # kernel behind the Arrow-batched multimodal UDFs.
     del dc_enc, ac_enc
-    dc_codes, dc_lens = _huff_encode_arrays(dc_bits, dc_vals)
-    ac_codes, ac_lens = _huff_encode_arrays(ac_bits, ac_vals)
-    all_k, all_v, all_l = [], [], []
+    all_k, all_s, all_m, all_ml, all_d = [], [], [], [], []
     off = 0
     for ci, ((hs, vs), plane) in enumerate(zip(samps, planes)):
         gh, gw = mcuy * vs, mcux * hs  # component block grid
@@ -1236,17 +1298,32 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
         hh = np.tile(np.arange(hs), vs * nm)
         zz = zz[((m // mcux) * vs + v) * gw + (m % mcux) * hs + hh]
         ranks = m * seq + off + np.tile(np.arange(per[ci]), nm)
-        k_, v_, l_ = _entropy_records(
+        k_, s_, m_, ml_, d_ = _entropy_records(
             zz, ranks, per[ci], restart_interval,
-            dc_codes, dc_lens, ac_codes, ac_lens,
         )
         all_k.append(k_)
-        all_v.append(v_)
-        all_l.append(l_)
+        all_s.append(s_)
+        all_m.append(m_)
+        all_ml.append(ml_)
+        all_d.append(d_)
         off += per[ci]
     keys = np.concatenate(all_k)
-    values = np.concatenate(all_v)
-    lengths = np.concatenate(all_l)
+    syms = np.concatenate(all_s)
+    mags = np.concatenate(all_m)
+    mlens = np.concatenate(all_ml)
+    isdc = np.concatenate(all_d)
+
+    if optimize_huffman:
+        dc_bits, dc_vals = _optimal_table(
+            np.bincount(syms[isdc], minlength=256))
+        ac_bits, ac_vals = _optimal_table(
+            np.bincount(syms[~isdc], minlength=256))
+    _emit_tables_and_sos(dc_bits, dc_vals, ac_bits, ac_vals)
+    dc_codes, dc_lens = _huff_encode_arrays(dc_bits, dc_vals)
+    ac_codes, ac_lens = _huff_encode_arrays(ac_bits, ac_vals)
+    codes = np.where(isdc, dc_codes[syms], ac_codes[syms])
+    values = (codes << mlens) | mags
+    lengths = np.where(isdc, dc_lens[syms], ac_lens[syms]) + mlens
     order = np.argsort(keys, kind="stable")
     values, lengths = values[order], lengths[order]
     if restart_interval:

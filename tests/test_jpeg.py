@@ -594,6 +594,39 @@ def test_constant_color_420_roundtrip_exact_across_id_sweep():
                                                       axis=0))
 
 
+@pytest.mark.parametrize("shape,kw", [
+    ((96, 128, 3), {}),                      # dense 4:4:4
+    ((64, 80), {}),                          # gray
+    ((48, 64, 3), {"subsample": True}),      # 4:2:0
+    ((44, 52, 3), {"subsample": "422"}),     # 4:2:2
+    ((40, 40, 3), {"restart_interval": 2}),  # per-interval packing
+    ((14, 13), {}),                          # degenerate histogram:
+                                             # constant-ish tiny image
+])
+def test_optimized_huffman_same_pixels_smaller_files(shape, kw):
+    rng = np.random.default_rng(sum(shape))
+    img = (rng.integers(0, 6, shape, np.int32) * 9
+           + np.arange(shape[1])[None, :]
+           .reshape(1, -1, *([1] * (len(shape) - 2)))).clip(
+               0, 255).astype(np.uint8)
+    fixed = encode_jpeg(img, quality=85, **kw)
+    opt = encode_jpeg(img, quality=85, optimize_huffman=True, **kw)
+    # identical coefficients, different entropy coding
+    assert np.array_equal(decode_jpeg(fixed), decode_jpeg(opt))
+    assert len(opt) < len(fixed)
+
+
+def test_optimized_huffman_constant_image_degenerate_table():
+    # a constant image uses ~2 distinct symbols per table — the K.2
+    # builder must still emit valid canonical tables (and never the
+    # all-ones code, which the reserved pseudo-symbol guarantees)
+    img = np.full((24, 24, 3), 200, np.uint8)
+    opt = encode_jpeg(img, quality=100, optimize_huffman=True,
+                      subsample=True)
+    out = decode_jpeg(opt)
+    assert (out == img).all()
+
+
 def test_multiscan_baseline_decodes_like_interleaved():
     # Three sequential single-component scans carry exactly the same
     # coefficients as the interleaved encoding — the decoder must

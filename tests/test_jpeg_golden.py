@@ -101,8 +101,11 @@ def test_our_encoder_bytes_decode_identically_under_jdk(tmp_path):
                             ).clip(0, 255).astype(np.uint8), True, 20),
         ("rgb422_smooth", smooth, "422", 6),
     ]
-    for name, img, sub, tol in cases:
-        ours = encode_jpeg(img, quality=90, subsample=sub)
+    cases = [(n, i, s, t, opt) for (n, i, s, t) in cases
+             for opt in (False, True)]  # fixed AND optimized K.2 tables
+    for name, img, sub, tol, opt in cases:
+        ours = encode_jpeg(img, quality=90, subsample=sub,
+                           optimize_huffman=opt)
         jpg = tmp_path / "x.jpg"
         dec = tmp_path / "x.dec"
         jpg.write_bytes(ours)
