@@ -565,8 +565,9 @@ def bench_stress(spark) -> dict[str, float]:
                     ("stress_png_roundtrip_sec",
                      multimodal.png_roundtrip_stats)):
         t0 = time.perf_counter()
-        assert op(stress).count() == n
+        got = op(stress).count()  # the workload must survive python -O
         out[key] = round(time.perf_counter() - t0, 3)
+        assert got == n
 
     stress.unpersist()
     return out

@@ -245,6 +245,9 @@ def _decode_jpeg_external(data: bytes) -> np.ndarray | None:
         return None
     import io
 
+    class _BudgetExceeded(Exception):
+        pass
+
     try:
         with image_mod.open(io.BytesIO(data)) as im:
             if im.mode not in ("L", "RGB"):
@@ -253,14 +256,17 @@ def _decode_jpeg_external(data: bytes) -> np.ndarray | None:
             if w * h > jpeg_budget():
                 # same executor-memory budget the pure decoder enforces
                 # (operators/jpeg.MAX_PIXELS) — the external backend must
-                # not quietly void it before pixels materialize
-                raise ValueError(
-                    f"JPEG frame {w}x{h} exceeds the decoder pixel budget"
-                )
+                # not quietly void it before pixels materialize. Raised
+                # via a local sentinel so Pillow-internal ValueErrors
+                # still take the pure-decoder fallback below.
+                raise _BudgetExceeded(w, h)
             arr = np.asarray(im, dtype=np.uint8)
         return arr if arr.ndim == 3 else arr[:, :, None]
-    except ValueError:
-        raise
+    except _BudgetExceeded as e:
+        w, h = e.args
+        raise ValueError(
+            f"JPEG frame {w}x{h} exceeds the decoder pixel budget"
+        ) from None
     except Exception:
         return None
 

@@ -195,6 +195,25 @@ class _FastBits:
         return (self.acc >> self.n) & ((1 << k) - 1)
 
 
+def _advance_restart(segments: list[bytes], rst_ids: list[int],
+                     seg_i: int, n_rst: int) -> tuple[_FastBits, int]:
+    """Advance a scan decoder to its next restart segment, validating
+    the RSTn index lazily (like a streaming decoder: junk after the
+    point where decoding completes must not raise). Returns the fresh
+    bit cursor and the new segment index; callers manage their own
+    prediction/EOB-run resets."""
+    if seg_i + 1 >= len(segments):
+        raise ValueError("scan ended while expecting a restart marker")
+    got = rst_ids[seg_i]
+    exp = n_rst % 8
+    if got != exp:
+        raise ValueError(
+            f"restart marker out of order: got {0xD0 + got:#x}, "
+            f"expected {0xD0 + exp:#x}"
+        )
+    return _FastBits(segments[seg_i + 1]), seg_i + 1
+
+
 def _destuff(seg: bytes) -> bytes:
     """Remove 0xFF00 byte-stuffing. Left-to-right non-overlapping
     replace is exactly the stuffing rule: every 0xFF DATA byte is
@@ -331,6 +350,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("truncated SOF segment")
             if h == 0 or w == 0 or nc == 0:
                 raise ValueError("SOF declares an empty frame")
+            if nc not in (1, 3):
+                # 2-component frames would index out of the YCbCr
+                # unpack (IndexError outside the ValueError contract);
+                # 4-component (Adobe CMYK/YCCK) frames would silently
+                # decode the first three channels as YCbCr garbage
+                raise UnsupportedImageError(
+                    f"{nc}-component JPEG unsupported (only 1 gray or "
+                    "3 YCbCr components; CMYK needs an external decoder)"
+                )
             if h * w > MAX_PIXELS:
                 # executor-memory safety: a tiny payload can declare a
                 # 65535x65535 frame; per-payload decode inside an Arrow
@@ -596,21 +624,8 @@ def _decode_scan(buf, pos, frame, scan_sel, qtables, hufftabs,
     preds = [0] * nsel
 
     def _restart() -> None:
-        """Advance to the next restart segment (validates the RSTn id
-        lazily, like a streaming decoder: junk after the point where
-        decoding completes must not raise)."""
         nonlocal seg_i, bits
-        if seg_i + 1 >= len(segments):
-            raise ValueError("scan ended while expecting a restart marker")
-        got = rst_ids[seg_i]
-        exp = n_rst % 8
-        if got != exp:
-            raise ValueError(
-                f"restart marker out of order: got {0xD0 + got:#x}, "
-                f"expected {0xD0 + exp:#x}"
-            )
-        seg_i += 1
-        bits = _FastBits(segments[seg_i])
+        bits, seg_i = _advance_restart(segments, rst_ids, seg_i, n_rst)
 
     if nsel > 1:
         nm = mcux * mcuy
@@ -692,17 +707,7 @@ def _decode_scan_progressive(buf, pos, frame, scan_sel, hufftabs,
 
     def _restart() -> None:
         nonlocal seg_i, bits, n_rst, preds, eobrun
-        if seg_i + 1 >= len(segments):
-            raise ValueError("scan ended while expecting a restart marker")
-        got = rst_ids[seg_i]
-        exp = n_rst % 8
-        if got != exp:
-            raise ValueError(
-                f"restart marker out of order: got {0xD0 + got:#x}, "
-                f"expected {0xD0 + exp:#x}"
-            )
-        seg_i += 1
-        bits = _FastBits(segments[seg_i])
+        bits, seg_i = _advance_restart(segments, rst_ids, seg_i, n_rst)
         n_rst += 1
         preds = [0] * nsel
         eobrun = 0
@@ -1149,7 +1154,7 @@ def _optimal_table(freq: np.ndarray) -> tuple[list[int], list[int]]:
 
 
 def encode_jpeg(arr: np.ndarray, quality: int = 90,
-                subsample: bool = False,
+                subsample: bool | str = False,
                 restart_interval: int = 0,
                 optimize_huffman: bool = False) -> bytes:
     """uint8 (h, w, 3) RGB or (h, w[, 1]) gray -> baseline JFIF bytes.

@@ -155,6 +155,24 @@ def test_sof2_marker_on_baseline_stream_raises_value_error():
         decode_jpeg(bytes(enc))
 
 
+@pytest.mark.parametrize("nc", [2, 4])
+def test_unsupported_component_count_raises(nc):
+    # nc=2 used to IndexError at the YCbCr unpack (outside the
+    # ValueError contract); nc=4 (Adobe CMYK) silently decoded three
+    # channels as YCbCr garbage — both must reject at SOF parse
+    import struct
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + b"\x01" * 64
+    sof = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([nc])
+    for i in range(nc):
+        sof += bytes([i + 1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += b"\xff\xd9"
+    with pytest.raises(UnsupportedImageError, match="component"):
+        decode_jpeg(bytes(out))
+
+
 def test_arithmetic_sof_raises_unsupported():
     img = _gradient_rgb(16, 16)
     enc = bytearray(encode_jpeg(img))
