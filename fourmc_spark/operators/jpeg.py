@@ -195,6 +195,37 @@ class _FastBits:
         return (self.acc >> self.n) & ((1 << k) - 1)
 
 
+def _up2(p: np.ndarray, axis: int) -> np.ndarray:
+    """2x triangle ('fancy') upsample along one axis: each output sample
+    mixes its source sample with the nearest neighbor 3:1, borders
+    replicated — the separable filter libjpeg applies for h2v1/h2v2
+    chroma (our planes stay float through color conversion, so the mix
+    uses exact 0.75/0.25 weights instead of libjpeg's integer >>2)."""
+    s = p if axis == 1 else p.T
+    sl = np.concatenate([s[:, :1], s[:, :-1]], axis=1)
+    sr = np.concatenate([s[:, 1:], s[:, -1:]], axis=1)
+    o = np.empty((s.shape[0], s.shape[1] * 2))
+    o[:, 0::2] = 0.75 * s + 0.25 * sl
+    o[:, 1::2] = 0.75 * s + 0.25 * sr
+    return o if axis == 1 else o.T
+
+
+def _upsample_plane(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """Upsample a chroma plane by integer factors (fy, fx): power-of-two
+    steps use the triangle filter (visibly better than replication and
+    within a couple of levels of libjpeg's fancy upsampling); residual
+    odd factors (3x — legal but unseen in practice) replicate."""
+    while fx % 2 == 0:
+        plane = _up2(plane, axis=1)
+        fx //= 2
+    while fy % 2 == 0:
+        plane = _up2(plane, axis=0)
+        fy //= 2
+    if fy > 1 or fx > 1:
+        plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+    return plane
+
+
 def _advance_restart(segments: list[bytes], rst_ids: list[int],
                      seg_i: int, n_rst: int) -> tuple[_FastBits, int]:
     """Advance a scan decoder to its next restart segment, validating
@@ -491,8 +522,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     out = []
     for (cid, hs, vs, tq), plane in zip(comps, planes):
         if hs != hmax or vs != vmax:
-            plane = np.repeat(np.repeat(plane, vmax // vs, axis=0),
-                              hmax // hs, axis=1)
+            plane = _upsample_plane(plane, vmax // vs, hmax // hs)
         out.append(plane[:h, :w])
     if len(out) == 1:
         return np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
@@ -1192,8 +1222,14 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
             + 0.5 * rgb[:, :, 2]
         cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] \
             - 0.081312 * rgb[:, :, 2]
-        mode = ("420" if subsample is True else str(subsample)) \
-            if subsample else "444"
+        # normalize: identity checks would misroute numpy.bool_(True)
+        # (a typical truthy arriving from numpy/pandas callers)
+        if not subsample:
+            mode = "444"
+        elif str(subsample) in ("True", "1", "420"):
+            mode = "420"
+        else:
+            mode = str(subsample)
         if mode == "420":
             cb, cr = _box2(cb), _box2(cr)
             samps = [(2, 2), (1, 1), (1, 1)]

@@ -174,7 +174,8 @@ def jpeg420_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     a constant image is DC-only in every component; at quality 100 all
     quant steps are 1 so each plane's reconstruction error is <= 1/16
     (one rounding of 8*(level-128)); constant chroma survives box
-    average + replication upsample bit-exactly; the YCbCr->RGB inverse
+    average + triangle upsample bit-exactly (any convex combination of
+    equal values is that value); the YCbCr->RGB inverse
     amplifies the combined perturbation to < 0.5 of the original
     INTEGER sample, so the final round restores it exactly. Hence
     pix_sum = (r+g+b)*w*h in closed form. Dims 9..29 x 9..25 force

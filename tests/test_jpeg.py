@@ -99,7 +99,7 @@ def test_roundtrip_noise_exercises_stuffing():
 def test_roundtrip_rgb_422_subsampled():
     # 4:2:2: chroma halved horizontally only — exercises the (2,1)
     # sampling-factor decode path with smooth chroma so the box-average
-    # + replication loss stays small
+    # + triangle-upsample loss stays small
     yy, xx = np.mgrid[0:24, 0:33]
     img = np.stack([yy * 5, xx * 4, (yy + xx) * 3], -1).clip(
         0, 255).astype(np.uint8)
@@ -111,7 +111,7 @@ def test_roundtrip_rgb_422_subsampled():
 
 def test_constant_color_422_roundtrip_exact():
     # same exactness argument as 4:2:0: constant chroma survives the
-    # horizontal box average + replication bit-exactly at quality 100
+    # horizontal box average + triangle upsample bit-exactly at q100
     img = np.empty((13, 19, 3), np.uint8)
     img[:, :] = (200, 30, 90)
     out = decode_jpeg(encode_jpeg(img, quality=100, subsample="422"))
