@@ -414,18 +414,32 @@ if _zstd is not None and hasattr(_zstd, "ZSTD_createDStream"):
     # (2^27) rejects them as if corrupt — the stock CLI needs an explicit
     # --long on decode too. A cluster reader shouldn't: accept up to
     # 2^30 (1 GiB window, an executor-sized bound against tiny frames
-    # demanding huge windows) by default, env-overridable.
+    # demanding huge windows) by default, env-overridable — but grant it
+    # LAZILY: streams start at libzstd's own 2^27 limit, and only a
+    # frame that actually declares a larger window escalates the cap
+    # (header replay), so benign multi-stream readers never authorize
+    # 1 GiB allocations up front (ADVICE r6).
     _WINDOW_LOG_MAX = int(os.environ.get("FOURMC_ZSTD_WINDOW_LOG_MAX", 30))
+    _WINDOW_LOG_DEFAULT = 27  # libzstd's built-in decode limit
 
-    def zstd_stream_decompress_chunks(chunks) -> "Iterator[bytes]":
-        """Decode an iterable of compressed byte chunks into decompressed
-        chunks (handles multi-frame concatenation; O(chunk) memory)."""
+    if hasattr(_zstd, "ZSTD_getErrorCode"):
+        _zstd.ZSTD_getErrorCode.restype = ctypes.c_int
+        _zstd.ZSTD_getErrorCode.argtypes = [ctypes.c_size_t]
+    _ZSTD_ERROR_WINDOW_TOO_LARGE = 16  # zstd_errors.h, stable enum
+
+    def _zstd_errname(rc) -> str:
+        if hasattr(_zstd, "ZSTD_getErrorName"):
+            _zstd.ZSTD_getErrorName.restype = ctypes.c_char_p
+            return _zstd.ZSTD_getErrorName(rc).decode("ascii", "replace")
+        return ""
+
+    def _mk_dstream(window_log_max: int):
         ds = _zstd.ZSTD_createDStream()
         if not ds:
             raise MemoryError("ZSTD_createDStream failed")
         if _HAS_DCTX_PARAM:
             rc = _zstd.ZSTD_DCtx_setParameter(
-                ds, _ZSTD_D_WINDOWLOGMAX, _WINDOW_LOG_MAX
+                ds, _ZSTD_D_WINDOWLOGMAX, window_log_max
             )
             if _zstd.ZSTD_isError(rc):
                 # an out-of-range env override would otherwise silently
@@ -434,9 +448,34 @@ if _zstd is not None and hasattr(_zstd, "ZSTD_createDStream"):
                 _zstd.ZSTD_freeDStream(ds)
                 raise ValueError(
                     "FOURMC_ZSTD_WINDOW_LOG_MAX="
-                    f"{_WINDOW_LOG_MAX} rejected by libzstd "
+                    f"{window_log_max} rejected by libzstd "
                     "(valid range is 10..31)"
                 )
+        return ds
+
+    _max_validated: list = []  # last escalation target checked loudly
+
+    def _is_window_err(rc) -> bool:
+        if hasattr(_zstd, "ZSTD_getErrorCode"):
+            return (_zstd.ZSTD_getErrorCode(rc)
+                    == _ZSTD_ERROR_WINDOW_TOO_LARGE)
+        return "too much memory" in _zstd_errname(rc)
+
+    def zstd_stream_decompress_chunks(chunks) -> "Iterator[bytes]":
+        """Decode an iterable of compressed byte chunks into decompressed
+        chunks (handles multi-frame concatenation; O(chunk) memory)."""
+        cap = min(_WINDOW_LOG_DEFAULT, _WINDOW_LOG_MAX)
+        if (_WINDOW_LOG_MAX > _WINDOW_LOG_DEFAULT
+                and _max_validated != [_WINDOW_LOG_MAX]):
+            # validate the (possibly env-overridden) escalation target
+            # loudly at first open, not on first long-window frame
+            _zstd.ZSTD_freeDStream(_mk_dstream(_WINDOW_LOG_MAX))
+            _max_validated[:] = [_WINDOW_LOG_MAX]
+        ds = _mk_dstream(cap)
+        # consumed prefix of the current frame, kept while it could
+        # still be the (<= ~18 byte) header so a window-too-large
+        # escalation can replay it into a fresh context
+        hdr = bytearray()
         try:
             out_cap = 1 << 20
             out_raw = ctypes.create_string_buffer(out_cap)
@@ -448,6 +487,7 @@ if _zstd is not None and hasattr(_zstd, "ZSTD_createDStream"):
                     ctypes.cast(src, ctypes.c_void_p), len(chunk), 0
                 )
                 while inb.pos < inb.size:
+                    prev = inb.pos
                     outb = _ZstdBuffer(
                         ctypes.cast(out_raw, ctypes.c_void_p), out_cap, 0
                     )
@@ -455,17 +495,35 @@ if _zstd is not None and hasattr(_zstd, "ZSTD_createDStream"):
                         ds, ctypes.byref(outb), ctypes.byref(inb)
                     )
                     if _zstd.ZSTD_isError(rc):
-                        detail = ""
-                        if hasattr(_zstd, "ZSTD_getErrorName"):
-                            _zstd.ZSTD_getErrorName.restype = ctypes.c_char_p
-                            detail = " (%s)" % _zstd.ZSTD_getErrorName(
-                                rc
-                            ).decode("ascii", "replace")
-                        raise ValueError(f"corrupt .zst stream{detail}")
+                        if (cap < _WINDOW_LOG_MAX and _HAS_DCTX_PARAM
+                                and _is_window_err(rc)):
+                            # this frame really declares a long window:
+                            # escalate for THIS stream and replay the
+                            # frame header into a fresh context
+                            _zstd.ZSTD_freeDStream(ds)
+                            ds = None
+                            cap = _WINDOW_LOG_MAX
+                            ds = _mk_dstream(cap)
+                            chunk = bytes(hdr) + chunk[prev:]
+                            hdr.clear()
+                            src = ctypes.create_string_buffer(
+                                chunk, len(chunk))
+                            inb = _ZstdBuffer(
+                                ctypes.cast(src, ctypes.c_void_p),
+                                len(chunk), 0,
+                            )
+                            continue
+                        raise ValueError(
+                            "corrupt .zst stream (%s)" % _zstd_errname(rc))
+                    if inb.pos > prev and len(hdr) < 64:
+                        hdr += chunk[prev:inb.pos]
+                    if rc == 0:  # frame fully decoded: next bytes = header
+                        hdr.clear()
                     if outb.pos:
                         yield out_raw.raw[: outb.pos]
         finally:
-            _zstd.ZSTD_freeDStream(ds)
+            if ds is not None:
+                _zstd.ZSTD_freeDStream(ds)
 
 else:  # pragma: no cover - pyarrow fallback (frames with content size only)
     def zstd_stream_decompress_chunks(chunks) -> "Iterator[bytes]":

@@ -324,6 +324,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             raise ValueError("truncated JPEG (stream ends before EOI)")
         if buf[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}, got {buf[pos]:#x}")
+        # T.81 B.1.1.2: any marker may be preceded by any number of
+        # 0xFF fill bytes — the byte after the run is the marker code
+        while buf[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 2 > len(buf):
+                raise ValueError("truncated JPEG (stream ends before EOI)")
         marker = buf[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -666,31 +672,43 @@ def _decode_scan(buf, pos, frame, scan_sel, qtables, hufftabs,
     if nsel > 1:
         nm = mcux * mcuy
         per = [hs * vs for _, _, hs, vs, _, _, _ in scan_sel]
-        coeffs = [np.zeros((nm * p, 64), np.int32) for p in per]
-        idx = [0] * nsel
-        for m in range(nm):
-            if restart_interval and m and m % restart_interval == 0:
-                _restart()
-                n_rst += 1
-                preds = [0] * nsel
+        # chunk the entropy->IDCT handoff: decode a bounded strip of
+        # MCUs into reusable per-component buffers, scatter, reuse —
+        # the int32 coefficient store stays O(strip), not O(frame),
+        # so peak memory is the float64 planes plus ~_IDCT_CHUNK blocks
+        strip_m = max(1, _IDCT_CHUNK // max(per))
+        coeffs = [np.empty((min(strip_m, nm) * p, 64), np.int32)
+                  for p in per]
+        for m0 in range(0, nm, strip_m):
+            m1 = min(m0 + strip_m, nm)
+            idx = [0] * nsel
             for si in range(nsel):
-                dc, ac, _q = luts[si]
-                co = coeffs[si]
-                p = preds[si]
-                b0 = idx[si]
-                for b in range(b0, b0 + per[si]):
-                    p = _decode_block(bits, dc, ac, p, co[b])
-                idx[si] = b0 + per[si]
-                preds[si] = p
-        # block positions in stream order: per MCU, vs rows x hs cols
-        marange = np.arange(nm)
-        for si, (ci, cid, hs, vs, tq, _, _) in enumerate(scan_sel):
-            m_rep = np.repeat(marange, hs * vs)
-            v_idx = np.tile(np.repeat(np.arange(vs), hs), nm)
-            h_idx = np.tile(np.arange(hs), vs * nm)
-            by = (m_rep // mcux) * vs + v_idx
-            bx = (m_rep % mcux) * hs + h_idx
-            _idct_scatter(planes[ci], coeffs[si], luts[si][2], by, bx)
+                coeffs[si][: (m1 - m0) * per[si]].fill(0)
+            for m in range(m0, m1):
+                if restart_interval and m and m % restart_interval == 0:
+                    _restart()
+                    n_rst += 1
+                    preds = [0] * nsel
+                for si in range(nsel):
+                    dc, ac, _q = luts[si]
+                    co = coeffs[si]
+                    p = preds[si]
+                    b0 = idx[si]
+                    for b in range(b0, b0 + per[si]):
+                        p = _decode_block(bits, dc, ac, p, co[b])
+                    idx[si] = b0 + per[si]
+                    preds[si] = p
+            # block positions in stream order: per MCU, vs rows x hs cols
+            marange = np.arange(m0, m1)
+            ns = m1 - m0
+            for si, (ci, cid, hs, vs, tq, _, _) in enumerate(scan_sel):
+                m_rep = np.repeat(marange, hs * vs)
+                v_idx = np.tile(np.repeat(np.arange(vs), hs), ns)
+                h_idx = np.tile(np.arange(hs), vs * ns)
+                by = (m_rep // mcux) * vs + v_idx
+                bx = (m_rep % mcux) * hs + h_idx
+                _idct_scatter(planes[ci], coeffs[si][: idx[si]],
+                              luts[si][2], by, bx)
     else:
         (ci, cid, hs, vs, tq, _, _) = scan_sel[0]
         dc, ac, q = luts[0]
@@ -699,16 +717,21 @@ def _decode_scan(buf, pos, frame, scan_sel, qtables, hufftabs,
         ch = -(-h * vs // vmax)
         bw = -(-cw // 8)
         bh = -(-ch // 8)
-        co = np.zeros((bw * bh, 64), np.int32)
+        nb = bw * bh
+        co = np.empty((min(_IDCT_CHUNK, nb), 64), np.int32)
         p = 0
-        for m in range(bw * bh):
-            if restart_interval and m and m % restart_interval == 0:
-                _restart()
-                n_rst += 1
-                p = 0
-            p = _decode_block(bits, dc, ac, p, co[m])
-        m_all = np.arange(bw * bh)
-        _idct_scatter(planes[ci], co, q, m_all // bw, m_all % bw)
+        for m0 in range(0, nb, _IDCT_CHUNK):
+            m1 = min(m0 + _IDCT_CHUNK, nb)
+            co[: m1 - m0].fill(0)
+            for m in range(m0, m1):
+                if restart_interval and m and m % restart_interval == 0:
+                    _restart()
+                    n_rst += 1
+                    p = 0
+                p = _decode_block(bits, dc, ac, p, co[m - m0])
+            m_all = np.arange(m0, m1)
+            _idct_scatter(planes[ci], co[: m1 - m0], q,
+                          m_all // bw, m_all % bw)
 
     return end_pos
 
@@ -1090,6 +1113,10 @@ def _entropy_records(
         prev[np.arange(nb) % (restart_interval * per) == 0] = 0
     d = dc - prev
     s = _bitlen(np.abs(d))
+    if s.size and int(s.max()) > 11:
+        # mirror the AC guard: category > 11 has no baseline DC code, a
+        # silent zero-length gather would emit a corrupt bitstream
+        raise ValueError("DC difference out of baseline range")
     mv = np.where(d >= 0, d, d + (1 << s) - 1)
     dc_k = ranks * 256
 
@@ -1189,10 +1216,165 @@ def _optimal_table(freq: np.ndarray) -> tuple[list[int], list[int]]:
     return bits[1:17], vals
 
 
+def _emit_scan(out, tc, syms, mags, mlens, scan_comps, ss, se) -> None:
+    """Emit one progressive scan: a per-scan K.2-optimized DHT (slot 0
+    of class ``tc``), the SOS header, and the entropy-coded records
+    (symbols already in stream order)."""
+    bits, vals = _optimal_table(np.bincount(syms, minlength=256))
+    body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+    out.extend(b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body)
+    sos = bytes([len(scan_comps)])
+    for cid in scan_comps:
+        sos += bytes([cid, 0x00])
+    sos += bytes([ss, se, 0x00])  # Ah=Al=0: spectral selection only
+    out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos)
+    codes, lens = _huff_encode_arrays(bits, vals)
+    values = (codes[syms] << mlens) | mags
+    lengths = lens[syms] + mlens
+    out.extend(_stuff(_pack_bits(values, lengths)))
+
+
+def _encode_progressive(out, planes, samps, qzz, mcux, mcuy) -> None:
+    """Progressive (SOF2, T.81 annex G) scan emission: one interleaved
+    DC-first scan, then two spectral-selection AC band scans (1-5 and
+    6-63) per component — the band split libjpeg's default progressive
+    scan script uses. Every scan carries its own K.2-optimized Huffman
+    table: the fixed K.3 tables define no EOBn codes, which is exactly
+    why libjpeg forces optimize_coding in progressive mode too.
+    Spectral selection only (Ah=Al=0); the decoder's successive-
+    approximation refinement paths are pinned by the JDK golden
+    fixtures instead.
+
+    Coefficients are batch-DCT'd once per component on the padded MCU
+    grid; the DC scan walks that grid in MCU order while AC scans walk
+    each component's OWN block grid (T.81 A.2.2 non-interleaved
+    semantics — smaller than the MCU grid for subsampled frames with
+    partial edge MCUs).
+    """
+    nc = len(planes)
+    nm = mcux * mcuy
+    per = [hs * vs for hs, vs in samps]
+    seq = sum(per)
+    comp_zz, grids = [], []
+    for (hs, vs), plane in zip(samps, planes):
+        gh, gw = mcuy * vs, mcux * hs
+        p = np.pad(plane, ((0, gh * 8 - plane.shape[0]),
+                           (0, gw * 8 - plane.shape[1])), mode="edge")
+        blocks = p.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3).reshape(
+            -1, 8, 8) - 128.0
+        coef = _A @ blocks @ _A.T
+        comp_zz.append(
+            np.round(coef[:, _ZZ_ROWS, _ZZ_COLS] / qzz).astype(np.int64))
+        grids.append((gh, gw))
+
+    # ---- scan 1: DC of all components, interleaved in MCU order ----
+    all_k, all_s, all_m = [], [], []
+    off = 0
+    for ci, ((hs, vs), (gh, gw)) in enumerate(zip(samps, grids)):
+        m = np.repeat(np.arange(nm), per[ci])
+        v = np.tile(np.repeat(np.arange(vs), hs), nm)
+        hh = np.tile(np.arange(hs), vs * nm)
+        b = ((m // mcux) * vs + v) * gw + (m % mcux) * hs + hh
+        dc = comp_zz[ci][b, 0]
+        d = np.diff(dc, prepend=0)
+        s = _bitlen(np.abs(d))
+        if s.size and int(s.max()) > 11:
+            raise ValueError("DC difference out of baseline range")
+        all_k.append(m * seq + off + np.tile(np.arange(per[ci]), nm))
+        all_s.append(s)
+        all_m.append(np.where(d >= 0, d, d + (1 << s) - 1))
+        off += per[ci]
+    order = np.argsort(np.concatenate(all_k), kind="stable")
+    syms = np.concatenate(all_s)[order]
+    mags = np.concatenate(all_m)[order]
+    _emit_scan(out, 0, syms, mags, syms, list(range(1, nc + 1)), 0, 0)
+
+    # ---- AC band scans, one component per scan (T.81 G.1.1.1.1) ----
+    h8, w8 = planes[0].shape  # luma == frame dims by construction
+    for ci, ((hs, vs), (gh, gw)) in enumerate(zip(samps, grids)):
+        # the component's own block grid (its own dims, NOT MCU-padded)
+        bh = -(-planes[ci].shape[0] // 8)
+        bw = -(-planes[ci].shape[1] // 8)
+        bidx = (np.arange(bh)[:, None] * gw + np.arange(bw)[None, :]
+                ).ravel()
+        for ss, se in ((1, 5), (6, 63)):
+            Z = comp_zz[ci][bidx][:, ss:se + 1]
+            nb, blen = Z.shape
+            bj, kj = np.nonzero(Z)
+            val = Z[bj, kj]
+            same = np.zeros(len(bj), bool)
+            same[1:] = bj[1:] == bj[:-1]
+            pk = np.where(same, np.concatenate(([-1], kj[:-1])), -1)
+            run = kj - pk - 1
+            zrl, rem = run >> 4, run & 15
+            sa = _bitlen(np.abs(val))
+            if sa.size and int(sa.max()) > 10:
+                raise ValueError("AC coefficient out of baseline range")
+            mva = np.where(val >= 0, val, val + (1 << sa) - 1)
+            ac_k = bj * 256 + kj * 4 + 3
+            tot = int(zrl.sum())
+            if tot:
+                src = np.repeat(np.arange(len(zrl)), zrl)
+                t = np.arange(tot) - np.repeat(np.cumsum(zrl) - zrl, zrl)
+                zr_k = bj[src] * 256 + kj[src] * 4 + t
+                zr_s = np.full(tot, 0xF0, np.int64)
+            else:
+                zr_k = zr_s = np.zeros(0, np.int64)
+            # EOB runs: a block ends with EOB when its band has trailing
+            # zeros (incl. all-zero blocks); consecutive EOB blocks merge
+            # into one EOBn, and any block with nonzeros flushes the run
+            # before its own symbols — so run groups are delimited by
+            # the running count of nonzero-carrying blocks
+            has_nz = np.zeros(nb, bool)
+            has_nz[bj] = True
+            last_k = np.full(nb, -1, np.int64)
+            last_k[bj] = kj  # nonzero kj is nondecreasing per block
+            eob = (~has_nz) | (last_k < blen - 1)
+            gid = np.cumsum(has_nz)[eob]  # group = preceding nz-block
+            eb = np.flatnonzero(eob)
+            # run length per group; EOBn emitted at the FIRST block of
+            # its run, after that block's coefficient symbols (key 255
+            # can't collide: a block with an EOB has last_k < blen-1,
+            # so its max coefficient key is (blen-2)*4+3 < 255)
+            if len(eb):
+                starts = np.concatenate(
+                    ([True], gid[1:] != gid[:-1]))
+                first = eb[starts]
+                rlen = np.diff(np.concatenate(
+                    (np.flatnonzero(starts), [len(eb)])))
+                eo_k, eo_s, eo_m, eo_l = [], [], [], []
+                for fb, r in zip(first.tolist(), rlen.tolist()):
+                    r = int(r)
+                    while r:  # split runs beyond EOB14's 32767 cap
+                        n = min(14, r.bit_length() - 1)
+                        take = min(r, (1 << (n + 1)) - 1)
+                        eo_k.append(fb * 256 + 255)
+                        eo_s.append(n << 4)
+                        eo_m.append(take - (1 << n))
+                        eo_l.append(n)
+                        r -= take
+                eo_k = np.asarray(eo_k, np.int64)
+                eo_s = np.asarray(eo_s, np.int64)
+                eo_m = np.asarray(eo_m, np.int64)
+                eo_l = np.asarray(eo_l, np.int64)
+            else:
+                eo_k = eo_s = eo_m = eo_l = np.zeros(0, np.int64)
+            z = np.zeros
+            keys = np.concatenate([ac_k, zr_k, eo_k])
+            syms = np.concatenate([(rem << 4) | sa, zr_s, eo_s])
+            mags = np.concatenate([mva, z(tot, np.int64), eo_m])
+            mlens = np.concatenate([sa, z(tot, np.int64), eo_l])
+            order = np.argsort(keys, kind="stable")
+            _emit_scan(out, 1, syms[order], mags[order], mlens[order],
+                       [ci + 1], ss, se)
+    out += b"\xff\xd9"  # EOI
+
+
 def encode_jpeg(arr: np.ndarray, quality: int = 90,
                 subsample: bool | str = False,
                 restart_interval: int = 0,
-                optimize_huffman: bool = False) -> bytes:
+                optimize_huffman: bool = False,
+                progressive: bool = False) -> bytes:
     """uint8 (h, w, 3) RGB or (h, w[, 1]) gray -> baseline JFIF bytes.
 
     ``subsample=True`` (or ``"420"``) writes 4:2:0 chroma (box-averaged)

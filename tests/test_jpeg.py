@@ -667,3 +667,29 @@ def test_multiscan_missing_component_raises():
     chopped = bytes(multi[:second_sos]) + b"\xff\xd9"
     with pytest.raises(ValueError, match="component"):
         decode_jpeg(chopped)
+
+
+def test_fill_bytes_before_markers_skipped():
+    # T.81 B.1.1.2: any marker may be preceded by any number of 0xFF
+    # fill bytes — both between header segments and after scan data
+    img = (np.arange(24 * 16, dtype=np.uint8).reshape(24, 16) * 7) % 251
+    blob = encode_jpeg(img, quality=95)
+    base = decode_jpeg(blob)
+    # between SOI and the first segment
+    padded = blob[:2] + b"\xff" * 3 + blob[2:]
+    assert np.array_equal(decode_jpeg(padded), base)
+    # after the entropy-coded scan data, before EOI
+    assert blob[-2:] == b"\xff\xd9"
+    padded = blob[:-2] + b"\xff" * 4 + b"\xff\xd9"
+    assert np.array_equal(decode_jpeg(padded), base)
+
+
+def test_vectorized_encode_dc_category_guard():
+    # a DC diff beyond baseline category 11 must fail loudly (the code
+    # gather would otherwise emit a zero-length code = corrupt stream)
+    from fourmc_spark.operators.jpeg import _entropy_records
+
+    zz = np.zeros((2, 64), np.int32)
+    zz[1, 0] = 4096  # diff 4096 -> category 13
+    with pytest.raises(ValueError, match="DC difference"):
+        _entropy_records(zz, np.arange(2), 1, 0)

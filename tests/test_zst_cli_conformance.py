@@ -104,3 +104,15 @@ def test_window_beyond_cap_still_rejected(monkeypatch):
     monkeypatch.setattr(native, "_WINDOW_LOG_MAX", 27)
     with pytest.raises(ValueError, match="corrupt .zst stream"):
         _read_all(blob)
+
+
+def test_long_window_escalation_mid_stream():
+    # the 1 GiB window authorization is granted lazily (ADVICE r6): a
+    # stream that opens with ordinary frames and only later hits a
+    # --long=30 frame must escalate at that frame (header replay into a
+    # fresh context) and still decode every frame exactly
+    blob = _cli(DATA[:3000], "-3") + _cli(DATA[3000:], "-3", "--long=30")
+    assert _read_all(blob) == DATA
+    # tiny chunks force the long frame's header across call boundaries,
+    # exercising the replay buffer
+    assert _read_all(blob, chunk=5) == DATA
