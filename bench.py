@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     # round 6: interleaved 4:2:0 color twin (vectorized entropy stages
     # landed this round, so the decode-heavy trio stays affordable)
     "multimodal_jpeg_420_roundtrip",
+    "multimodal_jpeg_progressive",
     # round-2 curation/sketching additions
     "text_quality_classifier",
     "curation_c4_clean",

@@ -1290,7 +1290,6 @@ def _encode_progressive(out, planes, samps, qzz, mcux, mcuy) -> None:
     _emit_scan(out, 0, syms, mags, syms, list(range(1, nc + 1)), 0, 0)
 
     # ---- AC band scans, one component per scan (T.81 G.1.1.1.1) ----
-    h8, w8 = planes[0].shape  # luma == frame dims by construction
     for ci, ((hs, vs), (gh, gw)) in enumerate(zip(samps, grids)):
         # the component's own block grid (its own dims, NOT MCU-padded)
         bh = -(-planes[ci].shape[0] // 8)
@@ -1388,7 +1387,17 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
     optimize_coding does) instead of the deterministic fixed-length
     tables — identical pixels, typically 20-40% smaller files; off by
     default so output stays byte-stable for fixture pinning.
+    ``progressive``: emit a progressive (SOF2) stream — interleaved
+    DC-first scan then spectral-selection AC band scans per component,
+    each with per-scan K.2-optimized tables (progressive always
+    optimizes: the fixed tables define no EOBn codes, the same reason
+    libjpeg forces optimize_coding there). Identical pixels to the
+    baseline encode of the same input — progressive changes only the
+    entropy-coding order, never the coefficients.
     """
+    if progressive and restart_interval:
+        raise ValueError(
+            "progressive encode does not support restart intervals")
     a = np.asarray(arr)
     if a.ndim == 3 and a.shape[2] == 1:
         a = a[:, :, 0]
@@ -1445,12 +1454,17 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
     # DQT (one table, id 0, used by all components)
     out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" \
         + bytes(int(v) for v in qzz)
-    # SOF0
+    # SOF0 (baseline) or SOF2 (progressive)
     nc = len(planes)
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
     for i, (hs, vs) in enumerate(samps):
         sof += bytes([i + 1, (hs << 4) | vs, 0])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
+
+    if progressive:
+        _encode_progressive(out, planes, samps, qzz, mcux, mcuy)
+        return bytes(out)
 
     def _emit_tables_and_sos(db, dv, ab, av) -> None:
         # DHT: DC table 0, AC table 0 (shared by all components)

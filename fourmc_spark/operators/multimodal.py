@@ -30,6 +30,7 @@ __all__ = [
     "extract_features",
     "extract_image_features",
     "jpeg420_roundtrip_stats",
+    "jpeg_progressive_roundtrip_stats",
     "jpeg_roundtrip_stats",
     "png_roundtrip_stats",
     "resize_image_stats",
@@ -204,6 +205,65 @@ def jpeg420_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ws.append(dec.shape[1])
                 sums.append(int(dec.astype(np.int64).sum()))
                 oks.append(enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": np.asarray(ws, dtype=np.int64),
+                    "height": np.asarray(hs, dtype=np.int64),
+                    "pix_sum": np.asarray(sums, dtype=np.int64),
+                    "jpeg_bytes_ok": oks,
+                }
+            )
+
+    return _balanced_ids(df, id_col).mapInPandas(batches, schema=out_schema)
+
+
+def jpeg_progressive_roundtrip_stats(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL progressive (SOF2) 4:2:0 color JPEG encode → decode per row.
+
+    Third member of the JPEG roundtrip family: after the gray baseline
+    (:func:`jpeg_roundtrip_stats`) and interleaved-4:2:0 baseline
+    (:func:`jpeg420_roundtrip_stats`), this one drives the PROGRESSIVE
+    entropy pipeline both directions — multi-scan spectral selection
+    (interleaved DC-first scan, per-component AC band scans with EOB-run
+    coding, per-scan K.2-optimized tables) through
+    ``encode_jpeg(progressive=True)`` and the annex-G decoder. The
+    constant-color exactness argument of the 4:2:0 baseline query
+    carries over unchanged: progressive re-orders entropy coding but
+    never changes coefficients, so pixels equal the baseline decode and
+    ``pix_sum = (r+g+b)*w*h`` stays closed-form for the oracle.
+    ``jpeg_bytes_ok`` additionally pins the stream SHAPE: an SOF2
+    marker must be present (a silent fallback to baseline would flip it
+    false). Scale shape: balanced-id exchange then map-only, same as
+    the other codec-roundtrip kernels (measured win for ~1 ms/row
+    kernels).
+    """
+    from fourmc_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    out_schema = (
+        f"{id_col} long, width long, height long, pix_sum long, "
+        "jpeg_bytes_ok boolean"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws, hs, sums, oks = [], [], [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 8 + d % 19, 8 + d % 15
+                img = np.empty((h, w, 3), dtype=np.uint8)
+                img[:, :] = (d * 3 % 256, d * 5 % 256, d * 11 % 256)
+                enc = encode_jpeg(img, quality=100, subsample=True,
+                                  progressive=True)
+                dec = decode_jpeg(enc)
+                hs.append(dec.shape[0])
+                ws.append(dec.shape[1])
+                sums.append(int(dec.astype(np.int64).sum()))
+                oks.append(enc[:2] == b"\xff\xd8"
+                           and enc[-2:] == b"\xff\xd9"
+                           and b"\xff\xc2" in enc)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],

@@ -1749,6 +1749,31 @@ def multimodal_jpeg_420_roundtrip_q(spark, sf):
     ).orderBy("doc_id")
 
 
+@query(
+    "multimodal_jpeg_progressive",
+    """SELECT doc_id,
+              CAST(8 + doc_id % 19 AS BIGINT) AS width,
+              CAST(8 + doc_id % 15 AS BIGINT) AS height,
+              CAST((doc_id * 3 % 256 + doc_id * 5 % 256 + doc_id * 11 % 256)
+                   * (8 + doc_id % 19) * (8 + doc_id % 15)
+                   AS BIGINT) AS pix_sum,
+              TRUE AS jpeg_bytes_ok
+       FROM documents ORDER BY doc_id""",
+)
+def multimodal_jpeg_progressive_q(spark, sf):
+    # progressive (SOF2) twin of multimodal_jpeg_420_roundtrip: real
+    # multi-scan spectral-selection encode (interleaved DC scan, AC
+    # band scans with EOB runs, per-scan K.2 tables) + the annex-G
+    # progressive decoder, both under the hash gate. Exactness: the
+    # 420 constant-color bound applies verbatim — progressive re-orders
+    # entropy coding, coefficients and IDCT are untouched.
+    # jpeg_bytes_ok pins the SOF2 marker so a silent baseline fallback
+    # can't pass.
+    return multimodal.jpeg_progressive_roundtrip_stats(
+        _t(spark, sf, "documents")
+    ).orderBy("doc_id")
+
+
 # documents.text is ASCII (asserted in tests), so DuckDB's varchar
 # substring/md5 sees the same bytes the Spark-side pandas decode slices.
 @query(

@@ -693,3 +693,42 @@ def test_vectorized_encode_dc_category_guard():
     zz[1, 0] = 4096  # diff 4096 -> category 13
     with pytest.raises(ValueError, match="DC difference"):
         _entropy_records(zz, np.arange(2), 1, 0)
+
+
+def test_progressive_encode_matches_baseline_pixels():
+    # progressive changes only entropy-coding order, never coefficients:
+    # decoded pixels must equal the baseline encode of the same input
+    rng = np.random.default_rng(11)
+    cases = [((24, 17), False), ((21, 19, 3), False),
+             ((21, 19, 3), True), ((16, 24, 3), "422"), ((1, 1), False)]
+    for shape, sub in cases:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        for q in (75, 100):
+            b = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+            p = decode_jpeg(encode_jpeg(
+                img, quality=q, subsample=sub, progressive=True))
+            assert np.array_equal(b, p), (shape, sub, q)
+
+
+def test_progressive_stream_shape():
+    blob = encode_jpeg(np.zeros((8, 8), np.uint8), progressive=True)
+    assert b"\xff\xc2" in blob  # SOF2
+    # gray: 1 DC scan + 2 AC band scans = 3 SOS markers
+    assert blob.count(b"\xff\xda") == 3
+    color = encode_jpeg(np.zeros((8, 8, 3), np.uint8), subsample=True,
+                        progressive=True)
+    assert color.count(b"\xff\xda") == 1 + 2 * 3
+
+
+def test_progressive_rejects_restart_interval():
+    with pytest.raises(ValueError, match="restart"):
+        encode_jpeg(np.zeros((8, 8), np.uint8), progressive=True,
+                    restart_interval=2)
+
+
+def test_progressive_eob_run_split_beyond_32767():
+    # 2048x2048 constant gray = 65536 all-zero AC blocks per band: the
+    # EOB run must split at EOB14's 32767 cap and still decode exactly
+    img = np.full((2048, 2048), 33, np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=100, progressive=True))
+    assert np.array_equal(out, img)

@@ -103,11 +103,16 @@ def test_our_encoder_bytes_decode_identically_under_jdk(tmp_path):
                             ).clip(0, 255).astype(np.uint8), True, 4),
         ("rgb422_smooth", smooth, "422", 4),
     ]
-    cases = [(n, i, s, t, opt) for (n, i, s, t) in cases
-             for opt in (False, True)]  # fixed AND optimized K.2 tables
-    for name, img, sub, tol, opt in cases:
+    # fixed AND optimized K.2 tables, plus OUR progressive (SOF2,
+    # spectral-selection) streams — the JDK decoder is the independent
+    # referee that our multi-scan layout is conforming, not just
+    # self-consistent with our own progressive decoder
+    cases = [(n, i, s, t, opt, False) for (n, i, s, t) in cases
+             for opt in (False, True)] + \
+            [(n + "_prog", i, s, t, False, True) for (n, i, s, t) in cases]
+    for name, img, sub, tol, opt, prog in cases:
         ours = encode_jpeg(img, quality=90, subsample=sub,
-                           optimize_huffman=opt)
+                           optimize_huffman=opt, progressive=prog)
         jpg = tmp_path / "x.jpg"
         dec = tmp_path / "x.dec"
         jpg.write_bytes(ours)
