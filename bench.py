@@ -105,6 +105,9 @@ BENCH_QUERIES = [
     # landed this round, so the decode-heavy trio stays affordable)
     "multimodal_jpeg_420_roundtrip",
     "multimodal_jpeg_progressive",
+    # round 7: batch SQL through the 4mc DataSource — compressed sink,
+    # footer-index block pruning of a pushed offset filter, resync scan
+    "sql_4mc_pruned_scan",
     # round-2 curation/sketching additions
     "text_quality_classifier",
     "curation_c4_clean",

