@@ -124,14 +124,21 @@ def jpeg_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     — width/height/pix_sum are closed-form in SQL and any defect in the
     entropy coder, zigzag, quantizer, IDCT, or MCU walk (including the
     edge-replicated partial blocks these non-multiple-of-8 dims force)
-    breaks the hash match. Scale shape: one round-robin exchange of the
-    8-byte id column to balance the CPU-bound kernel across cores
-    (_balanced_ids), then map-only; one small ndarray per row inside
-    the Arrow batch.
+    breaks the hash match. Decode goes through the
+    :func:`imaging.decode_image` dispatch seam (round 7), so a cluster
+    that ships Pillow/libjpeg takes the external fast path while this
+    container's pure-numpy decoder is the fallback — the hash is
+    backend-INDEPENDENT because the constant/q100 construction is exact
+    under any conforming decoder (pinned by tests: fake-backend query
+    invariance + JDK pixel parity through the same seam). Scale shape:
+    one round-robin exchange of the 8-byte id column to balance the
+    CPU-bound kernel across cores (_balanced_ids), then map-only; one
+    small ndarray per row inside the Arrow batch.
 
     Output: (id, width, height, pix_sum, jpeg_bytes_ok).
     """
-    from fourmc_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from fourmc_spark.operators.imaging import decode_image
+    from fourmc_spark.operators.jpeg import encode_jpeg
 
     out_schema = (
         f"{id_col} long, width long, height long, pix_sum long, "
@@ -146,7 +153,7 @@ def jpeg_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 w, h, v = 5 + d % 13, 4 + d % 11, d % 256
                 img = np.full((h, w), v, dtype=np.uint8)
                 enc = encode_jpeg(img, quality=100)
-                dec = decode_jpeg(enc)
+                dec = decode_image(enc)
                 hs.append(dec.shape[0])
                 ws.append(dec.shape[1])
                 sums.append(int(dec.astype(np.int64).sum()))
@@ -182,6 +189,17 @@ def jpeg420_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     pix_sum = (r+g+b)*w*h in closed form. Dims 9..29 x 9..25 force
     partial edge MCUs in both axes. Scale shape: balanced-id exchange
     (_balanced_ids) then map-only mapInPandas.
+
+    Decode is PINNED to the pure decoder (not the decode_image dispatch
+    seam): the nonzero-chroma exactness argument above holds for a
+    decoder with correctly-rounded real arithmetic, but libjpeg's
+    fixed-point inverse color transform deviates by ±1 on some constant
+    color triples (measured against the JDK's libjpeg-backed decoder —
+    e.g. (21,35,77) decodes red=22 there; bound pinned in
+    tests/test_dispatch_gate.py), and the gate hash must not depend on
+    whether the deployment ships Pillow. The dispatch seam is gate-
+    covered by the gray and progressive roundtrip queries, whose
+    chroma-free constructions are exact under BOTH arithmetic styles.
     """
     from fourmc_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
@@ -200,7 +218,7 @@ def jpeg420_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 img = np.empty((h, w, 3), dtype=np.uint8)
                 img[:, :] = rgb
                 enc = encode_jpeg(img, quality=100, subsample=True)
-                dec = decode_jpeg(enc)
+                dec = decode_jpeg(enc)  # pure-pinned, see docstring
                 hs.append(dec.shape[0])
                 ws.append(dec.shape[1])
                 sums.append(int(dec.astype(np.int64).sum()))
@@ -229,18 +247,29 @@ def jpeg_progressive_roundtrip_stats(
     entropy pipeline both directions — multi-scan spectral selection
     (interleaved DC-first scan, per-component AC band scans with EOB-run
     coding, per-scan K.2-optimized tables) through
-    ``encode_jpeg(progressive=True)`` and the annex-G decoder. The
-    constant-color exactness argument of the 4:2:0 baseline query
-    carries over unchanged: progressive re-orders entropy coding but
-    never changes coefficients, so pixels equal the baseline decode and
-    ``pix_sum = (r+g+b)*w*h`` stays closed-form for the oracle.
+    ``encode_jpeg(progressive=True)`` and, through the
+    :func:`imaging.decode_image` dispatch seam, whatever JPEG backend
+    the deployment ships. The construction is an r=g=b constant
+    (``v = (7·id+3) % 256``) precisely so that exactness holds under
+    BOTH arithmetic styles a conforming decoder may use: Y equals v
+    exactly and both chroma planes are exactly 128, so every chroma
+    coefficient is zero and the inverse color transform multiplies its
+    (float-exact OR libjpeg fixed-point) constants by zero — decoded
+    pixels are (v,v,v) under any backend, and
+    ``pix_sum = 3·v·w·h`` stays closed-form for the oracle. (A nonzero-
+    chroma constant is NOT backend-exact — libjpeg's fixed-point
+    inverse deviates ±1 on some triples — which is why the 4:2:0
+    baseline query pins the pure decoder instead; see its docstring.)
+    Still fully 3-component: interleaved DC scan + 2 AC band scans per
+    component = 7 scans, subsampled chroma grids, EOB-run coding.
     ``jpeg_bytes_ok`` additionally pins the stream SHAPE: an SOF2
     marker must be present (a silent fallback to baseline would flip it
     false). Scale shape: balanced-id exchange then map-only, same as
     the other codec-roundtrip kernels (measured win for ~1 ms/row
     kernels).
     """
-    from fourmc_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from fourmc_spark.operators.imaging import decode_image
+    from fourmc_spark.operators.jpeg import encode_jpeg
 
     out_schema = (
         f"{id_col} long, width long, height long, pix_sum long, "
@@ -253,11 +282,11 @@ def jpeg_progressive_roundtrip_stats(
             for d in pdf[id_col]:
                 d = int(d)
                 w, h = 8 + d % 19, 8 + d % 15
-                img = np.empty((h, w, 3), dtype=np.uint8)
-                img[:, :] = (d * 3 % 256, d * 5 % 256, d * 11 % 256)
+                v = (7 * d + 3) % 256
+                img = np.full((h, w, 3), v, dtype=np.uint8)
                 enc = encode_jpeg(img, quality=100, subsample=True,
                                   progressive=True)
-                dec = decode_jpeg(enc)
+                dec = decode_image(enc)
                 hs.append(dec.shape[0])
                 ws.append(dec.shape[1])
                 sums.append(int(dec.astype(np.int64).sum()))

@@ -1754,7 +1754,7 @@ def multimodal_jpeg_420_roundtrip_q(spark, sf):
     """SELECT doc_id,
               CAST(8 + doc_id % 19 AS BIGINT) AS width,
               CAST(8 + doc_id % 15 AS BIGINT) AS height,
-              CAST((doc_id * 3 % 256 + doc_id * 5 % 256 + doc_id * 11 % 256)
+              CAST(3 * ((7 * doc_id + 3) % 256)
                    * (8 + doc_id % 19) * (8 + doc_id % 15)
                    AS BIGINT) AS pix_sum,
               TRUE AS jpeg_bytes_ok
@@ -1764,9 +1764,12 @@ def multimodal_jpeg_progressive_q(spark, sf):
     # progressive (SOF2) twin of multimodal_jpeg_420_roundtrip: real
     # multi-scan spectral-selection encode (interleaved DC scan, AC
     # band scans with EOB runs, per-scan K.2 tables) + the annex-G
-    # progressive decoder, both under the hash gate. Exactness: the
-    # 420 constant-color bound applies verbatim — progressive re-orders
-    # entropy coding, coefficients and IDCT are untouched.
+    # progressive decoder, both under the hash gate — THROUGH the
+    # decode_image dispatch seam, so an external libjpeg backend takes
+    # this path in real deployments. The r=g=b constant construction
+    # (chroma exactly 128, all chroma coefficients zero) is exact under
+    # both float-exact and fixed-point inverse transforms, making the
+    # hash backend-independent (kernel docstring carries the argument).
     # jpeg_bytes_ok pins the SOF2 marker so a silent baseline fallback
     # can't pass.
     return multimodal.jpeg_progressive_roundtrip_stats(
