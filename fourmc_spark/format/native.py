@@ -516,7 +516,12 @@ if _zstd is not None and hasattr(_zstd, "ZSTD_createDStream"):
                         raise ValueError(
                             "corrupt .zst stream (%s)" % _zstd_errname(rc))
                     if inb.pos > prev and len(hdr) < 64:
-                        hdr += chunk[prev:inb.pos]
+                        # keep only a header-sized prefix: escalation can
+                        # fire only while consumption is still inside the
+                        # <= ~18-byte frame header, so bytes past 64 can
+                        # never need replay (and an untruncated append
+                        # would pin up to a whole chunk per frame)
+                        hdr += chunk[prev:inb.pos][:64 - len(hdr)]
                     if rc == 0:  # frame fully decoded: next bytes = header
                         hdr.clear()
                     if outb.pos:

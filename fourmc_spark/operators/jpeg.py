@@ -274,10 +274,22 @@ def _segment_scan(
         m = buf[j + 1]
         if m == 0x00:
             continue  # stuffing escape: data byte
+        k = j + 1
+        if m == 0xFF:
+            # T.81 B.1.1.2: fill bytes may precede ANY marker, RSTn
+            # included — the run ends the entropy segment at j; the
+            # real marker byte follows the run
+            while k < len(buf) and buf[k] == 0xFF:
+                k += 1
+            if k >= len(buf):
+                raise ValueError("truncated JPEG (no marker after scan data)")
+            m = buf[k]
+            if m == 0x00:
+                raise ValueError("stuffed byte after fill bytes in scan")
         segments.append(_destuff(buf[seg_start:j]))
         if 0xD0 <= m <= 0xD7:
             rst_ids.append(m - 0xD0)
-            seg_start = j + 2
+            seg_start = k + 1
             continue
         return segments, rst_ids, j
     raise ValueError("truncated JPEG (no marker after scan data)")
@@ -700,15 +712,12 @@ def _decode_scan(buf, pos, frame, scan_sel, qtables, hufftabs,
                     preds[si] = p
             # block positions in stream order: per MCU, vs rows x hs cols
             marange = np.arange(m0, m1)
-            ns = m1 - m0
             for si, (ci, cid, hs, vs, tq, _, _) in enumerate(scan_sel):
-                m_rep = np.repeat(marange, hs * vs)
-                v_idx = np.tile(np.repeat(np.arange(vs), hs), ns)
-                h_idx = np.tile(np.arange(hs), vs * ns)
-                by = (m_rep // mcux) * vs + v_idx
-                bx = (m_rep % mcux) * hs + h_idx
+                gw = mcux * hs  # plane width is mcux*hs*8 (SOF alloc)
+                _, b = _stream_order_block_indices(
+                    marange, mcux, hs, vs, gw)
                 _idct_scatter(planes[ci], coeffs[si][: idx[si]],
-                              luts[si][2], by, bx)
+                              luts[si][2], b // gw, b % gw)
     else:
         (ci, cid, hs, vs, tq, _, _) = scan_sel[0]
         dc, ac, q = luts[0]
@@ -1093,6 +1102,39 @@ def _stuff(b: bytes) -> bytes:
     return np.insert(a, np.flatnonzero(a == 0xFF) + 1, 0).tobytes()
 
 
+def _stream_order_block_indices(
+    marange: np.ndarray, mcux: int, hs: int, vs: int, gw: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Padded-grid block indices for the given MCU indices in T.81
+    interleaved stream order (per MCU: vs rows x hs cols). Returns
+    (mcu_index_per_block, block_index) — the single source of truth for
+    grid->stream-order math, shared by the baseline vectorized encoder,
+    the progressive DC scan, and the baseline decode scatter."""
+    nm = len(marange)
+    m = np.repeat(marange, hs * vs)
+    v = np.tile(np.repeat(np.arange(vs), hs), nm)
+    hh = np.tile(np.arange(hs), vs * nm)
+    return m, ((m // mcux) * vs + v) * gw + (m % mcux) * hs + hh
+
+
+def _dc_records(
+    dc: np.ndarray, per: int = 1, restart_interval: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """DC difference coding for a stream-ordered DC sequence: returns
+    (categories, magnitude_bits); rejects categories beyond baseline's
+    11 (a zero-length code gather would emit a corrupt stream). Shared
+    by the baseline record builder and the progressive DC scan."""
+    prev = np.concatenate(([0], dc[:-1]))
+    if restart_interval:
+        # DC prediction resets at each restart interval boundary
+        prev[np.arange(len(dc)) % (restart_interval * per) == 0] = 0
+    d = dc - prev
+    s = _bitlen(np.abs(d))
+    if s.size and int(s.max()) > 11:
+        raise ValueError("DC difference out of baseline range")
+    return s, np.where(d >= 0, d, d + (1 << s) - 1)
+
+
 def _entropy_records(
     zz: np.ndarray, ranks: np.ndarray, per: int, restart_interval: int,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -1106,18 +1148,7 @@ def _entropy_records(
     Code assignment (fixed or per-image optimized tables) happens later
     via one vectorized gather over the symbols."""
     nb = zz.shape[0]
-    dc = zz[:, 0].astype(np.int64)
-    prev = np.concatenate(([0], dc[:-1]))
-    if restart_interval:
-        # DC prediction resets at each restart interval boundary
-        prev[np.arange(nb) % (restart_interval * per) == 0] = 0
-    d = dc - prev
-    s = _bitlen(np.abs(d))
-    if s.size and int(s.max()) > 11:
-        # mirror the AC guard: category > 11 has no baseline DC code, a
-        # silent zero-length gather would emit a corrupt bitstream
-        raise ValueError("DC difference out of baseline range")
-    mv = np.where(d >= 0, d, d + (1 << s) - 1)
+    s, mv = _dc_records(zz[:, 0].astype(np.int64), per, restart_interval)
     dc_k = ranks * 256
 
     acs = zz[:, 1:]
@@ -1271,18 +1302,12 @@ def _encode_progressive(out, planes, samps, qzz, mcux, mcuy) -> None:
     all_k, all_s, all_m = [], [], []
     off = 0
     for ci, ((hs, vs), (gh, gw)) in enumerate(zip(samps, grids)):
-        m = np.repeat(np.arange(nm), per[ci])
-        v = np.tile(np.repeat(np.arange(vs), hs), nm)
-        hh = np.tile(np.arange(hs), vs * nm)
-        b = ((m // mcux) * vs + v) * gw + (m % mcux) * hs + hh
-        dc = comp_zz[ci][b, 0]
-        d = np.diff(dc, prepend=0)
-        s = _bitlen(np.abs(d))
-        if s.size and int(s.max()) > 11:
-            raise ValueError("DC difference out of baseline range")
+        m, b = _stream_order_block_indices(
+            np.arange(nm), mcux, hs, vs, gw)
+        s, mv = _dc_records(comp_zz[ci][b, 0])
         all_k.append(m * seq + off + np.tile(np.arange(per[ci]), nm))
         all_s.append(s)
-        all_m.append(np.where(d >= 0, d, d + (1 << s) - 1))
+        all_m.append(mv)
         off += per[ci]
     order = np.argsort(np.concatenate(all_k), kind="stable")
     syms = np.concatenate(all_s)[order]
@@ -1536,10 +1561,9 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
         coef = _A @ blocks @ _A.T
         zz = np.round(coef[:, _ZZ_ROWS, _ZZ_COLS] / qzz).astype(np.int32)
         # row-major grid -> stream order (per MCU: vs rows x hs cols)
-        m = np.repeat(np.arange(nm), per[ci])
-        v = np.tile(np.repeat(np.arange(vs), hs), nm)
-        hh = np.tile(np.arange(hs), vs * nm)
-        zz = zz[((m // mcux) * vs + v) * gw + (m % mcux) * hs + hh]
+        m, b = _stream_order_block_indices(
+            np.arange(nm), mcux, hs, vs, gw)
+        zz = zz[b]
         ranks = m * seq + off + np.tile(np.arange(per[ci]), nm)
         k_, s_, m_, ml_, d_ = _entropy_records(
             zz, ranks, per[ci], restart_interval,

@@ -2624,7 +2624,8 @@ def proto_4mc_roundtrip_q(spark, sf):
 @query(
     "sql_4mc_pruned_scan",
     """WITH params AS (
-         SELECT ((count(*) + 127) // 128) // 2 * 128 AS skip FROM {EV})
+         SELECT GREATEST(128, ((count(*) + 127) // 128) // 2 * 128) AS skip
+         FROM {EV})
        SELECT event_type,
               CAST(count(*) AS BIGINT) AS cnt,
               CAST(sum(user_id) AS BIGINT) AS user_sum,
@@ -2688,10 +2689,15 @@ def sql_4mc_pruned_scan_q(spark, sf):
             .mode("overwrite").save(d)
         )
         n = ev.count()
-        skip = ((n + 127) // 128) // 2 * 128
+        # skip floor of 128: at skip=0 the Spark filter would keep line 0
+        # (owned by block 0 — no preceding byte) while the oracle's
+        # `event_id > 0` drops it; clamping to one full block keeps the
+        # two sides equivalent at ANY table size (<=128 rows -> both empty)
+        skip = max(128, ((n + 127) // 128) // 2 * 128)
         (path,) = _glob.glob(f"{d}/part-*.4mz")
-        _, _, offsets = scan_file_info(path)  # footer-only tail read
-        cutoff = offsets[skip // 128]
+        _, fsize, offsets = scan_file_info(path)  # footer-only tail read
+        jcut = skip // 128
+        cutoff = offsets[jcut] if jcut < len(offsets) else fsize
         back = (
             spark.read.format("fourmc")
             .option("maxpartitionbytes", 65536).load(d)

@@ -732,3 +732,24 @@ def test_progressive_eob_run_split_beyond_32767():
     img = np.full((2048, 2048), 33, np.uint8)
     out = decode_jpeg(encode_jpeg(img, quality=100, progressive=True))
     assert np.array_equal(out, img)
+
+
+def test_fill_bytes_before_restart_markers_skipped():
+    # T.81 B.1.1.2 applies to RSTn markers inside the entropy stream
+    # too, not just markers between segments (review finding r7)
+    img = (np.arange(48 * 24, dtype=np.uint8).reshape(48, 24) * 5) % 249
+    blob = encode_jpeg(img, quality=90, restart_interval=1)
+    base = decode_jpeg(blob)
+    sos = blob.find(b"\xff\xda")
+    rst = blob.find(b"\xff\xd0", sos)
+    assert rst > 0
+    padded = blob[:rst] + b"\xff" * 3 + blob[rst:]
+    assert np.array_equal(decode_jpeg(padded), base)
+    # and before EVERY restart marker at once
+    import re
+    parts = re.split(b"(\xff[\xd0-\xd7])", blob[sos:])
+    rebuilt = blob[:sos] + parts[0] + b"".join(
+        b"\xff\xff" + parts[i] + parts[i + 1]
+        for i in range(1, len(parts) - 1, 2)
+    )
+    assert np.array_equal(decode_jpeg(bytes(rebuilt)), base)

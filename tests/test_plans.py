@@ -480,3 +480,34 @@ def test_sql_4mc_pruned_scan_prunes_blocks(spark, tmp_path):
             .select(F.substring("value", 1, 10).cast("long").alias("id")))
     got = sorted(r["id"] for r in back.collect())
     assert got == list(range(jcut * 128 + 1, n))
+
+
+def test_sql_4mc_pruned_scan_tiny_table_clamp(spark, tmp_path, monkeypatch):
+    """At <= 128 rows the skip floor clamps to one block and BOTH sides
+    go empty — without the clamp the Spark side kept event_id 0 (owned
+    by block 0) while the oracle's `> 0` dropped it (review finding r7).
+    Reuses the real query fn against a miniature events parquet."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from fourmc_spark.queries import ORACLE, QUERIES
+
+    sf_dir = str(tmp_path / "tiny")
+    (spark.range(100).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7).alias("user_id"),
+        F.concat(F.lit("t"), (F.col("id") % 3).cast("string"))
+         .alias("event_type"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+        (F.col("id") * 0.5).alias("value"),
+        F.lit("{}").alias("props"),
+    ).coalesce(1).write.parquet(f"{sf_dir}/events.parquet"))
+
+    rows = QUERIES["sql_4mc_pruned_scan"](spark, sf_dir).collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    oracle = con.execute(ORACLE["sql_4mc_pruned_scan"]).fetchall()
+    assert [tuple(r) for r in rows] == oracle == []
