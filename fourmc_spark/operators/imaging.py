@@ -284,9 +284,19 @@ def decode_image(data: bytes) -> np.ndarray:
             return ext
         # pure-numpy decoder (operators/jpeg.py), baseline + progressive;
         # arithmetic/lossless streams raise UnsupportedImageError
-        from fourmc_spark.operators.jpeg import decode_jpeg
+        from fourmc_spark.operators.jpeg import (
+            adobe_color_transform,
+            cmyk_to_rgb,
+            decode_jpeg,
+        )
 
         arr = decode_jpeg(data)
+        if arr.ndim == 3 and arr.shape[2] == 4:
+            # Adobe CMYK/YCCK: normalize to this dispatch's RGB/gray
+            # contract; APP14 presence selects the inverted-ink
+            # convention (call decode_jpeg directly for raw CMYK)
+            return cmyk_to_rgb(
+                arr, inverted=adobe_color_transform(data) is not None)
         return arr if arr.ndim == 3 else arr[:, :, None]
     if fmt == "png":
         # stdlib-zlib + numpy decoder (operators/png.py); 16-bit
@@ -300,7 +310,8 @@ def decode_image(data: bytes) -> np.ndarray:
         return arr
     raise UnsupportedImageError(
         f"format {fmt!r} needs an external decoder; supported here: "
-        "PPM (P6), PGM (P5), 24-bit BMP, baseline JPEG, PNG"
+        "PPM (P6), PGM (P5), 24-bit BMP, baseline/progressive JPEG "
+        "(gray, YCbCr, Adobe CMYK/YCCK), PNG"
     )
 
 

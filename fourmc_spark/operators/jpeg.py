@@ -255,6 +255,56 @@ def _destuff(seg: bytes) -> bytes:
     return seg.replace(b"\xff\x00", b"\xff")
 
 
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """JFIF inverse color transform (floats in, unclamped floats out)."""
+    cb = cb - 128.0
+    cr = cr - 128.0
+    return np.stack(
+        [y + 1.402 * cr,
+         y - 0.344136 * cb - 0.714136 * cr,
+         y + 1.772 * cb],
+        axis=-1,
+    )
+
+
+def cmyk_to_rgb(arr: np.ndarray, inverted: bool) -> np.ndarray:
+    """(h, w, 4) decoded JPEG CMYK samples -> (h, w, 3) uint8 RGB.
+
+    ``inverted=True`` is the Adobe convention (APP14 present: ink
+    values are stored complemented, so R = C'·K'/255 on the stored
+    samples — what browsers/libjpeg-turbo consumers do); ``False`` is
+    plain CMYK (R = (255-C)·(255-K)/255)."""
+    a = arr.astype(np.float64)
+    c, k = a[..., :3], a[..., 3:4]
+    rgb = c * k / 255.0 if inverted else (255.0 - c) * (255.0 - k) / 255.0
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def adobe_color_transform(data: bytes) -> int | None:
+    """Light marker scan: the APP14 Adobe transform code (0/1/2), or
+    None when the stream carries no Adobe marker. Used by decode_image
+    to pick the CMYK display convention without a full decode."""
+    buf = bytes(data)
+    pos = 2
+    while pos + 4 <= len(buf) and buf[pos] == 0xFF:
+        while buf[pos + 1] == 0xFF:  # B.1.1.2 fill bytes
+            pos += 1
+            if pos + 4 > len(buf):
+                return None
+        marker = buf[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / entropy data begins
+            return None
+        (seglen,) = struct.unpack(">H", buf[pos + 2:pos + 4])
+        seg = buf[pos + 4:pos + 2 + seglen]
+        if marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            return seg[11]
+        pos += 2 + seglen
+    return None
+
+
 def _segment_scan(
     buf: bytes, pos: int
 ) -> tuple[list[bytes], list[int], int]:
@@ -298,14 +348,19 @@ def _segment_scan(
 # --------------------------------------------------------------- decode
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """JPEG bytes -> uint8 array (h, w, 3) RGB or (h, w) gray.
+    """JPEG bytes -> uint8 (h, w, 3) RGB, (h, w) gray, or (h, w, 4)
+    CMYK (Adobe 4-component streams; YCCK transform=2 undone per
+    libjpeg's JCS_CMYK semantics, samples returned in the STORED
+    convention — see :func:`cmyk_to_rgb` for display conversion).
 
     Supports: SOF0/SOF1 (baseline/extended sequential Huffman) AND SOF2
     (progressive Huffman, T.81 annex G — DC first + refinement scans,
     AC spectral-selection bands with EOB runs, successive-approximation
     correction bits; validated against JDK-produced multi-scan streams,
-    see tests/jpeg_golden_fixtures.py); 8-bit precision, 1 or 3
-    components, any sampling factors up to 4 (4:4:4 / 4:2:2 / 4:2:0
+    see tests/jpeg_golden_fixtures.py); 8-bit precision, 1/3/4
+    components (4 = Adobe CMYK/YCCK, JDK-goldened in
+    tests/test_jpeg_cmyk.py), any sampling factors up to 4
+    (4:4:4 / 4:2:2 / 4:2:0
     included), restart intervals, multiple DQT/DHT segments, stuffed
     bytes, and multi-scan baseline files (one SOS per component, legal
     per T.81 — each single-component scan decodes non-interleaved on
@@ -327,6 +382,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     scanned: set[int] = set()  # component ids entropy-decoded so far
     saw_eoi = False
     progressive = False
+    adobe_transform: int | None = None  # APP14 color-transform code
     # progressive only: per-component coefficient store on the PADDED
     # MCU grid, accumulated across scans and inverse-transformed at EOI
     coefs: list[np.ndarray] | None = None
@@ -399,14 +455,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("truncated SOF segment")
             if h == 0 or w == 0 or nc == 0:
                 raise ValueError("SOF declares an empty frame")
-            if nc not in (1, 3):
-                # 2-component frames would index out of the YCbCr
-                # unpack (IndexError outside the ValueError contract);
-                # 4-component (Adobe CMYK/YCCK) frames would silently
-                # decode the first three channels as YCbCr garbage
+            if nc not in (1, 3, 4):
+                # 2-component frames have no defined color model here
+                # and would index out of the YCbCr unpack (IndexError
+                # outside the ValueError contract)
                 raise UnsupportedImageError(
-                    f"{nc}-component JPEG unsupported (only 1 gray or "
-                    "3 YCbCr components; CMYK needs an external decoder)"
+                    f"{nc}-component JPEG unsupported (1 gray, 3 YCbCr, "
+                    "or 4 CMYK/YCCK components)"
                 )
             if h * w > MAX_PIXELS:
                 # executor-memory safety: a tiny payload can declare a
@@ -437,6 +492,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if len(seg) < 2:
                 raise ValueError("truncated DRI segment")
             (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            # APP14 Adobe: last byte is the color-transform code
+            # (0 = none/CMYK, 1 = YCbCr, 2 = YCCK) — decides the
+            # 4-component color model below
+            adobe_transform = seg[11]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -550,13 +610,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         out.append(plane[:h, :w])
     if len(out) == 1:
         return np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
-    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
-    rgb = np.stack(
-        [y + 1.402 * cr,
-         y - 0.344136 * cb - 0.714136 * cr,
-         y + 1.772 * cb],
-        axis=-1,
-    )
+    if len(out) == 4:
+        # Adobe CMYK/YCCK (libjpeg JCS_CMYK semantics): transform 2
+        # stores YCCK — undo the YCbCr part into (255 - R, 255 - G,
+        # 255 - B) stored-CMY, K passes through; transform 0 / no APP14
+        # stores the four channels directly. Returned samples are the
+        # STORED convention (Adobe files keep their inverted ink
+        # values) — cmyk_to_rgb handles the display interpretation.
+        if adobe_transform == 2:
+            cmy = 255.0 - _ycbcr_to_rgb(out[0], out[1], out[2])
+            cmyk = np.concatenate([cmy, out[3][..., None]], axis=-1)
+        else:
+            cmyk = np.stack(out, axis=-1)
+        return np.clip(np.round(cmyk), 0, 255).astype(np.uint8)
+    rgb = _ycbcr_to_rgb(out[0], out[1], out[2])
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 

@@ -155,11 +155,11 @@ def test_sof2_marker_on_baseline_stream_raises_value_error():
         decode_jpeg(bytes(enc))
 
 
-@pytest.mark.parametrize("nc", [2, 4])
+@pytest.mark.parametrize("nc", [2])
 def test_unsupported_component_count_raises(nc):
     # nc=2 used to IndexError at the YCbCr unpack (outside the
-    # ValueError contract); nc=4 (Adobe CMYK) silently decoded three
-    # channels as YCbCr garbage — both must reject at SOF parse
+    # ValueError contract) and must reject at SOF parse; nc=4 (Adobe
+    # CMYK/YCCK) is SUPPORTED since round 7 (tests/test_jpeg_cmyk.py)
     import struct
 
     out = bytearray(b"\xff\xd8")
