@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     # landed this round, so the decode-heavy trio stays affordable)
     "multimodal_jpeg_420_roundtrip",
     "multimodal_jpeg_progressive",
+    "multimodal_jpeg_cmyk_roundtrip",
     # round 7: batch SQL through the 4mc DataSource — compressed sink,
     # footer-index block pruning of a pushed offset filter, resync scan
     "sql_4mc_pruned_scan",

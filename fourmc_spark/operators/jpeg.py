@@ -1503,6 +1503,15 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
     if gray:
         planes = [a.astype(np.float64)]
         samps = [(1, 1)]
+    elif a.ndim == 3 and a.shape[2] == 4:
+        # 4-channel input: written as a raw 4-component JPEG (no color
+        # transform, no APP14 — the same convention javax.imageio uses
+        # for 4-band rasters; decode_jpeg reads it back verbatim as
+        # stored CMYK). Subsampling is a YCbCr-space concept — reject.
+        if subsample:
+            raise ValueError("4-component encode does not subsample")
+        planes = [a[:, :, c].astype(np.float64) for c in range(4)]
+        samps = [(1, 1)] * 4
     else:
         rgb = a.astype(np.float64)
         y = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]

@@ -30,6 +30,7 @@ __all__ = [
     "extract_features",
     "extract_image_features",
     "jpeg420_roundtrip_stats",
+    "jpeg_cmyk_roundtrip_stats",
     "jpeg_progressive_roundtrip_stats",
     "jpeg_roundtrip_stats",
     "png_roundtrip_stats",
@@ -293,6 +294,62 @@ def jpeg_progressive_roundtrip_stats(
                 oks.append(enc[:2] == b"\xff\xd8"
                            and enc[-2:] == b"\xff\xd9"
                            and b"\xff\xc2" in enc)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": np.asarray(ws, dtype=np.int64),
+                    "height": np.asarray(hs, dtype=np.int64),
+                    "pix_sum": np.asarray(sums, dtype=np.int64),
+                    "jpeg_bytes_ok": oks,
+                }
+            )
+
+    return _balanced_ids(df, id_col).mapInPandas(batches, schema=out_schema)
+
+
+def jpeg_cmyk_roundtrip_stats(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL 4-component (CMYK) JPEG encode → decode per row.
+
+    Fourth member of the JPEG roundtrip family: a raw 4-component
+    baseline stream (no color transform, the javax.imageio 4-band
+    raster convention, JDK-goldened both directions in
+    tests/test_jpeg_cmyk.py) through ``encode_jpeg`` on a (h, w, 4)
+    input and back through ``decode_jpeg``, which returns the stored
+    4 channels verbatim. Exactness: constant channels are DC-only at
+    quality 100 and there is NO color transform in either direction,
+    so each plane reconstructs within 1/16 and rounds back exactly —
+    ``pix_sum = (c+m+y+k)·w·h`` in closed form. ``decode_jpeg`` (not
+    the decode_image seam) is deliberate: the dispatch contract
+    normalizes CMYK to RGB for display, while this query hashes the raw
+    codec path. Scale shape: balanced-id exchange then map-only.
+    """
+    from fourmc_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    out_schema = (
+        f"{id_col} long, width long, height long, pix_sum long, "
+        "jpeg_bytes_ok boolean"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws, hs, sums, oks = [], [], [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 7 + d % 17, 6 + d % 13
+                cmyk = ((d * 5 + 1) % 256, (d * 9 + 2) % 256,
+                        (d * 11 + 4) % 256, (d * 3 + 7) % 256)
+                img = np.empty((h, w, 4), dtype=np.uint8)
+                img[:, :] = cmyk
+                enc = encode_jpeg(img, quality=100)
+                dec = decode_jpeg(enc)
+                hs.append(dec.shape[0])
+                ws.append(dec.shape[1])
+                sums.append(int(dec.astype(np.int64).sum()))
+                oks.append(enc[:2] == b"\xff\xd8"
+                           and enc[-2:] == b"\xff\xd9"
+                           and dec.shape[2] == 4)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],

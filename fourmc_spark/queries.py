@@ -1777,6 +1777,28 @@ def multimodal_jpeg_progressive_q(spark, sf):
     ).orderBy("doc_id")
 
 
+@query(
+    "multimodal_jpeg_cmyk_roundtrip",
+    """SELECT doc_id,
+              CAST(7 + doc_id % 17 AS BIGINT) AS width,
+              CAST(6 + doc_id % 13 AS BIGINT) AS height,
+              CAST(((doc_id * 5 + 1) % 256 + (doc_id * 9 + 2) % 256
+                    + (doc_id * 11 + 4) % 256 + (doc_id * 3 + 7) % 256)
+                   * (7 + doc_id % 17) * (6 + doc_id % 13)
+                   AS BIGINT) AS pix_sum,
+              TRUE AS jpeg_bytes_ok
+       FROM documents ORDER BY doc_id""",
+)
+def multimodal_jpeg_cmyk_roundtrip_q(spark, sf):
+    # 4-component (CMYK) twin: raw 4-band baseline streams (the
+    # javax.imageio raster convention, JDK-goldened both directions)
+    # encode+decode under the hash gate; no color transform in either
+    # direction, so the constant/q100 construction is exact per plane.
+    return multimodal.jpeg_cmyk_roundtrip_stats(
+        _t(spark, sf, "documents")
+    ).orderBy("doc_id")
+
+
 # documents.text is ASCII (asserted in tests), so DuckDB's varchar
 # substring/md5 sees the same bytes the Spark-side pandas decode slices.
 @query(

@@ -188,3 +188,30 @@ def test_two_component_still_rejected():
     # the component-count guard must fire before anything else)
     with pytest.raises((UnsupportedImageError, ValueError)):
         decode_jpeg(bytes(blob))
+
+
+def test_our_cmyk_encode_decodes_identically_under_jdk(jdk):
+    # reverse golden: bytes from OUR 4-component encoder must decode to
+    # the same bands under the JDK's independent decoder
+    from fourmc_spark.operators.jpeg import encode_jpeg
+
+    _, read_raster = jdk
+    rng = np.random.default_rng(11)
+    for raw, prog in (
+        (np.full((10, 12, 4), (90, 140, 170, 33), np.uint8), False),
+        (rng.integers(0, 256, (14, 9, 4)).astype(np.uint8), False),
+        (np.full((11, 8, 4), (5, 250, 128, 64), np.uint8), True),
+    ):
+        blob = encode_jpeg(raw, quality=95, progressive=prog)
+        jdk_bands = read_raster(blob)
+        ours = decode_jpeg(blob)
+        assert jdk_bands.shape == ours.shape == raw.shape
+        d = np.abs(jdk_bands.astype(int) - ours.astype(int)).max()
+        assert d <= 2, f"JDK disagrees with our decode by {d} (prog={prog})"
+
+
+def test_cmyk_encode_rejects_subsample():
+    from fourmc_spark.operators.jpeg import encode_jpeg
+
+    with pytest.raises(ValueError, match="subsample"):
+        encode_jpeg(np.zeros((8, 8, 4), np.uint8), subsample=True)
