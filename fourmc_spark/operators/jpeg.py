@@ -1258,13 +1258,25 @@ def _entropy_records(
     return keys, syms, mags, mlen, isdc
 
 
+_OPT_TABLE_CACHE: dict[bytes, tuple[list[int], list[int]]] = {}
+
+
 def _optimal_table(freq: np.ndarray) -> tuple[list[int], list[int]]:
     """Per-image length-limited canonical Huffman table from symbol
     frequencies — the T.81 annex K.2 code-size procedure (the same
     algorithm libjpeg's optimize_coding runs): pairwise merge of the
     two least-frequent entries with an 'others' chain, 16-bit length
     adjustment, and a reserved pseudo-symbol whose minimal frequency
-    forces it onto the longest code so the all-ones code stays unused."""
+    forces it onto the longest code so the all-ones code stays unused.
+
+    Memoized on the histogram bytes: the K.2 merge loop is pure Python
+    and dominates tiny progressive encodes (7 scans/image), where many
+    images in a batch share the same few histograms — a hit costs one
+    2 KiB dict lookup, a distinct real-image histogram just misses."""
+    key = np.ascontiguousarray(freq, np.int64).tobytes()
+    hit = _OPT_TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
     freqs = [int(f) for f in freq] + [1]  # pseudo-symbol
     n = len(freqs)
     others = [-1] * n
@@ -1311,6 +1323,9 @@ def _optimal_table(freq: np.ndarray) -> tuple[list[int], list[int]]:
     bits[i] -= 1  # drop the pseudo-symbol's (longest) code
     vals = [sym for _, sym in
             sorted((cs, sym) for sym, cs in enumerate(codesize[:-1]) if cs)]
+    if len(_OPT_TABLE_CACHE) >= 4096:  # bounded: adversarial histogram
+        _OPT_TABLE_CACHE.clear()       # churn must not grow the worker
+    _OPT_TABLE_CACHE[key] = (bits[1:17], vals)
     return bits[1:17], vals
 
 
