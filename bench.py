@@ -698,6 +698,13 @@ def bench_io_robust(spark, tmpdir: str) -> tuple[dict, list[dict]]:
     attempt's canaries are recorded so the capture stays
     self-describing."""
     max_attempts = max(1, int(os.environ.get("SPARK_GRAFT_IO_PASSES_MAX", 3)))
+    # round 7: at least 2 passes UNCONDITIONALLY — the BLAS canary
+    # catches CPU steal but not I/O-specific contention (r7 measured
+    # sink-roundtrip swinging 62 <-> 164 MB/s between healthy-canary
+    # passes minutes apart); the max-merge needs a second sample to
+    # smooth that, same reason the query bench always runs >= 2 passes
+    min_passes = max(1, int(os.environ.get("SPARK_GRAFT_IO_PASSES", 2)))
+    max_attempts = max(max_attempts, min_passes)
     retry_budget = float(os.environ.get("SPARK_GRAFT_RETRY_SETTLE_SEC", 120))
     attempts: list[dict] = []
     meta: list[dict] = []
@@ -721,9 +728,11 @@ def bench_io_robust(spark, tmpdir: str) -> tuple[dict, list[dict]]:
             # line, persisted in BENCH_DETAIL
             "result": dict(res),
         })
-        if meta[-1]["healthy"]:
+        if len(attempts) >= min_passes and meta[-1]["healthy"]:
             break
-        if i + 1 < max_attempts:
+        if i + 1 < max_attempts and not meta[-1]["healthy"]:
+            # settle only before a RETRY of an unhealthy pass; the
+            # mandatory second pass runs back-to-back
             print(
                 f"bench: io pass {i + 1} bracketed by unhealthy canary "
                 f"({c0['blas_gflops']}/{c1['blas_gflops']} GFLOPs), "
