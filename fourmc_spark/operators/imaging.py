@@ -285,18 +285,18 @@ def decode_image(data: bytes) -> np.ndarray:
         # pure-numpy decoder (operators/jpeg.py), baseline + progressive;
         # arithmetic/lossless streams raise UnsupportedImageError
         from fourmc_spark.operators.jpeg import (
-            adobe_color_transform,
             cmyk_to_rgb,
-            decode_jpeg,
+            decode_jpeg_with_info,
         )
 
-        arr = decode_jpeg(data)
+        arr, jinfo = decode_jpeg_with_info(data)
         if arr.ndim == 3 and arr.shape[2] == 4:
             # Adobe CMYK/YCCK: normalize to this dispatch's RGB/gray
             # contract; APP14 presence selects the inverted-ink
-            # convention (call decode_jpeg directly for raw CMYK)
+            # convention (call decode_jpeg directly for raw CMYK). The
+            # flag comes from the decode itself — no second marker walk
             return cmyk_to_rgb(
-                arr, inverted=adobe_color_transform(data) is not None)
+                arr, inverted=jinfo["adobe_transform"] is not None)
         return arr if arr.ndim == 3 else arr[:, :, None]
     if fmt == "png":
         # stdlib-zlib + numpy decoder (operators/png.py); 16-bit

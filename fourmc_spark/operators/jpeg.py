@@ -282,8 +282,11 @@ def cmyk_to_rgb(arr: np.ndarray, inverted: bool) -> np.ndarray:
 
 def adobe_color_transform(data: bytes) -> int | None:
     """Light marker scan: the APP14 Adobe transform code (0/1/2), or
-    None when the stream carries no Adobe marker. Used by decode_image
-    to pick the CMYK display convention without a full decode."""
+    None when the stream carries no Adobe marker. Kept for callers that
+    only need the flag; ``decode_image`` gets it from
+    :func:`decode_jpeg_with_info` instead (one parse, no drift).
+    Standalone-marker and seglen handling mirror decode_jpeg's walk
+    (TEM 0x01 has no segment; seglen < 2 is corrupt -> None)."""
     buf = bytes(data)
     pos = 2
     while pos + 4 <= len(buf) and buf[pos] == 0xFF:
@@ -292,12 +295,14 @@ def adobe_color_transform(data: bytes) -> int | None:
             if pos + 4 > len(buf):
                 return None
         marker = buf[pos + 1]
-        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
         if marker in (0xD9, 0xDA):  # EOI / entropy data begins
             return None
         (seglen,) = struct.unpack(">H", buf[pos + 2:pos + 4])
+        if seglen < 2:
+            return None
         seg = buf[pos + 4:pos + 2 + seglen]
         if marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
             return seg[11]
@@ -349,9 +354,22 @@ def _segment_scan(
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """JPEG bytes -> uint8 (h, w, 3) RGB, (h, w) gray, or (h, w, 4)
-    CMYK (Adobe 4-component streams; YCCK transform=2 undone per
-    libjpeg's JCS_CMYK semantics, samples returned in the STORED
-    convention — see :func:`cmyk_to_rgb` for display conversion).
+    CMYK. See :func:`decode_jpeg_with_info` for the full contract."""
+    return decode_jpeg_with_info(data)[0]
+
+
+def decode_jpeg_with_info(data: bytes) -> tuple[np.ndarray, dict]:
+    """JPEG bytes -> (uint8 array, stream info dict).
+
+    The array is (h, w, 3) RGB, (h, w) gray, or (h, w, 4) CMYK (Adobe
+    4-component streams; YCCK transform=2 undone per libjpeg's
+    JCS_CMYK semantics, samples returned in the STORED convention —
+    see :func:`cmyk_to_rgb` for display conversion; APP14 transform=0
+    on a 3-component frame means stored RGB and skips the YCbCr
+    inverse, matching libjpeg's JCS_RGB). The info dict carries
+    ``components``, ``progressive``, and ``adobe_transform`` (the
+    APP14 code, or None) so callers like ``decode_image`` never need a
+    second, driftable marker walk over the same bytes.
 
     Supports: SOF0/SOF1 (baseline/extended sequential Huffman) AND SOF2
     (progressive Huffman, T.81 annex G — DC first + refinement scans,
@@ -594,6 +612,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             f"stream {'ended' if saw_eoi else 'stopped'} with no scan "
             f"for component(s) {missing}"
         )
+    info = {
+        "components": len(comps),
+        "progressive": progressive,
+        "adobe_transform": adobe_transform,
+    }
     # upsample each component to the luma grid and crop
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -609,7 +632,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             plane = _upsample_plane(plane, vmax // vs, hmax // hs)
         out.append(plane[:h, :w])
     if len(out) == 1:
-        return np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+        return np.clip(np.round(out[0]), 0, 255).astype(np.uint8), info
     if len(out) == 4:
         # Adobe CMYK/YCCK (libjpeg JCS_CMYK semantics): transform 2
         # stores YCCK — undo the YCbCr part into (255 - R, 255 - G,
@@ -622,9 +645,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             cmyk = np.concatenate([cmy, out[3][..., None]], axis=-1)
         else:
             cmyk = np.stack(out, axis=-1)
-        return np.clip(np.round(cmyk), 0, 255).astype(np.uint8)
-    rgb = _ycbcr_to_rgb(out[0], out[1], out[2])
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        return np.clip(np.round(cmyk), 0, 255).astype(np.uint8), info
+    if adobe_transform == 0:
+        # APP14 transform=0 on a 3-component frame: stored RGB, no
+        # inverse color transform (libjpeg's JCS_RGB — Photoshop "RGB"
+        # saves); running the YCbCr inverse here would garble colors
+        rgb = np.stack(out, axis=-1)
+    else:
+        rgb = _ycbcr_to_rgb(out[0], out[1], out[2])
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8), info
 
 
 def _decode_block(bits: _FastBits, dc: _HuffTable, ac: _HuffTable,
@@ -1261,7 +1290,9 @@ def _entropy_records(
 _OPT_TABLE_CACHE: dict[bytes, tuple[list[int], list[int]]] = {}
 
 
-def _optimal_table(freq: np.ndarray) -> tuple[list[int], list[int]]:
+def _optimal_table(
+    freq: np.ndarray,
+) -> tuple[tuple[int, ...], tuple[int, ...]]:
     """Per-image length-limited canonical Huffman table from symbol
     frequencies — the T.81 annex K.2 code-size procedure (the same
     algorithm libjpeg's optimize_coding runs): pairwise merge of the
@@ -1325,8 +1356,12 @@ def _optimal_table(freq: np.ndarray) -> tuple[list[int], list[int]]:
             sorted((cs, sym) for sym, cs in enumerate(codesize[:-1]) if cs)]
     if len(_OPT_TABLE_CACHE) >= 4096:  # bounded: adversarial histogram
         _OPT_TABLE_CACHE.clear()       # churn must not grow the worker
-    _OPT_TABLE_CACHE[key] = (bits[1:17], vals)
-    return bits[1:17], vals
+    # tuples: the cached entry is shared across encodes — a mutable
+    # list would let one caller's mutation corrupt every later image
+    # with the same histogram
+    out = (tuple(bits[1:17]), tuple(vals))
+    _OPT_TABLE_CACHE[key] = out
+    return out
 
 
 def _emit_scan(out, tc, syms, mags, mlens, scan_comps, ss, se) -> None:
@@ -1522,8 +1557,9 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
         # 4-channel input: written as a raw 4-component JPEG (no color
         # transform, no APP14 — the same convention javax.imageio uses
         # for 4-band rasters; decode_jpeg reads it back verbatim as
-        # stored CMYK). Subsampling is a YCbCr-space concept — reject.
-        if subsample:
+        # stored CMYK). Subsampling is a YCbCr-space concept — reject
+        # everything except the explicit no-op mode "444".
+        if subsample and str(subsample) not in ("444",):
             raise ValueError("4-component encode does not subsample")
         planes = [a[:, :, c].astype(np.float64) for c in range(4)]
         samps = [(1, 1)] * 4
@@ -1564,9 +1600,14 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
      dc_enc, ac_enc) = _encoder_tables()
 
     out = bytearray(b"\xff\xd8")  # SOI
-    # JFIF APP0
-    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    if len(planes) != 4:
+        # JFIF APP0 — defined only for 1- and 3-component frames
+        # (ISO 10918-5); 4-component streams stay bare, matching the
+        # javax.imageio 4-band raster convention (no JFIF, no APP14 —
+        # an APP14 would flip consumers to the Adobe inverted-ink
+        # interpretation of our raw channels)
+        app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
     # DQT (one table, id 0, used by all components)
     out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" \
         + bytes(int(v) for v in qzz)

@@ -215,3 +215,72 @@ def test_cmyk_encode_rejects_subsample():
 
     with pytest.raises(ValueError, match="subsample"):
         encode_jpeg(np.zeros((8, 8, 4), np.uint8), subsample=True)
+
+
+def test_adobe_rgb_transform0_three_component_passthrough():
+    # APP14 transform=0 on a 3-component frame = stored RGB (libjpeg
+    # JCS_RGB): the YCbCr inverse must be skipped (review finding r7)
+    from fourmc_spark.operators.jpeg import (
+        decode_jpeg_with_info,
+        encode_jpeg,
+    )
+
+    img = np.empty((8, 8, 3), np.uint8)
+    img[:, :] = (70, 120, 200)
+    blob = encode_jpeg(img, quality=100)  # stores YCbCr planes
+    plain = decode_jpeg(blob)
+    assert np.array_equal(plain, img)  # constant/q100 exact
+    marked = _inject_app14(blob, transform=0)
+    got, info = decode_jpeg_with_info(marked)
+    assert info["adobe_transform"] == 0 and info["components"] == 3
+    # planes interpreted verbatim: the stored YCbCr constants
+    y = 0.299 * 70 + 0.587 * 120 + 0.114 * 200
+    cb = 128 - 0.168736 * 70 - 0.331264 * 120 + 0.5 * 200
+    cr = 128 + 0.5 * 70 - 0.418688 * 120 - 0.081312 * 200
+    exp = np.empty((8, 8, 3), np.uint8)
+    exp[:, :] = (round(y), round(cb), round(cr))
+    assert np.array_equal(got, exp)
+    # transform=1 (explicit YCbCr) behaves like no marker
+    assert np.array_equal(decode_jpeg(_inject_app14(blob, 1)), img)
+
+
+def test_marker_walks_agree_on_tem_and_fills(jdk):
+    # the light scanner and the decoder's own walk must agree about
+    # APP14 presence on streams with standalone TEM markers and fill
+    # bytes before the Adobe segment (review finding r7)
+    from fourmc_spark.operators.jpeg import decode_jpeg_with_info
+
+    encode, _ = jdk
+    raw = np.full((8, 8, 4), (90, 140, 170, 33), np.uint8)
+    blob = _inject_app14(encode(raw), transform=2)
+    # TEM (FF 01) then fill bytes ahead of everything after SOI
+    hostile = blob[:2] + b"\xff\x01" + b"\xff" * 2 + blob[2:]
+    assert adobe_color_transform(hostile) == 2
+    _, info = decode_jpeg_with_info(hostile)
+    assert info["adobe_transform"] == 2
+
+
+def test_cmyk_stream_has_no_jfif_app0():
+    # JFIF is defined only for 1/3-component frames (ISO 10918-5): the
+    # 4-component encode must stay bare (no APP0, no APP14)
+    from fourmc_spark.operators.jpeg import encode_jpeg
+
+    four = encode_jpeg(np.zeros((8, 8, 4), np.uint8))
+    three = encode_jpeg(np.zeros((8, 8, 3), np.uint8))
+    assert not four.startswith(b"\xff\xd8\xff\xe0")
+    assert b"JFIF" not in four and b"Adobe" not in four
+    assert three.startswith(b"\xff\xd8\xff\xe0")
+    # and the "444" no-op mode is accepted on 4-channel input
+    assert encode_jpeg(np.zeros((8, 8, 4), np.uint8), subsample="444")
+
+
+def test_optimal_table_cache_returns_immutable():
+    from fourmc_spark.operators.jpeg import _optimal_table
+
+    freq = np.zeros(256, np.int64)
+    freq[3] = 10
+    freq[0] = 5
+    bits, vals = _optimal_table(freq)
+    assert isinstance(bits, tuple) and isinstance(vals, tuple)
+    again = _optimal_table(freq)
+    assert again == (bits, vals)
