@@ -567,6 +567,10 @@ def bench_stress(spark) -> dict[str, float]:
 
     for key, op in (("stress_jpeg_roundtrip_sec",
                      multimodal.jpeg_roundtrip_stats),
+                    ("stress_jpeg_progressive_sec",
+                     multimodal.jpeg_progressive_roundtrip_stats),
+                    ("stress_jpeg_cmyk_sec",
+                     multimodal.jpeg_cmyk_roundtrip_stats),
                     ("stress_png_roundtrip_sec",
                      multimodal.png_roundtrip_stats)):
         t0 = time.perf_counter()
