@@ -707,8 +707,10 @@ def bench_io_robust(spark, tmpdir: str) -> tuple[dict, list[dict]]:
     # sink-roundtrip swinging 62 <-> 164 MB/s between healthy-canary
     # passes minutes apart); the max-merge needs a second sample to
     # smooth that, same reason the query bench always runs >= 2 passes
+    # PASSES_MAX stays a HARD cap: an explicit MAX=1 smoke run must not
+    # be silently overridden to 2 by the new default minimum
     min_passes = max(1, int(os.environ.get("SPARK_GRAFT_IO_PASSES", 2)))
-    max_attempts = max(max_attempts, min_passes)
+    min_passes = min(min_passes, max_attempts)
     retry_budget = float(os.environ.get("SPARK_GRAFT_RETRY_SETTLE_SEC", 120))
     attempts: list[dict] = []
     meta: list[dict] = []

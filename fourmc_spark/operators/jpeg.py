@@ -282,32 +282,34 @@ def cmyk_to_rgb(arr: np.ndarray, inverted: bool) -> np.ndarray:
 
 def adobe_color_transform(data: bytes) -> int | None:
     """Light marker scan: the APP14 Adobe transform code (0/1/2), or
-    None when the stream carries no Adobe marker. Kept for callers that
-    only need the flag; ``decode_image`` gets it from
-    :func:`decode_jpeg_with_info` instead (one parse, no drift).
-    Standalone-marker and seglen handling mirror decode_jpeg's walk
-    (TEM 0x01 has no segment; seglen < 2 is corrupt -> None)."""
+    None when the stream carries no Adobe marker before its first SOS.
+    Kept for callers that only need the flag; ``decode_image`` gets it
+    from :func:`decode_jpeg_with_info` instead (one parse, no drift).
+    Semantics match decode_jpeg's walk AND libjpeg's header parse: the
+    LAST APP14 before the FIRST SOS wins, post-SOS markers are ignored;
+    TEM 0x01 is standalone; seglen < 2 is corrupt -> None."""
     buf = bytes(data)
     pos = 2
+    found: int | None = None
     while pos + 4 <= len(buf) and buf[pos] == 0xFF:
         while buf[pos + 1] == 0xFF:  # B.1.1.2 fill bytes
             pos += 1
             if pos + 4 > len(buf):
-                return None
+                return found
         marker = buf[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
         if marker in (0xD9, 0xDA):  # EOI / entropy data begins
-            return None
+            return found
         (seglen,) = struct.unpack(">H", buf[pos + 2:pos + 4])
         if seglen < 2:
-            return None
+            return found
         seg = buf[pos + 4:pos + 2 + seglen]
         if marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
-            return seg[11]
+            found = seg[11]
         pos += 2 + seglen
-    return None
+    return found
 
 
 def _segment_scan(
@@ -510,10 +512,15 @@ def decode_jpeg_with_info(data: bytes) -> tuple[np.ndarray, dict]:
             if len(seg) < 2:
                 raise ValueError("truncated DRI segment")
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+        elif (marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12
+                and not scanned):
             # APP14 Adobe: last byte is the color-transform code
             # (0 = none/CMYK, 1 = YCbCr, 2 = YCCK) — decides the
-            # 4-component color model below
+            # 3/4-component color model below. libjpeg semantics: the
+            # LAST APP14 before the FIRST SOS wins (jpeg_read_header
+            # stops at SOS; later markers must not flip the model, or
+            # the pure path would diverge from a libjpeg-backed one on
+            # the same bytes)
             adobe_transform = seg[11]
         elif marker == 0xDA:  # SOS
             if frame is None:
@@ -1287,7 +1294,7 @@ def _entropy_records(
     return keys, syms, mags, mlen, isdc
 
 
-_OPT_TABLE_CACHE: dict[bytes, tuple[list[int], list[int]]] = {}
+_OPT_TABLE_CACHE: dict[bytes, tuple[tuple[int, ...], tuple[int, ...]]] = {}
 
 
 def _optimal_table(
@@ -1516,7 +1523,16 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
                 restart_interval: int = 0,
                 optimize_huffman: bool = False,
                 progressive: bool = False) -> bytes:
-    """uint8 (h, w, 3) RGB or (h, w[, 1]) gray -> baseline JFIF bytes.
+    """uint8 image -> JPEG bytes.
+
+    (h, w, 3) RGB or (h, w[, 1]) gray inputs produce JFIF streams
+    (baseline SOF0, or progressive SOF2 with ``progressive=True``);
+    (h, w, 4) inputs produce a BARE raw 4-component stream — no JFIF
+    APP0 (ISO 10918-5 defines JFIF for 1/3 components only) and no
+    Adobe APP14 (which would flip consumers to the inverted-ink
+    interpretation of the raw channels), matching the javax.imageio
+    4-band raster convention; ``decode_jpeg`` reads the channels back
+    verbatim as stored CMYK.
 
     ``subsample=True`` (or ``"420"``) writes 4:2:0 chroma (box-averaged)
     and ``"422"`` horizontal-only 4:2:2 chroma, exercising the

@@ -26,11 +26,9 @@ from fourmc_spark.operators.jpeg import (
     decode_jpeg,
 )
 
-pytestmark = pytest.mark.skipif(
-    __import__("shutil").which("javac") is None
-    or __import__("shutil").which("java") is None,
-    reason="JDK not available for the independent CMYK golden",
-)
+# JDK-dependent tests skip via the `jdk` fixture; pure-Python pins
+# (transform semantics, encoder stream shape, cache immutability) run
+# everywhere — they guard the decoder behavior itself, not the golden
 
 JAVA_SRC = """
 import java.awt.image.*;
@@ -74,6 +72,10 @@ public class CmykTool {
 
 @pytest.fixture(scope="module")
 def jdk(tmp_path_factory):
+    import shutil
+
+    if shutil.which("javac") is None or shutil.which("java") is None:
+        pytest.skip("JDK not available for the independent CMYK golden")
     td = tmp_path_factory.mktemp("cmyk")
     (td / "CmykTool.java").write_text(JAVA_SRC)
     subprocess.run(["javac", "-d", str(td), str(td / "CmykTool.java")],
@@ -284,3 +286,37 @@ def test_optimal_table_cache_returns_immutable():
     assert isinstance(bits, tuple) and isinstance(vals, tuple)
     again = _optimal_table(freq)
     assert again == (bits, vals)
+
+
+def test_app14_last_pre_sos_wins_and_post_sos_ignored():
+    # libjpeg header semantics (third review, r7): the LAST APP14
+    # before the FIRST SOS wins; APP14 after scan data must not flip
+    # the color model — BOTH walks agree, so the pure path can never
+    # diverge from a libjpeg-backed one on the same bytes
+    from fourmc_spark.operators.jpeg import (
+        decode_jpeg_with_info,
+        encode_jpeg,
+    )
+
+    img = np.empty((8, 8, 3), np.uint8)
+    img[:, :] = (70, 120, 200)
+    blob = encode_jpeg(img, quality=100)
+    plain = decode_jpeg(blob)
+
+    # duplicate pre-SOS markers: last one (transform=1, YCbCr) wins
+    dup = _inject_app14(_inject_app14(blob, 1), 0)
+    # _inject_app14 prepends at SOI, so stream order is [0, 1]
+    assert adobe_color_transform(dup) == 1
+    got, info = decode_jpeg_with_info(dup)
+    assert info["adobe_transform"] == 1
+    assert np.array_equal(got, plain)
+
+    # post-SOS APP14 must be invisible to both walks
+    assert blob[-2:] == b"\xff\xd9"
+    body = b"Adobe" + struct.pack(">HHH", 100, 0, 0) + bytes([0])
+    tail = (blob[:-2] + b"\xff\xee"
+            + struct.pack(">H", 2 + len(body)) + body + blob[-2:])
+    assert adobe_color_transform(tail) is None
+    got, info = decode_jpeg_with_info(tail)
+    assert info["adobe_transform"] is None
+    assert np.array_equal(got, plain)
