@@ -271,3 +271,42 @@ def test_y4m_single_byte_mutation(pos, val):
             assert luma.dtype == np.uint8
     except ValueError:
         pass
+
+
+_CMYK_FIXTURE = encode_jpeg(
+    (np.arange(13 * 11 * 4, dtype=np.int64) % 251).reshape(13, 11, 4)
+    .astype(np.uint8), quality=90)
+_PROG_ENC_FIXTURE = encode_jpeg(_gray(16, 16), quality=85, progressive=True)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.sampled_from([0, 1]),
+    st.integers(0, max(len(_CMYK_FIXTURE), len(_PROG_ENC_FIXTURE)) - 1),
+    st.integers(0, 255),
+)
+def test_new_surface_single_byte_mutation(which, pos, val):
+    # round-7 decode surfaces: 4-component CMYK streams and OUR
+    # progressive-encoder output — corrupt bytes must stay inside the
+    # ValueError/UnsupportedImageError contract
+    from fourmc_spark.operators.imaging import UnsupportedImageError
+
+    base = (_CMYK_FIXTURE, _PROG_ENC_FIXTURE)[which]
+    buf = bytearray(base)
+    buf[pos % len(base)] = val
+    try:
+        out = decode_jpeg(bytes(buf))
+        assert out.dtype == np.uint8
+    except (ValueError, UnsupportedImageError):
+        pass
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.integers(2, len(_CMYK_FIXTURE) - 1))
+def test_cmyk_truncation(cut):
+    from fourmc_spark.operators.imaging import UnsupportedImageError
+
+    try:
+        decode_jpeg(_CMYK_FIXTURE[:cut])
+    except (ValueError, UnsupportedImageError):
+        pass
