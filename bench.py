@@ -119,6 +119,16 @@ BENCH_QUERIES = [
     # ANN, and stateful-streaming sessionization throughput
     "text_bpe_learn",
     "ann_ivf_kmeans_topk",
+    # round 8: JVM-only streaming-agg control — same events source, same
+    # micro-batch scaffolding, ZERO Python. Denominator of the pinned
+    # sessionize floor claim: the r7 decomposition (PLANS.md) showed the
+    # stateful query sits on a semantic floor (~3x a JVM-only streaming
+    # agg: +Python stateful boundary, +EventTimeTimeout's mandatory
+    # post-watermark no-data micro-batch), but floor and official
+    # capture were on different session-speed bases. Recording the
+    # control INSIDE the official pass makes the claim a same-capture
+    # ratio (sessionize_floor_ratio below), immune to basis drift.
+    "stream_tumbling_hourly",
     "stream_sessionize_stateful",
     # full tokenizer pipeline: learn -> encode corpus -> pack sequences
     "curation_pack_tokens",
@@ -689,7 +699,7 @@ def _settle_load() -> dict:
     }
 
 
-def bench_io_robust(spark, tmpdir: str) -> tuple[dict, list[dict]]:
+def bench_io_robust(spark, tmpdir: str) -> tuple[dict, dict, list[dict]]:
     """Weather-robust I/O capture. Three rounds running (r3-r5), the
     driver's official BENCH_r*.json was taken under host CPU steal the
     settle guard could not wait out, publishing throughput numbers far
@@ -746,21 +756,32 @@ def bench_io_robust(spark, tmpdir: str) -> tuple[dict, list[dict]]:
                 file=sys.stderr,
             )
             _settle_canary(0.0, retry_budget)
-    return _merge_io(attempts), meta
+    merged, source = _merge_io(attempts)
+    return merged, source, meta
 
 
-def _merge_io(attempts: list[dict]) -> dict:
+def _merge_io(attempts: list[dict]) -> tuple[dict, dict]:
     """Fold repeated I/O passes: max for throughput (contention only
     ever understates mbps), min for durations, latest for
-    ratios/counts (deterministic per corpus)."""
+    ratios/counts (deterministic per corpus).
+
+    Also returns per-key provenance: the pass index whose value each
+    merged key carries. The merged view mixes keys from different
+    passes, so any cross-key arithmetic on it (e.g. a ratio of two
+    throughputs) is only coherent when both keys share a source pass —
+    the provenance map makes that decidable without re-deriving it from
+    the raw per-pass dicts (VERDICT r7 #3)."""
     merged = dict(attempts[-1])
-    for a in attempts:
+    source = {k: len(attempts) - 1 for k in merged}
+    for i, a in enumerate(attempts):
         for k, v in a.items():
             if "mbps" in k:
-                merged[k] = max(merged[k], v)
+                if v >= merged[k]:
+                    merged[k], source[k] = v, i
             elif k.endswith("_sec"):
-                merged[k] = min(merged[k], v)
-    return merged
+                if v <= merged[k]:
+                    merged[k], source[k] = v, i
+    return merged, source
 
 
 def bench_queries_robust(spark) -> tuple[dict[str, float], list[dict]]:
@@ -826,7 +847,7 @@ def main() -> None:
         # sink 6x (189 vs 755, 25.6 vs 145 MB/s standalone).
         spark = get_spark("fourmc-bench-io", master=f"local[{CPUS}]")
         spark.sparkContext.setLogLevel("ERROR")
-        codec, io_meta = bench_io_robust(spark, tmpdir)
+        codec, codec_source_pass, io_meta = bench_io_robust(spark, tmpdir)
         spark.stop()
 
         spark = get_spark("fourmc-bench", master=f"local[{CPUS}]")
@@ -860,12 +881,41 @@ def main() -> None:
         )
         loadinfo["loadavg_end"] = _loadavg1()
         loadinfo["canary_end"] = _canary()
+        # Same-capture floor claim for the stateful sessionizer: the
+        # JVM-only streaming-agg control and the full query sit in the
+        # SAME passes, so the ratio is basis-drift-free. PLANS.md's
+        # decomposition attributes the gap to the Python stateful
+        # boundary (+~0.4 s) and EventTimeTimeout's mandatory
+        # post-watermark no-data micro-batch (+~1.8 s) — semantic, not
+        # removable overhead.
+        derived = {}
+        ctl = queries.get("stream_tumbling_hourly")
+        ful = queries.get("stream_sessionize_stateful")
+        if ctl and ful:
+            derived["sessionize_floor_ratio"] = round(ful / ctl, 3)
+            # per-pass ratios too: the published minima may come from
+            # different passes, the raws never do
+            derived["sessionize_floor_ratio_per_pass"] = [
+                round(
+                    p["stream_sessionize_stateful"]
+                    / p["stream_tumbling_hourly"],
+                    3,
+                )
+                for p in (m["result"] for m in q_meta)
+                if p.get("stream_tumbling_hourly")
+                and p.get("stream_sessionize_stateful")
+            ]
         with open(detail_path, "w") as f:
             json.dump(
                 {
                     "sf": sf_val,
                     "queries_sec": queries,
                     "codec_mbps": codec,
+                    # pass index (into io_passes_raw) each merged codec
+                    # key's value came from — cross-key arithmetic on
+                    # the merged view is coherent only within one pass
+                    "codec_source_pass": codec_source_pass,
+                    "derived": derived,
                     "io_passes_raw": [m["result"] for m in io_meta],
                     "query_passes_raw": [m["result"] for m in q_meta],
                     "wall_total_sec": total,
@@ -906,6 +956,7 @@ def main() -> None:
                     "sf": sf_val,
                     "n_queries": len(queries),
                     "queries": top10,
+                    "derived": derived,
                     "codec_mbps": headline_codec,
                     "wall_total_sec": total,
                     "load": loadinfo,

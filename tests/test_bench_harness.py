@@ -25,17 +25,25 @@ def test_merge_io_max_mbps_min_sec_latest_other():
         "lz4_fast_ratio": 3.1,
         "stress_docs": 5000.0,
     }
-    for order in ([a, b], [b, a]):
-        m = bench._merge_io(order)
+    for order, quiet_idx in (([a, b], 1), ([b, a], 0)):
+        m, src = bench._merge_io(order)
         assert m["spark_sink_lz4_fast_mbps"] == 376.0
         assert m["stress_minhash_lsh_sec"] == 4.0
         assert m["lz4_fast_ratio"] == 3.1
         assert m["stress_docs"] == 5000.0
+        # provenance: merged throughput/duration keys point at the quiet
+        # pass; latest-wins keys point at the last pass (VERDICT r7 #3)
+        assert src["spark_sink_lz4_fast_mbps"] == quiet_idx
+        assert src["stress_minhash_lsh_sec"] == quiet_idx
+        assert src["lz4_fast_ratio"] == len(order) - 1
+        assert src["stress_docs"] == len(order) - 1
 
 
 def test_merge_io_single_attempt_is_identity():
     a = {"x_mbps": 1.0, "y_sec": 2.0, "z": 3.0}
-    assert bench._merge_io([a]) == a
+    m, src = bench._merge_io([a])
+    assert m == a
+    assert src == {"x_mbps": 0, "y_sec": 0, "z": 0}
 
 
 def test_healthy_uses_min_gflops_floor():
