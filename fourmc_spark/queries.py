@@ -2745,6 +2745,89 @@ def sql_4mc_pruned_scan_q(spark, sf):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@query(
+    "sql_4mc_file_pruned_scan",
+    """WITH params AS (
+         SELECT (count(*) + 7) // 8 AS step FROM {EV})
+       SELECT CAST(((event_id - 1) // step) % 8 AS BIGINT) AS bucket,
+              CAST(count(*) AS BIGINT) AS cnt,
+              CAST(sum(user_id) AS BIGINT) AS user_sum,
+              CAST(min(event_id) AS BIGINT) AS min_event,
+              CAST(max(event_id) AS BIGINT) AS max_event
+       FROM {EV}, params
+       WHERE ((event_id - 1) // step) % 8 % 2 = 1
+       GROUP BY 1 ORDER BY 1""",
+)
+def sql_4mc_file_pruned_scan_q(spark, sf):
+    # WHOLE-FILE pruning under the driver hash gate (VERDICT r7 #3):
+    # sql_4mc_pruned_scan certifies block pruning *within* a file; at
+    # 100 TB the bigger win is never opening non-matching FILES at all.
+    # Reference analog: per-file footer-index caching + split planning
+    # (FourMcInputFormat.java:126-173) — Hadoop prunes files by input
+    # path, we prune by hive partition values pushed into the planner.
+    #
+    # Construction: events land in 8 hive partition dirs
+    # (bucket=(event_id-1) DIV step MOD 8, step=ceil(n/8) — contiguous
+    # event_id ranges, derivable in SQL from count(*) alone). The read
+    # pushes `bucket IN ('1','3','5','7')` (pushFilters -> _pcol_allowed),
+    # so planning SKIPS the four even-bucket files before any footer
+    # read: they contribute ZERO input partitions (pinned in
+    # tests/test_datasource.py::test_file_pruned_scan_layout_zero_partitions).
+    # The oracle states the same predicate arithmetically; a planner that
+    # pruned the wrong file, or a writer that routed a row to the wrong
+    # dir, breaks the hash.
+    #
+    # Scale shape: pruning cost is O(files) path-string checks on the
+    # driver — no data read, no footer read for pruned files; the kept
+    # files still split by maxpartitionbytes, so the scan stays parallel.
+    import shutil
+    import tempfile
+
+    from fourmc_spark.session import register_fourmc
+
+    register_fourmc(spark)
+    ev = _t(spark, sf, "events")
+    n = ev.count()
+    step = (n + 7) // 8
+    lines = ev.select(
+        F.concat_ws(",", "event_id", "user_id").alias("value"),
+        F.expr(f"CAST(pmod((event_id - 1) DIV {step}, 8) AS STRING)")
+        .alias("bucket"),
+    )
+    d = tempfile.mkdtemp(prefix="fourmc-file-prune-")
+    try:
+        (
+            lines.write.format("fourmc")
+            .option("codec", "zstd").option("level", "medium")
+            .option("partitionby", "bucket")
+            .mode("overwrite").save(d)
+        )
+        back = (
+            spark.read.format("fourmc")
+            .option("partitioncolumns", "bucket").load(d)
+            # pushed In filter -> even-bucket files pruned at planning
+            .where(F.col("bucket").isin(["1", "3", "5", "7"]))
+        )
+        out = (
+            back.select(
+                F.col("bucket").cast("long").alias("bucket"),
+                F.split("value", ",").getItem(0).cast("long").alias("event_id"),
+                F.split("value", ",").getItem(1).cast("long").alias("user_id"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.sum("user_id").cast("long").alias("user_sum"),
+                F.min("event_id").cast("long").alias("min_event"),
+                F.max("event_id").cast("long").alias("max_event"),
+            )
+            .orderBy("bucket")
+        )
+        return _detach(out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _bpe_learn_sql(n_merges: int) -> str:
     """Unrolled BPE-training oracle (fixed greedy rounds, the pagerank /
     ivf_kmeans pattern). The trick that makes a merge round ONE SQL

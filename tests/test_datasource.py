@@ -386,6 +386,51 @@ def test_partition_column_filter_prunes_files(spark, tmp_path):
     assert n_one < n_two < full
 
 
+def test_file_pruned_scan_layout_zero_partitions(spark, tmp_path):
+    """Plan pin for sql_4mc_file_pruned_scan (queries.py): in its exact
+    layout (8 hive bucket dirs, pushed In over the odd buckets), the
+    planner must emit ZERO input partitions for non-matching files —
+    whole-file pruning, the 100 TB payoff of S2 discovery + pushFilters
+    (reference analog: per-file index caching in split planning,
+    FourMcInputFormat.java:126-173)."""
+    from pyspark.sql.datasource import CaseInsensitiveDict, In
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from fourmc_spark.sources.datasource import FourMcDataSourceReader
+
+    d = str(tmp_path / "fileprune")
+    df = spark.range(1, 4001).select(
+        F.concat_ws(",", F.col("id"), F.col("id") % 97).alias("value"),
+        F.expr("CAST(pmod((id - 1) DIV 500, 8) AS STRING)").alias("bucket"),
+    )
+    df.write.format("fourmc").option("codec", "zstd") \
+        .option("partitionby", "bucket").mode("overwrite").save(d)
+
+    schema = StructType(
+        [
+            StructField("offset", LongType()),
+            StructField("value", StringType()),
+            StructField("bucket", StringType()),
+        ]
+    )
+    opts = CaseInsensitiveDict({"path": d, "partitioncolumns": "bucket"})
+    full = FourMcDataSourceReader(opts, schema).partitions()
+    assert {p.path.split("bucket=")[1].split("/")[0] for p in full} == {
+        str(b) for b in range(8)
+    }
+    kept = ("1", "3", "5", "7")
+    rd = FourMcDataSourceReader(opts, schema)
+    list(rd.pushFilters([In(("bucket",), kept)]))
+    parts = rd.partitions()
+    assert parts, "pruned plan must still scan the matching files"
+    got = {p.path.split("bucket=")[1].split("/")[0] for p in parts}
+    assert got == set(kept)  # zero partitions reference a pruned file
+    # and the pruned plan is exactly the full plan minus the even files
+    assert len(parts) == sum(
+        1 for p in full if p.path.split("bucket=")[1].split("/")[0] in kept
+    )
+
+
 def test_scan_info_cache_invalidates_on_rewrite(spark, tmp_path):
     """Planning caches the footer index per (path, size, mtime); a file
     rewritten in place (new footer) must not serve stale offsets."""
