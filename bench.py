@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "multimodal_jpeg_420_roundtrip",
     "multimodal_jpeg_progressive",
     "multimodal_jpeg_cmyk_roundtrip",
+    # round 8: Adobe YCCK through the decode_image dispatch seam
+    "multimodal_jpeg_ycck_dispatch",
     # round 7: batch SQL through the 4mc DataSource — compressed sink,
     # footer-index block pruning of a pushed offset filter, resync scan
     "sql_4mc_pruned_scan",

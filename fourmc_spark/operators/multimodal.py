@@ -363,6 +363,86 @@ def jpeg_cmyk_roundtrip_stats(
     return _balanced_ids(df, id_col).mapInPandas(batches, schema=out_schema)
 
 
+def jpeg_ycck_dispatch_stats(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Adobe YCCK (APP14 transform=2) decode THROUGH the
+    :func:`imaging.decode_image` dispatch seam, per row.
+
+    Fifth member of the JPEG family, closing the seam gap the raw CMYK
+    query leaves open (its docstring pins ``decode_jpeg`` deliberately):
+    this one certifies the DISPATCH contract for 4-component streams —
+    sniff → external-backend offer → CMYK decline (Pillow opens Adobe
+    CMYK as mode "CMYK", which ``_decode_jpeg_external`` rejects, so
+    EVERY deployment takes the pure decoder here — that decline IS the
+    backend-invariance, pinned by the swap leg in
+    tests/test_dispatch_gate.py) → APP14 parse → YCCK undo →
+    ``cmyk_to_rgb(inverted=True)`` normalization to the seam's RGB
+    contract.
+
+    Construction: stored planes (Y=v, Cb=128, Cr=128, K=k) with
+    v=(7·id+3)%256, k=(3·id+7)%256 — encoded by the raw 4-band encoder
+    and stamped with an Adobe APP14 transform=2 segment (the encoder
+    deliberately never writes APP14 — see its docstring — so the YCCK
+    stream is constructed, exactly what the r7 verdict's "constant
+    construction" asks). Exactness: constant planes are DC-only at
+    q100; chroma is exactly 128, so the YCCK undo multiplies its
+    constants by zero and yields stored-CMY = 255−v float-exact; the
+    normalization rounds (255−v)·k/255, which can never tie at .5
+    (2·u·k is even, 255·odd is odd), so banker's vs half-up rounding
+    agree and the oracle states it as integer arithmetic:
+    ``pix_sum = 3 · ((2·(255−v)·k + 255) // 510) · w · h``.
+    ``jpeg_bytes_ok`` pins the stream + seam shape: APP14 marker
+    present AND the output is the seam's 3-channel RGB (a dispatch that
+    leaked raw 4-channel CMYK flips it false). Scale shape:
+    balanced-id exchange then map-only, as the rest of the family.
+    """
+    import struct as _struct
+
+    from fourmc_spark.operators.imaging import decode_image
+    from fourmc_spark.operators.jpeg import encode_jpeg
+
+    out_schema = (
+        f"{id_col} long, width long, height long, pix_sum long, "
+        "jpeg_bytes_ok boolean"
+    )
+    app14 = (b"\xff\xee" + _struct.pack(">H", 14)
+             + b"Adobe" + b"\x00\x64" + b"\x00\x00" + b"\x00\x00"
+             + bytes([2]))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws, hs, sums, oks = [], [], [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 6 + d % 16, 5 + d % 12
+                v = (7 * d + 3) % 256
+                k = (3 * d + 7) % 256
+                ycck = np.empty((h, w, 4), dtype=np.uint8)
+                ycck[:, :] = (v, 128, 128, k)
+                enc = encode_jpeg(ycck, quality=100)
+                enc = enc[:2] + app14 + enc[2:]
+                dec = decode_image(enc)
+                hs.append(dec.shape[0])
+                ws.append(dec.shape[1])
+                sums.append(int(dec.astype(np.int64).sum()))
+                oks.append(enc[:2] == b"\xff\xd8"
+                           and enc[-2:] == b"\xff\xd9"
+                           and b"\xff\xee" in enc
+                           and dec.ndim == 3 and dec.shape[2] == 3)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": np.asarray(ws, dtype=np.int64),
+                    "height": np.asarray(hs, dtype=np.int64),
+                    "pix_sum": np.asarray(sums, dtype=np.int64),
+                    "jpeg_bytes_ok": oks,
+                }
+            )
+
+    return _balanced_ids(df, id_col).mapInPandas(batches, schema=out_schema)
+
+
 def png_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """REAL PNG encode → decode per row, Arrow-batched and LOSSLESS —
     so unlike :func:`jpeg_roundtrip_stats` the full pixel lattice is the

@@ -1799,6 +1799,33 @@ def multimodal_jpeg_cmyk_roundtrip_q(spark, sf):
     ).orderBy("doc_id")
 
 
+@query(
+    "multimodal_jpeg_ycck_dispatch",
+    """SELECT doc_id,
+              CAST(6 + doc_id % 16 AS BIGINT) AS width,
+              CAST(5 + doc_id % 12 AS BIGINT) AS height,
+              CAST(3 * ((2 * (255 - (7 * doc_id + 3) % 256)
+                           * ((3 * doc_id + 7) % 256) + 255) // 510)
+                   * (6 + doc_id % 16) * (5 + doc_id % 12)
+                   AS BIGINT) AS pix_sum,
+              TRUE AS jpeg_bytes_ok
+       FROM documents ORDER BY doc_id""",
+)
+def multimodal_jpeg_ycck_dispatch_q(spark, sf):
+    # Adobe YCCK (APP14 transform=2) through the decode_image DISPATCH
+    # seam (VERDICT r7 #4): the raw-CMYK query pins decode_jpeg
+    # deliberately, so the seam's CMYK normalization (external-backend
+    # decline -> APP14 parse -> YCCK undo -> cmyk_to_rgb inverted) was
+    # pytest-only until now. Constant construction with chroma exactly
+    # 128 keeps every step float-exact and the final rounding tie-free,
+    # so the oracle restates pix_sum in pure integer arithmetic
+    # (kernel docstring carries the full argument). Backend-swap
+    # invariance is pinned in tests/test_dispatch_gate.py.
+    return multimodal.jpeg_ycck_dispatch_stats(
+        _t(spark, sf, "documents")
+    ).orderBy("doc_id")
+
+
 # documents.text is ASCII (asserted in tests), so DuckDB's varchar
 # substring/md5 sees the same bytes the Spark-side pandas decode slices.
 @query(

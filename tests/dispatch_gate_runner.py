@@ -24,7 +24,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out = {}
     for name in ("multimodal_jpeg_roundtrip", "multimodal_jpeg_420_roundtrip",
-                 "multimodal_jpeg_progressive"):
+                 "multimodal_jpeg_progressive",
+                 "multimodal_jpeg_ycck_dispatch"):
         rows = QUERIES[name](spark, sf).collect()
         out[name] = sorted(
             [r["doc_id"], r["width"], r["height"], r["pix_sum"],

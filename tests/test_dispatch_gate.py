@@ -47,7 +47,15 @@ class _Im:
     def __init__(self, data):
         from fourmc_spark.operators.jpeg import decode_jpeg
         arr = decode_jpeg(data)
-        self.mode = "L" if arr.ndim == 2 else "RGB"
+        # mirror Pillow's mode contract: Adobe CMYK/YCCK opens as
+        # "CMYK", which _decode_jpeg_external DECLINES (that decline is
+        # the backend-invariance the YCCK dispatch query rests on)
+        if arr.ndim == 2:
+            self.mode = "L"
+        elif arr.shape[2] == 4:
+            self.mode = "CMYK"
+        else:
+            self.mode = "RGB"
         self._arr = arr
         self.size = (arr.shape[1], arr.shape[0])
 
