@@ -111,6 +111,10 @@ BENCH_QUERIES = [
     # round 7: batch SQL through the 4mc DataSource — compressed sink,
     # footer-index block pruning of a pushed offset filter, resync scan
     "sql_4mc_pruned_scan",
+    # round 8: whole-FILE pruning via pushed hive-partition filters, and
+    # the streaming 4mc sink (sealed-by-footer micro-batch files)
+    "sql_4mc_file_pruned_scan",
+    "stream_4mc_sink",
     # round-2 curation/sketching additions
     "text_quality_classifier",
     "curation_c4_clean",

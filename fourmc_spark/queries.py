@@ -4227,6 +4227,81 @@ def stream_4mc_tumbling_q(spark, sf):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@query(
+    "stream_4mc_sink",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+              CAST(sum(user_id) AS BIGINT) AS user_sum,
+              round(sum(value), 2) AS value_sum,
+              CAST(min(event_id) AS BIGINT) AS min_event,
+              CAST(max(event_id) AS BIGINT) AS max_event
+       FROM {EV} GROUP BY event_type ORDER BY event_type""",
+)
+def stream_4mc_sink_q(spark, sf):
+    # The 4mc STREAMING SINK inside the oracle gate (round-8 stretch;
+    # sink twin of stream_4mc_tumbling's source certification): events
+    # stream from parquet through writeStream.format("fourmc") into
+    # sealed .4mz files (per-task seal, staged rename on commit,
+    # batch-scoped idempotence — sources/stream.FourMcStreamWriter;
+    # reference K1 semantics: header/blocks/EOS/footer per sealed file,
+    # FourMcOutputStream.java), then the sealed files are batch-read
+    # back through the fourmc scan, JSON-parsed, and aggregated.
+    # Equality with the batch oracle proves the sink sealed EVERY input
+    # row exactly once and every block checksum + footer survived the
+    # stream->batch round trip. The CLI leg
+    # (tests/test_reference_cli_compat.py::test_reference_cli_verifies_stream_sink_files)
+    # additionally verifies the sealed files with the reference's
+    # prebuilt binary. Scale shape: one sealed file per task per
+    # micro-batch, no driver data path; ts stays out of the payload
+    # (the aggregate doesn't need it), so no timezone rendering.
+    import shutil
+    import tempfile
+
+    from fourmc_spark.session import register_fourmc
+    from fourmc_spark.streaming import read_events_stream
+
+    register_fourmc(spark)
+    d = tempfile.mkdtemp(prefix="fourmc-stream-sink-")
+    out_dir, ckpt = f"{d}/out", f"{d}/ckpt"
+    try:
+        sdf = read_events_stream(spark, f"{sf}/events.parquet").select(
+            F.to_json(
+                F.struct("event_id", "user_id", "event_type", "value")
+            ).alias("value")
+        )
+        q = (
+            sdf.writeStream.format("fourmc")
+            .option("codec", "zstd").option("level", "medium")
+            .option("path", out_dir).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        back = (
+            spark.read.format("fourmc").load(out_dir)
+            .select(
+                F.from_json(
+                    "value",
+                    "event_id BIGINT, user_id BIGINT, event_type STRING, "
+                    "value DOUBLE",
+                ).alias("_r")
+            )
+            .select("_r.*")
+        )
+        out = (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.sum("user_id").cast("long").alias("user_sum"),
+                F.round(F.sum("value"), 2).alias("value_sum"),
+                F.min("event_id").cast("long").alias("min_event"),
+                F.max("event_id").cast("long").alias("max_event"),
+            )
+            .orderBy("event_type")
+        )
+        return _detach(out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 _PROFILE_COLS = ["doc_id", "lang", "n_chars", "source", "text"]
 _PROFILE_ORACLE = " UNION ALL ".join(
     f"""SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,

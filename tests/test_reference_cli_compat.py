@@ -41,6 +41,43 @@ def test_reference_cli_verifies_our_files(tmp_path, codec, zflag, level):
     assert open(out, "rb").read() == DATA
 
 
+def test_reference_cli_verifies_stream_sink_files(spark, tmp_path):
+    """The STREAMING sink's sealed files (stream_4mc_sink's write leg:
+    per-task seal, staged rename on commit) must verify with the
+    reference's prebuilt binary — the same K1 byte-compat claim the
+    batch-writer tests pin, extended to the writeStream path."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(20_000).select(
+        F.concat(F.lit("streamed row "), F.col("id")).alias("value")
+    ).write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(
+        StructType([StructField("value", StringType())])
+    ).parquet(src)
+    q = (
+        sdf.writeStream.format("fourmc")
+        .option("codec", "zstd").option("level", "medium")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    sealed = [fn for fn in os.listdir(out) if fn.endswith(".4mz")]
+    assert sealed, "stream sink sealed no files"
+    total = b""
+    for fn in sorted(sealed):
+        p = os.path.join(out, fn)
+        r = _run(CLI, "-f", "-z", "-t", p)
+        assert r.returncode == 0, r.stderr.decode()
+        total += reader.decompress_file(p)
+    assert sorted(total.decode().splitlines()) == sorted(
+        f"streamed row {i}" for i in range(20_000)
+    )
+
+
 @pytest.mark.parametrize("codec,zflag", [("lz4", []), ("zstd", ["-z"])])
 def test_we_read_reference_cli_files(tmp_path, codec, zflag):
     plain = str(tmp_path / "plain.txt")
