@@ -837,6 +837,38 @@ def bench_queries_robust(spark) -> tuple[dict[str, float], list[dict]]:
     return queries, meta
 
 
+def _sessionize_floor(q_meta: list[dict]) -> dict:
+    """Same-capture floor claim for the stateful sessionizer: the
+    JVM-only streaming-agg control (stream_tumbling_hourly) and the full
+    query sit in the SAME passes, so their per-pass ratio is
+    basis-drift-free. PLANS.md's decomposition attributes the gap to the
+    Python stateful boundary (+~0.4 s) and EventTimeTimeout's mandatory
+    post-watermark no-data micro-batch (+~1.8 s) — semantic, not
+    removable overhead.
+
+    The headline is the MIN over the same-pass ratios: each candidate
+    takes numerator and denominator from ONE pass (coherent by
+    construction — a ratio of cross-pass published minima could mix
+    passes, the very incoherence codec_source_pass exists to flag), and
+    min is the conservative pin for a FLOOR claim (the lowest observed
+    full/control ratio is the strongest counter-evidence the claim must
+    survive)."""
+    per_pass_ratios = [
+        round(
+            p["stream_sessionize_stateful"] / p["stream_tumbling_hourly"], 3
+        )
+        for p in (m["result"] for m in q_meta)
+        if p.get("stream_tumbling_hourly")
+        and p.get("stream_sessionize_stateful")
+    ]
+    if not per_pass_ratios:
+        return {}
+    return {
+        "sessionize_floor_ratio": min(per_pass_ratios),
+        "sessionize_floor_ratio_per_pass": per_pass_ratios,
+    }
+
+
 def main() -> None:
     import shutil
     import tempfile
@@ -887,30 +919,7 @@ def main() -> None:
         )
         loadinfo["loadavg_end"] = _loadavg1()
         loadinfo["canary_end"] = _canary()
-        # Same-capture floor claim for the stateful sessionizer: the
-        # JVM-only streaming-agg control and the full query sit in the
-        # SAME passes, so the ratio is basis-drift-free. PLANS.md's
-        # decomposition attributes the gap to the Python stateful
-        # boundary (+~0.4 s) and EventTimeTimeout's mandatory
-        # post-watermark no-data micro-batch (+~1.8 s) — semantic, not
-        # removable overhead.
-        derived = {}
-        ctl = queries.get("stream_tumbling_hourly")
-        ful = queries.get("stream_sessionize_stateful")
-        if ctl and ful:
-            derived["sessionize_floor_ratio"] = round(ful / ctl, 3)
-            # per-pass ratios too: the published minima may come from
-            # different passes, the raws never do
-            derived["sessionize_floor_ratio_per_pass"] = [
-                round(
-                    p["stream_sessionize_stateful"]
-                    / p["stream_tumbling_hourly"],
-                    3,
-                )
-                for p in (m["result"] for m in q_meta)
-                if p.get("stream_tumbling_hourly")
-                and p.get("stream_sessionize_stateful")
-            ]
+        derived = _sessionize_floor(q_meta)
         with open(detail_path, "w") as f:
             json.dump(
                 {

@@ -25,8 +25,6 @@ from __future__ import annotations
 
 import json
 import os
-import uuid
-from dataclasses import dataclass
 from typing import Iterator
 
 from pyspark.sql.datasource import (
@@ -144,64 +142,58 @@ class FourMcStreamReader(DataSourceStreamReader):
         self._committed = set(json.loads(end.get("seen", "[]")))
 
 
-@dataclass
-class FourMcStreamCommitMessage(WriterCommitMessage):
-    staged: str
-    final: str
-
-
 class FourMcStreamWriter(DataSourceStreamArrowWriter):
-    """Per-micro-batch sink: each task seals one .4mc/.4mz file.
+    """Per-micro-batch sink: each task seals .4mc/.4mz files.
 
-    Batch-id goes into the file name, so a replayed batch overwrites its
-    own output instead of duplicating it (the same idempotence contract
-    as FileStreamSink's per-batch manifest).
+    write() delegates to the batch writer's task body, so the streaming
+    sink carries the FULL batch-sink surface: hive ``partitionby``
+    layout, ``maxfilebytes`` rolling (each rolled file independently
+    sealed), and every codec family (4mc/4mz, straight Hadoop block
+    codecs, ``.zst`` streaming frames).
+
+    Idempotence: commit() renames staged files to DETERMINISTIC names
+    keyed by (batchId, task index, file index), so a micro-batch
+    replayed after a failure between sink commit and checkpoint commit
+    overwrites its own previous output instead of duplicating it — the
+    poor man's version of FileStreamSink's per-batch manifest. (The
+    residual window the manifest would also close — a replay that
+    re-plans into a DIFFERENT task/file split and strands files under
+    names the new attempt never claims — is documented, not hidden;
+    exactly-once applications wanting manifest semantics compose the
+    dedup-ingest manifest pattern from streaming/ops.py.)
     """
 
     def __init__(self, options, schema: StructType, overwrite: bool) -> None:
         from fourmc_spark.sources.datasource import FourMcDataSourceWriter
 
-        # reuse the batch writer's option parsing + value-column selection
+        # reuse the batch writer's option parsing, value-column
+        # selection, partition split, and rolling task body
         self._w = FourMcDataSourceWriter(options, schema, overwrite=False)
         self.path = self._w.path
 
-    def write(self, iterator) -> FourMcStreamCommitMessage:
-        from pyspark import TaskContext
-
-        from fourmc_spark.format.writer import FourMcWriter, normalize_codec
-        from fourmc_spark.sources.datasource import _join_lines
-
-        ctx = TaskContext.get()
-        pid = ctx.partitionId() if ctx is not None else 0
-        codec = normalize_codec(self._w.codec_raw)
-        ext = ".4mc" if codec == "lz4" else ".4mz"
-        fname = f"part-{pid:05d}-{uuid.uuid4().hex}{ext}"
-        staging = os.path.join(self.path, "_temporary")
-        os.makedirs(staging, exist_ok=True)
-        staged = os.path.join(staging, fname)
-        final = os.path.join(self.path, fname)
-        wrote = False
-        with open(staged, "wb") as f:
-            with FourMcWriter(
-                f,
-                codec=codec,
-                level=self._w.level,
-                block_size=self._w.block_size,
-            ) as w:
-                for batch in iterator:
-                    if len(batch) == 0:
-                        continue
-                    w.write(_join_lines(batch.column(self._w.value_col)))
-                    wrote = True
-        if not wrote:
-            os.remove(staged)
-            return FourMcStreamCommitMessage(staged="", final="")
-        return FourMcStreamCommitMessage(staged=staged, final=final)
+    def write(self, iterator) -> WriterCommitMessage:
+        # batch task body: stages files under _temporary/, returns the
+        # (staged, final) pairs; the streaming commit below substitutes
+        # its own deterministic final names
+        return self._w.write(iterator)
 
     def commit(self, messages, batchId: int) -> None:
-        for m in messages:
-            if m is not None and m.staged:
-                os.replace(m.staged, m.final)
+        for ti, m in enumerate(messages):
+            if m is None:
+                continue
+            for fi, (staged, final) in enumerate(m.files):
+                # keep the batch writer's directory (hive partition
+                # dirs included) and extension; replace the random task
+                # id with batch-scoped deterministic coordinates
+                d = os.path.dirname(final)
+                ext = os.path.splitext(final)[1]
+                os.makedirs(d, exist_ok=True)
+                os.replace(
+                    staged,
+                    os.path.join(
+                        d, f"part-b{batchId:010d}-{ti:05d}-{fi:03d}{ext}"
+                    ),
+                )
         staging = os.path.join(self.path, "_temporary")
         try:
             os.rmdir(staging)
@@ -210,5 +202,8 @@ class FourMcStreamWriter(DataSourceStreamArrowWriter):
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages or []:
-            if m is not None and m.staged and os.path.exists(m.staged):
-                os.remove(m.staged)
+            if m is None:
+                continue
+            for staged, _final in m.files:
+                if staged and os.path.exists(staged):
+                    os.remove(staged)

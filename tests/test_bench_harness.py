@@ -46,6 +46,24 @@ def test_merge_io_single_attempt_is_identity():
     assert src == {"x_mbps": 0, "y_sec": 0, "z": 0}
 
 
+def test_sessionize_floor_ratio_is_min_of_same_pass_ratios():
+    # the headline must never mix numerator and denominator across
+    # passes: with passes (3.6/1.0) and (3.0/1.2), a min-of-minima
+    # ratio would publish 3.0/1.0 = 3.0 — a capture that never happened
+    q_meta = [
+        {"result": {"stream_sessionize_stateful": 3.6,
+                    "stream_tumbling_hourly": 1.0}},
+        {"result": {"stream_sessionize_stateful": 3.0,
+                    "stream_tumbling_hourly": 1.2}},
+    ]
+    d = bench._sessionize_floor(q_meta)
+    assert d["sessionize_floor_ratio_per_pass"] == [3.6, 2.5]
+    assert d["sessionize_floor_ratio"] == 2.5
+    # control missing (e.g. a smoke run with a trimmed query list):
+    # no derived block rather than a KeyError
+    assert bench._sessionize_floor([{"result": {}}]) == {}
+
+
 def test_healthy_uses_min_gflops_floor():
     assert bench._healthy({"blas_gflops": bench.MIN_GFLOPS})
     assert not bench._healthy({"blas_gflops": bench.MIN_GFLOPS - 0.1})

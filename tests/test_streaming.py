@@ -353,6 +353,82 @@ def test_fourmc_stream_sink(spark, tmp_path):
             decompress_file(os.path.join(out, fn))  # raises on bad checksum
 
 
+def test_fourmc_stream_sink_replay_is_idempotent(tmp_path):
+    """A micro-batch replayed after a failure between sink commit and
+    checkpoint commit must OVERWRITE its previous output, not duplicate
+    it: commit() renames staged files to names deterministic in
+    (batchId, task index, file index). Driven through the writer API
+    directly — two write+commit cycles with the same data and batchId
+    must leave one identical file set."""
+    import pyarrow as pa
+    from pyspark.sql.datasource import CaseInsensitiveDict
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from fourmc_spark.format.reader import decompress_file
+    from fourmc_spark.sources.stream import FourMcStreamWriter
+
+    out = str(tmp_path / "replay_out")
+    os.makedirs(out)
+    schema = StructType([StructField("value", StringType())])
+    rows = [f"row{i}" for i in range(300)]
+
+    def attempt():
+        w = FourMcStreamWriter(
+            CaseInsensitiveDict({"path": out, "codec": "zstd"}),
+            schema, overwrite=False,
+        )
+        msg = w.write(iter([pa.RecordBatch.from_pydict({"value": rows})]))
+        w.commit([msg], batchId=7)
+
+    attempt()
+    first = sorted(os.listdir(out))
+    attempt()  # replay of the SAME batch
+    assert sorted(os.listdir(out)) == first
+    assert [fn for fn in first if fn.endswith(".4mz")] == [
+        "part-b0000000007-00000-000.4mz"
+    ]
+    data = bytes(decompress_file(os.path.join(out, first[-1])))
+    assert data.decode().splitlines() == rows  # one copy, not two
+
+
+def test_fourmc_stream_sink_partitionby(spark, tmp_path):
+    """The streaming sink carries the batch sink's hive partitionby
+    layout (it delegates to the same task body), so streamed output
+    feeds the whole-file-pruning tier directly."""
+    src = str(tmp_path / "psink_src")
+    out = str(tmp_path / "psink_out")
+    ckpt = str(tmp_path / "psink_ckpt")
+    spark.range(400).select(
+        F.concat(F.lit("v"), F.col("id")).alias("value"),
+        (F.col("id") % 3).cast("string").alias("bucket"),
+    ).write.mode("overwrite").parquet(src)
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    sdf = spark.readStream.schema(
+        StructType([
+            StructField("value", StringType()),
+            StructField("bucket", StringType()),
+        ])
+    ).parquet(src)
+    q = (
+        sdf.writeStream.format("fourmc")
+        .option("codec", "zstd").option("partitionby", "bucket")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("bucket=")
+    ) == ["bucket=0", "bucket=1", "bucket=2"]
+    back = spark.read.format("fourmc").option(
+        "partitioncolumns", "bucket"
+    ).load(out)
+    counts = {r["bucket"]: r["n"] for r in
+              back.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"0": 134, "1": 133, "2": 133}
+
+
 def test_stream_source_max_files_per_trigger(tmp_path):
     """maxfilespertrigger bounds each micro-batch to N new files after
     the first committed offset (FileStreamSource rate-limit analog) —
