@@ -83,6 +83,44 @@ def test_jpeg_single_byte_mutation(pos, val):
         pass
 
 
+def _ycck_fixture_bytes() -> bytes:
+    # the multimodal_jpeg_ycck_dispatch construction: bare 4-component
+    # encode of constant (Y, 128, 128, K) planes with an Adobe APP14
+    # transform=2 segment spliced after SOI
+    import struct
+
+    ycck = np.empty((12, 14, 4), dtype=np.uint8)
+    ycck[:, :] = (77, 128, 128, 33)
+    enc = encode_jpeg(ycck, quality=100)
+    app14 = (b"\xff\xee" + struct.pack(">H", 14)
+             + b"Adobe" + b"\x00\x64" + b"\x00\x00" + b"\x00\x00"
+             + bytes([2]))
+    return enc[:2] + app14 + enc[2:]
+
+
+_YCCK_FIXTURE = _ycck_fixture_bytes()
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.integers(0, len(_YCCK_FIXTURE) - 1),
+    st.integers(0, 255),
+)
+def test_ycck_dispatch_single_byte_mutation(pos, val):
+    # the 4-component + APP14 path through the decode_image SEAM: the
+    # mutation can corrupt the Adobe segment itself (flipping the color
+    # model between CMYK/YCCK/none) — any surviving decode must still
+    # honor the seam's uint8 gray/RGB contract, never leak 4 channels
+    buf = bytearray(_YCCK_FIXTURE)
+    buf[pos] = val
+    try:
+        out = imaging.decode_image(bytes(buf))
+        assert out.dtype == np.uint8
+        assert out.ndim == 3 and out.shape[2] in (1, 3)
+    except ValueError:
+        pass  # UnsupportedImageError subclasses ValueError
+
+
 def _progressive_fixture_bytes() -> bytes:
     import sys
 
