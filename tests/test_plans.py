@@ -431,6 +431,24 @@ def test_pack_tokens_shuffles_are_bounded(spark, sf_dir, queries):
     assert exchange_count(df) <= 2, physical_plan(df)
 
 
+def test_ycck_dispatch_kernel_is_map_only(spark, sf_dir, queries):
+    # the YCCK seam query keeps the JPEG-family shape: a balanced-id
+    # exchange then ONE MapInPandas, the final sort's range exchange,
+    # and nothing else — no join, no aggregate shuffle, payloads never
+    # shuffled (the kernel synthesizes and consumes them in place)
+    from fourmc_spark.operators.multimodal import jpeg_ycck_dispatch_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = jpeg_ycck_dispatch_stats(docs)
+    plan = physical_plan(df)
+    assert plan.count("MapInPandas") == 1, plan
+    assert "Join" not in plan and "HashAggregate" not in plan, plan
+    # no keyed shuffle at all (exchange_count counts hash/range/single
+    # exchanges); the only Exchange is the round-robin id balancer
+    assert exchange_count(df) == 0, plan
+    assert plan.count("Exchange RoundRobinPartitioning") == 1, plan
+
+
 def test_sql_4mc_pruned_scan_prunes_blocks(spark, tmp_path):
     """The sql_4mc_pruned_scan gate query's layout really prunes at
     planning: the pushed offset >= cutoff drops every block below the
