@@ -2310,12 +2310,16 @@ def q35_session_window_batch_q(spark, sf):
 # =========================================================================
 
 
-def _run_stream(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
+def _run_stream(
+    sdf: DataFrame, output_mode: str = "complete", available_now: bool = True
+) -> DataFrame:
     import uuid
 
     from fourmc_spark.streaming import run_to_memory
 
-    return run_to_memory(sdf, f"qstream_{uuid.uuid4().hex[:12]}", output_mode)
+    return run_to_memory(
+        sdf, f"qstream_{uuid.uuid4().hex[:12]}", output_mode, available_now
+    )
 
 
 # Detach bound for streaming queries whose state dir is deleted on return:
@@ -4225,6 +4229,88 @@ def stream_4mc_tumbling_q(spark, sf):
         return _detach(out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "stream_4mc_multibatch",
+    """SELECT date_trunc('hour', ts) AS win_start, event_type,
+              CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS sum_value
+       FROM {EV} GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def stream_4mc_multibatch_q(spark, sf):
+    # Multi-micro-batch exactly-once through the 4mc STREAM SOURCE:
+    # stream_4mc_tumbling drains its sealed files in ONE batch, so the
+    # seen-files offset chain across MANY commits was never under the
+    # hash gate. Here events land in 6 sealed .4mz files, ONE of which
+    # seeds the stream (the first offset is unbounded by offset-chain
+    # design — sources/stream.py invariant note) while the other five
+    # arrive AFTER the first drain and trickle in under
+    # maxfilespertrigger=1, one file per micro-batch through
+    # latestOffset -> plan -> commit. The complete-mode windowed
+    # aggregate must equal the batch oracle exactly — a file dropped,
+    # re-ingested, or resumed mid-block across a batch boundary breaks
+    # the hash. (Python stream sources fall back to one batch under
+    # Trigger.AvailableNow, so this drains via processAllAvailable; the
+    # >=6-batch structure itself is pinned in
+    # tests/test_streaming.py::test_stream_4mc_multibatch_takes_n_batches.)
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from fourmc_spark.session import register_fourmc
+    from fourmc_spark.streaming import tumbling_counts
+
+    register_fourmc(spark)
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    root = tempfile.mkdtemp(prefix="fourmc-stream-mb-")
+    staged, live = f"{root}/staged", f"{root}/live"
+    try:
+        (
+            ev.select(F.to_json(F.struct(*ev.columns)).alias("value"))
+            .repartition(6)
+            .write.format("fourmc").option("codec", "zstd")
+            .option("level", "fast").mode("overwrite").save(staged)
+        )
+        files = sorted(_glob.glob(f"{staged}/part-*.4mz"))
+        _os.makedirs(live)
+        _os.rename(files[0], f"{live}/{_os.path.basename(files[0])}")
+        sdf = (
+            spark.readStream.format("fourmc")
+            .option("maxfilespertrigger", 1)
+            .load(live)
+            .select(
+                F.from_json(
+                    "value",
+                    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+                    "event_type STRING, value DOUBLE",
+                ).alias("_r")
+            )
+            .select("_r.*")
+        )
+        name = f"qstream_{_uuid.uuid4().hex[:12]}"
+        q = (
+            tumbling_counts(sdf, window="1 hour")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("complete").start()
+        )
+        try:
+            q.processAllAvailable()  # batch 0: the seed file
+            for f in files[1:]:  # late arrivals: sealed files appear
+                _os.rename(f, f"{live}/{_os.path.basename(f)}")
+            q.processAllAvailable()  # one micro-batch per late file
+        finally:
+            q.stop()
+            q.awaitTermination()
+        out = spark.table(name).orderBy("win_start", "event_type")
+        return _detach(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @query(

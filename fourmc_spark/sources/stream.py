@@ -87,12 +87,20 @@ class FourMcStreamReader(DataSourceStreamReader):
         # in controlled batches instead of one giant catch-up batch.
         # 0 = unbounded (default).
         self.max_files_per_trigger = int(options.get("maxfilespertrigger", 0))
-        # last offset this instance committed; None right after (re)start,
-        # in which case the first batch is unbounded (offsets must stay
-        # monotonic and the engine does not expose its checkpoint here)
-        self._committed: set[str] | None = None
+        # High-water mark: every file this instance has ever returned in
+        # an offset or seen committed. None = no latestOffset call yet.
+        # INVARIANT (measured against the real engine, round 8): every
+        # returned offset must be a superset of every earlier one AND of
+        # the engine's current offset — the engine calls latestOffset
+        # BEFORE initialOffset, commits arrive asynchronously (after the
+        # next latestOffset), and a regressed end is adopted as the next
+        # batch's start, double-ingesting everything between. A capped
+        # offset computed against the (stale) committed set violated
+        # this; capping against the monotone high-water mark cannot.
+        self._hwm: set[str] | None = None
         # delegate row production to the batch reader (same Arrow batches)
         self._batch_reader = FourMcDataSourceReader(options, schema)
+
 
     def _list(self) -> list[str]:
         from fourmc_spark.sources.datasource import _list_files
@@ -104,12 +112,21 @@ class FourMcStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         files = sorted(self._list())
-        if self.max_files_per_trigger > 0 and self._committed is not None:
-            new = [f for f in files if f not in self._committed]
-            capped = set(new[: self.max_files_per_trigger])
-            files = sorted(
-                f for f in files if f in self._committed or f in capped
-            )
+        if self._hwm is None:
+            # first call on this instance: must be unbounded. The
+            # engine's current offset (a restored checkpoint, or a prior
+            # instance's return) is invisible here, and every historical
+            # offset is a subset of the current listing because sealed
+            # files are never deleted — so "all files" is the unique
+            # safe superset; anything smaller can regress the offset
+            # chain (see the invariant note in __init__).
+            self._hwm = set(files)
+        elif self.max_files_per_trigger > 0:
+            new = [f for f in files if f not in self._hwm]
+            self._hwm |= set(new[: self.max_files_per_trigger])
+            files = sorted(f for f in files if f in self._hwm)
+        else:
+            self._hwm |= set(files)
         return {"seen": json.dumps(files)}
 
     def partitions(self, start: dict, end: dict):
@@ -137,9 +154,11 @@ class FourMcStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         # engine checkpoints offsets; sealed files are immutable — nothing
-        # to clean up on our side. Track the committed set locally so the
-        # next latestOffset can rate-limit relative to it.
-        self._committed = set(json.loads(end.get("seen", "[]")))
+        # to clean up on our side. Fold the committed set into the
+        # high-water mark (commits arrive async relative to latestOffset,
+        # so this may only ever GROW the mark, never replace it).
+        committed = set(json.loads(end.get("seen", "[]")))
+        self._hwm = committed if self._hwm is None else self._hwm | committed
 
 
 class FourMcStreamWriter(DataSourceStreamArrowWriter):

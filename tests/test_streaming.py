@@ -429,6 +429,52 @@ def test_fourmc_stream_sink_partitionby(spark, tmp_path):
     assert counts == {"0": 134, "1": 133, "2": 133}
 
 
+def test_stream_4mc_multibatch_takes_n_batches(spark, tmp_path):
+    """The structural half of the stream_4mc_multibatch oracle query:
+    files arriving after the stream's first offset drain ONE PER
+    micro-batch under maxfilespertrigger=1 (the first offset is
+    unbounded by design — offset-chain safety, see the reader), and
+    every row is read exactly once across the batch sequence."""
+    from fourmc_spark.format.writer import write_file
+
+    d = str(tmp_path / "mb_in")
+    os.makedirs(d)
+
+    def mk(i):
+        write_file(
+            os.path.join(d, f"f{i}.4mz"),
+            b"".join(f"r{i}-{j}\n".encode() for j in range(20)),
+            codec="zstd", level="fast",
+        )
+
+    mk(0)  # the seed file rides the unbounded first offset
+    sdf = (
+        spark.readStream.format("fourmc")
+        .option("maxfilespertrigger", 1).load(d)
+    )
+    q = (
+        sdf.writeStream.format("memory").queryName("t_mb")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        for i in range(1, 5):  # backlog arrives AFTER the first offset
+            mk(i)
+        q.processAllAvailable()
+        batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(batches) >= 5, (
+            "expected the 4 late files to drain one per micro-batch, got "
+            f"{[p['numInputRows'] for p in q.recentProgress]}"
+        )
+        assert max(p["numInputRows"] for p in batches) <= 20
+        rows = sorted(r["value"] for r in spark.table("t_mb").collect())
+        assert rows == sorted(
+            f"r{i}-{j}" for i in range(5) for j in range(20)
+        )
+    finally:
+        q.stop()
+
+
 def test_stream_source_max_files_per_trigger(tmp_path):
     """maxfilespertrigger bounds each micro-batch to N new files after
     the first committed offset (FileStreamSource rate-limit analog) —
@@ -455,20 +501,31 @@ def test_stream_source_max_files_per_trigger(tmp_path):
     def seen(off):
         return set(json.loads(off["seen"]))
 
-    start = r.initialOffset()
-    # first batch after (re)start is unbounded: the engine's checkpoint
-    # is not visible here and offsets must stay monotonic
+    # FIRST latestOffset on any instance is UNBOUNDED: the engine's
+    # current offset (checkpoint or a prior instance's return) is
+    # invisible, the engine may call latestOffset before initialOffset
+    # and adopts whatever it gets as the next start — a capped (smaller)
+    # first offset regressed the chain and double-ingested (measured,
+    # round 8). "All files" is safe because sealed files never vanish.
     first = r.latestOffset()
     assert len(seen(first)) == 5
-    # simulate: engine committed only 1 file so far
-    one = sorted(seen(first))[:1]
-    r.commit({"seen": json.dumps(one)})
+    # files arriving AFTER the first offset drain capped, 2 per trigger
+    for i in range(5, 10):
+        write_file(
+            os.path.join(d, f"f{i}.4mc"), f"row{i}\n".encode(),
+            codec="lz4", level="fast",
+        )
     nxt = r.latestOffset()
-    assert len(seen(nxt)) == 3  # 1 committed + 2 new
-    r.commit(nxt)
-    assert len(seen(r.latestOffset())) == 5  # next 2
+    assert len(seen(nxt)) == 7  # 5 + capped 2 of the 5 new
+    assert len(seen(r.latestOffset())) == 9  # next 2
+    # every offset is a superset of every earlier one (the invariant)
+    assert seen(first) <= seen(nxt)
+    # async commit of an older offset must only GROW the mark
+    r.commit(first)
+    final = r.latestOffset()
+    assert seen(nxt) <= seen(final) and len(seen(final)) == 10
     # partitions between consecutive offsets touch only the new files
-    parts = r.partitions({"seen": json.dumps(one)}, nxt)
+    parts = r.partitions(first, nxt)
     assert len({p.path for p in parts if p.path}) == 2
 
 
