@@ -98,6 +98,21 @@ class FourMcStreamReader(DataSourceStreamReader):
         # offset computed against the (stale) committed set violated
         # this; capping against the monotone high-water mark cannot.
         self._hwm: set[str] | None = None
+        # orderednames=true: O(1) offsets for producers whose file names
+        # sort in arrival order (our own streaming sink's
+        # part-b{batchId}-… names, or date-stamped drops). The default
+        # seen-set offset is O(total files ever) JSON per trigger —
+        # fine at thousands of files, a driver/checkpoint hazard at the
+        # million-file counts a 100 TB stream accumulates. In this mode
+        # the offset is just {"hwm": <last ingested name>}; a NEW file
+        # sorting at or below the high-water mark would be silently
+        # lost, so arrivals below the mark raise loudly (tracked via
+        # _n_below) directing the user back to the default mode.
+        self.ordered_names = (
+            str(options.get("orderednames", "false")).lower() == "true"
+        )
+        self._hwm_str: str | None = None
+        self._n_below: int | None = None
         # delegate row production to the batch reader (same Arrow batches)
         self._batch_reader = FourMcDataSourceReader(options, schema)
 
@@ -108,10 +123,41 @@ class FourMcStreamReader(DataSourceStreamReader):
         return _list_files(self.path) if os.path.exists(self.path) else []
 
     def initialOffset(self) -> dict:
+        if self.ordered_names:
+            return {"hwm": ""}
         return {"seen": "[]"}
+
+    def _latest_ordered(self, files: list[str]) -> dict:
+        """O(1) offset: the lexicographically-last ingested file name.
+        Same monotone-high-water-mark invariant as the seen-set mode —
+        _hwm_str only ever grows, and the first call on an instance is
+        unbounded (max of the full listing covers any checkpoint,
+        because sealed files are never deleted)."""
+        if self._hwm_str is None:
+            self._hwm_str = files[-1] if files else ""
+            self._n_below = len(files)
+            return {"hwm": self._hwm_str}
+        below = sum(1 for f in files if f <= self._hwm_str)
+        if self._n_below is not None and below > self._n_below:
+            raise ValueError(
+                "fourmc stream: orderednames=true but a new file sorts at "
+                "or below the current high-water mark "
+                f"({self._hwm_str!r}) — it would never be ingested. Use "
+                "a producer with monotone names (e.g. the fourmc "
+                "streaming sink) or drop the orderednames option."
+            )
+        new = [f for f in files if f > self._hwm_str]
+        if self.max_files_per_trigger > 0:
+            new = new[: self.max_files_per_trigger]
+        if new:
+            self._hwm_str = new[-1]
+            self._n_below = (below or 0) + len(new)
+        return {"hwm": self._hwm_str}
 
     def latestOffset(self) -> dict:
         files = sorted(self._list())
+        if self.ordered_names:
+            return self._latest_ordered(files)
         if self._hwm is None:
             # first call on this instance: must be unbounded. The
             # engine's current offset (a restored checkpoint, or a prior
@@ -130,12 +176,21 @@ class FourMcStreamReader(DataSourceStreamReader):
         return {"seen": json.dumps(files)}
 
     def partitions(self, start: dict, end: dict):
-        seen = set(json.loads(start.get("seen", "[]")))
-        target = json.loads(end.get("seen", "[]"))
+        if ("hwm" in start) != ("hwm" in end):
+            raise ValueError(
+                "fourmc stream: offset formats differ between start and "
+                "end — the orderednames option was flipped across a "
+                "restart; it must match the checkpoint's mode"
+            )
+        if "hwm" in end:
+            lo, hi = start.get("hwm", ""), end.get("hwm", "")
+            new_files = [f for f in sorted(self._list()) if lo < f <= hi]
+        else:
+            seen = set(json.loads(start.get("seen", "[]")))
+            target = json.loads(end.get("seen", "[]"))
+            new_files = [f for f in target if f not in seen]
         parts = []
-        for path in target:
-            if path in seen:
-                continue
+        for path in new_files:
             parts.extend(
                 _plan_file(
                     path,
@@ -157,6 +212,11 @@ class FourMcStreamReader(DataSourceStreamReader):
         # to clean up on our side. Fold the committed set into the
         # high-water mark (commits arrive async relative to latestOffset,
         # so this may only ever GROW the mark, never replace it).
+        if "hwm" in end:
+            h = end["hwm"]
+            if self._hwm_str is None or h > self._hwm_str:
+                self._hwm_str = h
+            return
         committed = set(json.loads(end.get("seen", "[]")))
         self._hwm = committed if self._hwm is None else self._hwm | committed
 

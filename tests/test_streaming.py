@@ -529,6 +529,83 @@ def test_stream_source_max_files_per_trigger(tmp_path):
     assert len({p.path for p in parts if p.path}) == 2
 
 
+def test_stream_source_ordered_names_o1_offsets(tmp_path):
+    """orderednames=true keeps offsets O(1) — {"hwm": <name>} instead of
+    the O(total files) seen-set JSON — for producers whose names sort in
+    arrival order (our streaming sink). Same monotone-mark invariant:
+    offsets never regress, rate limit applies after the unbounded first
+    offset, and an out-of-order arrival below the mark raises loudly."""
+    import pytest as _pytest
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from fourmc_spark.format.writer import write_file
+    from fourmc_spark.sources.stream import FourMcStreamReader
+
+    d = str(tmp_path / "ord_in")
+    os.makedirs(d)
+
+    def mk(name):
+        write_file(os.path.join(d, name), b"x\n", codec="lz4", level="fast")
+
+    for i in range(3):
+        mk(f"b{i:03d}.4mc")
+    schema = StructType(
+        [StructField("offset", LongType()), StructField("value", StringType())]
+    )
+    r = FourMcStreamReader(
+        {"path": d, "orderednames": "true", "maxfilespertrigger": "2"},
+        schema,
+    )
+    first = r.latestOffset()
+    assert set(first) == {"hwm"} and first["hwm"].endswith("b002.4mc")
+    # late arrivals drain capped, and the offset stays a single name
+    for i in range(3, 8):
+        mk(f"b{i:03d}.4mc")
+    nxt = r.latestOffset()
+    assert nxt["hwm"].endswith("b004.4mc")  # 2 of the 5 new
+    parts = r.partitions(first, nxt)
+    assert len({p.path for p in parts if p.path}) == 2
+    assert r.latestOffset()["hwm"].endswith("b006.4mc")
+    r.commit(nxt)  # async old commit must not regress the mark
+    assert r.latestOffset()["hwm"].endswith("b007.4mc")
+    # a NEW file sorting below the mark would be silently lost: loud-fail
+    mk("a000.4mc")
+    with _pytest.raises(ValueError, match="orderednames"):
+        r.latestOffset()
+
+
+def test_stream_source_ordered_names_end_to_end(spark, tmp_path):
+    """Engine-level: the streaming sink's batch-id names feed
+    orderednames=true ingestion exactly-once across late arrivals."""
+    from fourmc_spark.format.writer import write_file
+
+    d = str(tmp_path / "ord_e2e")
+    os.makedirs(d)
+    write_file(os.path.join(d, "b000.4mz"), b"r0\n", codec="zstd",
+               level="fast")
+    sdf = (
+        spark.readStream.format("fourmc")
+        .option("orderednames", "true")
+        .option("maxfilespertrigger", 1).load(d)
+    )
+    q = (
+        sdf.writeStream.format("memory").queryName("t_ord")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        for i in range(1, 4):
+            write_file(os.path.join(d, f"b{i:03d}.4mz"),
+                       f"r{i}\n".encode(), codec="zstd", level="fast")
+        q.processAllAvailable()
+        rows = sorted(r["value"] for r in spark.table("t_ord").collect())
+        assert rows == ["r0", "r1", "r2", "r3"]
+        batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(batches) >= 4  # one per late file under the cap
+    finally:
+        q.stop()
+
+
 def test_cdc_apply_stream_merges_across_batches(spark, tmp_path):
     """3 changelog files drained one-per-trigger must compact to the same
     snapshot as a single batch latest-wins election over all rows."""
