@@ -2310,16 +2310,12 @@ def q35_session_window_batch_q(spark, sf):
 # =========================================================================
 
 
-def _run_stream(
-    sdf: DataFrame, output_mode: str = "complete", available_now: bool = True
-) -> DataFrame:
+def _run_stream(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
     import uuid
 
     from fourmc_spark.streaming import run_to_memory
 
-    return run_to_memory(
-        sdf, f"qstream_{uuid.uuid4().hex[:12]}", output_mode, available_now
-    )
+    return run_to_memory(sdf, f"qstream_{uuid.uuid4().hex[:12]}", output_mode)
 
 
 # Detach bound for streaming queries whose state dir is deleted on return:
@@ -4176,6 +4172,38 @@ def stream_cdc_apply_q(spark, sf):
         shutil.rmtree(d, ignore_errors=True)
 
 
+# shared scaffold of the 4mc stream-source gate queries: events ride as
+# JSON lines in sealed .4mz files (ts as a formatted string so from_json
+# rebuilds exact micros), then come back as a typed stream
+_EV_JSON_SCHEMA = ("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+                   "event_type STRING, value DOUBLE")
+
+
+def _stage_events_4mz(spark, sf: str, d: str, n_files: int) -> None:
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    (
+        ev.select(F.to_json(F.struct(*ev.columns)).alias("value"))
+        .repartition(n_files)
+        .write.format("fourmc").option("codec", "zstd")
+        .option("level", "fast").mode("overwrite").save(d)
+    )
+
+
+def _events_json_stream(spark, path: str, **options) -> DataFrame:
+    reader = spark.readStream.format("fourmc")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return (
+        reader.load(path)
+        .select(F.from_json("value", _EV_JSON_SCHEMA).alias("_r"))
+        .select("_r.*")
+    )
+
+
 @query(
     "stream_4mc_tumbling",
     """SELECT date_trunc('hour', ts) AS win_start, event_type,
@@ -4198,31 +4226,10 @@ def stream_4mc_tumbling_q(spark, sf):
 
     register_fourmc(spark)  # idempotent — the driver's session may not
     # have gone through get_spark
-    ev = _t(spark, sf, "events").select(
-        "event_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
-        "user_id", "event_type", "value",
-    )
     d = tempfile.mkdtemp(prefix="fourmc-stream4mc-")
     try:
-        (
-            ev.select(F.to_json(F.struct(*ev.columns)).alias("value"))
-            .repartition(3)
-            .write.format("fourmc").option("codec", "zstd")
-            .option("level", "fast").mode("overwrite").save(d)
-        )
-        sdf = (
-            spark.readStream.format("fourmc")
-            .load(d)
-            .select(
-                F.from_json(
-                    "value",
-                    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
-                    "event_type STRING, value DOUBLE",
-                ).alias("_r")
-            )
-            .select("_r.*")
-        )
+        _stage_events_4mz(spark, sf, d, n_files=3)
+        sdf = _events_json_stream(spark, d)
         out = _run_stream(tumbling_counts(sdf, window="1 hour")).orderBy(
             "win_start", "event_type"
         )
@@ -4263,36 +4270,14 @@ def stream_4mc_multibatch_q(spark, sf):
     from fourmc_spark.streaming import tumbling_counts
 
     register_fourmc(spark)
-    ev = _t(spark, sf, "events").select(
-        "event_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
-        "user_id", "event_type", "value",
-    )
     root = tempfile.mkdtemp(prefix="fourmc-stream-mb-")
     staged, live = f"{root}/staged", f"{root}/live"
     try:
-        (
-            ev.select(F.to_json(F.struct(*ev.columns)).alias("value"))
-            .repartition(6)
-            .write.format("fourmc").option("codec", "zstd")
-            .option("level", "fast").mode("overwrite").save(staged)
-        )
+        _stage_events_4mz(spark, sf, staged, n_files=6)
         files = sorted(_glob.glob(f"{staged}/part-*.4mz"))
         _os.makedirs(live)
         _os.rename(files[0], f"{live}/{_os.path.basename(files[0])}")
-        sdf = (
-            spark.readStream.format("fourmc")
-            .option("maxfilespertrigger", 1)
-            .load(live)
-            .select(
-                F.from_json(
-                    "value",
-                    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
-                    "event_type STRING, value DOUBLE",
-                ).alias("_r")
-            )
-            .select("_r.*")
-        )
+        sdf = _events_json_stream(spark, live, maxfilespertrigger=1)
         name = f"qstream_{_uuid.uuid4().hex[:12]}"
         q = (
             tumbling_counts(sdf, window="1 hour")

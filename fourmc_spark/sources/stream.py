@@ -82,10 +82,16 @@ class FourMcStreamReader(DataSourceStreamReader):
         self.max_partition_bytes = int(
             options.get("maxpartitionbytes", DEFAULT_MAX_PARTITION_BYTES)
         )
-        # maxfilespertrigger: bound each micro-batch to N new files (the
-        # FileStreamSource rate-limit analog) — a 10k-file backlog drains
-        # in controlled batches instead of one giant catch-up batch.
-        # 0 = unbounded (default).
+        # maxfilespertrigger: bound each micro-batch to N files ARRIVING
+        # AFTER a reader instance's first offset (the FileStreamSource
+        # rate-limit analog for steady-state drains). SCOPE — unlike the
+        # JVM FileStreamSource, it cannot bound initial catch-up: the
+        # first offset on any instance (fresh start OR restart) must be
+        # unbounded because the Python source API hides the engine's
+        # checkpoint here, and a capped first offset can regress the
+        # offset chain, which the engine then adopts as the next start
+        # and double-ingests (measured, round 8 — see the _hwm invariant
+        # note below). 0 = unbounded (default).
         self.max_files_per_trigger = int(options.get("maxfilespertrigger", 0))
         # High-water mark: every file this instance has ever returned in
         # an offset or seen committed. None = no latestOffset call yet.
@@ -98,16 +104,23 @@ class FourMcStreamReader(DataSourceStreamReader):
         # offset computed against the (stale) committed set violated
         # this; capping against the monotone high-water mark cannot.
         self._hwm: set[str] | None = None
-        # orderednames=true: O(1) offsets for producers whose file names
-        # sort in arrival order (our own streaming sink's
-        # part-b{batchId}-… names, or date-stamped drops). The default
-        # seen-set offset is O(total files ever) JSON per trigger —
-        # fine at thousands of files, a driver/checkpoint hazard at the
-        # million-file counts a 100 TB stream accumulates. In this mode
-        # the offset is just {"hwm": <last ingested name>}; a NEW file
-        # sorting at or below the high-water mark would be silently
-        # lost, so arrivals below the mark raise loudly (tracked via
-        # _n_below) directing the user back to the default mode.
+        # orderednames=true: O(1) offsets for producers whose file
+        # BASENAMES are globally unique and sort in arrival order (our
+        # own streaming sink's part-b{batchId}-… names qualify, in flat
+        # AND hive-partitioned layouts — ordering ignores directories
+        # precisely so partitionby output composes; date-stamped drops
+        # qualify too). The default seen-set offset is O(total files
+        # ever) JSON per trigger — fine at thousands of files, a
+        # driver/checkpoint hazard at the million-file counts a 100 TB
+        # stream accumulates. In this mode the offset is just
+        # {"hwm": <last ingested basename>}. CONTRACT, not just a
+        # tripwire: a new file whose basename sorts at or below the mark
+        # is outside the stream's domain — this instance raises loudly
+        # when it can see the violation (arrival count below the mark
+        # grew), but after a restart the fresh instance cannot
+        # distinguish the stray from already-ingested files and it is
+        # silently skipped. Producers that cannot guarantee ordered
+        # unique basenames must use the default seen-set mode.
         self.ordered_names = (
             str(options.get("orderednames", "false")).lower() == "true"
         )
@@ -127,26 +140,45 @@ class FourMcStreamReader(DataSourceStreamReader):
             return {"hwm": ""}
         return {"seen": "[]"}
 
+    @staticmethod
+    def _basenames(files: list[str]) -> list[tuple[str, str]]:
+        """(basename, path) pairs sorted by basename; duplicate
+        basenames are a hard error — the O(1) offset is a basename, so
+        two files sharing one would be indistinguishable."""
+        keyed = sorted((os.path.basename(f), f) for f in files)
+        for (a, _), (b, pb) in zip(keyed, keyed[1:]):
+            if a == b:
+                raise ValueError(
+                    "fourmc stream: orderednames=true requires globally "
+                    f"unique file basenames; {a!r} appears more than once "
+                    f"(e.g. {pb!r}). Use the default seen-set mode."
+                )
+        return keyed
+
     def _latest_ordered(self, files: list[str]) -> dict:
-        """O(1) offset: the lexicographically-last ingested file name.
+        """O(1) offset: the lexicographically-last ingested BASENAME
+        (directories ignored, so hive-partitioned sink output composes).
         Same monotone-high-water-mark invariant as the seen-set mode —
         _hwm_str only ever grows, and the first call on an instance is
         unbounded (max of the full listing covers any checkpoint,
         because sealed files are never deleted)."""
+        keyed = self._basenames(files)
         if self._hwm_str is None:
-            self._hwm_str = files[-1] if files else ""
-            self._n_below = len(files)
+            self._hwm_str = keyed[-1][0] if keyed else ""
+            self._n_below = len(keyed)
             return {"hwm": self._hwm_str}
-        below = sum(1 for f in files if f <= self._hwm_str)
+        below = sum(1 for k, _ in keyed if k <= self._hwm_str)
         if self._n_below is not None and below > self._n_below:
             raise ValueError(
-                "fourmc stream: orderednames=true but a new file sorts at "
-                "or below the current high-water mark "
-                f"({self._hwm_str!r}) — it would never be ingested. Use "
-                "a producer with monotone names (e.g. the fourmc "
-                "streaming sink) or drop the orderednames option."
+                "fourmc stream: orderednames=true but a new file's "
+                "basename sorts at or below the current high-water mark "
+                f"({self._hwm_str!r}) — it is OUTSIDE the stream's domain "
+                "and will stay lost even after a restart (a fresh reader "
+                "cannot tell it from already-ingested files). Re-drop it "
+                "under a name above the mark, or rebuild the checkpoint "
+                "with the default seen-set mode."
             )
-        new = [f for f in files if f > self._hwm_str]
+        new = [k for k, _ in keyed if k > self._hwm_str]
         if self.max_files_per_trigger > 0:
             new = new[: self.max_files_per_trigger]
         if new:
@@ -184,7 +216,9 @@ class FourMcStreamReader(DataSourceStreamReader):
             )
         if "hwm" in end:
             lo, hi = start.get("hwm", ""), end.get("hwm", "")
-            new_files = [f for f in sorted(self._list()) if lo < f <= hi]
+            new_files = [
+                p for k, p in self._basenames(self._list()) if lo < k <= hi
+            ]
         else:
             seen = set(json.loads(start.get("seen", "[]")))
             target = json.loads(end.get("seen", "[]"))

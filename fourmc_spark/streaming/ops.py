@@ -405,31 +405,21 @@ def run_to_memory(
     sdf: DataFrame,
     name: str,
     output_mode: str = "complete",
-    available_now: bool = True,
 ) -> DataFrame:
     """Run a streaming frame to completion into a memory sink and return
     the materialized table (test/oracle harness — not a scale path).
-
-    ``available_now=False`` runs the default micro-batch trigger and
-    drains via ``processAllAvailable()`` instead — required when the
-    query must honor source rate limits (``maxfilespertrigger``):
-    Python stream sources fall back to a single batch under
-    Trigger.AvailableNow, which would defeat a multi-batch test."""
-    w = (
+    Drains under Trigger.AvailableNow; a caller that must honor source
+    rate limits or interleave work between drains (stream_4mc_multibatch)
+    runs its own start/processAllAvailable/stop sequence instead —
+    Python stream sources fall back to a single batch under AvailableNow."""
+    q = (
         sdf.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
     )
-    if available_now:
-        q = w.trigger(availableNow=True).start()
-        q.awaitTermination()
-    else:
-        q = w.start()
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-            q.awaitTermination()
+    q.awaitTermination()
     return sdf.sparkSession.table(name)
 
 
