@@ -606,6 +606,59 @@ def test_stream_source_ordered_names_end_to_end(spark, tmp_path):
         q.stop()
 
 
+def test_stream_source_ordered_names_composes_with_partitionby(tmp_path):
+    """The review-flagged composition: the streaming sink's hive
+    partitionby layout must satisfy orderednames' contract — ordering
+    is by BASENAME (part-b{batchId}-… ascends across batches), so
+    directory components (bucket=…) cannot reorder arrivals."""
+    import json as _json
+
+    import pyarrow as pa
+    from pyspark.sql.datasource import CaseInsensitiveDict
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from fourmc_spark.sources.stream import FourMcStreamReader, FourMcStreamWriter
+
+    out = str(tmp_path / "comp_out")
+    os.makedirs(out)
+    wschema = StructType([
+        StructField("value", StringType()),
+        StructField("bucket", StringType()),
+    ])
+
+    def sink_batch(batch_id, rows):
+        w = FourMcStreamWriter(
+            CaseInsensitiveDict(
+                {"path": out, "codec": "zstd", "partitionby": "bucket"}
+            ),
+            wschema, overwrite=False,
+        )
+        msg = w.write(iter([pa.RecordBatch.from_pydict(
+            {"value": [r[0] for r in rows], "bucket": [r[1] for r in rows]}
+        )]))
+        w.commit([msg], batchId=batch_id)
+
+    rschema = StructType(
+        [StructField("offset", LongType()), StructField("value", StringType())]
+    )
+    r = FourMcStreamReader(
+        {"path": out, "orderednames": "true", "maxfilespertrigger": "8"},
+        rschema,
+    )
+    # batch 1 lands in bucket=2 (lexicographically HIGH dir), then batch
+    # 2 in bucket=0 (LOW dir): full-path ordering would see a regression;
+    # basename ordering must not
+    sink_batch(1, [("a1", "2"), ("a2", "2")])
+    first = r.latestOffset()
+    sink_batch(2, [("b1", "0"), ("b2", "0")])
+    nxt = r.latestOffset()
+    assert first["hwm"] < nxt["hwm"]  # no ValueError, mark advanced
+    parts = r.partitions(first, nxt)
+    new_dirs = {p.path.split("bucket=")[1].split("/")[0]
+                for p in parts if p.path}
+    assert new_dirs == {"0"}  # exactly the late batch's files
+
+
 def test_cdc_apply_stream_merges_across_batches(spark, tmp_path):
     """3 changelog files drained one-per-trigger must compact to the same
     snapshot as a single batch latest-wins election over all rows."""
