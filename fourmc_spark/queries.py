@@ -2671,6 +2671,79 @@ def proto_4mc_roundtrip_q(spark, sf):
 
 
 @query(
+    "stream_proto_sink",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+              CAST(sum(user_id) AS BIGINT) AS user_sum,
+              round(sum(value), 2) AS value_sum,
+              CAST(min(event_id) AS BIGINT) AS min_event,
+              CAST(max(event_id) AS BIGINT) AS max_event
+       FROM {EV} GROUP BY event_type ORDER BY event_type""",
+)
+def stream_proto_sink_q(spark, sf):
+    # K4 STREAMING twin under the oracle gate (round 8): events stream
+    # from parquet through writeStream.format("fourmcproto") — rows
+    # wire-encoded as ElephantBird block-framed protobuf inside sealed
+    # .4mz files, with the fourmc stream sink's batch-replay-idempotent
+    # deterministic commit names — then batch-read back through the
+    # fourmcproto scan and aggregated. Equality with the batch oracle
+    # certifies the streaming proto pipeline sealed every row exactly
+    # once AND every varint/zigzag/EB frame survived; the proto twin of
+    # stream_4mc_sink the way proto_4mc_roundtrip twins
+    # stream_4mc_tumbling. Scale shape: one sealed file per task per
+    # micro-batch, no driver data path.
+    import json as _json
+    import shutil
+    import tempfile
+
+    from fourmc_spark.session import register_fourmc
+
+    register_fourmc(spark)
+    fields = _json.dumps(
+        [
+            {"number": 1, "name": "event_id", "type": "int64"},
+            {"number": 2, "name": "user_id", "type": "int64"},
+            {"number": 3, "name": "event_type", "type": "string"},
+            {"number": 4, "name": "value", "type": "double"},
+        ]
+    )
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="fourmc-proto-stream-")
+    src, out_dir, ckpt = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+    try:
+        ev.write.mode("overwrite").parquet(src)
+        sdf = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            sdf.writeStream.format("fourmcproto")
+            .option("fields", fields)
+            .option("codec", "zstd").option("level", "medium")
+            .option("path", out_dir).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        back = (
+            spark.read.format("fourmcproto")
+            .option("fields", fields)
+            .load(out_dir)
+        )
+        out = (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.sum("user_id").cast("long").alias("user_sum"),
+                F.round(F.sum("value"), 2).alias("value_sum"),
+                F.min("event_id").cast("long").alias("min_event"),
+                F.max("event_id").cast("long").alias("max_event"),
+            )
+            .orderBy("event_type")
+        )
+        return _detach(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "sql_4mc_pruned_scan",
     """WITH params AS (
          SELECT GREATEST(128, ((count(*) + 127) // 128) // 2 * 128) AS skip

@@ -67,6 +67,33 @@ class FourMcProtoDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> "FourMcProtoWriter":
         return FourMcProtoWriter(self.options, schema, overwrite)
 
+    def streamReader(self, schema: StructType):
+        from fourmc_spark.sources.stream import FourMcStreamReader
+
+        class FourMcProtoStreamReader(FourMcStreamReader):
+            """The fourmc stream source's sealed-file offset machinery
+            (monotone high-water mark, maxfilespertrigger, orderednames)
+            over the EB-protobuf record model — S8 streaming twin."""
+
+            def _make_batch_reader(self, options, schema_):
+                return FourMcProtoReader(options, schema_)
+
+        return FourMcProtoStreamReader(self.options, schema)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        from fourmc_spark.sources.stream import FourMcStreamWriter
+
+        class FourMcProtoStreamWriter(FourMcStreamWriter):
+            """K4 streaming twin: per-micro-batch sealed proto files with
+            the fourmc stream sink's batch-replay-idempotent
+            deterministic commit names."""
+
+            def __init__(self, options, schema_, overwrite_) -> None:
+                self._w = FourMcProtoWriter(options, schema_, overwrite=False)
+                self.path = self._w.path
+
+        return FourMcProtoStreamWriter(self.options, schema, overwrite)
+
 
 class FourMcProtoReader(FourMcDataSourceReader):
     """Reuses the text source's block-aligned planning (S1/X4-X6); only the

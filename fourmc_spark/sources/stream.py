@@ -71,10 +71,7 @@ class FourMcStreamReader(DataSourceStreamReader):
     """Micro-batch reader: new sealed files since the last offset."""
 
     def __init__(self, options, schema: StructType) -> None:
-        from fourmc_spark.sources.datasource import (
-            DEFAULT_MAX_PARTITION_BYTES,
-            FourMcDataSourceReader,
-        )
+        from fourmc_spark.sources.datasource import DEFAULT_MAX_PARTITION_BYTES
 
         self.path = options.get("path")
         if not self.path:
@@ -126,8 +123,15 @@ class FourMcStreamReader(DataSourceStreamReader):
         )
         self._hwm_str: str | None = None
         self._n_below: int | None = None
-        # delegate row production to the batch reader (same Arrow batches)
-        self._batch_reader = FourMcDataSourceReader(options, schema)
+        # delegate row production to the batch reader (same Arrow
+        # batches); subclasses swap in a different record model (e.g.
+        # the EB-protobuf reader) while keeping the offset machinery
+        self._batch_reader = self._make_batch_reader(options, schema)
+
+    def _make_batch_reader(self, options, schema: StructType):
+        from fourmc_spark.sources.datasource import FourMcDataSourceReader
+
+        return FourMcDataSourceReader(options, schema)
 
 
     def _list(self) -> list[str]:

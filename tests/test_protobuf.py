@@ -210,6 +210,67 @@ def test_spark_tag_count_query(spark, tmp_path):
     assert counts == sorted(counts, reverse=True)
 
 
+def test_proto_streaming_sink_and_source(spark, tmp_path):
+    """S8/K4 streaming twins (round 8): fourmcproto writeStream seals EB
+    proto files with batch-idempotent names; fourmcproto readStream
+    ingests sealed proto files incrementally (the fourmc offset chain
+    over the EB record model). Both directions read back exactly."""
+    src = str(tmp_path / "ps_src")
+    out = str(tmp_path / "ps_out")
+    ckpt = str(tmp_path / "ps_ckpt")
+    users = _users(800)
+    df = spark.createDataFrame(
+        [(u["userId"], u["name"], u["type"], u["birthDate"], u["tags"])
+         for u in users],
+        "userId string, name string, type string, birthDate long, "
+        "tags array<string>",
+    )
+    df.write.mode("overwrite").parquet(src)
+
+    # --- streaming SINK: parquet stream -> sealed proto 4mz files
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        sdf.writeStream.format("fourmcproto")
+        .option("codec", "zstd")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    sealed = glob.glob(os.path.join(out, "*.4mz"))
+    assert sealed and all("part-b" in os.path.basename(p) for p in sealed)
+    back = spark.read.format("fourmcproto").load(out)
+    assert back.count() == len(users)
+    a = sorted(df.collect(), key=lambda r: r.userId)
+    b = sorted(back.collect(), key=lambda r: r.userId)
+    for ra, rb in zip(a, b):
+        assert ra.userId == rb.userId and ra.name == rb.name
+        assert list(ra.tags) == list(rb.tags)
+
+    # --- streaming SOURCE: sealed proto files ingest incrementally
+    psdf = spark.readStream.format("fourmcproto").load(out)
+    q2 = (
+        psdf.select("userId", "birthDate")
+        .writeStream.format("memory").queryName("t_proto_stream")
+        .outputMode("append").start()
+    )
+    try:
+        q2.processAllAvailable()
+        assert spark.table("t_proto_stream").count() == len(users)
+        # a new sealed proto file arrives -> ingested incrementally,
+        # earlier files not re-read
+        extra = _users(50)
+        spark.createDataFrame(
+            [(u["userId"], u["name"], u["type"], u["birthDate"], u["tags"])
+             for u in extra],
+            df.schema,
+        ).coalesce(1).write.format("fourmcproto").option("codec", "zstd") \
+            .mode("append").save(out)
+        q2.processAllAvailable()
+        assert spark.table("t_proto_stream").count() == len(users) + 50
+    finally:
+        q2.stop()
+
+
 def test_column_pruning_reads_subset(spark, tmp_path):
     out = str(tmp_path / "proto_prune")
     users = _users(500)
