@@ -2706,14 +2706,14 @@ def stream_proto_sink_q(spark, sf):
             {"number": 4, "name": "value", "type": "double"},
         ]
     )
-    ev = _t(spark, sf, "events").select(
-        "event_id", "user_id", "event_type", "value"
-    )
     root = tempfile.mkdtemp(prefix="fourmc-proto-stream-")
-    src, out_dir, ckpt = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+    out_dir, ckpt = f"{root}/out", f"{root}/ckpt"
     try:
-        ev.write.mode("overwrite").parquet(src)
-        sdf = spark.readStream.schema(ev.schema).parquet(src)
+        from fourmc_spark.streaming import read_events_stream
+
+        sdf = read_events_stream(spark, f"{sf}/events.parquet").select(
+            "event_id", "user_id", "event_type", "value"
+        )
         q = (
             sdf.writeStream.format("fourmcproto")
             .option("fields", fields)

@@ -31,6 +31,7 @@ from pyspark.sql.types import StructType
 from fourmc_spark.format.protobuf import ProtoField, USER_SCHEMA, spark_struct
 
 from .datasource import FourMcCommitMessage, FourMcDataSourceReader, FourMcInputPartition
+from .stream import FourMcStreamReader, FourMcStreamWriter
 
 DEFAULT_CLASS_NAME = "com.fing.fourmc.protobuf.USER$User"
 DEFAULT_RECORDS_PER_BLOCK = 100  # elephant-bird BinaryBlockWriter default
@@ -68,30 +69,9 @@ class FourMcProtoDataSource(DataSource):
         return FourMcProtoWriter(self.options, schema, overwrite)
 
     def streamReader(self, schema: StructType):
-        from fourmc_spark.sources.stream import FourMcStreamReader
-
-        class FourMcProtoStreamReader(FourMcStreamReader):
-            """The fourmc stream source's sealed-file offset machinery
-            (monotone high-water mark, maxfilespertrigger, orderednames)
-            over the EB-protobuf record model — S8 streaming twin."""
-
-            def _make_batch_reader(self, options, schema_):
-                return FourMcProtoReader(options, schema_)
-
         return FourMcProtoStreamReader(self.options, schema)
 
     def streamWriter(self, schema: StructType, overwrite: bool):
-        from fourmc_spark.sources.stream import FourMcStreamWriter
-
-        class FourMcProtoStreamWriter(FourMcStreamWriter):
-            """K4 streaming twin: per-micro-batch sealed proto files with
-            the fourmc stream sink's batch-replay-idempotent
-            deterministic commit names."""
-
-            def __init__(self, options, schema_, overwrite_) -> None:
-                self._w = FourMcProtoWriter(options, schema_, overwrite=False)
-                self.path = self._w.path
-
         return FourMcProtoStreamWriter(self.options, schema, overwrite)
 
 
@@ -258,3 +238,21 @@ class FourMcProtoWriter(DataSourceArrowWriter):
                 for staged, _ in m.files:
                     if os.path.exists(staged):
                         os.remove(staged)
+
+
+class FourMcProtoStreamReader(FourMcStreamReader):
+    """S8 streaming twin: the fourmc stream source's sealed-file offset
+    machinery (monotone high-water mark, maxfilespertrigger,
+    orderednames) over the EB-protobuf record model."""
+
+    def _make_batch_reader(self, options, schema: StructType):
+        return FourMcProtoReader(options, schema)
+
+
+class FourMcProtoStreamWriter(FourMcStreamWriter):
+    """K4 streaming twin: per-micro-batch sealed proto files with the
+    fourmc stream sink's batch-replay-idempotent deterministic commit
+    names."""
+
+    def _make_batch_writer(self, options, schema: StructType):
+        return FourMcProtoWriter(options, schema, overwrite=False)

@@ -281,12 +281,17 @@ class FourMcStreamWriter(DataSourceStreamArrowWriter):
     """
 
     def __init__(self, options, schema: StructType, overwrite: bool) -> None:
+        # reuse the batch writer's option parsing, value-column
+        # selection, partition split, and rolling task body; subclasses
+        # swap in a different record model (e.g. the EB-protobuf
+        # writer) while keeping the staging/commit machinery
+        self._w = self._make_batch_writer(options, schema)
+        self.path = self._w.path
+
+    def _make_batch_writer(self, options, schema: StructType):
         from fourmc_spark.sources.datasource import FourMcDataSourceWriter
 
-        # reuse the batch writer's option parsing, value-column
-        # selection, partition split, and rolling task body
-        self._w = FourMcDataSourceWriter(options, schema, overwrite=False)
-        self.path = self._w.path
+        return FourMcDataSourceWriter(options, schema, overwrite=False)
 
     def write(self, iterator) -> WriterCommitMessage:
         # batch task body: stages files under _temporary/, returns the
