@@ -55,15 +55,12 @@ sys.path.insert(0, _HERE)
 # surface. _PRIORITY pins this round's most important unverified queries
 # to the very front.
 _PRIORITY: list[str] = [
-    # round 8: 158/163 driver-verified (CORRECTNESS_r01-r07 union, all
-    # green); the five round-8 additions (sql_4mc_file_pruned_scan,
-    # multimodal_jpeg_ycck_dispatch, stream_4mc_sink,
-    # stream_4mc_multibatch, stream_proto_sink) are the only
-    # unverified queries and sort
-    # ahead of verified ones automatically via _ordered(), so nothing
-    # needs pinning. The rotation gives the driver's 50-slot window a
-    # regression re-confirmation pass over long-verified queries each
-    # round.
+    # round 9: 163/164 driver-verified (CORRECTNESS_r01-r08 union, all
+    # green); the round-9 addition (stream_4mc_ordered_multibatch) is
+    # the only unverified query and sorts ahead of verified ones
+    # automatically via _ordered(), so nothing needs pinning. The
+    # rotation gives the driver's 50-slot window a regression
+    # re-confirmation pass over long-verified queries each round.
 ]
 
 

@@ -781,7 +781,12 @@ def _merge_io(attempts: list[dict]) -> tuple[dict, dict]:
     source = {k: len(attempts) - 1 for k in merged}
     for i, a in enumerate(attempts):
         for k, v in a.items():
-            if "mbps" in k:
+            if k not in merged:
+                # a key an earlier pass produced but the last one didn't
+                # (e.g. an env-gated section raced the gate): keep it —
+                # seeding from attempts[-1] alone would KeyError below
+                merged[k], source[k] = v, i
+            elif "mbps" in k:
                 if v >= merged[k]:
                     merged[k], source[k] = v, i
             elif k.endswith("_sec"):

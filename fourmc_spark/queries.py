@@ -4372,6 +4372,99 @@ def stream_4mc_multibatch_q(spark, sf):
 
 
 @query(
+    "stream_4mc_ordered_multibatch",
+    """SELECT date_trunc('hour', ts) AS win_start, event_type,
+              CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS sum_value
+       FROM {EV} GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def stream_4mc_ordered_multibatch_q(spark, sf):
+    # The orderednames O(1) offset mode under the hash gate, fed by its
+    # qualifying producer: a PRODUCER streaming pipeline (4mc stream
+    # source, default seen-set mode -> 4mc streaming sink with hive
+    # ``partitionby``) seals files whose deterministic
+    # part-b{batchId}-{task}-{file} basenames ascend across micro-batches
+    # (sources/stream.py FourMcStreamWriter.commit); a CONSUMER stream
+    # reads that tree back with orderednames=true + maxfilespertrigger=1,
+    # so its checkpointed offset is a single basename high-water mark
+    # (O(1) vs the seen-set's O(total files ever) — the 100 TB offset
+    # path) and the steady-state drain takes ONE file per micro-batch
+    # through latestOffset -> partitions -> commit across many commits.
+    # Events are fed to the producer one sealed file at a time, so sink
+    # batchIds genuinely increment and late files land ABOVE the mark in
+    # every hive partition dir (basename ordering ignores directories —
+    # the composition pinned in tests/test_streaming.py's
+    # partitionby+orderednames test). The complete-mode windowed
+    # aggregate must equal the batch oracle exactly: a file skipped below
+    # the mark, double-ingested on hwm regression, or split across a
+    # batch boundary breaks the hash.
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from fourmc_spark.session import register_fourmc
+    from fourmc_spark.streaming import tumbling_counts
+
+    register_fourmc(spark)
+    root = tempfile.mkdtemp(prefix="fourmc-stream-omb-")
+    staged, live_in = f"{root}/staged", f"{root}/in"
+    sink_out, ckpt = f"{root}/out", f"{root}/ckpt"
+    try:
+        _stage_events_4mz(spark, sf, staged, n_files=4)
+        files = sorted(_glob.glob(f"{staged}/part-*.4mz"))
+        _os.makedirs(live_in)
+        _os.makedirs(sink_out)
+
+        def _feed(f: str) -> None:
+            _os.rename(f, f"{live_in}/{_os.path.basename(f)}")
+
+        _feed(files[0])
+        # producer: one fed file per processAllAvailable drain = one sink
+        # micro-batch; partition dirs come from the payload so the hive
+        # column is redundant with the JSON the consumer parses
+        psrc = spark.readStream.format("fourmc").load(live_in).select(
+            "value",
+            F.get_json_object("value", "$.event_type").alias("etype"),
+        )
+        prod = (
+            psrc.writeStream.format("fourmc")
+            .option("codec", "zstd").option("level", "fast")
+            .option("partitionby", "etype")
+            .option("path", sink_out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        name = f"qstream_{_uuid.uuid4().hex[:12]}"
+        cons = None
+        try:
+            prod.processAllAvailable()  # sink batch 0 (part-b0000000000-…)
+            sdf = _events_json_stream(
+                spark, sink_out, orderednames="true", maxfilespertrigger=1
+            )
+            cons = (
+                tumbling_counts(sdf, window="1 hour")
+                .writeStream.format("memory").queryName(name)
+                .outputMode("complete").start()
+            )
+            cons.processAllAvailable()  # catch-up: all batch-0 files
+            for f in files[1:]:
+                _feed(f)
+                prod.processAllAvailable()  # sink batch N, names above hwm
+                cons.processAllAvailable()  # drains them 1 file/trigger
+        finally:
+            if cons is not None:
+                cons.stop()
+                cons.awaitTermination()
+            prod.stop()
+            prod.awaitTermination()
+        out = spark.table(name).orderBy("win_start", "event_type")
+        return _detach(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "stream_4mc_sink",
     """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
               CAST(sum(user_id) AS BIGINT) AS user_sum,

@@ -110,14 +110,17 @@ class FourMcStreamReader(DataSourceStreamReader):
         # ever) JSON per trigger — fine at thousands of files, a
         # driver/checkpoint hazard at the million-file counts a 100 TB
         # stream accumulates. In this mode the offset is just
-        # {"hwm": <last ingested basename>}. CONTRACT, not just a
-        # tripwire: a new file whose basename sorts at or below the mark
-        # is outside the stream's domain — this instance raises loudly
-        # when it can see the violation (arrival count below the mark
-        # grew), but after a restart the fresh instance cannot
-        # distinguish the stray from already-ingested files and it is
-        # silently skipped. Producers that cannot guarantee ordered
-        # unique basenames must use the default seen-set mode.
+        # {"hwm": <last ingested basename>, "n": <count at/below it>}.
+        # CONTRACT, not just a tripwire: a new file whose basename sorts
+        # at or below the mark is outside the stream's domain. The
+        # persisted count makes the violation detectable on a LIVE
+        # instance (count below the mark grew between offsets) AND
+        # across restarts (partitions() re-checks the listing against
+        # the checkpointed count) — both raise loudly. The only silent
+        # residue is a stray exactly cancelled by an equal-count
+        # deletion below the mark, which no O(1) offset can see.
+        # Producers that cannot guarantee ordered unique basenames must
+        # use the default seen-set mode.
         self.ordered_names = (
             str(options.get("orderednames", "false")).lower() == "true"
         )
@@ -141,7 +144,7 @@ class FourMcStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         if self.ordered_names:
-            return {"hwm": ""}
+            return {"hwm": "", "n": 0}
         return {"seen": "[]"}
 
     @staticmethod
@@ -161,16 +164,21 @@ class FourMcStreamReader(DataSourceStreamReader):
 
     def _latest_ordered(self, files: list[str]) -> dict:
         """O(1) offset: the lexicographically-last ingested BASENAME
-        (directories ignored, so hive-partitioned sink output composes).
-        Same monotone-high-water-mark invariant as the seen-set mode —
-        _hwm_str only ever grows, and the first call on an instance is
-        unbounded (max of the full listing covers any checkpoint,
-        because sealed files are never deleted)."""
+        (directories ignored, so hive-partitioned sink output composes)
+        plus ``n``, the count of basenames at or below it when the
+        offset was published. Persisting ``n`` in the offset (still
+        O(1)) lets a FRESH instance detect a stray below the restored
+        mark in partitions() — the restart hole the count-on-a-live-
+        instance heuristic alone left open. Same monotone-high-water-
+        mark invariant as the seen-set mode — _hwm_str only ever grows,
+        and the first call on an instance is unbounded (max of the full
+        listing covers any checkpoint, because sealed files are never
+        deleted)."""
         keyed = self._basenames(files)
         if self._hwm_str is None:
             self._hwm_str = keyed[-1][0] if keyed else ""
             self._n_below = len(keyed)
-            return {"hwm": self._hwm_str}
+            return {"hwm": self._hwm_str, "n": self._n_below}
         below = sum(1 for k, _ in keyed if k <= self._hwm_str)
         if self._n_below is not None and below > self._n_below:
             raise ValueError(
@@ -187,8 +195,12 @@ class FourMcStreamReader(DataSourceStreamReader):
             new = new[: self.max_files_per_trigger]
         if new:
             self._hwm_str = new[-1]
-            self._n_below = (below or 0) + len(new)
-        return {"hwm": self._hwm_str}
+            self._n_below = below + len(new)
+        elif self._n_below is None:
+            # commit-seeded mark (see commit()): adopt the current count
+            # as the baseline the stray check grows from
+            self._n_below = below
+        return {"hwm": self._hwm_str, "n": self._n_below}
 
     def latestOffset(self) -> dict:
         files = sorted(self._list())
@@ -220,9 +232,30 @@ class FourMcStreamReader(DataSourceStreamReader):
             )
         if "hwm" in end:
             lo, hi = start.get("hwm", ""), end.get("hwm", "")
-            new_files = [
-                p for k, p in self._basenames(self._list()) if lo < k <= hi
-            ]
+            keyed = self._basenames(self._list())
+            # restart-safe stray check (the offset carries the count of
+            # basenames at/below its mark): files at or below the
+            # CHECKPOINTED start mark can only shrink (deletion) for a
+            # compliant producer — growth means a stray landed below the
+            # mark while no live instance was watching, and it would be
+            # silently skipped forever. Old checkpoints without "n" skip
+            # the check. (A stray exactly cancelled by an equal-count
+            # deletion remains undetectable without the full listing —
+            # that is the documented contract boundary.)
+            n0 = start.get("n")
+            if n0 is not None:
+                below = sum(1 for k, _ in keyed if k <= lo)
+                if below > n0:
+                    raise ValueError(
+                        "fourmc stream: orderednames=true but the listing "
+                        f"now holds {below} files at or below the "
+                        f"checkpointed high-water mark ({lo!r}); the "
+                        f"offset recorded {n0}. A file was dropped below "
+                        "the mark (it would be silently lost) — re-drop "
+                        "it above the mark, or rebuild the checkpoint "
+                        "with the default seen-set mode."
+                    )
+            new_files = [p for k, p in keyed if lo < k <= hi]
         else:
             seen = set(json.loads(start.get("seen", "[]")))
             target = json.loads(end.get("seen", "[]"))
@@ -254,6 +287,9 @@ class FourMcStreamReader(DataSourceStreamReader):
             h = end["hwm"]
             if self._hwm_str is None or h > self._hwm_str:
                 self._hwm_str = h
+                # adopt the committed count too, so a commit-seeded mark
+                # carries a stray baseline instead of leaving it unknown
+                self._n_below = end.get("n")
             return
         committed = set(json.loads(end.get("seen", "[]")))
         self._hwm = committed if self._hwm is None else self._hwm | committed
@@ -272,12 +308,18 @@ class FourMcStreamWriter(DataSourceStreamArrowWriter):
     keyed by (batchId, task index, file index), so a micro-batch
     replayed after a failure between sink commit and checkpoint commit
     overwrites its own previous output instead of duplicating it — the
-    poor man's version of FileStreamSink's per-batch manifest. (The
-    residual window the manifest would also close — a replay that
-    re-plans into a DIFFERENT task/file split and strands files under
-    names the new attempt never claims — is documented, not hidden;
-    exactly-once applications wanting manifest semantics compose the
-    dedup-ingest manifest pattern from streaming/ops.py.)
+    poor man's version of FileStreamSink's per-batch manifest. A replay
+    that re-plans into a DIFFERENT task/file split is also covered:
+    when the high-water-batch marker (_fourmc_sink_hwb, written before
+    any rename) shows the batch may have committed before, commit()
+    sweeps part-b{batchId} files from every dir the new attempt writes
+    into (same dir union as the prior attempt for deterministic
+    input), so the prior attempt cannot strand files under unclaimed
+    coordinates — while steady-state commits skip the sweep and stay
+    O(batch), never O(accumulated output). The only residual is
+    non-deterministic batch CONTENT, where even a same-split replay
+    writes different rows; exactly-once applications with such inputs
+    compose the dedup-ingest manifest pattern from streaming/ops.py.
     """
 
     def __init__(self, options, schema: StructType, overwrite: bool) -> None:
@@ -300,6 +342,51 @@ class FourMcStreamWriter(DataSourceStreamArrowWriter):
         return self._w.write(iterator)
 
     def commit(self, messages, batchId: int) -> None:
+        # Supersede any earlier attempt of THIS batch before renaming:
+        # a replay that plans a different task/file split would otherwise
+        # strand the prior attempt's part-b{batchId} files under
+        # coordinates the new attempt never claims, duplicating rows on
+        # read-back. The sweep lists dirs, so it must NOT run on every
+        # commit (listing a flat million-file output per batch would make
+        # steady-state commits O(total files)): a high-water-batch marker
+        # under the output root records the largest batchId whose commit
+        # STARTED, and only a commit at or below that mark — i.e. a
+        # possible replay — pays the sweep. The marker is written BEFORE
+        # the renames, so a crash mid-rename still leaves the replay
+        # detectable. Deterministic input => the replay touches the same
+        # hive-dir UNION as the prior attempt (partition values derive
+        # from the data, only the task split differs), so sweeping just
+        # the dirs this attempt writes into suffices. (Non-deterministic
+        # batch content remains out of scope: then even a same-split
+        # replay writes different rows.)
+        marker = os.path.join(self.path, "_fourmc_sink_hwb")
+        last = -1
+        known = False
+        try:
+            with open(marker) as f:
+                last = int(f.read().strip())
+            known = True
+        except (OSError, ValueError):
+            pass  # no marker yet (first commit, or pre-r9 output)
+        if not known or batchId <= last:
+            prefix = f"part-b{batchId:010d}-"
+            dirs = {
+                os.path.dirname(final)
+                for m in messages if m is not None
+                for _staged, final in m.files
+            }
+            for d in dirs:
+                if not os.path.isdir(d):
+                    continue
+                for name in os.listdir(d):
+                    if name.startswith(prefix):
+                        os.remove(os.path.join(d, name))
+        if batchId > last:
+            os.makedirs(self.path, exist_ok=True)
+            tmpm = f"{marker}.tmp"
+            with open(tmpm, "w") as f:
+                f.write(str(batchId))
+            os.replace(tmpm, marker)
         for ti, m in enumerate(messages):
             if m is None:
                 continue

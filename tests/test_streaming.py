@@ -557,7 +557,8 @@ def test_stream_source_ordered_names_o1_offsets(tmp_path):
         schema,
     )
     first = r.latestOffset()
-    assert set(first) == {"hwm"} and first["hwm"].endswith("b002.4mc")
+    assert set(first) == {"hwm", "n"} and first["hwm"].endswith("b002.4mc")
+    assert first["n"] == 3  # count at/below the mark rides the offset
     # late arrivals drain capped, and the offset stays a single name
     for i in range(3, 8):
         mk(f"b{i:03d}.4mc")
@@ -572,6 +573,45 @@ def test_stream_source_ordered_names_o1_offsets(tmp_path):
     mk("a000.4mc")
     with _pytest.raises(ValueError, match="orderednames"):
         r.latestOffset()
+
+
+def test_stream_source_ordered_names_restart_stray_detected(tmp_path):
+    """A stray dropped below the mark while NO instance was live must
+    still be caught after restart: the offset's persisted at/below
+    count lets a FRESH reader's partitions() see that the listing
+    outgrew the checkpointed mark (the r8-advice restart hole)."""
+    import pytest as _pytest
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from fourmc_spark.format.writer import write_file
+    from fourmc_spark.sources.stream import FourMcStreamReader
+
+    d = str(tmp_path / "ord_restart")
+    os.makedirs(d)
+
+    def mk(name):
+        write_file(os.path.join(d, name), b"x\n", codec="lz4", level="fast")
+
+    schema = StructType(
+        [StructField("offset", LongType()), StructField("value", StringType())]
+    )
+    mk("b000.4mc")
+    mk("b001.4mc")
+    r1 = FourMcStreamReader({"path": d, "orderednames": "true"}, schema)
+    start = r1.latestOffset()
+    mk("b002.4mc")
+    end = r1.latestOffset()
+    del r1  # crash after the offsets were checkpointed
+    mk("a999.4mc")  # stray lands below the mark with nobody watching
+    r2 = FourMcStreamReader({"path": d, "orderednames": "true"}, schema)
+    with _pytest.raises(ValueError, match="below the\\s+checkpointed"):
+        r2.partitions(start, end)
+    # with the stray gone the same replay plans exactly the late file
+    os.remove(os.path.join(d, "a999.4mc"))
+    parts = r2.partitions(start, end)
+    assert [os.path.basename(p.path) for p in parts if p.path] == [
+        "b002.4mc"
+    ]
 
 
 def test_stream_source_ordered_names_end_to_end(spark, tmp_path):
@@ -604,6 +644,133 @@ def test_stream_source_ordered_names_end_to_end(spark, tmp_path):
         assert len(batches) >= 4  # one per late file under the cap
     finally:
         q.stop()
+
+
+def test_stream_sink_replay_with_different_split_supersedes(spark, tmp_path):
+    """The failure the r8 advice flagged: a micro-batch replayed after a
+    crash BETWEEN sink commit and checkpoint commit may re-plan into a
+    different task/file split; the first attempt's deterministic names
+    (task indices the replay never claims) must NOT survive as stranded
+    duplicates. commit() sweeps part-b{batchId} files from every dir the
+    new attempt touches before renaming, so the replay fully supersedes
+    the prior attempt — with hive partitionby layouts included."""
+    import pyarrow as pa
+    from pyspark.sql.datasource import CaseInsensitiveDict
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from fourmc_spark.sources.stream import FourMcStreamWriter
+
+    out = str(tmp_path / "replay_out")
+    os.makedirs(out)
+    wschema = StructType([
+        StructField("value", StringType()),
+        StructField("bucket", StringType()),
+    ])
+    rows = [(f"v{i}", str(i % 2)) for i in range(20)]
+
+    def attempt(row_slices):
+        """One commit of batch 7 planned as len(row_slices) tasks."""
+        w = FourMcStreamWriter(
+            CaseInsensitiveDict(
+                {"path": out, "codec": "zstd", "partitionby": "bucket"}
+            ),
+            wschema, overwrite=False,
+        )
+        msgs = [
+            w.write(iter([pa.RecordBatch.from_pydict(
+                {"value": [r[0] for r in sl], "bucket": [r[1] for r in sl]}
+            )]))
+            for sl in row_slices
+        ]
+        w.commit(msgs, batchId=7)
+
+    # first attempt: 4 tasks (5 rows each, both buckets per task)
+    attempt([rows[i:i + 5] for i in range(0, 20, 5)])
+    four_task = {
+        os.path.relpath(os.path.join(r, f), out)
+        for r, _d, fs in os.walk(out) for f in fs if f.startswith("part-")
+    }
+    assert len({p.split("/")[-1].split("-")[2] for p in four_task}) == 4
+    # replay of the SAME batch, re-planned as ONE task: must supersede
+    attempt([rows])
+    back = sorted(
+        r["value"]
+        for r in spark.read.format("fourmc").load(out).collect()
+    )
+    assert back == sorted(r[0] for r in rows), (
+        "stranded first-attempt files duplicated rows on read-back"
+    )
+    survivors = {
+        f for _r, _d, fs in os.walk(out) for f in fs
+        if f.startswith("part-")
+    }
+    assert all("-00000-" in f for f in survivors), survivors
+
+
+def test_stream_sink_feeds_ordered_consumer_multibatch(spark, tmp_path):
+    """Structural half of the stream_4mc_ordered_multibatch oracle
+    query: a REAL producer stream (4mc source -> 4mc streaming sink,
+    hive partitionby) seals ascending part-b{batchId} files across
+    micro-batches, and a consumer with orderednames=true +
+    maxfilespertrigger=1 drains each late file in its own micro-batch,
+    exactly once, through the O(1) basename-hwm offset chain."""
+    from fourmc_spark.format.writer import write_file
+
+    live_in = str(tmp_path / "omb_in")
+    sink_out = str(tmp_path / "omb_out")
+    ckpt = str(tmp_path / "omb_ckpt")
+    os.makedirs(live_in)
+    os.makedirs(sink_out)
+
+    def feed(i):
+        write_file(
+            os.path.join(live_in, f"src{i}.4mz"),
+            b"".join(f"x{i}-{j}|{i % 2}\n".encode() for j in range(10)),
+            codec="zstd", level="fast",
+        )
+
+    feed(0)
+    psrc = (
+        spark.readStream.format("fourmc").load(live_in)
+        .select("value", F.split("value", r"\|")[1].alias("bucket"))
+    )
+    prod = (
+        psrc.writeStream.format("fourmc").option("codec", "zstd")
+        .option("partitionby", "bucket").option("path", sink_out)
+        .option("checkpointLocation", ckpt).start()
+    )
+    cons = None
+    try:
+        prod.processAllAvailable()  # sink batch 0
+        sdf = (
+            spark.readStream.format("fourmc")
+            .option("orderednames", "true")
+            .option("maxfilespertrigger", 1).load(sink_out)
+        )
+        cons = (
+            sdf.writeStream.format("memory").queryName("t_omb")
+            .outputMode("append").start()
+        )
+        cons.processAllAvailable()  # catch-up: batch-0 files
+        for i in range(1, 4):
+            feed(i)
+            prod.processAllAvailable()  # sink batch i, names above hwm
+            cons.processAllAvailable()
+        rows = sorted(r["value"] for r in spark.table("t_omb").collect())
+        assert rows == sorted(
+            f"x{i}-{j}|{i % 2}" for i in range(4) for j in range(10)
+        )
+        batches = [p for p in cons.recentProgress if p["numInputRows"] > 0]
+        assert len(batches) >= 4, (
+            f"expected >=4 consumer micro-batches, got "
+            f"{[p['numInputRows'] for p in cons.recentProgress]}"
+        )
+        # one sealed file (10 rows) per steady-state trigger
+        assert max(p["numInputRows"] for p in batches) <= 10
+    finally:
+        if cons is not None:
+            cons.stop()
+        prod.stop()
 
 
 def test_stream_source_ordered_names_composes_with_partitionby(tmp_path):
