@@ -4421,16 +4421,20 @@ def stream_4mc_ordered_multibatch_q(spark, sf):
 
         _feed(files[0])
         # producer: one fed file per processAllAvailable drain = one sink
-        # micro-batch; partition dirs come from the payload so the hive
-        # column is redundant with the JSON the consumer parses
+        # micro-batch; the hive column is payload-derived (so it is
+        # redundant with the JSON the consumer parses) and kept at
+        # 2 buckets — files per sink batch = tasks x buckets, and every
+        # extra file is one more ~6 s stock-session consumer trigger
+        # under maxfilespertrigger=1
         psrc = spark.readStream.format("fourmc").load(live_in).select(
             "value",
-            F.get_json_object("value", "$.event_type").alias("etype"),
+            (F.get_json_object("value", "$.user_id").cast("long") % 2)
+            .cast("string").alias("bucket"),
         )
         prod = (
             psrc.writeStream.format("fourmc")
             .option("codec", "zstd").option("level", "fast")
-            .option("partitionby", "etype")
+            .option("partitionby", "bucket")
             .option("path", sink_out)
             .option("checkpointLocation", ckpt)
             .start()
@@ -4451,7 +4455,10 @@ def stream_4mc_ordered_multibatch_q(spark, sf):
             for f in files[1:]:
                 _feed(f)
                 prod.processAllAvailable()  # sink batch N, names above hwm
-                cons.processAllAvailable()  # drains them 1 file/trigger
+            # one barrier drains every late file, still ONE per trigger
+            # under the cap (the engine triggers continuously; the
+            # per-feed barriers only added stock-session latency)
+            cons.processAllAvailable()
         finally:
             if cons is not None:
                 cons.stop()
