@@ -124,6 +124,24 @@ class FourMcStreamReader(DataSourceStreamReader):
         self.ordered_names = (
             str(options.get("orderednames", "false")).lower() == "true"
         )
+        # startafter=<basename> (orderednames only): the stream half of
+        # the two-phase backfill recipe for the initial-catch-up scope
+        # limit above. A huge pre-existing backlog should be processed
+        # as a BATCH job (spark.read.format("fourmc") — restartable at
+        # stage granularity, AQE-planned), and the stream started with
+        # startafter=<largest backlog basename>: on a FRESH checkpoint
+        # the initial offset begins at that mark, so batch 0 ingests
+        # only files that arrived after the backfill cut, instead of
+        # replanning the whole backlog as one giant micro-batch. With an
+        # existing checkpoint the checkpointed offset governs and this
+        # option is inert (initialOffset is never consulted), which is
+        # exactly the safe restart semantic.
+        self.start_after = options.get("startafter")
+        if self.start_after is not None and not self.ordered_names:
+            raise ValueError(
+                "fourmc stream: startafter requires orderednames=true "
+                "(the cut point is a basename high-water mark)"
+            )
         self._hwm_str: str | None = None
         self._n_below: int | None = None
         # delegate row production to the batch reader (same Arrow
@@ -144,6 +162,15 @@ class FourMcStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         if self.ordered_names:
+            if self.start_after:
+                # two-phase backfill cut: everything at or below the
+                # mark was handled by the batch job; count it so the
+                # stray check has its baseline
+                n = sum(
+                    1 for k, _ in self._basenames(self._list())
+                    if k <= self.start_after
+                )
+                return {"hwm": self.start_after, "n": n}
             return {"hwm": "", "n": 0}
         return {"seen": "[]"}
 
@@ -176,8 +203,13 @@ class FourMcStreamReader(DataSourceStreamReader):
         deleted)."""
         keyed = self._basenames(files)
         if self._hwm_str is None:
-            self._hwm_str = keyed[-1][0] if keyed else ""
-            self._n_below = len(keyed)
+            top = keyed[-1][0] if keyed else ""
+            # never seed below a startafter cut: with an empty (or
+            # fully-backfilled) listing the mark must hold at the cut,
+            # or the next arrival batch would start from "" and
+            # re-ingest the backfilled backlog
+            self._hwm_str = max(top, self.start_after or "")
+            self._n_below = sum(1 for k, _ in keyed if k <= self._hwm_str)
             return {"hwm": self._hwm_str, "n": self._n_below}
         below = sum(1 for k, _ in keyed if k <= self._hwm_str)
         if self._n_below is not None and below > self._n_below:

@@ -575,6 +575,70 @@ def test_stream_source_ordered_names_o1_offsets(tmp_path):
         r.latestOffset()
 
 
+def test_stream_source_startafter_two_phase_backfill(spark, tmp_path):
+    """startafter=<basename> (orderednames only): the stream half of the
+    two-phase backfill recipe — a fresh checkpoint starts AT the cut,
+    so batch 0 plans only post-cut arrivals instead of the whole
+    backlog; the backlog is the batch job's business."""
+    import pytest as _pytest
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from fourmc_spark.format.writer import write_file
+    from fourmc_spark.sources.stream import FourMcStreamReader
+
+    d = str(tmp_path / "sa_in")
+    os.makedirs(d)
+
+    def mk(name):
+        write_file(os.path.join(d, name), f"{name}\n".encode(),
+                   codec="lz4", level="fast")
+
+    for i in range(5):
+        mk(f"b{i:03d}.4mc")
+    schema = StructType(
+        [StructField("offset", LongType()), StructField("value", StringType())]
+    )
+    with _pytest.raises(ValueError, match="startafter"):
+        FourMcStreamReader({"path": d, "startafter": "b002.4mc"}, schema)
+    r = FourMcStreamReader(
+        {"path": d, "orderednames": "true", "startafter": "b002.4mc"},
+        schema,
+    )
+    init = r.initialOffset()
+    assert init == {"hwm": "b002.4mc", "n": 3}
+    first = r.latestOffset()
+    parts = r.partitions(init, first)
+    assert sorted(os.path.basename(p.path) for p in parts if p.path) == [
+        "b003.4mc", "b004.4mc"
+    ]
+    # empty/fully-backfilled listing: the seed must HOLD at the cut —
+    # a "" seed would adopt "" as the next start and re-ingest the
+    # backlog once new files arrive
+    d2 = str(tmp_path / "sa_empty")
+    os.makedirs(d2)
+    r2 = FourMcStreamReader(
+        {"path": d2, "orderednames": "true", "startafter": "z999.4mc"},
+        schema,
+    )
+    assert r2.latestOffset()["hwm"] == "z999.4mc"
+    # end-to-end: the memory sink sees only the post-cut file
+    sdf = (
+        spark.readStream.format("fourmc")
+        .option("orderednames", "true")
+        .option("startafter", "b003.4mc").load(d)
+    )
+    q = (
+        sdf.writeStream.format("memory").queryName("t_sa")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = sorted(x["value"] for x in spark.table("t_sa").collect())
+        assert rows == ["b004.4mc"]
+    finally:
+        q.stop()
+
+
 def test_stream_source_ordered_names_restart_stray_detected(tmp_path):
     """A stray dropped below the mark while NO instance was live must
     still be caught after restart: the offset's persisted at/below
