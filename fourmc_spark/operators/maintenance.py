@@ -7,18 +7,68 @@ per file. Compaction rewrites them into few, large, still-splittable
 files — planning cost drops from O(files) to O(bytes / target_size),
 and the write amplification is paid once (the same compress-once-scan-many
 economics as the reference's codec-level guidance, Readme.md:98-101).
+
+Two compaction strategies, picked by what needs to change:
+
+* ``compact`` / ``compact_partitioned`` — full rewrite through the
+  scan+sink (decompress, re-block, recompress). The right tool when the
+  codec/level should change or rows need re-clustering; pays one full
+  codec pass over the data.
+* ``compact_blocks`` (round 9) — RAW BLOCK COPY. 4mc blocks are
+  independently compressed and self-delimiting (reference
+  4mc-format-spec:11, FourMcOutputStream.java:195-223), so same-codec
+  files concatenate at the block level: compressed payloads move
+  byte-for-byte into one new container and only header/EOS/footer are
+  rewritten. No decompression, no row decode; per-task cost is pure
+  sequential I/O — the default for the streaming sink's droppings,
+  where the codec is already right and CPU is the scarce resource.
+
+``compact_blocks`` correctness notes:
+
+* Text (line) semantics: a sealed file whose content lacks a trailing
+  newline still ends a line at EOF for every 4mc reader. Concatenating
+  its blocks in front of another file would glue that final line onto
+  the next file's first line, so ``newline_fix=True`` (the text-mode
+  default) decodes ONLY each input's final block and appends a 1-byte
+  raw ``\\n`` block when the terminator is missing — line content is
+  preserved exactly, at the cost of decoding one block per input.
+* ElephantBird-protobuf containers need no fix (records self-delimit
+  via sync markers; a whole file is always a whole-record stream), so
+  ``compact_protobuf`` passes ``newline_fix=False``.
+* NEVER compact in place under a live ordered-names stream: replacing
+  files below the consumer's high-water mark violates the orderednames
+  contract (sources/stream.py). Compaction writes a NEW tree; readers
+  cut over by path.
+
+Distribution (``compact_blocks``): the driver plans greedy same-codec
+bins from footer-only ``scan_file_info`` preads (O(inputs) tiny reads,
+same cost class as split planning) and executes one task per output
+file via ``sc.parallelize`` — per-partition imperative file I/O is the
+one job shape where the RDD API is the honest tool. No shuffle.
 """
 
 from __future__ import annotations
 
 import math
 import os
+import struct
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from fourmc_spark.format import core
+from fourmc_spark.format.reader import iter_block_payloads, scan_file_info
+from fourmc_spark.format.writer import FourMcWriter, normalize_codec
 from fourmc_spark.sources.datasource import _list_files
 
-__all__ = ["compact", "compact_partitioned", "layout_stats"]
+__all__ = [
+    "compact",
+    "compact_blocks",
+    "compact_partitioned",
+    "compact_protobuf",
+    "layout_stats",
+    "plan_compaction",
+]
 
 
 def layout_stats(path: str) -> dict:
@@ -119,3 +169,199 @@ def compact_partitioned(
         .save(out_path)
     )
     return n_out
+
+
+DEFAULT_TARGET_BYTES = 512 << 20  # compressed bytes per output file
+
+
+@dataclass(frozen=True)
+class CompactionPlan:
+    """One output file: ordered input paths sharing one codec."""
+
+    codec: str
+    inputs: tuple[str, ...]
+    est_bytes: int
+
+
+def plan_compaction(
+    in_dir: str, target_bytes: int = DEFAULT_TARGET_BYTES
+) -> list[CompactionPlan]:
+    """Greedy name-ordered bins of same-codec files up to *target_bytes*
+    compressed. Name order keeps arrival locality (part-b names sort in
+    batch order), so compacted files stay roughly time-clustered —
+    which is what downstream range filters prune on."""
+    bins: list[CompactionPlan] = []
+    cur: dict[str, list] = {}  # codec -> [paths, bytes]
+    for path in sorted(_list_files(in_dir)):
+        codec, size, _offs = scan_file_info(path)
+        got = cur.get(codec)
+        if got is not None and got[1] + size > target_bytes and got[0]:
+            bins.append(CompactionPlan(codec, tuple(got[0]), got[1]))
+            got = None
+        if got is None:
+            got = cur[codec] = [[], 0]
+        got[0].append(path)
+        got[1] += size
+    for codec, (paths, nbytes) in cur.items():
+        if paths:
+            bins.append(CompactionPlan(codec, tuple(paths), nbytes))
+    return bins
+
+
+def _append_raw_blocks(out_f, offsets: list[int], src: str) -> int:
+    """Copy *src*'s framed blocks verbatim; returns blocks copied."""
+    n = 0
+    with open(src, "rb") as f:
+        core.decode_header(f.read(core.HEADER_SIZE))
+        while True:
+            hdr = f.read(core.BLOCK_HEADER_SIZE)
+            if len(hdr) < core.BLOCK_HEADER_SIZE:
+                raise core.BadBlockError(f"{src}: truncated block header")
+            usize, csize, checksum = struct.unpack(">III", hdr)
+            if usize == 0 and csize == 0 and checksum == 0:
+                return n  # EOS — footer follows; nothing left to copy
+            payload = f.read(csize)
+            if len(payload) != csize:
+                raise core.BadBlockError(f"{src}: truncated block payload")
+            offsets.append(out_f.tell())
+            out_f.write(hdr)
+            out_f.write(payload)
+            n += 1
+
+
+def _last_block_ends_with_newline(src: str) -> bool:
+    codec, _size, offs = scan_file_info(src)
+    if not offs:
+        return True  # empty file: nothing to terminate
+    with open(src, "rb") as f:
+        for _off, data in iter_block_payloads(f, codec, offs[-1]):
+            last = data  # single iteration: offs[-1] is the final block
+        return last.endswith(b"\n")
+
+
+def compact_group(
+    plan: CompactionPlan, out_path: str, newline_fix: bool = True
+) -> dict:
+    """Compact one plan into *out_path* (executor-side; pure file I/O)."""
+    magic = core.magic_for_codec(plan.codec)
+    offsets: list[int] = []
+    blocks = 0
+    fixes = 0
+    tmp = f"{out_path}.inprogress"
+    with open(tmp, "wb") as out_f:
+        out_f.write(core.encode_header(magic))
+        for src in plan.inputs:
+            blocks += _append_raw_blocks(out_f, offsets, src)
+            if newline_fix and not _last_block_ends_with_newline(src):
+                offsets.append(out_f.tell())
+                out_f.write(core.encode_block(1, b"\n", compressed=False))
+                blocks += 1
+                fixes += 1
+        out_f.write(core.encode_eos())
+        out_f.write(core.encode_footer(magic, offsets))
+    os.replace(tmp, out_path)
+    return {
+        "out": out_path,
+        "inputs": len(plan.inputs),
+        "blocks": blocks,
+        "newline_fixes": fixes,
+        "bytes": os.path.getsize(out_path),
+    }
+
+
+def _recompress_group(
+    plan: CompactionPlan,
+    out_path: str,
+    codec: str,
+    level,
+    workers: int,
+    newline_fix: bool = True,
+) -> dict:
+    """Decompress-and-reseal fallback for codec conversion. Re-blocks at
+    the 4 MiB bound, so many tiny input blocks also coalesce. Applies
+    the same text terminator fix as the raw-copy path."""
+    tmp = f"{out_path}.inprogress"
+    fixes = 0
+    with open(tmp, "wb") as out_f:
+        w = FourMcWriter(out_f, codec=codec, level=level, workers=workers)
+        for src in plan.inputs:
+            in_codec, _size, _offs = scan_file_info(src)
+            last = b"\n"
+            with open(src, "rb") as f:
+                for _off, data in iter_block_payloads(f, in_codec):
+                    w.write(data)
+                    if data:
+                        last = data
+            if newline_fix and not last.endswith(b"\n"):
+                w.write(b"\n")
+                fixes += 1
+        w.close()
+    os.replace(tmp, out_path)
+    return {
+        "out": out_path,
+        "inputs": len(plan.inputs),
+        "blocks": None,
+        "newline_fixes": fixes,
+        "bytes": os.path.getsize(out_path),
+    }
+
+
+def compact_blocks(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    newline_fix: bool = True,
+    codec: str | None = None,
+    level="medium",
+) -> dict:
+    """Compact a tree of sealed 4mc/4mz files into *out_dir* by raw
+    block copy (no recompression). Passing ``codec=`` forces the
+    decompress-and-reseal conversion instead. One Spark task per output
+    file; the driver only plans (footer preads) and never touches block
+    data. See the module docstring for the text/protobuf semantics."""
+    in_real = os.path.realpath(in_dir)
+    if os.path.realpath(out_dir) == in_real:
+        raise ValueError(
+            "compact_blocks writes a NEW tree: out_dir must differ from "
+            "in_dir (in-place compaction under a live stream would "
+            "violate the orderednames contract)"
+        )
+    plans = plan_compaction(in_dir, target_bytes)
+    os.makedirs(out_dir, exist_ok=True)
+    target_codec = normalize_codec(codec) if codec else None
+    jobs = []
+    for i, p in enumerate(plans):
+        out_codec = target_codec or p.codec
+        ext = core.extension_for_codec(out_codec)
+        out_path = os.path.join(out_dir, f"compact-{i:06d}{ext}")
+        jobs.append((p, out_path, out_codec))
+    sc = spark.sparkContext
+
+    def _run(job):
+        p, out_path, out_codec = job
+        if out_codec == p.codec:
+            return compact_group(p, out_path, newline_fix=newline_fix)
+        return _recompress_group(
+            p, out_path, out_codec, level, workers=1,
+            newline_fix=newline_fix,
+        )
+
+    results = (
+        sc.parallelize(jobs, max(1, len(jobs))).map(_run).collect()
+        if jobs else []
+    )
+    return {
+        "inputs": sum(r["inputs"] for r in results),
+        "outputs": len(results),
+        "bytes": sum(r["bytes"] for r in results),
+        "newline_fixes": sum(r["newline_fixes"] for r in results),
+        "files": results,
+    }
+
+
+def compact_protobuf(spark: SparkSession, in_dir: str, out_dir: str, **kw) -> dict:
+    """Protobuf twin of ``compact_blocks``: EB records self-delimit, so
+    no newline fix — otherwise identical raw block copy."""
+    kw.setdefault("newline_fix", False)
+    return compact_blocks(spark, in_dir, out_dir, **kw)

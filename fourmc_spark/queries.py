@@ -4372,6 +4372,67 @@ def stream_4mc_multibatch_q(spark, sf):
 
 
 @query(
+    "maintenance_compact_4mc",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+              CAST(sum(user_id) AS BIGINT) AS user_sum,
+              round(sum(value), 2) AS value_sum,
+              CAST(min(event_id) AS BIGINT) AS min_event,
+              CAST(max(event_id) AS BIGINT) AS max_event
+       FROM {EV} GROUP BY event_type ORDER BY event_type""",
+)
+def maintenance_compact_4mc_q(spark, sf):
+    # Small-file COMPACTION under the hash gate (operators/maintenance.py):
+    # events
+    # land as JSON lines in 24 small sealed .4mz files (the streaming
+    # sink's long-run accumulation shape), compact_blocks raw-copies their
+    # blocks into ~3 large sealed containers (no recompression — block
+    # payloads move verbatim, only header/EOS/footer are rewritten; one
+    # Spark task per output, planned from footer-only preads), and the
+    # aggregate over the COMPACTED tree must equal the batch oracle over
+    # the original events exactly — a block dropped, reordered across a
+    # bin boundary, or a glued line at an unterminated file seam breaks
+    # the hash. Structural pins (output count, block arithmetic, CLI
+    # seal verification) live in tests/test_maintenance.py.
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from fourmc_spark.operators.maintenance import compact_blocks
+    from fourmc_spark.session import register_fourmc
+
+    register_fourmc(spark)
+    root = tempfile.mkdtemp(prefix="fourmc-compact-")
+    staged, out = f"{root}/staged", f"{root}/compact"
+    try:
+        _stage_events_4mz(spark, sf, staged, n_files=24)
+        total = sum(
+            _os.path.getsize(p)
+            for p in _glob.glob(f"{staged}/part-*.4mz")
+        )
+        compact_blocks(spark, staged, out, target_bytes=max(1, total // 3))
+        back = (
+            spark.read.format("fourmc").load(out)
+            .select(F.from_json("value", _EV_JSON_SCHEMA).alias("_r"))
+            .select("_r.*")
+        )
+        agg = (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.sum("user_id").cast("long").alias("user_sum"),
+                F.round(F.sum("value"), 2).alias("value_sum"),
+                F.min("event_id").cast("long").alias("min_event"),
+                F.max("event_id").cast("long").alias("max_event"),
+            )
+            .orderBy("event_type")
+        )
+        return _detach(agg)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "stream_4mc_ordered_multibatch",
     """SELECT date_trunc('hour', ts) AS win_start, event_type,
               CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS sum_value

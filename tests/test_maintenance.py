@@ -87,3 +87,135 @@ def test_compact_partitioned_preserves_layout(spark, tmp_path):
     b = spark.read.format("fourmc").option("partitioncolumns", "part").load(big)
     assert b.count() == 8_000
     assert a.select("value", "part").exceptAll(b.select("value", "part")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Raw block-copy compaction (compact_blocks, round 9)
+# ---------------------------------------------------------------------------
+
+import glob
+
+import pytest
+
+from fourmc_spark.format.reader import decompress_file, scan_file_info
+from fourmc_spark.format.writer import write_file
+from fourmc_spark.operators.maintenance import (
+    compact_blocks,
+    compact_protobuf,
+    plan_compaction,
+)
+
+
+def _mk_text_tree(d: str, n: int = 12, codec: str = "zstd") -> list[bytes]:
+    os.makedirs(d, exist_ok=True)
+    ext = ".4mz" if codec == "zstd" else ".4mc"
+    contents = []
+    for i in range(n):
+        body = b"".join(f"f{i:02d}-row{j}\n".encode() for j in range(50))
+        if i == 3:
+            body = body[:-1]  # one input without a trailing newline
+        write_file(os.path.join(d, f"in{i:04d}{ext}"), body,
+                   codec=codec, level="fast")
+        contents.append(body)
+    return contents
+
+
+def test_compact_text_raw_copy_roundtrip(spark, tmp_path):
+    src = str(tmp_path / "c_in")
+    out = str(tmp_path / "c_out")
+    contents = _mk_text_tree(src)
+    in_blocks = sum(len(scan_file_info(p)[2])
+                    for p in sorted(glob.glob(f"{src}/*.4mz")))
+    stats = compact_blocks(spark, src, out, target_bytes=1 << 40)
+    outs = sorted(glob.glob(f"{out}/*.4mz"))
+    assert len(outs) == 1 and stats["outputs"] == 1
+    assert stats["inputs"] == 12 and stats["newline_fixes"] == 1
+    # raw copy: every input block survives verbatim (+1 fix block)
+    assert len(scan_file_info(outs[0])[2]) == in_blocks + 1
+    want = b"".join(
+        c if c.endswith(b"\n") else c + b"\n" for c in contents
+    )
+    assert decompress_file(outs[0]) == want
+    # sealed-container proof: the reference prebuilt CLI verifies it
+    rc = subprocess.run([REF_CLI, "-f", "-z", "-t", outs[0]],
+                        capture_output=True).returncode
+    assert rc == 0
+    # and Spark reads the compacted tree to the same rows
+    a = sorted(r["value"] for r in
+               spark.read.format("fourmc").load(src).collect())
+    b = sorted(r["value"] for r in
+               spark.read.format("fourmc").load(out).collect())
+    assert a == b
+
+
+def test_compact_respects_target_bytes(spark, tmp_path):
+    src = str(tmp_path / "t_in")
+    _mk_text_tree(src, n=8)
+    sizes = [os.path.getsize(p) for p in glob.glob(f"{src}/*.4mz")]
+    target = sum(sizes) // 3
+    plans = plan_compaction(src, target_bytes=target)
+    assert len(plans) >= 3
+    for p in plans[:-1]:
+        assert p.est_bytes <= target or len(p.inputs) == 1
+    # inputs keep name order inside each bin (arrival locality)
+    flat = [i for p in plans for i in p.inputs]
+    assert flat == sorted(flat)
+
+
+def test_compact_mixed_codecs_bin_separately(spark, tmp_path):
+    src = str(tmp_path / "m_in")
+    out = str(tmp_path / "m_out")
+    _mk_text_tree(src, n=4, codec="zstd")
+    _mk_text_tree(src, n=4, codec="lz4")
+    stats = compact_blocks(spark, src, out, target_bytes=1 << 40)
+    assert stats["outputs"] == 2
+    assert len(glob.glob(f"{out}/*.4mz")) == 1
+    assert len(glob.glob(f"{out}/*.4mc")) == 1
+    a = sorted(r["value"] for r in
+               spark.read.format("fourmc").load(src).collect())
+    b = sorted(r["value"] for r in
+               spark.read.format("fourmc").load(out).collect())
+    assert a == b
+
+
+def test_compact_recompress_conversion(spark, tmp_path):
+    src = str(tmp_path / "r_in")
+    out = str(tmp_path / "r_out")
+    contents = _mk_text_tree(src, n=4, codec="zstd")
+    stats = compact_blocks(spark, src, out, target_bytes=1 << 40, codec="lz4")
+    outs = glob.glob(f"{out}/*.4mc")
+    assert len(outs) == 1 and stats["outputs"] == 1
+    want = b"".join(c if c.endswith(b"\n") else c + b"\n" for c in contents)
+    assert decompress_file(outs[0]) == want
+    rc = subprocess.run([REF_CLI, "-f", "-t", outs[0]],
+                        capture_output=True).returncode
+    assert rc == 0
+
+
+def test_compact_in_place_rejected(spark, tmp_path):
+    src = str(tmp_path / "ip_in")
+    _mk_text_tree(src, n=2)
+    with pytest.raises(ValueError, match="NEW tree"):
+        compact_blocks(spark, src, src)
+
+
+def test_compact_protobuf_concat(spark, tmp_path):
+    src = str(tmp_path / "p_in")
+    out = str(tmp_path / "p_out")
+    rows = [(f"u{i}", f"n{i}", "t", 1000 + i, [f"tag{i % 3}"])
+            for i in range(400)]
+    df = spark.createDataFrame(
+        rows,
+        "userId string, name string, type string, birthDate long, "
+        "tags array<string>",
+    )
+    (df.repartition(8).write.format("fourmcproto").option("codec", "zstd")
+     .mode("overwrite").save(src))
+    assert len(glob.glob(f"{src}/*.4mz")) >= 4
+    stats = compact_protobuf(spark, src, out, target_bytes=1 << 40)
+    assert stats["outputs"] == 1 and stats["newline_fixes"] == 0
+    back = sorted(
+        r.userId for r in
+        spark.read.format("fourmcproto").load(out).collect()
+    )
+    assert back == sorted(r[0] for r in rows)
