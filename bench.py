@@ -792,6 +792,11 @@ def _merge_io(attempts: list[dict]) -> tuple[dict, dict]:
             elif k.endswith("_sec"):
                 if v <= merged[k]:
                     merged[k], source[k] = v, i
+            else:
+                # ratios/counts: LATEST pass that has the key wins —
+                # without this, a key seeded by the not-in-merged branch
+                # above would freeze at its EARLIEST value
+                merged[k], source[k] = v, i
     return merged, source
 
 

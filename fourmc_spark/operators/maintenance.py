@@ -176,35 +176,60 @@ DEFAULT_TARGET_BYTES = 512 << 20  # compressed bytes per output file
 
 @dataclass(frozen=True)
 class CompactionPlan:
-    """One output file: ordered input paths sharing one codec."""
+    """One output file: ordered input paths sharing one codec, all from
+    one directory (*reldir*, relative to the compaction root — '' at the
+    root) so hive ``key=value/`` layouts survive compaction."""
 
     codec: str
     inputs: tuple[str, ...]
     est_bytes: int
+    reldir: str = ""
+
+
+# raw block copy needs the 4mc framing + footer index; .zst and the
+# Hadoop block-codec containers have neither — they are skipped (and
+# reported) rather than crashing planning with a BadHeaderError
+_BLOCK_EXTS = (".4mc", ".4mz")
+
+
+def _split_compactable(in_dir: str) -> tuple[list[str], list[str]]:
+    files = sorted(_list_files(in_dir))
+    ok = [f for f in files if f.endswith(_BLOCK_EXTS)]
+    return ok, [f for f in files if not f.endswith(_BLOCK_EXTS)]
 
 
 def plan_compaction(
     in_dir: str, target_bytes: int = DEFAULT_TARGET_BYTES
 ) -> list[CompactionPlan]:
     """Greedy name-ordered bins of same-codec files up to *target_bytes*
-    compressed. Name order keeps arrival locality (part-b names sort in
-    batch order), so compacted files stay roughly time-clustered —
-    which is what downstream range filters prune on."""
+    compressed, binned per directory: files never cross a directory
+    boundary, so partition values encoded only in hive dir names
+    (``region=eu/…``) are preserved by construction. Name order keeps
+    arrival locality (part-b names sort in batch order), so compacted
+    files stay roughly time-clustered — which is what downstream range
+    filters prune on. Only footer-indexed containers (.4mc/.4mz) are
+    planned; other extensions are left to the caller to report."""
+    in_real = os.path.realpath(in_dir)
     bins: list[CompactionPlan] = []
-    cur: dict[str, list] = {}  # codec -> [paths, bytes]
-    for path in sorted(_list_files(in_dir)):
+    cur: dict[tuple[str, str], list] = {}  # (reldir, codec) -> [paths, bytes]
+    ok, _skipped = _split_compactable(in_dir)
+    for path in ok:
+        reldir = os.path.relpath(os.path.dirname(os.path.realpath(path)),
+                                 in_real)
+        reldir = "" if reldir == "." else reldir
         codec, size, _offs = scan_file_info(path)
-        got = cur.get(codec)
+        key = (reldir, codec)
+        got = cur.get(key)
         if got is not None and got[1] + size > target_bytes and got[0]:
-            bins.append(CompactionPlan(codec, tuple(got[0]), got[1]))
+            bins.append(CompactionPlan(codec, tuple(got[0]), got[1], reldir))
             got = None
         if got is None:
-            got = cur[codec] = [[], 0]
+            got = cur[key] = [[], 0]
         got[0].append(path)
         got[1] += size
-    for codec, (paths, nbytes) in cur.items():
+    for (reldir, codec), (paths, nbytes) in cur.items():
         if paths:
-            bins.append(CompactionPlan(codec, tuple(paths), nbytes))
+            bins.append(CompactionPlan(codec, tuple(paths), nbytes, reldir))
     return bins
 
 
@@ -316,10 +341,17 @@ def compact_blocks(
     level="medium",
 ) -> dict:
     """Compact a tree of sealed 4mc/4mz files into *out_dir* by raw
-    block copy (no recompression). Passing ``codec=`` forces the
-    decompress-and-reseal conversion instead. One Spark task per output
-    file; the driver only plans (footer preads) and never touches block
-    data. See the module docstring for the text/protobuf semantics."""
+    block copy (no recompression). Hive subdirectories are mirrored
+    (bins never cross a directory, see ``plan_compaction``), so
+    ``key=value/`` partition values survive. Passing ``codec=`` ALWAYS
+    forces the decompress-and-reseal conversion — including when it
+    equals the inputs' codec, which is how you re-level or coalesce
+    many tiny blocks into full 4 MiB ones. Non-block containers under
+    the tree (.zst, Hadoop ``.lz4_*``/``.zstd_*``) carry no footer
+    index and are skipped, reported under ``"skipped"`` (convert them
+    with ``compact``/the CLI). One Spark task per output file; the
+    driver only plans (footer preads) and never touches block data.
+    See the module docstring for the text/protobuf semantics."""
     in_real = os.path.realpath(in_dir)
     if os.path.realpath(out_dir) == in_real:
         raise ValueError(
@@ -328,19 +360,23 @@ def compact_blocks(
             "violate the orderednames contract)"
         )
     plans = plan_compaction(in_dir, target_bytes)
+    _ok, skipped = _split_compactable(in_dir)
     os.makedirs(out_dir, exist_ok=True)
     target_codec = normalize_codec(codec) if codec else None
     jobs = []
     for i, p in enumerate(plans):
         out_codec = target_codec or p.codec
         ext = core.extension_for_codec(out_codec)
-        out_path = os.path.join(out_dir, f"compact-{i:06d}{ext}")
+        d = os.path.join(out_dir, p.reldir) if p.reldir else out_dir
+        os.makedirs(d, exist_ok=True)
+        out_path = os.path.join(d, f"compact-{i:06d}{ext}")
         jobs.append((p, out_path, out_codec))
     sc = spark.sparkContext
+    reseal = target_codec is not None
 
     def _run(job):
         p, out_path, out_codec = job
-        if out_codec == p.codec:
+        if not reseal and out_codec == p.codec:
             return compact_group(p, out_path, newline_fix=newline_fix)
         return _recompress_group(
             p, out_path, out_codec, level, workers=1,
@@ -356,6 +392,7 @@ def compact_blocks(
         "outputs": len(results),
         "bytes": sum(r["bytes"] for r in results),
         "newline_fixes": sum(r["newline_fixes"] for r in results),
+        "skipped": skipped,
         "files": results,
     }
 

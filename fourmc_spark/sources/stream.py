@@ -217,10 +217,11 @@ class FourMcStreamReader(DataSourceStreamReader):
                 "fourmc stream: orderednames=true but a new file's "
                 "basename sorts at or below the current high-water mark "
                 f"({self._hwm_str!r}) — it is OUTSIDE the stream's domain "
-                "and will stay lost even after a restart (a fresh reader "
-                "cannot tell it from already-ingested files). Re-drop it "
-                "under a name above the mark, or rebuild the checkpoint "
-                "with the default seen-set mode."
+                "and will never be ingested by this mode (restarts also "
+                "refuse it: the persisted below-mark count makes a fresh "
+                "reader raise this same error). Re-drop it under a name "
+                "above the mark, or rebuild the checkpoint with the "
+                "default seen-set mode."
             )
         new = [k for k, _ in keyed if k > self._hwm_str]
         if self.max_files_per_trigger > 0:
@@ -339,19 +340,33 @@ class FourMcStreamWriter(DataSourceStreamArrowWriter):
     Idempotence: commit() renames staged files to DETERMINISTIC names
     keyed by (batchId, task index, file index), so a micro-batch
     replayed after a failure between sink commit and checkpoint commit
-    overwrites its own previous output instead of duplicating it — the
-    poor man's version of FileStreamSink's per-batch manifest. A replay
-    that re-plans into a DIFFERENT task/file split is also covered:
-    when the high-water-batch marker (_fourmc_sink_hwb, written before
-    any rename) shows the batch may have committed before, commit()
-    sweeps part-b{batchId} files from every dir the new attempt writes
-    into (same dir union as the prior attempt for deterministic
-    input), so the prior attempt cannot strand files under unclaimed
-    coordinates — while steady-state commits skip the sweep and stay
-    O(batch), never O(accumulated output). The only residual is
-    non-deterministic batch CONTENT, where even a same-split replay
-    writes different rows; exactly-once applications with such inputs
-    compose the dedup-ingest manifest pattern from streaming/ops.py.
+    cannot duplicate its own output — the poor man's version of
+    FileStreamSink's per-batch manifest. Two markers under the output
+    root stage the guarantee:
+
+    * ``_fourmc_sink_hwb`` — largest batchId whose commit STARTED,
+      written before any rename;
+    * ``_fourmc_sink_done`` — largest batchId whose commit FINISHED,
+      written after the last rename.
+
+    A replayed batch at or below the DONE mark no-ops: the first
+    attempt's files stand untouched and the replay's staging is
+    discarded. That matters beyond disk hygiene — sealed files are a
+    live ordered-names consumer's offset domain, and re-renaming (or
+    sweeping) files a consumer already ingested would feed it
+    duplicates under fresh above-the-hwm names whenever the replay
+    re-plans into a different task/file split. Only a batch above DONE
+    but at or below HWB — a crash mid-rename, where the first attempt
+    is partial on disk — pays the supersede path: commit() sweeps
+    part-b{batchId} files from every dir the new attempt writes into
+    (same dir union as the prior attempt for deterministic input) and
+    renames fresh. Steady-state commits skip both and stay O(batch),
+    never O(accumulated output). Residuals, both documented here and
+    pinned in tests: non-deterministic batch CONTENT (even a same-split
+    replay writes different rows; compose the dedup-ingest manifest
+    pattern from streaming/ops.py), and a mid-rename crash under a LIVE
+    ordered consumer (the sweep mutates files the consumer may hold —
+    its stray check turns that into a loud error, not silent loss).
     """
 
     def __init__(self, options, schema: StructType, overwrite: bool) -> None:
@@ -373,34 +388,56 @@ class FourMcStreamWriter(DataSourceStreamArrowWriter):
         # its own deterministic final names
         return self._w.write(iterator)
 
-    def commit(self, messages, batchId: int) -> None:
-        # Supersede any earlier attempt of THIS batch before renaming:
-        # a replay that plans a different task/file split would otherwise
-        # strand the prior attempt's part-b{batchId} files under
-        # coordinates the new attempt never claims, duplicating rows on
-        # read-back. The sweep lists dirs, so it must NOT run on every
-        # commit (listing a flat million-file output per batch would make
-        # steady-state commits O(total files)): a high-water-batch marker
-        # under the output root records the largest batchId whose commit
-        # STARTED, and only a commit at or below that mark — i.e. a
-        # possible replay — pays the sweep. The marker is written BEFORE
-        # the renames, so a crash mid-rename still leaves the replay
-        # detectable. Deterministic input => the replay touches the same
-        # hive-dir UNION as the prior attempt (partition values derive
-        # from the data, only the task split differs), so sweeping just
-        # the dirs this attempt writes into suffices. (Non-deterministic
-        # batch content remains out of scope: then even a same-split
-        # replay writes different rows.)
-        marker = os.path.join(self.path, "_fourmc_sink_hwb")
-        last = -1
-        known = False
+    def _discard_staging(self, messages) -> None:
+        for m in messages or []:
+            if m is None:
+                continue
+            for staged, _final in m.files:
+                if staged and os.path.exists(staged):
+                    os.remove(staged)
         try:
-            with open(marker) as f:
-                last = int(f.read().strip())
-            known = True
+            os.rmdir(os.path.join(self.path, "_temporary"))
+        except OSError:
+            pass
+
+    @staticmethod
+    def _read_marker(path: str) -> tuple[int, bool]:
+        try:
+            with open(path) as f:
+                return int(f.read().strip()), True
         except (OSError, ValueError):
-            pass  # no marker yet (first commit, or pre-r9 output)
+            return -1, False  # no marker yet (first commit / pre-r9 output)
+
+    @staticmethod
+    def _write_marker(path: str, batch_id: int) -> None:
+        tmpm = f"{path}.tmp"
+        with open(tmpm, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmpm, path)
+
+    def commit(self, messages, batchId: int) -> None:
+        # See the class docstring for the marker protocol. Ordering per
+        # commit: read markers -> (no-op | sweep) -> write HWB -> rename
+        # -> write DONE. HWB before the renames makes a mid-rename crash
+        # detectable; DONE after them makes a finished first attempt
+        # immutable under replay (a live ordered-names consumer may
+        # already hold its files as ingested offsets).
+        done_marker = os.path.join(self.path, "_fourmc_sink_done")
+        done, _ = self._read_marker(done_marker)
+        if batchId <= done:
+            # first attempt fully committed: it stands; discard replay
+            self._discard_staging(messages)
+            return
+        marker = os.path.join(self.path, "_fourmc_sink_hwb")
+        last, known = self._read_marker(marker)
         if not known or batchId <= last:
+            # possible partial first attempt (crash mid-rename, or a
+            # pre-marker output tree): supersede it. Deterministic
+            # input => the replay touches the same hive-dir UNION as
+            # the prior attempt (partition values derive from the
+            # data, only the task split differs), so sweeping just the
+            # dirs this attempt writes into suffices — steady-state
+            # commits never list dirs and stay O(batch).
             prefix = f"part-b{batchId:010d}-"
             dirs = {
                 os.path.dirname(final)
@@ -415,10 +452,7 @@ class FourMcStreamWriter(DataSourceStreamArrowWriter):
                         os.remove(os.path.join(d, name))
         if batchId > last:
             os.makedirs(self.path, exist_ok=True)
-            tmpm = f"{marker}.tmp"
-            with open(tmpm, "w") as f:
-                f.write(str(batchId))
-            os.replace(tmpm, marker)
+            self._write_marker(marker, batchId)
         for ti, m in enumerate(messages):
             if m is None:
                 continue
@@ -435,6 +469,7 @@ class FourMcStreamWriter(DataSourceStreamArrowWriter):
                         d, f"part-b{batchId:010d}-{ti:05d}-{fi:03d}{ext}"
                     ),
                 )
+        self._write_marker(done_marker, batchId)
         staging = os.path.join(self.path, "_temporary")
         try:
             os.rmdir(staging)

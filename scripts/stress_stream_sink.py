@@ -113,15 +113,20 @@ def main() -> None:
         if rc != 0:
             print(f"CLI FAIL: {f}", flush=True)
     back = spark.read.format("fourmc").load(out).count()
-    first_half = sum(walls[1 : 1 + (n_batches - 1) // 2])
-    second_half = sum(walls[1 + (n_batches - 1) // 2 : n_batches])
+    # MEANS over the post-warmup halves, not sums: the halves differ by
+    # one batch when the post-warmup count is odd, and a 9-term vs
+    # 10-term sum ratio reads a perfectly flat cost as a ~11% ramp
+    steady = walls[1:n_batches]
+    half = len(steady) // 2
+    first_half = sum(steady[:half]) / max(half, 1)
+    second_half = sum(steady[half:]) / max(len(steady) - half, 1)
     print("----")
     print(f"rows written {n_batches * rows}, rows read back {back}")
     print(f"sealed files {len(sealed)} across {n_batches} batches "
           f"(partitionby={partitionby})")
     print(f"CLI verified {cli_ok}/{len(sample)} sampled files")
-    print(f"steady-state wall: first-half sum {first_half:.2f}s vs "
-          f"second-half sum {second_half:.2f}s "
+    print(f"steady-state wall: first-half mean {first_half:.3f}s vs "
+          f"second-half mean {second_half:.3f}s "
           f"(ratio {second_half / max(first_half, 1e-9):.2f} — ~1.0 = "
           f"flat per-batch cost, no O(accumulated-output) commit)")
     assert back == n_batches * rows, "row count mismatch on read-back"

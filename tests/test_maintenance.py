@@ -219,3 +219,65 @@ def test_compact_protobuf_concat(spark, tmp_path):
         spark.read.format("fourmcproto").load(out).collect()
     )
     assert back == sorted(r[0] for r in rows)
+
+
+def test_compact_preserves_hive_dirs(spark, tmp_path):
+    """Partition values encoded ONLY in hive dir names must survive
+    compaction: bins never cross a directory, and out_dir mirrors each
+    input reldir (review finding r9: the old planner binned across
+    directories and flattened key=value/ trees, losing the values)."""
+    src = str(tmp_path / "h_in")
+    out = str(tmp_path / "h_out")
+    for b in ("bucket=eu", "bucket=us"):
+        _mk_text_tree(os.path.join(src, b), n=3)
+    stats = compact_blocks(spark, src, out, target_bytes=1 << 40)
+    assert stats["outputs"] == 2
+    assert sorted(os.listdir(out)) == ["bucket=eu", "bucket=us"]
+    read = (
+        spark.read.format("fourmc").option("partitioncolumns", "bucket")
+        .load(out).groupBy("bucket").count().collect()
+    )
+    assert sorted((r["bucket"], r["count"]) for r in read) == [
+        ("eu", 150), ("us", 150)
+    ]
+
+
+def test_compact_same_codec_explicit_reseal_coalesces_blocks(spark, tmp_path):
+    """codec= equal to the inputs' codec must still take the reseal
+    path (re-levelling / block coalescing), not silently raw-copy."""
+    src = str(tmp_path / "s_in")
+    out = str(tmp_path / "s_out")
+    os.makedirs(src)
+    for i in range(4):
+        body = b"".join(f"f{i}-row{j}\n".encode() for j in range(200))
+        write_file(os.path.join(src, f"in{i:04d}.4mz"), body,
+                   codec="zstd", level="fast", block_size=256)
+    in_blocks = sum(len(scan_file_info(p)[2])
+                    for p in glob.glob(f"{src}/*.4mz"))
+    assert in_blocks > 4  # many tiny blocks
+    stats = compact_blocks(spark, src, out, target_bytes=1 << 40,
+                           codec="zstd", level="high")
+    outs = glob.glob(f"{out}/*.4mz")
+    assert len(outs) == 1 and stats["outputs"] == 1
+    # resealed at the 4 MiB bound: tiny input blocks coalesce to one
+    assert len(scan_file_info(outs[0])[2]) == 1
+    a = sorted(r["value"] for r in
+               spark.read.format("fourmc").load(src).collect())
+    b = sorted(r["value"] for r in
+               spark.read.format("fourmc").load(out).collect())
+    assert a == b
+
+
+def test_compact_skips_unindexed_containers(spark, tmp_path):
+    """.zst / Hadoop block-codec files carry no footer index: they are
+    skipped and reported, not a mid-planning BadHeaderError crash."""
+    from fourmc_spark.format.writer import write_zst_file
+
+    src = str(tmp_path / "z_in")
+    out = str(tmp_path / "z_out")
+    _mk_text_tree(src, n=3)
+    write_zst_file(os.path.join(src, "events.zst"), b"a\nb\n")
+    stats = compact_blocks(spark, src, out, target_bytes=1 << 40)
+    assert stats["outputs"] == 1
+    assert [os.path.basename(p) for p in stats["skipped"]] == ["events.zst"]
+    assert not glob.glob(f"{out}/*.zst")

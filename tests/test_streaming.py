@@ -712,12 +712,20 @@ def test_stream_source_ordered_names_end_to_end(spark, tmp_path):
 
 def test_stream_sink_replay_with_different_split_supersedes(spark, tmp_path):
     """The failure the r8 advice flagged: a micro-batch replayed after a
-    crash BETWEEN sink commit and checkpoint commit may re-plan into a
-    different task/file split; the first attempt's deterministic names
-    (task indices the replay never claims) must NOT survive as stranded
-    duplicates. commit() sweeps part-b{batchId} files from every dir the
-    new attempt touches before renaming, so the replay fully supersedes
-    the prior attempt — with hive partitionby layouts included."""
+    crash may re-plan into a different task/file split. Two cases split
+    by the _fourmc_sink_done marker (review finding r9):
+
+    * crash BETWEEN sink commit and checkpoint commit (the common
+      window — DONE recorded): the finished first attempt STANDS and
+      the replay is discarded, because a live ordered-names consumer
+      may already hold the first attempt's names as ingested offsets —
+      re-renaming to a 1-task layout would feed it part-b...-00000
+      twice under a fresh above-the-hwm name... or strand nothing but
+      duplicate everything;
+    * crash MID-RENAME (DONE not recorded — first attempt partial on
+      disk): the replay sweeps part-b{batchId} files from every dir it
+      touches and fully supersedes, hive partitionby layouts included.
+    """
     import pyarrow as pa
     from pyspark.sql.datasource import CaseInsensitiveDict
     from pyspark.sql.types import StringType, StructField, StructType
@@ -748,26 +756,50 @@ def test_stream_sink_replay_with_different_split_supersedes(spark, tmp_path):
         ]
         w.commit(msgs, batchId=7)
 
+    def part_files():
+        return {
+            os.path.relpath(os.path.join(r, f), out)
+            for r, _d, fs in os.walk(out)
+            for f in fs if f.startswith("part-")
+        }
+
+    def read_back():
+        return sorted(
+            r["value"]
+            for r in spark.read.format("fourmc").load(out).collect()
+        )
+
+    want = sorted(r[0] for r in rows)
+
     # first attempt: 4 tasks (5 rows each, both buckets per task)
     attempt([rows[i:i + 5] for i in range(0, 20, 5)])
-    four_task = {
-        os.path.relpath(os.path.join(r, f), out)
-        for r, _d, fs in os.walk(out) for f in fs if f.startswith("part-")
-    }
+    four_task = part_files()
     assert len({p.split("/")[-1].split("-")[2] for p in four_task}) == 4
-    # replay of the SAME batch, re-planned as ONE task: must supersede
+
+    # case 1 — first commit FINISHED (DONE=7 on disk): a replay of the
+    # same batch re-planned as ONE task must no-op; the first attempt's
+    # files stand byte-for-byte and no staging leaks
     attempt([rows])
-    back = sorted(
-        r["value"]
-        for r in spark.read.format("fourmc").load(out).collect()
+    assert part_files() == four_task, (
+        "a completed commit was mutated by a replay — a live "
+        "ordered-names consumer would see duplicates"
     )
-    assert back == sorted(r[0] for r in rows), (
+    assert read_back() == want
+    assert not os.path.exists(os.path.join(out, "_temporary"))
+
+    # case 2 — crash MID-RENAME: DONE never recorded for batch 7 and
+    # one of the first attempt's files is missing. The replay must
+    # sweep the partial attempt and fully supersede it.
+    os.remove(os.path.join(out, "_fourmc_sink_done"))
+    victim = sorted(four_task)[0]
+    os.remove(os.path.join(out, victim))
+    attempt([rows])
+    back = read_back()
+    assert back == want, (
         "stranded first-attempt files duplicated rows on read-back"
     )
-    survivors = {
-        f for _r, _d, fs in os.walk(out) for f in fs
-        if f.startswith("part-")
-    }
+    survivors = {f for _r, _d, fs in os.walk(out)
+                 for f in fs if f.startswith("part-")}
     assert all("-00000-" in f for f in survivors), survivors
 
 
