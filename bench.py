@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "stream_sessionize_stateful",
     # full tokenizer pipeline: learn -> encode corpus -> pack sequences
     "curation_pack_tokens",
+    # round 9: exact heavy hitters — MG sketch pass + broadcast recount
+    "text_heavy_hitters",
 ]
 
 

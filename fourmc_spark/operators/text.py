@@ -44,6 +44,7 @@ __all__ = [
     "winnow_fingerprints",
     "bpe_learn",
     "bpe_encode",
+    "heavy_hitters",
 ]
 
 # tiny per-language stopword vocabularies (public common words)
@@ -1059,3 +1060,78 @@ def bpe_encode(df: DataFrame, merges, text_col: str = "text",
             )
 
     return df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)
+
+
+def heavy_hitters(
+    df: DataFrame, phi: float = 0.001, text_col: str = "text"
+) -> DataFrame:
+    """EXACT frequent-token mining without shuffling the token stream.
+
+    Returns every token whose global count is >= ceil(phi * N) (N =
+    total token count, Spark ``split(col, ' ')`` semantics), with its
+    exact count — the same rows as the naive
+    ``GROUP BY token HAVING count >= ceil(phi*N)``, but scale-shaped
+    for 100 TB where the naive plan shuffles every token occurrence:
+
+    1. one map-only pass runs a Misra-Gries summary of capacity
+       m = ceil(2/phi) per partition (``mapInPandas``, Arrow-batched,
+       vectorized ``value_counts`` merged into the sketch with the
+       subtract-(m+1)-th-largest reduction of Agarwal et al.,
+       "Mergeable Summaries", PODS'12). MG guarantees undercounts by
+       at most N_p/(m+1); any token with global count >= phi*N has
+       count_p >= phi*N_p on at least one partition (pigeonhole), and
+       phi*N_p >= (2/m)*N_p > N_p/(m+1), so the union of partition
+       sketches is a guaranteed candidate SUPERSET;
+    2. candidates (<= m per partition) are broadcast back and the
+       exact recount groups only matching tokens — the shuffle carries
+       at most m * n_partitions distinct keys, not the corpus. N
+       itself comes from a pure-JVM ``sum(size(tokens))`` pass (no
+       Python workers, whole-stage codegen).
+
+    The output is exact, so the sketch's approximation error never
+    reaches the caller; it only bounds which tokens pay the recount.
+    """
+    import math
+    from typing import Iterator
+
+    import pandas as pd
+
+    if not 0.0 < phi <= 1.0:
+        raise ValueError(f"phi must be in (0, 1], got {phi}")
+    m = int(math.ceil(2.0 / phi))
+
+    toks_expr = tokens_spark(text_col)
+    total = (
+        df.select(F.sum(F.size(F.expr(toks_expr))).alias("n")).first()["n"]
+        or 0
+    )
+    threshold = int(math.ceil(total * phi))
+
+    def sketch(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        counters: dict[str, int] = {}
+        for pdf in it:
+            s = pdf["toks"].explode()
+            s = s[s.notna()]
+            for tok, c in s.value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > m:
+                vals = sorted(counters.values(), reverse=True)
+                d = vals[m]  # (m+1)-th largest
+                counters = {
+                    t: c - d for t, c in counters.items() if c - d > 0
+                }
+        yield pd.DataFrame({"token": list(counters)}, dtype="object")
+
+    candidates = (
+        df.select(F.expr(toks_expr).alias("toks"))
+        .mapInPandas(sketch, schema="token string")
+        .distinct()
+    )
+    exploded = df.select(F.explode(F.expr(toks_expr)).alias("token"))
+    return (
+        exploded.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= threshold)
+        .orderBy(F.desc("cnt"), "token")
+    )

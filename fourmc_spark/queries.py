@@ -3186,6 +3186,28 @@ def text_winnow_q(spark, sf):
     ).orderBy("doc_id")
 
 
+@query(
+    "text_heavy_hitters",
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+     tot AS (SELECT count(*) AS n FROM toks)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM toks GROUP BY token
+HAVING count(*) >= ceil((SELECT n FROM tot) * 0.002)
+ORDER BY cnt DESC, token""",
+)
+def text_heavy_hitters_q(spark, sf):
+    # EXACT corpus-frequent tokens the scale-shaped way: per-partition
+    # Misra-Gries sketches (map-only, bounded memory) nominate a
+    # guaranteed candidate superset; a broadcast-candidate recount makes
+    # the result exact, so it hash-matches the naive GROUP BY/HAVING
+    # oracle while shuffling only candidate keys instead of the full
+    # token stream (operators/text.py heavy_hitters; threshold
+    # ceil(phi*N) computed from the same IEEE double product both
+    # sides).
+    return text.heavy_hitters(_t(spark, sf, "documents"), phi=0.002)
+
+
 def _rp_oracle() -> str:
     """Random-projection oracle: the identical quantized Gaussian matrix
     inlined as literals; every output component is an exact int64 dot

@@ -529,3 +529,16 @@ def test_sql_4mc_pruned_scan_tiny_table_clamp(spark, tmp_path, monkeypatch):
     )
     oracle = con.execute(ORACLE["sql_4mc_pruned_scan"]).fetchall()
     assert [tuple(r) for r in rows] == oracle == []
+
+
+def test_heavy_hitters_recount_is_broadcast_candidate_join(
+    spark, sf_dir, queries
+):
+    # the exact recount must broadcast the tiny MG candidate set and
+    # filter the exploded tokens map-side — the token stream itself is
+    # never sort-merge joined; the only wide exchange groups candidate
+    # keys (<= m x partitions of them)
+    df = queries["text_heavy_hitters"](spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan
