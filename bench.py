@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     "curation_pack_tokens",
     # round 9: exact heavy hitters — MG sketch pass + broadcast recount
     "text_heavy_hitters",
+    # round 9: typed NDJSON scan + analyze_stats zone-map file pruning
+    "sql_4mc_zonemap_scan",
 ]
 
 

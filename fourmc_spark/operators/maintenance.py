@@ -54,7 +54,7 @@ import os
 import struct
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from fourmc_spark.format import core
 from fourmc_spark.format.reader import iter_block_payloads, scan_file_info
@@ -62,6 +62,7 @@ from fourmc_spark.format.writer import FourMcWriter, normalize_codec
 from fourmc_spark.sources.datasource import _list_files
 
 __all__ = [
+    "analyze_stats",
     "compact",
     "compact_blocks",
     "compact_partitioned",
@@ -402,3 +403,86 @@ def compact_protobuf(spark: SparkSession, in_dir: str, out_dir: str, **kw) -> di
     no newline fix — otherwise identical raw block copy."""
     kw.setdefault("newline_fix", False)
     return compact_blocks(spark, in_dir, out_dir, **kw)
+
+
+def _json_stat_value(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat(sep=" ") if hasattr(v, "hour") else v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return v
+
+
+def analyze_stats(
+    spark: SparkSession,
+    path: str,
+    schema_ddl: str,
+    columns: list[str] | None = None,
+) -> dict:
+    """ANALYZE for NDJSON 4mc/4mz trees: one distributed scan computes a
+    per-FILE zone map (row count + min/max/null-count per column) and
+    writes it to a ``<file>.stats.json`` sidecar next to each data file.
+
+    The typed scan (``jsonschema`` option, sources/datasource.py) then
+    prunes whole files whose [min, max] provably excludes a pushed
+    predicate — the Iceberg/parquet-footer zone-map tier for data whose
+    natural clustering (time-ordered ingest, range-compacted output)
+    makes file ranges narrow. At 100 TB this turns a point/range query
+    over months of sealed logs into a scan of the few files that can
+    match, for one tiny JSON read per file at planning time (the same
+    O(files) cost class as the footer-index split planning).
+
+    Safety: sidecars record the data file's byte size; the reader
+    ignores a sidecar whose size mismatches (stale after rewrite), and
+    Spark re-applies every filter post-scan, so pruning can only remove
+    provably-empty work. Stats aggregation is fully distributed; the
+    driver materializes ONE row per file (the same O(files) it already
+    pays to plan splits) to write the sidecars.
+    """
+    from pyspark.sql.types import StructType
+
+    from fourmc_spark.sources.datasource import STATS_SUFFIX
+
+    st = StructType.fromDDL(schema_ddl)
+    cols = list(columns) if columns else [f.name for f in st.fields]
+    df = (
+        spark.read.format("fourmc")
+        .option("withfilename", "true")
+        .load(path)
+        .select("_file", F.from_json("value", schema_ddl).alias("_r"))
+        .select("_file", "_r.*")
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("__rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"__min_{c}"))
+        aggs.append(F.max(c).alias(f"__max_{c}"))
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long").alias(f"__nulls_{c}")
+        )
+    rows = df.groupBy("_file").agg(*aggs).collect()
+    for r in rows:
+        fpath = r["_file"]
+        meta = {
+            "version": 1,
+            "size": os.path.getsize(fpath),
+            "rows": r["__rows"],
+            "columns": {
+                c: {
+                    "min": _json_stat_value(r[f"__min_{c}"]),
+                    "max": _json_stat_value(r[f"__max_{c}"]),
+                    "nulls": r[f"__nulls_{c}"],
+                }
+                for c in cols
+            },
+        }
+        import json as _json
+
+        tmp = fpath + STATS_SUFFIX + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(meta, f)
+        os.replace(tmp, fpath + STATS_SUFFIX)
+    return {"files": len(rows), "columns": cols}

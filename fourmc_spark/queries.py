@@ -2928,6 +2928,97 @@ def sql_4mc_file_pruned_scan_q(spark, sf):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@query(
+    "sql_4mc_zonemap_scan",
+    """SELECT event_type,
+              CAST(count(*) AS BIGINT) AS cnt,
+              CAST(sum(user_id) AS BIGINT) AS user_sum,
+              round(sum(value), 2) AS value_sum,
+              CAST(min(event_id) AS BIGINT) AS min_event,
+              CAST(max(event_id) AS BIGINT) AS max_event
+       FROM events WHERE event_id BETWEEN 1200 AND 2799
+       GROUP BY event_type ORDER BY event_type""",
+)
+def sql_4mc_zonemap_scan_q(spark, sf):
+    # DATA-DEPENDENT whole-file pruning under the driver hash gate
+    # (round 9): sql_4mc_file_pruned_scan prunes by hive PATH values;
+    # this one prunes by CONTENT zone maps — analyze_stats() sidecars
+    # record per-file min/max, and the typed NDJSON scan
+    # (option jsonschema) pushes the event_id range into the planner,
+    # which skips every file whose [min, max] cannot overlap. That is
+    # the Iceberg/parquet-footer tier for time/id-ordered sealed logs —
+    # at 100 TB a range query opens only the few files that can match.
+    #
+    # The pruning is PROVEN inside the gate: after ANALYZE, a poison
+    # file of garbage bytes (not a 4mc container) is planted with a
+    # valid, size-matching sidecar whose range [10^9, 2*10^9] is
+    # disjoint from the predicate. Planning that ever opened that file
+    # would throw BadHeaderError and the gate would go red; the query
+    # succeeds iff the zone map excluded it before any footer read.
+    # Conservative-safety twin pins live in
+    # tests/test_datasource.py (stale/missing sidecars never prune).
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from fourmc_spark.operators.maintenance import analyze_stats
+    from fourmc_spark.session import register_fourmc
+    from fourmc_spark.sources.datasource import STATS_SUFFIX
+
+    register_fourmc(spark)
+    ddl = "event_id bigint, user_id bigint, event_type string, value double"
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    d = tempfile.mkdtemp(prefix="fourmc-zonemap-")
+    try:
+        (
+            ev.repartitionByRange(6, "event_id")
+            .select(F.to_json(F.struct(*ev.columns)).alias("value"))
+            .write.format("fourmc")
+            .option("codec", "zstd").option("level", "medium")
+            .mode("overwrite").save(d)
+        )
+        analyze_stats(spark, d, ddl)
+        poison = os.path.join(d, "poison.4mz")
+        with open(poison, "wb") as f:
+            f.write(b"NOT-A-4MC-CONTAINER" * 16)
+        with open(poison + STATS_SUFFIX, "w") as f:
+            _json.dump(
+                {
+                    "version": 1,
+                    "size": os.path.getsize(poison),
+                    "rows": 1,
+                    "columns": {
+                        "event_id": {
+                            "min": 10**9, "max": 2 * 10**9, "nulls": 0
+                        }
+                    },
+                },
+                f,
+            )
+        back = (
+            spark.read.format("fourmc")
+            .option("jsonschema", ddl).load(d)
+            .where(F.col("event_id").between(1200, 2799))
+        )
+        out = (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.sum("user_id").cast("long").alias("user_sum"),
+                F.round(F.sum("value"), 2).alias("value_sum"),
+                F.min("event_id").cast("long").alias("min_event"),
+                F.max("event_id").cast("long").alias("max_event"),
+            )
+            .orderBy("event_type")
+        )
+        return _detach(out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _bpe_learn_sql(n_merges: int) -> str:
     """Unrolled BPE-training oracle (fixed greedy rounds, the pagerank /
     ivf_kmeans pattern). The trick that makes a merge round ONE SQL

@@ -118,14 +118,24 @@ class FourMcDataSource(DataSource):
         return "fourmc"
 
     def schema(self) -> StructType:
-        fields = [
-            StructField("offset", LongType(), nullable=False),
-            StructField("value", StringType(), nullable=True),
-        ]
+        js = self.options.get("jsonschema")
+        if js:
+            # typed NDJSON scan: the payload lines are parsed into these
+            # columns executor-side (Arrow JSON kernels), which makes
+            # value predicates PUSHABLE — combined with analyze_stats()
+            # sidecars they prune whole files by zone map (min/max)
+            fields = list(_parse_flat_ddl(js).fields)
+        else:
+            fields = [
+                StructField("offset", LongType(), nullable=False),
+                StructField("value", StringType(), nullable=True),
+            ]
         # partitioncolumns=c1[,c2...]: rebuild hive key=value path segments
         # as string columns (cast downstream as needed)
         for c in _partition_col_opt(self.options):
             fields.append(StructField(c, StringType(), nullable=True))
+        if str(self.options.get("withfilename", "false")).lower() == "true":
+            fields.append(StructField("_file", StringType(), nullable=False))
         return StructType(fields)
 
     def reader(self, schema: StructType) -> "FourMcDataSourceReader":
@@ -163,13 +173,24 @@ class FourMcDataSourceReader(DataSourceReader):
             str(options.get("skipfirstline", "false")).lower() == "true"
         )
         self.pcols = _partition_col_opt(options)
+        self.with_file = (
+            str(options.get("withfilename", "false")).lower() == "true"
+        )
+        js = options.get("jsonschema")
+        self.json_schema: StructType | None = (
+            _parse_flat_ddl(js) if js else None
+        )
         self.columns = [f.name for f in schema.fields]
         # planning-time pruning state, filled by pushFilters(): an
         # inclusive [lo, hi] constraint on the offset column (hi=None =
-        # unbounded) and per-partition-column allowed value sets
+        # unbounded), per-partition-column allowed value sets, and — in
+        # typed (jsonschema) mode — per-column zone constraints checked
+        # against analyze_stats() sidecars
         self._off_lo: int = 0
         self._off_hi: int | None = None
         self._pcol_allowed: dict[str, set] = {}
+        # col -> [lo_value, lo_inclusive, hi_value, hi_inclusive]
+        self._zone: dict[str, list] = {}
 
     def pushFilters(self, filters):
         """Planning-time pruning, the query-side payoff of the footer
@@ -221,6 +242,40 @@ class FourMcDataSourceReader(DataSourceReader):
                     continue
                 prev = self._pcol_allowed.get(col)
                 self._pcol_allowed[col] = vals if prev is None else prev & vals
+            elif self.json_schema is not None and col in {
+                f.name for f in self.json_schema.fields
+            }:
+                # zone-map constraint on a typed payload column: file
+                # pruning against analyze_stats sidecars. Only number
+                # and string bounds (the types whose ordering is
+                # identical in Spark, JSON, and Python — timestamps stay
+                # conservative/unpruned in v1).
+                v = getattr(flt, "value", None)
+                is_num = isinstance(v, (int, float)) and not isinstance(v, bool)
+                if not (is_num or isinstance(v, str)):
+                    continue
+                z = self._zone.setdefault(col, [None, True, None, True])
+
+                def _num_str_cmp_ok(old):
+                    return old is None or isinstance(old, str) == isinstance(v, str)
+
+                if isinstance(flt, EqualTo):
+                    if _num_str_cmp_ok(z[0]) and (z[0] is None or v > z[0]):
+                        z[0], z[1] = v, True
+                    if _num_str_cmp_ok(z[2]) and (z[2] is None or v < z[2]):
+                        z[2], z[3] = v, True
+                elif isinstance(flt, (GreaterThan, GreaterThanOrEqual)):
+                    inc = isinstance(flt, GreaterThanOrEqual)
+                    if _num_str_cmp_ok(z[0]) and (
+                        z[0] is None or v > z[0] or (v == z[0] and not inc)
+                    ):
+                        z[0], z[1] = v, inc
+                elif isinstance(flt, (LessThan, LessThanOrEqual)):
+                    inc = isinstance(flt, LessThanOrEqual)
+                    if _num_str_cmp_ok(z[2]) and (
+                        z[2] is None or v < z[2] or (v == z[2] and not inc)
+                    ):
+                        z[2], z[3] = v, inc
         return filters
 
     def partitions(self) -> list[FourMcInputPartition]:
@@ -239,6 +294,8 @@ class FourMcDataSourceReader(DataSourceReader):
                     for c, allowed in self._pcol_allowed.items()
                 ):
                     continue  # file pruned by partition-column predicate
+            if self._zone and _zone_file_pruned(path, self._zone):
+                continue  # file pruned by analyze_stats zone map
             if path.endswith(".zst"):
                 fsize = os.path.getsize(path)
                 if fsize:
@@ -310,10 +367,19 @@ class FourMcDataSourceReader(DataSourceReader):
 
         if not partition.path:
             return
-        want_offset = "offset" in self.columns
-        want_value = "value" in self.columns
+        typed = self.json_schema is not None
+        want_offset = (not typed) and "offset" in self.columns
+        want_value = (not typed) and "value" in self.columns
+        typed_names = (
+            [f.name for f in self.json_schema.fields] if typed else []
+        )
+        want_typed = [c for c in self.columns if c in typed_names]
+        arrow_schema = (
+            _arrow_schema_for(self.json_schema) if typed else None
+        )
         # hive partition columns wanted in the output: constant per file
         want_pcols = [c for c in self.pcols if c in self.columns]
+        want_file = self.with_file and "_file" in self.columns
         pvals = (
             _partition_values_from_path(partition.path, want_pcols)
             if want_pcols
@@ -321,7 +387,7 @@ class FourMcDataSourceReader(DataSourceReader):
         )
 
         def _with_pcols(batch: "pa.RecordBatch") -> "pa.RecordBatch":
-            if not want_pcols:
+            if not want_pcols and not want_file:
                 return batch
             arrays = list(batch.columns)
             names = list(batch.schema.names)
@@ -333,7 +399,25 @@ class FourMcDataSourceReader(DataSourceReader):
                     else pa.array([v] * len(batch), type=pa.string())
                 )
                 names.append(c)
+            if want_file:
+                arrays.append(
+                    pa.array([partition.path] * len(batch), type=pa.string())
+                )
+                names.append("_file")
             return pa.RecordBatch.from_arrays(arrays, names=names)
+
+        def _typed_batch(ndjson: "pa.Buffer | bytes") -> "pa.RecordBatch":
+            # Arrow's JSON kernels parse the whole micro-batch in C;
+            # explicit_schema pins types so output never depends on
+            # inference (absent fields come back NULL)
+            import pyarrow.json as pj
+
+            tbl = pj.read_json(
+                pa.BufferReader(ndjson),
+                parse_options=pj.ParseOptions(explicit_schema=arrow_schema),
+            )
+            cols = [tbl.column(c).combine_chunks() for c in want_typed]
+            return pa.RecordBatch.from_arrays(cols, names=list(want_typed))
 
         def _cast_lines(arr: "pa.Array") -> "pa.Array":
             try:
@@ -355,6 +439,8 @@ class FourMcDataSourceReader(DataSourceReader):
             lines: list[bytes] = []
 
             def flush():
+                if typed:
+                    return _typed_batch(b"\n".join(lines))
                 arrays, names = [], []
                 if want_offset:
                     arrays.append(pa.array(offsets, type=pa.int64()))
@@ -402,6 +488,19 @@ class FourMcDataSourceReader(DataSourceReader):
                     lines_arr = lines_arr.slice(1)
                     if len(lines_arr) == 0:
                         continue
+                if typed:
+                    # join the Arrow line array into one NDJSON buffer
+                    # (C-side: one-list binary_join), then parse — no
+                    # per-line Python
+                    import pyarrow.compute as pc
+
+                    la = pa.ListArray.from_arrays(
+                        pa.array([0, len(lines_arr)], type=pa.int32()),
+                        lines_arr.cast(pa.string()),
+                    )
+                    nd = pc.binary_join(la, "\n")[0].as_buffer()
+                    yield _with_pcols(_typed_batch(nd))
+                    continue
                 arrays, names = [], []
                 if want_offset:
                     arrays.append(pa.array(offs_np, type=pa.int64()))
@@ -418,6 +517,132 @@ def _partition_col_opt(options) -> list[str]:
         for c in options.get("partitioncolumns", "").split(",")
         if c.strip()
     ]
+
+
+def _parse_flat_ddl(ddl: str) -> StructType:
+    """Context-free parser for the flat ``name type, name type`` DDL the
+    typed scan supports (StructType.fromDDL needs a live SparkContext,
+    which the data source worker process does not have). Nested types
+    are out of scope by design — they are also unsupported by the typed
+    scan itself (see _arrow_schema_for)."""
+    from pyspark.sql import types as T
+
+    by_name = {
+        "bigint": T.LongType(), "long": T.LongType(),
+        "int": T.IntegerType(), "integer": T.IntegerType(),
+        "smallint": T.ShortType(), "short": T.ShortType(),
+        "double": T.DoubleType(),
+        "float": T.FloatType(), "real": T.FloatType(),
+        "string": T.StringType(), "varchar": T.StringType(),
+        "boolean": T.BooleanType(), "bool": T.BooleanType(),
+        "date": T.DateType(),
+        "timestamp": T.TimestampType(),
+        "timestamp_ntz": T.TimestampNTZType(),
+    }
+    fields = []
+    for part in ddl.split(","):
+        toks = part.strip().split()
+        if len(toks) != 2:
+            raise ValueError(
+                f"fourmc jsonschema: expected 'name type' pairs, got "
+                f"{part.strip()!r} (nested/parameterized types are not "
+                "supported — use value mode + from_json)"
+            )
+        name, tname = toks[0].strip("`"), toks[1].lower()
+        if tname not in by_name:
+            raise ValueError(
+                f"fourmc jsonschema: unsupported type {toks[1]!r} for "
+                f"column {name!r} — supported: {sorted(by_name)}"
+            )
+        fields.append(StructField(name, by_name[tname], nullable=True))
+    if not fields:
+        raise ValueError("fourmc jsonschema: empty schema")
+    return StructType(fields)
+
+
+def _arrow_schema_for(st: StructType):
+    """Arrow explicit_schema for the typed NDJSON scan. Only types whose
+    JSON representation parses unambiguously are supported; anything
+    else should stay in ``value`` mode and be parsed with from_json."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    mapping = [
+        (T.LongType, pa.int64()),
+        (T.IntegerType, pa.int32()),
+        (T.ShortType, pa.int16()),
+        (T.DoubleType, pa.float64()),
+        (T.FloatType, pa.float32()),
+        (T.StringType, pa.string()),
+        (T.BooleanType, pa.bool_()),
+        (T.DateType, pa.date32()),
+        (T.TimestampNTZType, pa.timestamp("us")),
+        (T.TimestampType, pa.timestamp("us")),
+    ]
+    fields = []
+    for f in st.fields:
+        for spark_t, arrow_t in mapping:
+            if isinstance(f.dataType, spark_t):
+                fields.append(pa.field(f.name, arrow_t))
+                break
+        else:
+            raise ValueError(
+                f"fourmc jsonschema: unsupported type {f.dataType} for "
+                f"column {f.name!r} — use value mode + from_json for it"
+            )
+    return pa.schema(fields)
+
+
+# per-file zone-map sidecar written by operators/maintenance.analyze_stats
+STATS_SUFFIX = ".stats.json"
+
+
+def _zone_comparable(a, b) -> bool:
+    """Only compare orderings that are identical in Spark SQL, JSON, and
+    Python: number vs number, str vs str. Anything else is skipped
+    (conservative — the file is scanned)."""
+    def _num(x):
+        return isinstance(x, (int, float)) and not isinstance(x, bool)
+
+    return (_num(a) and _num(b)) or (
+        isinstance(a, str) and isinstance(b, str)
+    )
+
+
+def _zone_file_pruned(path: str, zone: dict[str, list]) -> bool:
+    """True iff *path*'s analyze_stats sidecar PROVES no row can satisfy
+    the conjunction of pushed bounds. Conservative everywhere: missing,
+    unreadable, or stale sidecar (size mismatch), missing column, or
+    incomparable types => NOT pruned. Spark re-applies every filter
+    post-scan, so pruning can only remove provably-empty work."""
+    import json
+
+    try:
+        with open(path + STATS_SUFFIX) as f:
+            meta = json.load(f)
+        if meta.get("size") != os.path.getsize(path):
+            return False  # data changed since ANALYZE: sidecar is stale
+        cols = meta.get("columns", {})
+    except (OSError, ValueError):
+        return False
+    for col, (lo, lo_inc, hi, hi_inc) in zone.items():
+        if lo is None and hi is None:
+            continue
+        st = cols.get(col)
+        if not isinstance(st, dict):
+            continue
+        mn, mx = st.get("min"), st.get("max")
+        if mn is None or mx is None:
+            # the column has no non-null value in this file; range and
+            # equality predicates reject NULL, so no row can match
+            return True
+        if lo is not None and _zone_comparable(mx, lo):
+            if mx < lo or (mx == lo and not lo_inc):
+                return True
+        if hi is not None and _zone_comparable(mn, hi):
+            if mn > hi or (mn == hi and not hi_inc):
+                return True
+    return False
 
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"

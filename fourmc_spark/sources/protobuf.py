@@ -101,6 +101,8 @@ class FourMcProtoReader(FourMcDataSourceReader):
         self._off_lo = 0
         self._off_hi = None
         self._pcol_allowed = {}
+        self._zone = {}  # typed-scan zone maps are a text-source feature
+        self.json_schema = None  # ditto for the jsonschema typed scan
 
     def read(self, partition: FourMcInputPartition):
         import pyarrow as pa

@@ -543,3 +543,188 @@ def test_register_fourmc_enables_pushdown_on_stock_session(spark, tmp_path):
         assert back.filter(F.col("value") == "line 7").count() == 1
     finally:
         spark.conf.set(conf_key, "true")
+
+
+# ---------------------------------------------------------------------------
+# Typed NDJSON scan (jsonschema option) + analyze_stats zone-map pruning (r9)
+# ---------------------------------------------------------------------------
+
+_ZM_DDL = "k bigint, name string, v double"
+
+
+def _write_zm_tree(spark, d: str, n_files: int = 4, rows: int = 400):
+    df = spark.range(rows).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("n"), F.col("id") % 7).alias("name"),
+        (F.col("id") * 0.5).alias("v"),
+    )
+    (df.repartitionByRange(n_files, "k")
+       .select(F.to_json(F.struct("k", "name", "v")).alias("value"))
+       .write.format("fourmc").option("codec", "zstd")
+       .mode("overwrite").save(d))
+
+
+def test_typed_json_scan_matches_from_json(spark, tmp_path):
+    """option('jsonschema', ddl): Arrow-JSON-parsed typed columns must
+    equal the value-mode from_json parse row for row."""
+    d = str(tmp_path / "typed")
+    _write_zm_tree(spark, d)
+    typed = spark.read.format("fourmc").option("jsonschema", _ZM_DDL).load(d)
+    assert typed.schema.simpleString() == (
+        "struct<k:bigint,name:string,v:double>"
+    )
+    ref = (
+        spark.read.format("fourmc").load(d)
+        .select(F.from_json("value", _ZM_DDL).alias("r")).select("r.*")
+    )
+    assert typed.count() == 400
+    assert typed.exceptAll(ref).count() == 0
+    assert ref.exceptAll(typed).count() == 0
+    # absent fields parse as NULL (explicit_schema contract)
+    from fourmc_spark.format.writer import write_file
+    d2 = str(tmp_path / "typed2")
+    os.makedirs(d2)
+    write_file(os.path.join(d2, "a.4mz"), b'{"k": 1}\n{"name": "x"}\n',
+               codec="zstd")
+    rows = (spark.read.format("fourmc").option("jsonschema", _ZM_DDL)
+            .load(d2).orderBy("k").collect())
+    assert [(r["k"], r["name"], r["v"]) for r in rows] == [
+        (None, "x", None), (1, None, None)
+    ]
+
+
+def test_withfilename_column(spark, tmp_path):
+    d = str(tmp_path / "wfn")
+    _write_zm_tree(spark, d, n_files=3)
+    df = (spark.read.format("fourmc").option("withfilename", "true")
+          .load(d).groupBy("_file").count())
+    rows = df.collect()
+    assert len(rows) == 3 and sum(r["count"] for r in rows) == 400
+    assert all(r["_file"].startswith(d) for r in rows)
+
+
+def test_analyze_stats_sidecars_and_zone_pruning(spark, tmp_path):
+    from pyspark.sql.datasource import (
+        CaseInsensitiveDict, EqualTo, GreaterThanOrEqual, LessThan,
+    )
+
+    from fourmc_spark.operators.maintenance import analyze_stats
+    from fourmc_spark.sources.datasource import (
+        FourMcDataSourceReader, _parse_flat_ddl,
+    )
+
+    d = str(tmp_path / "zm")
+    _write_zm_tree(spark, d, n_files=4, rows=400)  # k ranges ~100/file
+    res = analyze_stats(spark, d, _ZM_DDL)
+    assert res["files"] == 4
+    import glob as _glob
+    import json as _json
+    sidecars = sorted(_glob.glob(f"{d}/*.stats.json"))
+    assert len(sidecars) == 4
+    meta = _json.load(open(sidecars[0]))
+    assert meta["size"] == os.path.getsize(sidecars[0][: -len(".stats.json")])
+    assert set(meta["columns"]) == {"k", "name", "v"}
+
+    schema = _parse_flat_ddl(_ZM_DDL)
+    opts = CaseInsensitiveDict({"path": d, "jsonschema": _ZM_DDL})
+    full_files = {p.path for p in FourMcDataSourceReader(opts, schema).partitions()}
+    assert len(full_files) == 4
+
+    def planned(filters):
+        rd = FourMcDataSourceReader(opts, schema)
+        list(rd.pushFilters(filters))
+        return {p.path for p in rd.partitions() if p.path}
+
+    # range predicate keeps only overlapping files
+    mid = planned([GreaterThanOrEqual(("k",), 150), LessThan(("k",), 250)])
+    assert 1 <= len(mid) <= 2 and mid < full_files
+    # point predicate hits exactly one file
+    assert len(planned([EqualTo(("k",), 0)])) == 1
+    # out-of-domain predicate prunes EVERYTHING
+    assert planned([GreaterThanOrEqual(("k",), 10_000)]) == set()
+    # string zone maps prune too (all names share the n* prefix)
+    assert planned([GreaterThanOrEqual(("name",), "zzz")]) == set()
+    # ...and pruning never changes results on a REAL query
+    typed = spark.read.format("fourmc").option("jsonschema", _ZM_DDL).load(d)
+    got = typed.filter((F.col("k") >= 150) & (F.col("k") < 250)) \
+               .agg(F.sum("k").alias("s")).first()["s"]
+    assert got == sum(range(150, 250))
+
+
+def test_zone_pruning_is_conservative(spark, tmp_path):
+    """No sidecar, stale sidecar (size mismatch), or incomparable types
+    => file is scanned; all-null column => provably prunable."""
+    import json as _json
+
+    from pyspark.sql.datasource import CaseInsensitiveDict, GreaterThanOrEqual
+
+    from fourmc_spark.format.writer import write_file
+    from fourmc_spark.operators.maintenance import analyze_stats
+    from fourmc_spark.sources.datasource import (
+        FourMcDataSourceReader, _parse_flat_ddl,
+    )
+
+    d = str(tmp_path / "cons")
+    os.makedirs(d)
+    write_file(os.path.join(d, "a.4mz"), b'{"k": 1, "v": 0.5}\n', codec="zstd")
+    write_file(os.path.join(d, "b.4mz"), b'{"k": 2, "v": null}\n', codec="zstd")
+    schema = _parse_flat_ddl(_ZM_DDL)
+    opts = CaseInsensitiveDict({"path": d, "jsonschema": _ZM_DDL})
+
+    def planned(filters):
+        rd = FourMcDataSourceReader(opts, schema)
+        list(rd.pushFilters(filters))
+        return {os.path.basename(p.path) for p in rd.partitions() if p.path}
+
+    # no sidecars yet: nothing pruned
+    assert planned([GreaterThanOrEqual(("k",), 100)]) == {"a.4mz", "b.4mz"}
+    analyze_stats(spark, d, _ZM_DDL)
+    assert planned([GreaterThanOrEqual(("k",), 100)]) == set()
+    # all-null column in b.4mz: v-predicates prove b empty
+    assert planned([GreaterThanOrEqual(("v",), 0.0)]) == {"a.4mz"}
+    # stale sidecar (size mismatch after rewrite): back to scanned
+    write_file(os.path.join(d, "a.4mz"),
+               b'{"k": 500, "v": 1.0}\n{"k": 501, "v": 2.0}\n', codec="zstd")
+    assert "a.4mz" in planned([GreaterThanOrEqual(("k",), 100)])
+    # malformed sidecar: ignored, file scanned
+    with open(os.path.join(d, "b.4mz.stats.json"), "w") as f:
+        f.write("{not json")
+    assert planned([GreaterThanOrEqual(("k",), 0)]) == {"a.4mz", "b.4mz"}
+
+
+def test_zone_pruned_file_is_never_opened(spark, tmp_path):
+    """The 100 TB pin: a zone-pruned file contributes ZERO partitions
+    BEFORE any footer read — proven by a file whose container is
+    corrupt but whose (valid, size-matching) sidecar excludes it: the
+    query succeeds iff planning never touches the file's bytes."""
+    import json as _json
+
+    from fourmc_spark.format.writer import write_file
+    from fourmc_spark.sources.datasource import STATS_SUFFIX
+
+    d = str(tmp_path / "never")
+    os.makedirs(d)
+    write_file(os.path.join(d, "good.4mz"), b'{"k": 1, "v": 1.0}\n',
+               codec="zstd")
+    bad = os.path.join(d, "bad.4mz")
+    with open(bad, "wb") as f:
+        f.write(b"GARBAGE-NOT-A-4MC-CONTAINER" * 10)
+    with open(bad + STATS_SUFFIX, "w") as f:
+        _json.dump({"version": 1, "size": os.path.getsize(bad), "rows": 1,
+                    "columns": {"k": {"min": 900, "max": 999, "nulls": 0}}},
+                   f)
+    typed = spark.read.format("fourmc").option("jsonschema", _ZM_DDL).load(d)
+    rows = typed.filter(F.col("k") < 100).collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(1, 1.0)]
+
+
+def test_typed_scan_rejects_nested_ddl(spark):
+    from fourmc_spark.sources.datasource import _parse_flat_ddl
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unsupported type"):
+        _parse_flat_ddl("a array<int>")
+    with _pytest.raises(ValueError, match="unsupported type"):
+        _parse_flat_ddl("a decimal(10,2)")  # comma splits the params
+    with _pytest.raises(ValueError, match="name type"):
+        _parse_flat_ddl("a struct<b: int>")
