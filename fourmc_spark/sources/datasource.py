@@ -374,8 +374,18 @@ class FourMcDataSourceReader(DataSourceReader):
             [f.name for f in self.json_schema.fields] if typed else []
         )
         want_typed = [c for c in self.columns if c in typed_names]
+        # column pruning reaches the PARSER: only the requested fields
+        # go into explicit_schema, and unexpected_field_behavior=ignore
+        # below skips every other key without inferring/materializing it
         arrow_schema = (
-            _arrow_schema_for(self.json_schema) if typed else None
+            _arrow_schema_for(
+                StructType(
+                    [f for f in self.json_schema.fields
+                     if f.name in want_typed]
+                )
+            )
+            if typed
+            else None
         )
         # hive partition columns wanted in the output: constant per file
         want_pcols = [c for c in self.pcols if c in self.columns]
@@ -414,7 +424,10 @@ class FourMcDataSourceReader(DataSourceReader):
 
             tbl = pj.read_json(
                 pa.BufferReader(ndjson),
-                parse_options=pj.ParseOptions(explicit_schema=arrow_schema),
+                parse_options=pj.ParseOptions(
+                    explicit_schema=arrow_schema,
+                    unexpected_field_behavior="ignore",
+                ),
             )
             cols = [tbl.column(c).combine_chunks() for c in want_typed]
             return pa.RecordBatch.from_arrays(cols, names=list(want_typed))

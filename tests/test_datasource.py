@@ -728,3 +728,23 @@ def test_typed_scan_rejects_nested_ddl(spark):
         _parse_flat_ddl("a decimal(10,2)")  # comma splits the params
     with _pytest.raises(ValueError, match="name type"):
         _parse_flat_ddl("a struct<b: int>")
+
+
+def test_typed_scan_parses_only_declared_fields(spark, tmp_path):
+    """The jsonschema DDL IS the projection: fields outside it are
+    skipped by the parser (unexpected_field_behavior=ignore), never
+    inferred or materialized — a payload field that could not parse
+    under any numeric type must not disturb a scan that excludes it.
+    (Spark's Python DataSource API does not push column pruning into
+    the reader, so narrowing the DDL is the supported pruning lever.)"""
+    from fourmc_spark.format.writer import write_file
+
+    d = str(tmp_path / "colprune")
+    os.makedirs(d)
+    write_file(os.path.join(d, "a.4mz"),
+               b'{"k": 1, "name": "x", "v": "boom", "extra": [1,2]}\n',
+               codec="zstd")
+    typed = (spark.read.format("fourmc")
+             .option("jsonschema", "k bigint, name string").load(d))
+    rows = typed.collect()
+    assert [(r["k"], r["name"]) for r in rows] == [(1, "x")]
