@@ -140,8 +140,10 @@ BENCH_QUERIES = [
     "curation_pack_tokens",
     # round 9: exact heavy hitters — MG sketch pass + broadcast recount
     "text_heavy_hitters",
-    # round 9: typed NDJSON scan + analyze_stats zone-map file pruning
+    # round 9: typed NDJSON scan + analyze_stats zone-map pruning
+    # (file tier + block tier)
     "sql_4mc_zonemap_scan",
+    "sql_4mc_zonemap_blocks_scan",
 ]
 
 

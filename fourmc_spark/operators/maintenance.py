@@ -409,10 +409,18 @@ def _json_stat_value(v):
     import datetime
     import decimal
 
+    import pandas as pd
+
+    if v is None:
+        return None
+    if not isinstance(v, (str, bytes, list, dict)) and pd.isna(v):
+        return None  # NaN/NaT from an all-null span
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat(sep=" ") if hasattr(v, "hour") else v.isoformat()
     if isinstance(v, decimal.Decimal):
         return float(v)
+    if type(v).__module__ == "numpy":
+        return v.item()
     return v
 
 
@@ -421,39 +429,47 @@ def analyze_stats(
     path: str,
     schema_ddl: str,
     columns: list[str] | None = None,
+    blocks: bool = True,
 ) -> dict:
     """ANALYZE for NDJSON 4mc/4mz trees: one distributed scan computes a
-    per-FILE zone map (row count + min/max/null-count per column) and
-    writes it to a ``<file>.stats.json`` sidecar next to each data file.
+    TWO-TIER zone map — per-FILE and (``blocks=True``) per-BLOCK row
+    count + min/max/null-count per column — and writes it to a
+    ``<file>.stats.json`` sidecar next to each data file.
 
     The typed scan (``jsonschema`` option, sources/datasource.py) then
     prunes whole files whose [min, max] provably excludes a pushed
-    predicate — the Iceberg/parquet-footer zone-map tier for data whose
+    predicate, and within kept files skips the non-matching BLOCKS —
+    the Iceberg-manifest + parquet-row-group economics for data whose
     natural clustering (time-ordered ingest, range-compacted output)
-    makes file ranges narrow. At 100 TB this turns a point/range query
-    over months of sealed logs into a scan of the few files that can
-    match, for one tiny JSON read per file at planning time (the same
-    O(files) cost class as the footer-index split planning).
+    makes ranges narrow. The block key is the compressed block offset
+    the scan's ``offset`` column already exposes, so block stats group
+    lines exactly by the ownership rule the split reader enforces.
 
     Safety: sidecars record the data file's byte size; the reader
     ignores a sidecar whose size mismatches (stale after rewrite), and
     Spark re-applies every filter post-scan, so pruning can only remove
-    provably-empty work. Stats aggregation is fully distributed; the
-    driver materializes ONE row per file (the same O(files) it already
-    pays to plan splits) to write the sidecars.
+    provably-empty work. 100 TB shape: stats aggregate distributed
+    (one shuffle keyed by (file, block)); sidecars are WRITTEN
+    EXECUTOR-SIDE (applyInPandas per file), so the driver materializes
+    only one summary row per file — the O(files) it already pays to
+    plan splits.
     """
-    from pyspark.sql.types import StructType
+    import json as _json
 
-    from fourmc_spark.sources.datasource import STATS_SUFFIX
+    import pandas as pd
 
-    st = StructType.fromDDL(schema_ddl)
+    from fourmc_spark.sources.datasource import STATS_SUFFIX, _parse_flat_ddl
+
+    st = _parse_flat_ddl(schema_ddl)  # same surface the typed scan takes
     cols = list(columns) if columns else [f.name for f in st.fields]
-    df = (
+    src = (
         spark.read.format("fourmc")
         .option("withfilename", "true")
         .load(path)
-        .select("_file", F.from_json("value", schema_ddl).alias("_r"))
-        .select("_file", "_r.*")
+        .select(
+            "_file", "offset", F.from_json("value", schema_ddl).alias("_r")
+        )
+        .select("_file", "offset", "_r.*")
     )
     aggs = [F.count(F.lit(1)).cast("long").alias("__rows")]
     for c in cols:
@@ -463,26 +479,59 @@ def analyze_stats(
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("long").alias(f"__nulls_{c}")
         )
-    rows = df.groupBy("_file").agg(*aggs).collect()
-    for r in rows:
-        fpath = r["_file"]
-        meta = {
-            "version": 1,
-            "size": os.path.getsize(fpath),
-            "rows": r["__rows"],
-            "columns": {
-                c: {
-                    "min": _json_stat_value(r[f"__min_{c}"]),
-                    "max": _json_stat_value(r[f"__max_{c}"]),
-                    "nulls": r[f"__nulls_{c}"],
-                }
-                for c in cols
-            },
-        }
-        import json as _json
+    per_block = src.groupBy("_file", "offset").agg(*aggs)
+    want_blocks = blocks
 
+    def _write_sidecar(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        fpath = key[0]
+        pdf = pdf.sort_values("offset")
+        file_cols = {}
+        for c in cols:
+            mns = pdf[f"__min_{c}"].dropna()
+            mxs = pdf[f"__max_{c}"].dropna()
+            file_cols[c] = {
+                "min": _json_stat_value(mns.min()) if len(mns) else None,
+                "max": _json_stat_value(mxs.max()) if len(mxs) else None,
+                "nulls": int(pdf[f"__nulls_{c}"].sum()),
+            }
+        meta = {
+            "version": 2,
+            "size": os.path.getsize(fpath),
+            "rows": int(pdf["__rows"].sum()),
+            "columns": file_cols,
+        }
+        if want_blocks:
+            meta["blocks"] = [
+                {
+                    "o": int(r["offset"]),
+                    "c": {
+                        c: [
+                            _json_stat_value(r[f"__min_{c}"]),
+                            _json_stat_value(r[f"__max_{c}"]),
+                            int(r[f"__nulls_{c}"]),
+                        ]
+                        for c in cols
+                    },
+                }
+                for _, r in pdf.iterrows()
+            ]
         tmp = fpath + STATS_SUFFIX + ".tmp"
         with open(tmp, "w") as f:
             _json.dump(meta, f)
         os.replace(tmp, fpath + STATS_SUFFIX)
-    return {"files": len(rows), "columns": cols}
+        return pd.DataFrame(
+            {"file": [fpath], "rows": [int(pdf["__rows"].sum())],
+             "n_blocks": [len(pdf)]}
+        )
+
+    summaries = (
+        per_block.groupBy("_file")
+        .applyInPandas(_write_sidecar, "file string, rows long, n_blocks long")
+        .collect()
+    )
+    return {
+        "files": len(summaries),
+        "rows": sum(r["rows"] for r in summaries),
+        "columns": cols,
+        "block_stats": blocks,
+    }

@@ -3019,6 +3019,74 @@ def sql_4mc_zonemap_scan_q(spark, sf):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@query(
+    "sql_4mc_zonemap_blocks_scan",
+    """SELECT event_type,
+              CAST(count(*) AS BIGINT) AS cnt,
+              CAST(sum(user_id) AS BIGINT) AS user_sum,
+              round(sum(value), 2) AS value_sum,
+              CAST(min(event_id) AS BIGINT) AS min_event,
+              CAST(max(event_id) AS BIGINT) AS max_event
+       FROM events WHERE event_id BETWEEN 800 AND 1999
+       GROUP BY event_type ORDER BY event_type""",
+)
+def sql_4mc_zonemap_blocks_scan_q(spark, sf):
+    # BLOCK tier of the zone map under the driver hash gate (round 9):
+    # sql_4mc_zonemap_scan proves file-level pruning; here events are
+    # globally SORTED by event_id into just 2 sealed files with 16 KiB
+    # blocks, so the range predicate's selectivity lives INSIDE files —
+    # analyze_stats(blocks=True) records per-block min/max keyed by the
+    # block offset the scan exposes, and the planner drops non-matching
+    # blocks within the kept file(s) (the parquet-row-group analog for
+    # sealed 4mc logs). The hash oracle is unforgiving about the two
+    # ownership seams: a line SPANNING into a dropped block must still
+    # complete (split spillover), and a line OWNED by a dropped block
+    # must not survive via its spill bytes. Partition-count pins:
+    # tests/test_datasource.py::test_block_zone_maps_prune_within_file.
+    import shutil
+    import tempfile
+
+    from fourmc_spark.operators.maintenance import analyze_stats
+    from fourmc_spark.session import register_fourmc
+
+    register_fourmc(spark)
+    ddl = "event_id bigint, user_id bigint, event_type string, value double"
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    d = tempfile.mkdtemp(prefix="fourmc-zonemap-blk-")
+    try:
+        (
+            ev.repartitionByRange(2, "event_id")
+            .sortWithinPartitions("event_id")
+            .select(F.to_json(F.struct(*ev.columns)).alias("value"))
+            .write.format("fourmc")
+            .option("codec", "zstd").option("level", "medium")
+            .option("blocksize", 16 * 1024)
+            .mode("overwrite").save(d)
+        )
+        analyze_stats(spark, d, ddl, blocks=True)
+        back = (
+            spark.read.format("fourmc")
+            .option("jsonschema", ddl).load(d)
+            .where(F.col("event_id").between(800, 1999))
+        )
+        out = (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.sum("user_id").cast("long").alias("user_sum"),
+                F.round(F.sum("value"), 2).alias("value_sum"),
+                F.min("event_id").cast("long").alias("min_event"),
+                F.max("event_id").cast("long").alias("max_event"),
+            )
+            .orderBy("event_type")
+        )
+        return _detach(out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _bpe_learn_sql(n_merges: int) -> str:
     """Unrolled BPE-training oracle (fixed greedy rounds, the pagerank /
     ivf_kmeans pattern). The trick that makes a merge round ONE SQL

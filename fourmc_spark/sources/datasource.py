@@ -294,8 +294,13 @@ class FourMcDataSourceReader(DataSourceReader):
                     for c, allowed in self._pcol_allowed.items()
                 ):
                     continue  # file pruned by partition-column predicate
-            if self._zone and _zone_file_pruned(path, self._zone):
-                continue  # file pruned by analyze_stats zone map
+            dropped_blocks: frozenset = frozenset()
+            if self._zone:
+                meta = _load_zone_sidecar(path)
+                if meta is not None:
+                    if _zone_file_pruned(meta, self._zone):
+                        continue  # file pruned by analyze_stats zone map
+                    dropped_blocks = _zone_dropped_blocks(meta, self._zone)
             if path.endswith(".zst"):
                 fsize = os.path.getsize(path)
                 if fsize:
@@ -339,13 +344,24 @@ class FourMcDataSourceReader(DataSourceReader):
                     i1 = bisect.bisect_right(offsets, self._off_hi)
                 if i0 >= i1:
                     continue  # no block can produce a matching row
+            # value-predicate block pruning (zone-map block tier): skip
+            # blocks whose per-block [min, max] excludes the pushed
+            # bounds. A partition's END may land on a dropped block —
+            # the reader streams past `end` to finish a line that STARTS
+            # inside the partition (Hadoop split spillover), so dropping
+            # a block only removes the lines it OWNS, exactly the rows
+            # the stats speak for.
             i = i0
             while i < i1:
+                if offsets[i] in dropped_blocks:
+                    i += 1
+                    continue
                 j = i + 1
                 while (
                     j < i1
                     and j - i < maxb
                     and offsets[j] - offsets[i] < step
+                    and offsets[j] not in dropped_blocks
                 ):
                     j += 1
                 astart = max(offsets[i], core.HEADER_SIZE)
@@ -622,40 +638,75 @@ def _zone_comparable(a, b) -> bool:
     )
 
 
-def _zone_file_pruned(path: str, zone: dict[str, list]) -> bool:
-    """True iff *path*'s analyze_stats sidecar PROVES no row can satisfy
-    the conjunction of pushed bounds. Conservative everywhere: missing,
-    unreadable, or stale sidecar (size mismatch), missing column, or
-    incomparable types => NOT pruned. Spark re-applies every filter
-    post-scan, so pruning can only remove provably-empty work."""
+def _load_zone_sidecar(path: str):
+    """The file's analyze_stats sidecar, or None when missing,
+    unreadable, or STALE (recorded size != current size — the data was
+    rewritten after ANALYZE)."""
     import json
 
     try:
         with open(path + STATS_SUFFIX) as f:
             meta = json.load(f)
         if meta.get("size") != os.path.getsize(path):
-            return False  # data changed since ANALYZE: sidecar is stale
-        cols = meta.get("columns", {})
+            return None
+        return meta
     except (OSError, ValueError):
-        return False
-    for col, (lo, lo_inc, hi, hi_inc) in zone.items():
-        if lo is None and hi is None:
+        return None
+
+
+def _range_excluded(mn, mx, bound) -> bool:
+    """True iff a column whose values span [mn, mx] provably cannot
+    satisfy the (lo, lo_inc, hi, hi_inc) bound conjunction. min/max of
+    None means the span holds no non-null value — range and equality
+    predicates reject NULL, so nothing can match."""
+    lo, lo_inc, hi, hi_inc = bound
+    if mn is None or mx is None:
+        return True
+    if lo is not None and _zone_comparable(mx, lo):
+        if mx < lo or (mx == lo and not lo_inc):
+            return True
+    if hi is not None and _zone_comparable(mn, hi):
+        if mn > hi or (mn == hi and not hi_inc):
+            return True
+    return False
+
+
+def _zone_file_pruned(meta: dict, zone: dict[str, list]) -> bool:
+    """True iff the sidecar PROVES no row in the file can satisfy the
+    conjunction of pushed bounds. Conservative everywhere: missing
+    column or incomparable types => NOT pruned. Spark re-applies every
+    filter post-scan, so pruning can only remove provably-empty work."""
+    cols = meta.get("columns", {})
+    for col, bound in zone.items():
+        if bound[0] is None and bound[2] is None:
             continue
         st = cols.get(col)
         if not isinstance(st, dict):
             continue
-        mn, mx = st.get("min"), st.get("max")
-        if mn is None or mx is None:
-            # the column has no non-null value in this file; range and
-            # equality predicates reject NULL, so no row can match
+        if _range_excluded(st.get("min"), st.get("max"), bound):
             return True
-        if lo is not None and _zone_comparable(mx, lo):
-            if mx < lo or (mx == lo and not lo_inc):
-                return True
-        if hi is not None and _zone_comparable(mn, hi):
-            if mn > hi or (mn == hi and not hi_inc):
-                return True
     return False
+
+
+def _zone_dropped_blocks(meta: dict, zone: dict[str, list]) -> frozenset:
+    """Block offsets whose per-block stats (sidecar ``blocks`` entries,
+    keyed by the compressed block offset that the scan's ``offset``
+    column exposes) prove the block owns no matching line. Blocks
+    absent from the sidecar are kept — same conservative contract as
+    the file tier."""
+    dropped = set()
+    for b in meta.get("blocks") or ():
+        c = b.get("c", {})
+        for col, bound in zone.items():
+            if bound[0] is None and bound[2] is None:
+                continue
+            st = c.get(col)
+            if not isinstance(st, (list, tuple)) or len(st) < 2:
+                continue
+            if _range_excluded(st[0], st[1], bound):
+                dropped.add(b.get("o"))
+                break
+    return frozenset(dropped)
 
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"

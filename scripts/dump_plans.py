@@ -73,6 +73,7 @@ SHOWCASE = [
     "stream_4mc_ordered_multibatch",  # O(1) ordered-names offset chain, sink-fed
     "text_heavy_hitters",       # MG candidate sketch + broadcast exact recount
     "sql_4mc_zonemap_scan",     # typed NDJSON scan, zone-map file pruning
+    "sql_4mc_zonemap_blocks_scan",  # block-tier zone maps inside kept files
 ]
 
 

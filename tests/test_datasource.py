@@ -748,3 +748,74 @@ def test_typed_scan_parses_only_declared_fields(spark, tmp_path):
              .option("jsonschema", "k bigint, name string").load(d))
     rows = typed.collect()
     assert [(r["k"], r["name"]) for r in rows] == [(1, "x")]
+
+
+def test_block_zone_maps_prune_within_file(spark, tmp_path):
+    """Block tier of the zone map: analyze_stats(blocks=True) records
+    per-block min/max keyed by the block offset the scan exposes, and
+    the planner skips non-matching blocks INSIDE kept files. Line
+    spillover across a dropped block boundary must not lose or
+    duplicate rows (the split reader streams past a partition end to
+    finish lines it owns)."""
+    import json as _json
+
+    from pyspark.sql.datasource import (
+        CaseInsensitiveDict, GreaterThanOrEqual, LessThan,
+    )
+
+    from fourmc_spark.operators.maintenance import analyze_stats
+    from fourmc_spark.sources.datasource import (
+        FourMcDataSourceReader, _parse_flat_ddl,
+    )
+
+    d = str(tmp_path / "bzm")
+    df = spark.range(4000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("n"), F.col("id") % 7).alias("name"),
+        (F.col("id") * 0.5).alias("v"),
+    )
+    (df.repartitionByRange(2, "k").sortWithinPartitions("k")
+       .select(F.to_json(F.struct("k", "name", "v")).alias("value"))
+       .write.format("fourmc").option("codec", "zstd")
+       .option("blocksize", 4096).mode("overwrite").save(d))
+    res = analyze_stats(spark, d, _ZM_DDL)
+    assert res["files"] == 2 and res["rows"] == 4000 and res["block_stats"]
+    import glob as _glob
+    sc = _json.load(open(sorted(_glob.glob(f"{d}/*.stats.json"))[0]))
+    assert sc["version"] == 2 and len(sc["blocks"]) > 4
+    assert all(len(b["c"]["k"]) == 3 for b in sc["blocks"])
+
+    schema = _parse_flat_ddl(_ZM_DDL)
+    opts = CaseInsensitiveDict(
+        {"path": d, "jsonschema": _ZM_DDL, "maxblockspersplit": "1"}
+    )
+    full = [p for p in FourMcDataSourceReader(opts, schema).partitions()
+            if p.path]
+    rd = FourMcDataSourceReader(opts, schema)
+    list(rd.pushFilters([GreaterThanOrEqual(("k",), 1000),
+                         LessThan(("k",), 1200)]))
+    pruned = [p for p in rd.partitions() if p.path]
+    # one file is zone-pruned entirely; inside the other only the few
+    # blocks whose [min,max] overlaps [1000,1200) survive
+    assert 0 < len(pruned) <= len(full) // 4, (len(pruned), len(full))
+    # and the real query is exact across dropped-block boundaries
+    typed = spark.read.format("fourmc").option("jsonschema", _ZM_DDL) \
+                 .option("maxblockspersplit", "1").load(d)
+    got = typed.filter((F.col("k") >= 1000) & (F.col("k") < 1200)) \
+               .agg(F.sum("k").alias("s"), F.count("*").alias("n")).first()
+    assert (got["s"], got["n"]) == (sum(range(1000, 1200)), 200)
+
+
+def test_analyze_stats_blocks_false_writes_v2_without_blocks(spark, tmp_path):
+    import glob as _glob
+    import json as _json
+
+    from fourmc_spark.operators.maintenance import analyze_stats
+
+    d = str(tmp_path / "noblocks")
+    _write_zm_tree(spark, d, n_files=2)
+    res = analyze_stats(spark, d, _ZM_DDL, blocks=False)
+    assert res["block_stats"] is False
+    sc = _json.load(open(sorted(_glob.glob(f"{d}/*.stats.json"))[0]))
+    assert "blocks" not in sc
+    assert set(sc["columns"]) == {"k", "name", "v"}
