@@ -819,3 +819,59 @@ def test_analyze_stats_blocks_false_writes_v2_without_blocks(spark, tmp_path):
     sc = _json.load(open(sorted(_glob.glob(f"{d}/*.stats.json"))[0]))
     assert "blocks" not in sc
     assert set(sc["columns"]) == {"k", "name", "v"}
+
+
+def test_zone_maps_compose_with_hive_partition_pruning(spark, tmp_path):
+    """All three file-pruning tiers stack: hive partition values (path),
+    zone maps (content), and block stats (within file) — applied to a
+    partitionby tree where every tier removes something."""
+    import json as _json
+
+    from pyspark.sql.datasource import (
+        CaseInsensitiveDict, EqualTo, GreaterThanOrEqual, LessThan,
+    )
+
+    from fourmc_spark.operators.maintenance import analyze_stats
+    from fourmc_spark.sources.datasource import (
+        FourMcDataSourceReader, _parse_flat_ddl,
+    )
+
+    d = str(tmp_path / "compose")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("n"), F.col("id") % 7).alias("name"),
+        (F.col("id") * 0.5).alias("v"),
+        (F.col("id") % 2).cast("string").alias("side"),
+    )
+    (df.repartitionByRange(4, "k").sortWithinPartitions("k")
+       .select(F.to_json(F.struct("k", "name", "v")).alias("value"), "side")
+       .write.format("fourmc").option("codec", "zstd")
+       .option("partitionby", "side").mode("overwrite").save(d))
+    res = analyze_stats(spark, d, _ZM_DDL)
+    assert res["files"] == 8  # 4 range buckets x 2 hive sides
+
+    schema_full = _parse_flat_ddl(_ZM_DDL)
+    from pyspark.sql.types import StringType, StructField, StructType
+    schema = StructType(
+        list(schema_full.fields) + [StructField("side", StringType())]
+    )
+    opts = CaseInsensitiveDict(
+        {"path": d, "jsonschema": _ZM_DDL, "partitioncolumns": "side"}
+    )
+    full = [p for p in FourMcDataSourceReader(opts, schema).partitions()
+            if p.path]
+    rd = FourMcDataSourceReader(opts, schema)
+    list(rd.pushFilters([
+        EqualTo(("side",), "1"),
+        GreaterThanOrEqual(("k",), 500), LessThan(("k",), 1000),
+    ]))
+    pruned = [p for p in rd.partitions() if p.path]
+    assert pruned and len(pruned) < len(full)
+    assert all("side=1" in p.path for p in pruned)
+    # the real query through both prunings stays exact
+    typed = (spark.read.format("fourmc").option("jsonschema", _ZM_DDL)
+             .option("partitioncolumns", "side").load(d)
+             .where((F.col("side") == "1")
+                    & (F.col("k") >= 500) & (F.col("k") < 1000)))
+    got = typed.agg(F.sum("k").alias("s"), F.count("*").alias("n")).first()
+    assert (got["s"], got["n"]) == (sum(x for x in range(500, 1000) if x % 2), 250)
