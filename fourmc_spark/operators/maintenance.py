@@ -457,42 +457,71 @@ def analyze_stats(
     import json as _json
 
     import pandas as pd
+    from pyspark.sql import types as T
 
     from fourmc_spark.sources.datasource import STATS_SUFFIX, _parse_flat_ddl
 
     st = _parse_flat_ddl(schema_ddl)  # same surface the typed scan takes
     cols = list(columns) if columns else [f.name for f in st.fields]
+    if "_file" in cols:
+        raise ValueError(
+            "analyze_stats: '_file' is the scan's provenance column and "
+            "cannot also be a payload column"
+        )
+    types = {f.name: f.dataType for f in st.fields}
+    # integral min/max travel as STRINGS through the pandas boundary:
+    # Arrow->pandas turns int64-with-nulls into float64, which silently
+    # rounds values above 2^53 — a zone map rounded DOWN can wrongly
+    # prune a file holding the true max (conservativeness violation)
+    integral = {
+        c for c in cols
+        if isinstance(types.get(c), (T.LongType, T.IntegerType, T.ShortType))
+    }
     src = (
         spark.read.format("fourmc")
         .option("withfilename", "true")
         .load(path)
+        # the payload struct stays NESTED: expanding _r.* would collide
+        # with the scan's _file/offset pseudo-columns when the DDL
+        # legally declares fields with those names
         .select(
             "_file", "offset", F.from_json("value", schema_ddl).alias("_r")
         )
-        .select("_file", "offset", "_r.*")
     )
     aggs = [F.count(F.lit(1)).cast("long").alias("__rows")]
-    for c in cols:
-        aggs.append(F.min(c).alias(f"__min_{c}"))
-        aggs.append(F.max(c).alias(f"__max_{c}"))
+    for i, c in enumerate(cols):
+        fc = F.col("_r").getField(c)
+        mn, mx = F.min(fc), F.max(fc)
+        if c in integral:
+            mn, mx = mn.cast("string"), mx.cast("string")
+        aggs.append(mn.alias(f"__min_{i}"))
+        aggs.append(mx.alias(f"__max_{i}"))
         aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-            .cast("long").alias(f"__nulls_{c}")
+            F.sum(F.when(fc.isNull(), 1).otherwise(0))
+            .cast("long").alias(f"__nulls_{i}")
         )
     per_block = src.groupBy("_file", "offset").agg(*aggs)
     want_blocks = blocks
+
+    def _decode(c: str, i: int, v):
+        v = _json_stat_value(v)
+        if v is not None and c in integral:
+            v = int(v)
+        return v
 
     def _write_sidecar(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
         fpath = key[0]
         pdf = pdf.sort_values("offset")
         file_cols = {}
-        for c in cols:
-            mns = pdf[f"__min_{c}"].dropna()
-            mxs = pdf[f"__max_{c}"].dropna()
+        for i, c in enumerate(cols):
+            mns = [x for x in (_decode(c, i, v) for v in pdf[f"__min_{i}"])
+                   if x is not None]
+            mxs = [x for x in (_decode(c, i, v) for v in pdf[f"__max_{i}"])
+                   if x is not None]
             file_cols[c] = {
-                "min": _json_stat_value(mns.min()) if len(mns) else None,
-                "max": _json_stat_value(mxs.max()) if len(mxs) else None,
-                "nulls": int(pdf[f"__nulls_{c}"].sum()),
+                "min": min(mns) if mns else None,
+                "max": max(mxs) if mxs else None,
+                "nulls": int(pdf[f"__nulls_{i}"].sum()),
             }
         meta = {
             "version": 2,
@@ -506,11 +535,11 @@ def analyze_stats(
                     "o": int(r["offset"]),
                     "c": {
                         c: [
-                            _json_stat_value(r[f"__min_{c}"]),
-                            _json_stat_value(r[f"__max_{c}"]),
-                            int(r[f"__nulls_{c}"]),
+                            _decode(c, i, r[f"__min_{i}"]),
+                            _decode(c, i, r[f"__max_{i}"]),
+                            int(r[f"__nulls_{i}"]),
                         ]
-                        for c in cols
+                        for i, c in enumerate(cols)
                     },
                 }
                 for _, r in pdf.iterrows()

@@ -1082,16 +1082,20 @@ def heavy_hitters(
        count_p >= phi*N_p on at least one partition (pigeonhole), and
        phi*N_p >= (2/m)*N_p > N_p/(m+1), so the union of partition
        sketches is a guaranteed candidate SUPERSET;
-    2. candidates (<= m per partition) are broadcast back and the
-       exact recount groups only matching tokens — the shuffle carries
-       at most m * n_partitions distinct keys, not the corpus. N
-       itself comes from a pure-JVM ``sum(size(tokens))`` pass (no
-       Python workers, whole-stage codegen).
+    2. candidates (<= m per partition, collected as model state with a
+       loud size guard — the same bounded-collect pattern as the
+       k-means/IVF quantizers) are broadcast back and the exact
+       recount groups only matching tokens — the shuffle carries at
+       most m * n_partitions distinct keys, not the corpus. Each
+       partition's sketch row set also carries its exact token count,
+       so N rides the sketch pass: the whole operator reads the corpus
+       exactly TWICE (sketch + recount).
 
     The output is exact, so the sketch's approximation error never
     reaches the caller; it only bounds which tokens pay the recount.
     """
     import math
+    import os
     from typing import Iterator
 
     import pandas as pd
@@ -1101,17 +1105,14 @@ def heavy_hitters(
     m = int(math.ceil(2.0 / phi))
 
     toks_expr = tokens_spark(text_col)
-    total = (
-        df.select(F.sum(F.size(F.expr(toks_expr))).alias("n")).first()["n"]
-        or 0
-    )
-    threshold = int(math.ceil(total * phi))
 
     def sketch(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         counters: dict[str, int] = {}
+        n_part = 0
         for pdf in it:
             s = pdf["toks"].explode()
             s = s[s.notna()]
+            n_part += len(s)
             for tok, c in s.value_counts().items():
                 counters[tok] = counters.get(tok, 0) + int(c)
             if len(counters) > m:
@@ -1120,12 +1121,30 @@ def heavy_hitters(
                 counters = {
                     t: c - d for t, c in counters.items() if c - d > 0
                 }
-        yield pd.DataFrame({"token": list(counters)}, dtype="object")
+        # one trailer row per partition carries its exact token count
+        yield pd.DataFrame(
+            {"token": pd.Series(list(counters) + [None], dtype="object"),
+             "npart": [0] * len(counters) + [n_part]}
+        )
 
-    candidates = (
+    max_candidates = int(os.environ.get("HH_MAX_CANDIDATES", 5_000_000))
+    summary = (
         df.select(F.expr(toks_expr).alias("toks"))
-        .mapInPandas(sketch, schema="token string")
-        .distinct()
+        .mapInPandas(sketch, schema="token string, npart long")
+        .collect()  # <= (m+1) rows per partition — sketch model state
+    )
+    if len(summary) > max_candidates:
+        raise ValueError(
+            f"heavy_hitters: candidate set {len(summary)} exceeds the "
+            f"driver guard ({max_candidates}); raise phi, coalesce the "
+            "input, or set HH_MAX_CANDIDATES"
+        )
+    total = sum(r["npart"] for r in summary)
+    threshold = int(math.ceil(total * phi))
+    cand = sorted({r["token"] for r in summary if r["token"] is not None})
+    spark = df.sparkSession
+    candidates = spark.createDataFrame(
+        [(t,) for t in cand], "token string"
     )
     exploded = df.select(F.explode(F.expr(toks_expr)).alias("token"))
     return (

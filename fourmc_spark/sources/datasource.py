@@ -136,6 +136,13 @@ class FourMcDataSource(DataSource):
             fields.append(StructField(c, StringType(), nullable=True))
         if str(self.options.get("withfilename", "false")).lower() == "true":
             fields.append(StructField("_file", StringType(), nullable=False))
+        names = [f.name for f in fields]
+        if len(set(names)) != len(names):
+            raise ValueError(
+                "fourmc: duplicate column names in the scan schema "
+                f"({names}) — jsonschema fields must not collide with "
+                "partitioncolumns or the _file provenance column"
+            )
         return StructType(fields)
 
     def reader(self, schema: StructType) -> "FourMcDataSourceReader":
@@ -216,7 +223,11 @@ class FourMcDataSourceReader(DataSourceReader):
             if not attr or len(attr) != 1:
                 continue
             col = attr[0]
-            if col == "offset":
+            # the offset pseudo-column exists only in (offset, value)
+            # mode; in typed mode a payload field named "offset" is an
+            # ordinary zone-map column — routing it here would prune
+            # blocks by COMPRESSED BYTE offsets against JSON values
+            if col == "offset" and self.json_schema is None:
                 v = getattr(flt, "value", None)
                 if not isinstance(v, int) or isinstance(v, bool):
                     continue
@@ -469,7 +480,13 @@ class FourMcDataSourceReader(DataSourceReader):
 
             def flush():
                 if typed:
-                    return _typed_batch(b"\n".join(lines))
+                    # empty lines (the sink writes NULL values that way)
+                    # must parse as all-null rows like from_json('') —
+                    # Arrow's reader would silently skip them (or raise
+                    # 'Empty JSON file' on an all-blank buffer)
+                    return _typed_batch(
+                        b"\n".join(ln if ln else b"{}" for ln in lines)
+                    )
                 arrays, names = [], []
                 if want_offset:
                     arrays.append(pa.array(offsets, type=pa.int64()))
@@ -520,12 +537,21 @@ class FourMcDataSourceReader(DataSourceReader):
                 if typed:
                     # join the Arrow line array into one NDJSON buffer
                     # (C-side: one-list binary_join), then parse — no
-                    # per-line Python
+                    # per-line Python. Empty lines become '{}' first so
+                    # they parse as all-null rows exactly like
+                    # from_json('') in value mode (Arrow's reader would
+                    # silently skip them, losing the NULL rows the sink
+                    # itself writes as empty lines)
                     import pyarrow.compute as pc
 
+                    strs = lines_arr.cast(pa.string())
+                    strs = pc.if_else(
+                        pc.equal(pc.binary_length(strs), 0),
+                        pa.scalar("{}"),
+                        strs,
+                    )
                     la = pa.ListArray.from_arrays(
-                        pa.array([0, len(lines_arr)], type=pa.int32()),
-                        lines_arr.cast(pa.string()),
+                        pa.array([0, len(strs)], type=pa.int32()), strs
                     )
                     nd = pc.binary_join(la, "\n")[0].as_buffer()
                     yield _with_pcols(_typed_batch(nd))

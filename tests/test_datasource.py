@@ -875,3 +875,92 @@ def test_zone_maps_compose_with_hive_partition_pruning(spark, tmp_path):
                     & (F.col("k") >= 500) & (F.col("k") < 1000)))
     got = typed.agg(F.sum("k").alias("s"), F.count("*").alias("n")).first()
     assert (got["s"], got["n"]) == (sum(x for x in range(500, 1000) if x % 2), 250)
+
+
+def test_typed_payload_column_named_offset_is_not_hijacked(spark, tmp_path):
+    """In typed mode a payload field named 'offset' is an ordinary
+    zone-map column; review finding r9: it used to route into the
+    COMPRESSED-byte block pruning and silently drop matching rows."""
+    from fourmc_spark.format.writer import write_file
+
+    d = str(tmp_path / "offcol")
+    os.makedirs(d)
+    body = b"".join(b'{"offset": %d, "msg": "m%d"}\n' % (i, i)
+                    for i in range(1000))
+    write_file(os.path.join(d, "a.4mz"), body, codec="zstd",
+               block_size=2048)
+    t = (spark.read.format("fourmc")
+         .option("jsonschema", "offset bigint, msg string").load(d))
+    got = t.filter(F.col("offset") >= 100).count()
+    assert got == 900
+
+
+def test_typed_scan_blank_lines_parse_as_null_rows(spark, tmp_path):
+    """Blank payload lines (how the sink writes NULL values) must come
+    back as all-null rows exactly like from_json('') — not be skipped
+    by Arrow's reader, and an all-blank block must not crash."""
+    from fourmc_spark.format.writer import write_file
+
+    d = str(tmp_path / "blanks")
+    os.makedirs(d)
+    write_file(os.path.join(d, "a.4mz"), b'{"k": 1}\n\n{"k": 2}\n\n\n',
+               codec="zstd")
+    write_file(os.path.join(d, "b.4mz"), b"\n\n", codec="zstd")
+    typed = (spark.read.format("fourmc").option("jsonschema", _ZM_DDL)
+             .load(d))
+    ref = (spark.read.format("fourmc").load(d)
+           .select(F.from_json("value", _ZM_DDL).alias("r")).select("r.*"))
+    assert typed.count() == ref.count() == 7
+    assert typed.filter(F.col("k").isNull()).count() == 5
+    # and the null-value roundtrip through the SINK composes: the sink
+    # writes a NULL value as an empty line, and a typed scan of its
+    # output still sees every row
+    out = str(tmp_path / "blanks_out")
+    (spark.createDataFrame([('{"k":7}',), (None,), ('{"k":8}',)],
+                           "value string")
+     .coalesce(1).write.format("fourmc").mode("overwrite").save(out))
+    t2 = (spark.read.format("fourmc")
+          .option("jsonschema", "k bigint").load(out))
+    assert t2.count() == 3
+    assert t2.filter(F.col("k").isNull()).count() == 1
+
+
+def test_schema_rejects_colliding_column_names(spark, tmp_path):
+    d = str(tmp_path / "collide")
+    _write_zm_tree(spark, d, n_files=1)
+    with pytest.raises(Exception, match="duplicate column names"):
+        (spark.read.format("fourmc")
+         .option("jsonschema", "k bigint, _file string")
+         .option("withfilename", "true").load(d).count())
+
+
+def test_analyze_stats_exact_above_2_53_and_offset_field(spark, tmp_path):
+    """Two review findings r9: (1) int64 min/max must survive the
+    pandas boundary exactly even when another block is all-null for
+    the column (float64 coercion rounds above 2^53 and a rounded-down
+    max wrongly prunes the file holding the true max); (2) a payload
+    field named 'offset' must not collide with the scan pseudo-column
+    during analysis."""
+    import glob as _glob
+    import json as _json
+
+    from fourmc_spark.format.writer import write_file
+    from fourmc_spark.operators.maintenance import analyze_stats
+
+    big = (1 << 53) + 1
+    d = str(tmp_path / "bigint")
+    os.makedirs(d)
+    # two blocks: one all-null for k (forces float64 coercion pre-fix)
+    write_file(os.path.join(d, "a.4mz"),
+               b'{"k": null, "offset": 1}\n' * 40
+               + b'{"k": %d, "offset": 2}\n' % big,
+               codec="zstd", block_size=256)
+    res = analyze_stats(spark, d, "k bigint, offset bigint")
+    assert res["files"] == 1
+    sc = _json.load(open(_glob.glob(f"{d}/*.stats.json")[0]))
+    assert sc["columns"]["k"]["max"] == big  # exact, not 2^53
+    assert sc["columns"]["offset"]["max"] == 2
+    # the zone map built this way never prunes the true-max row
+    t = (spark.read.format("fourmc")
+         .option("jsonschema", "k bigint, offset bigint").load(d))
+    assert t.filter(F.col("k") == big).count() == 1
