@@ -59,7 +59,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from fourmc_spark.format import core
 from fourmc_spark.format.reader import iter_block_payloads, scan_file_info
 from fourmc_spark.format.writer import FourMcWriter, normalize_codec
-from fourmc_spark.sources.datasource import _list_files
+from fourmc_spark.sources.datasource import _list_files, _load_zone_sidecar
 
 __all__ = [
     "analyze_stats",
@@ -234,25 +234,30 @@ def plan_compaction(
     return bins
 
 
-def _append_raw_blocks(out_f, offsets: list[int], src: str) -> int:
-    """Copy *src*'s framed blocks verbatim; returns blocks copied."""
-    n = 0
+def _append_raw_blocks(
+    out_f, offsets: list[int], src: str
+) -> list[tuple[int, int]]:
+    """Copy *src*'s framed blocks verbatim; returns the (input offset,
+    output offset) pair of every copied block, in file order."""
+    pairs: list[tuple[int, int]] = []
     with open(src, "rb") as f:
         core.decode_header(f.read(core.HEADER_SIZE))
         while True:
+            in_off = f.tell()
             hdr = f.read(core.BLOCK_HEADER_SIZE)
             if len(hdr) < core.BLOCK_HEADER_SIZE:
                 raise core.BadBlockError(f"{src}: truncated block header")
             usize, csize, checksum = struct.unpack(">III", hdr)
             if usize == 0 and csize == 0 and checksum == 0:
-                return n  # EOS — footer follows; nothing left to copy
+                return pairs  # EOS — footer follows; nothing left to copy
             payload = f.read(csize)
             if len(payload) != csize:
                 raise core.BadBlockError(f"{src}: truncated block payload")
-            offsets.append(out_f.tell())
+            out_off = out_f.tell()
+            offsets.append(out_off)
+            pairs.append((in_off, out_off))
             out_f.write(hdr)
             out_f.write(payload)
-            n += 1
 
 
 def _last_block_ends_with_newline(src: str) -> bool:
@@ -266,18 +271,52 @@ def _last_block_ends_with_newline(src: str) -> bool:
 
 
 def compact_group(
-    plan: CompactionPlan, out_path: str, newline_fix: bool = True
+    plan: CompactionPlan,
+    out_path: str,
+    newline_fix: bool = True,
+    carry_stats: bool = True,
 ) -> dict:
-    """Compact one plan into *out_path* (executor-side; pure file I/O)."""
+    """Compact one plan into *out_path* (executor-side; pure file I/O).
+
+    ``carry_stats=True`` forwards analyze_stats zone maps WITHOUT
+    re-analyzing: raw-copied blocks keep their per-block min/max (the
+    entries remap from input to output offsets), and the file tier
+    merges the inputs' file stats. Two conservativeness rules:
+
+    * carried only when EVERY input has a valid (size-matching)
+      sidecar — otherwise the output gets none;
+    * each input's LAST copied block loses its entry. Concatenation
+      moves ownership of the NEXT input's first line into it (the line
+      is preceded by the prior input's final byte), so its input-time
+      stats would be too NARROW — and narrow stats can wrongly prune.
+      Too-wide stats (the next input's block 0 no longer owns its
+      first line) are safe and kept.
+    """
     magic = core.magic_for_codec(plan.codec)
     offsets: list[int] = []
     blocks = 0
     fixes = 0
+    metas = (
+        {src: _load_zone_sidecar(src) for src in plan.inputs}
+        if carry_stats else {}
+    )
+    carry = bool(metas) and all(m is not None for m in metas.values())
+    block_entries: list[dict] = []
     tmp = f"{out_path}.inprogress"
     with open(tmp, "wb") as out_f:
         out_f.write(core.encode_header(magic))
         for src in plan.inputs:
-            blocks += _append_raw_blocks(out_f, offsets, src)
+            pairs = _append_raw_blocks(out_f, offsets, src)
+            blocks += len(pairs)
+            if carry and pairs:
+                by_off = {
+                    b.get("o"): b.get("c")
+                    for b in metas[src].get("blocks") or ()
+                }
+                for in_off, out_off in pairs[:-1]:  # drop the seam block
+                    c = by_off.get(in_off)
+                    if c is not None:
+                        block_entries.append({"o": out_off, "c": c})
             if newline_fix and not _last_block_ends_with_newline(src):
                 offsets.append(out_f.tell())
                 out_f.write(core.encode_block(1, b"\n", compressed=False))
@@ -286,13 +325,55 @@ def compact_group(
         out_f.write(core.encode_eos())
         out_f.write(core.encode_footer(magic, offsets))
     os.replace(tmp, out_path)
+    if carry:
+        _write_carried_sidecar(
+            out_path, [metas[s] for s in plan.inputs], block_entries
+        )
     return {
         "out": out_path,
         "inputs": len(plan.inputs),
         "blocks": blocks,
         "newline_fixes": fixes,
+        "stats_carried": carry,
         "bytes": os.path.getsize(out_path),
     }
+
+
+def _write_carried_sidecar(
+    out_path: str, metas: list[dict], block_entries: list[dict]
+) -> None:
+    """Merge the inputs' file-tier stats and attach the remapped block
+    entries. A column enters the merged file tier only when EVERY input
+    records it (a gap would make the merged range too narrow)."""
+    import json as _json
+
+    common = set(metas[0].get("columns", {}))
+    for m in metas[1:]:
+        common &= set(m.get("columns", {}))
+    file_cols = {}
+    for c in sorted(common):
+        stats = [m["columns"][c] for m in metas]
+        mns = [s.get("min") for s in stats if s.get("min") is not None]
+        mxs = [s.get("max") for s in stats if s.get("max") is not None]
+        file_cols[c] = {
+            "min": min(mns) if mns else None,
+            "max": max(mxs) if mxs else None,
+            "nulls": sum(int(s.get("nulls") or 0) for s in stats),
+        }
+    meta = {
+        "version": 2,
+        "size": os.path.getsize(out_path),
+        "rows": sum(int(m.get("rows") or 0) for m in metas),
+        "columns": file_cols,
+        "blocks": block_entries,
+        "carried": True,
+    }
+    from fourmc_spark.sources.datasource import STATS_SUFFIX
+
+    tmp = out_path + STATS_SUFFIX + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    os.replace(tmp, out_path + STATS_SUFFIX)
 
 
 def _recompress_group(
@@ -340,6 +421,7 @@ def compact_blocks(
     newline_fix: bool = True,
     codec: str | None = None,
     level="medium",
+    carry_stats: bool = True,
 ) -> dict:
     """Compact a tree of sealed 4mc/4mz files into *out_dir* by raw
     block copy (no recompression). Hive subdirectories are mirrored
@@ -378,7 +460,10 @@ def compact_blocks(
     def _run(job):
         p, out_path, out_codec = job
         if not reseal and out_codec == p.codec:
-            return compact_group(p, out_path, newline_fix=newline_fix)
+            return compact_group(
+                p, out_path, newline_fix=newline_fix,
+                carry_stats=carry_stats,
+            )
         return _recompress_group(
             p, out_path, out_codec, level, workers=1,
             newline_fix=newline_fix,
@@ -393,6 +478,7 @@ def compact_blocks(
         "outputs": len(results),
         "bytes": sum(r["bytes"] for r in results),
         "newline_fixes": sum(r["newline_fixes"] for r in results),
+        "stats_carried": sum(1 for r in results if r.get("stats_carried")),
         "skipped": skipped,
         "files": results,
     }

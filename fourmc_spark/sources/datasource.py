@@ -180,6 +180,18 @@ class FourMcDataSourceReader(DataSourceReader):
             str(options.get("skipfirstline", "false")).lower() == "true"
         )
         self.pcols = _partition_col_opt(options)
+        # pushdown=false: per-read opt-out of ALL planning-time pruning.
+        # Spark 4.1.2 caches one readInfo per relation instance
+        # (PythonDataSourceV2.getOrCreateReadInfo): after a FILTERED
+        # action on a base load() DataFrame, a later action on the SAME
+        # DataFrame with fewer/different filters skips the pushdown
+        # re-plan and silently reuses the pruned scan. Safe patterns:
+        # call load() per query (planning is O(files)), keep one
+        # filtered DataFrame per filter set, or set pushdown=false on
+        # reads that will be reused with varying filters.
+        self.pushdown_enabled = (
+            str(options.get("pushdown", "true")).lower() != "false"
+        )
         self.with_file = (
             str(options.get("withfilename", "false")).lower() == "true"
         )
@@ -217,6 +229,9 @@ class FourMcDataSourceReader(DataSourceReader):
             EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan,
             LessThanOrEqual,
         )
+
+        if not self.pushdown_enabled:
+            return filters  # record nothing: the scan never prunes
 
         for flt in filters:
             attr = getattr(flt, "attribute", None)

@@ -964,3 +964,46 @@ def test_analyze_stats_exact_above_2_53_and_offset_field(spark, tmp_path):
     t = (spark.read.format("fourmc")
          .option("jsonschema", "k bigint, offset bigint").load(d))
     assert t.filter(F.col("k") == big).count() == 1
+
+
+def test_spark_readinfo_cache_hazard_characterized(spark, tmp_path):
+    """Spark 4.1.2 caches one readInfo per Python-DataSource relation
+    (PythonDataSourceV2.getOrCreateReadInfo): after a FILTERED action
+    on a base load() DataFrame, a later action on the SAME DataFrame
+    with fewer filters skips the pushdown re-plan and reuses the
+    pruned scan. This pins the hazard (so a Spark upgrade that fixes
+    it shows up as a failing assertion to relax), the safe patterns,
+    and the pushdown=false escape hatch."""
+    from fourmc_spark.format.writer import write_file
+
+    d = str(tmp_path / "readinfo")
+    os.makedirs(d)
+    write_file(os.path.join(d, "a.4mz"),
+               b"".join(b"line-%d\n" % i for i in range(5000)),
+               codec="zstd", block_size=1024)
+
+    # fresh load per query: always correct
+    assert spark.read.format("fourmc").load(d).count() == 5000
+
+    # the hazard: base DataFrame reused across differing filter sets
+    base = spark.read.format("fourmc").load(d)
+    assert base.count() == 5000                     # unfiltered plans fine
+    assert base.filter(F.col("offset") > 10**9).count() == 0  # re-plans
+    stale = base.count()                            # reuses PRUNED scan
+    assert stale == 0, (
+        "Spark now re-plans python-datasource scans per query — "
+        "readInfo cache hazard fixed upstream; relax this pin and the "
+        "pushdown=false guidance"
+    )
+
+    # safe pattern 1: one DataFrame per filter set
+    fixed = spark.read.format("fourmc").load(d).filter(
+        F.col("offset") <= 10**9
+    )
+    assert fixed.count() == 5000 and fixed.count() == 5000
+
+    # safe pattern 2 (escape hatch): pushdown=false never prunes, so
+    # reuse with varying filters stays correct (post-scan filters only)
+    nopd = spark.read.format("fourmc").option("pushdown", "false").load(d)
+    assert nopd.filter(F.col("offset") > 10**9).count() == 0
+    assert nopd.count() == 5000

@@ -281,3 +281,108 @@ def test_compact_skips_unindexed_containers(spark, tmp_path):
     assert stats["outputs"] == 1
     assert [os.path.basename(p) for p in stats["skipped"]] == ["events.zst"]
     assert not glob.glob(f"{out}/*.zst")
+
+
+# ---------------------------------------------------------------------------
+# Zone-map carrying through compaction (round 9)
+# ---------------------------------------------------------------------------
+
+
+def _mk_ndjson_tree(d: str, n_files: int = 4, rows: int = 100) -> None:
+    os.makedirs(d, exist_ok=True)
+    for i in range(n_files):
+        base = i * rows
+        body = b"".join(
+            b'{"k": %d, "v": %d}\n' % (base + j, (base + j) * 2)
+            for j in range(rows)
+        )
+        write_file(os.path.join(d, f"in{i:04d}.4mz"), body,
+                   codec="zstd", block_size=512)
+
+
+def test_compact_carries_zone_maps(spark, tmp_path):
+    """compact_blocks(carry_stats=True) forwards analyze_stats sidecars
+    without re-analyzing: block entries remap to output offsets, file
+    tiers merge, and the carried file tier equals a fresh ANALYZE of
+    the compacted tree."""
+    import json as _json
+
+    from fourmc_spark.operators.maintenance import analyze_stats
+    from fourmc_spark.sources.datasource import (
+        STATS_SUFFIX, _load_zone_sidecar,
+    )
+
+    src = str(tmp_path / "zc_in")
+    out = str(tmp_path / "zc_out")
+    ddl = "k bigint, v bigint"
+    _mk_ndjson_tree(src, n_files=4, rows=100)
+    analyze_stats(spark, src, ddl)
+    stats = compact_blocks(spark, src, out, target_bytes=1 << 40)
+    assert stats["outputs"] == 1 and stats["stats_carried"] == 1
+    outs = glob.glob(f"{out}/*.4mz")
+    carried = _load_zone_sidecar(outs[0])
+    assert carried is not None and carried.get("carried")
+    assert carried["rows"] == 400
+    assert carried["columns"]["k"] == {"min": 0, "max": 399, "nulls": 0}
+    carried_block_offs = {b["o"] for b in carried["blocks"]}
+    # carried entries land on REAL output block offsets
+    from fourmc_spark.format.reader import scan_file_info
+    real_offs = set(scan_file_info(outs[0])[2])
+    assert carried_block_offs <= real_offs
+    # fresh ANALYZE agrees on the file tier (rows + merged min/max/nulls)
+    snapshot = dict(carried)
+    analyze_stats(spark, out, ddl)
+    fresh = _json.load(open(outs[0] + STATS_SUFFIX))
+    assert fresh["rows"] == snapshot["rows"]
+    assert fresh["columns"] == snapshot["columns"]
+    # and carried block offsets are a subset of the fresh ones
+    assert carried_block_offs <= {b["o"] for b in fresh["blocks"]}
+
+
+def test_carried_stats_never_prune_the_seam_line(spark, tmp_path):
+    """The concatenation seam: input B's FIRST line becomes owned by
+    input A's LAST block in the output (its preceding byte is A's
+    final newline). A's input-time last-block stats exclude that line,
+    so carrying them verbatim would let a predicate matching only that
+    line prune the block that now owns it. compact_group drops every
+    input's last-block entry — the seam line must survive any pruning."""
+    from pyspark.sql import functions as F
+
+    from fourmc_spark.operators.maintenance import analyze_stats
+    from fourmc_spark.sources.datasource import _load_zone_sidecar
+
+    src = str(tmp_path / "seam_in")
+    out = str(tmp_path / "seam_out")
+    ddl = "k bigint, v bigint"
+    _mk_ndjson_tree(src, n_files=2, rows=100)  # A: k 0..99, B: k 100..199
+    analyze_stats(spark, src, ddl)
+    compact_blocks(spark, src, out, target_bytes=1 << 40)
+    outf = glob.glob(f"{out}/*.4mz")[0]
+    carried = _load_zone_sidecar(outf)
+    # the seam block (A's last) has no entry; with per-block splits the
+    # query that matches ONLY the seam-owned line must still find it.
+    # One load() per query — the readInfo cache hazard pinned in
+    # test_spark_readinfo_cache_hazard_characterized forbids reusing a
+    # base DataFrame across differing filter sets.
+    def typed():
+        return (spark.read.format("fourmc").option("jsonschema", ddl)
+                .option("maxblockspersplit", "1").load(out))
+
+    assert typed().filter(F.col("k") == 100).count() == 1
+    assert typed().count() == 200
+    # range queries across the seam stay exact under carried pruning
+    got = typed().filter((F.col("k") >= 95) & (F.col("k") < 105)) \
+                 .agg(F.sum("k").alias("s")).first()["s"]
+    assert got == sum(range(95, 105))
+    assert carried and len(carried["blocks"]) > 0
+
+
+def test_compact_without_input_sidecars_carries_nothing(spark, tmp_path):
+    from fourmc_spark.sources.datasource import _load_zone_sidecar
+
+    src = str(tmp_path / "nc_in")
+    out = str(tmp_path / "nc_out")
+    _mk_ndjson_tree(src, n_files=2)
+    stats = compact_blocks(spark, src, out, target_bytes=1 << 40)
+    assert stats["stats_carried"] == 0
+    assert _load_zone_sidecar(glob.glob(f"{out}/*.4mz")[0]) is None
