@@ -144,6 +144,8 @@ BENCH_QUERIES = [
     # (file tier + block tier)
     "sql_4mc_zonemap_scan",
     "sql_4mc_zonemap_blocks_scan",
+    # round 9: full lifecycle — ANALYZE -> carry-stats compact -> pruned query
+    "maintenance_compact_zonemap",
 ]
 
 

@@ -4493,6 +4493,102 @@ def stream_4mc_tumbling_q(spark, sf):
 
 
 @query(
+    "maintenance_compact_zonemap",
+    """SELECT event_type,
+              CAST(count(*) AS BIGINT) AS cnt,
+              CAST(sum(user_id) AS BIGINT) AS user_sum,
+              round(sum(value), 2) AS value_sum,
+              CAST(min(event_id) AS BIGINT) AS min_event,
+              CAST(max(event_id) AS BIGINT) AS max_event
+       FROM events WHERE event_id BETWEEN 2000 AND 3599
+       GROUP BY event_type ORDER BY event_type""",
+)
+def maintenance_compact_zonemap_q(spark, sf):
+    # The full sealed-log LIFECYCLE under one hash gate (round 9):
+    # ingest (6 id-sorted small files) -> ANALYZE (two-tier zone maps)
+    # -> compact_blocks (raw copy CARRIES the zone maps: block entries
+    # remap to output offsets, file tiers merge, seam blocks dropped)
+    # -> range query over the COMPACTED tree through the typed scan,
+    # pruned by the CARRIED sidecars with no re-ANALYZE. The oracle is
+    # the plain batch query over events, so a carried entry that is too
+    # narrow at a concatenation seam (a lost first-line), a mis-remapped
+    # block offset, or an over-merged file tier breaks the hash. A
+    # poison file (garbage bytes + valid out-of-range sidecar) planted
+    # in the compacted dir proves file-tier pruning engages end-to-end.
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from fourmc_spark.operators.maintenance import analyze_stats, compact_blocks
+    from fourmc_spark.session import register_fourmc
+    from fourmc_spark.sources.datasource import STATS_SUFFIX
+
+    register_fourmc(spark)
+    ddl = "event_id bigint, user_id bigint, event_type string, value double"
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="fourmc-compact-zm-")
+    staged, out = f"{root}/staged", f"{root}/compact"
+    try:
+        (
+            ev.repartitionByRange(6, "event_id")
+            .sortWithinPartitions("event_id")
+            .select(F.to_json(F.struct(*ev.columns)).alias("value"))
+            .write.format("fourmc")
+            .option("codec", "zstd").option("level", "medium")
+            .option("blocksize", 16 * 1024)
+            .mode("overwrite").save(staged)
+        )
+        analyze_stats(spark, staged, ddl)
+        import glob as _glob
+        total = sum(
+            os.path.getsize(p) for p in _glob.glob(f"{staged}/part-*.4mz")
+        )
+        stats = compact_blocks(
+            spark, staged, out, target_bytes=max(1, total // 2)
+        )
+        assert stats["stats_carried"] == stats["outputs"], stats
+        poison = os.path.join(out, "poison.4mz")
+        with open(poison, "wb") as f:
+            f.write(b"NOT-A-4MC-CONTAINER" * 16)
+        with open(poison + STATS_SUFFIX, "w") as f:
+            _json.dump(
+                {
+                    "version": 2,
+                    "size": os.path.getsize(poison),
+                    "rows": 1,
+                    "columns": {
+                        "event_id": {
+                            "min": 10**9, "max": 2 * 10**9, "nulls": 0
+                        }
+                    },
+                },
+                f,
+            )
+        back = (
+            spark.read.format("fourmc")
+            .option("jsonschema", ddl).load(out)
+            .where(F.col("event_id").between(2000, 3599))
+        )
+        agg = (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.sum("user_id").cast("long").alias("user_sum"),
+                F.round(F.sum("value"), 2).alias("value_sum"),
+                F.min("event_id").cast("long").alias("min_event"),
+                F.max("event_id").cast("long").alias("max_event"),
+            )
+            .orderBy("event_type")
+        )
+        return _detach(agg)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "stream_4mc_multibatch",
     """SELECT date_trunc('hour', ts) AS win_start, event_type,
               CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS sum_value
