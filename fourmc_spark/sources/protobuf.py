@@ -103,6 +103,9 @@ class FourMcProtoReader(FourMcDataSourceReader):
         self._pcol_allowed = {}
         self._zone = {}  # typed-scan zone maps are a text-source feature
         self.json_schema = None  # ditto for the jsonschema typed scan
+        self.pushdown_enabled = (
+            str(options.get("pushdown", "true")).lower() != "false"
+        )
 
     def read(self, partition: FourMcInputPartition):
         import pyarrow as pa

@@ -74,6 +74,7 @@ SHOWCASE = [
     "text_heavy_hitters",       # MG candidate sketch + broadcast exact recount
     "sql_4mc_zonemap_scan",     # typed NDJSON scan, zone-map file pruning
     "sql_4mc_zonemap_blocks_scan",  # block-tier zone maps inside kept files
+    "maintenance_compact_zonemap",  # ANALYZE -> carry-stats compact -> pruned query
 ]
 
 
