@@ -200,16 +200,27 @@ class FourMcDataSourceReader(DataSourceReader):
             _parse_flat_ddl(js) if js else None
         )
         self.columns = [f.name for f in schema.fields]
-        # planning-time pruning state, filled by pushFilters(): an
-        # inclusive [lo, hi] constraint on the offset column (hi=None =
-        # unbounded), per-partition-column allowed value sets, and — in
-        # typed (jsonschema) mode — per-column zone constraints checked
-        # against analyze_stats() sidecars
+        self._init_pruning_state()
+
+    def _init_pruning_state(self) -> None:
+        """Planning-time pruning state, filled by pushFilters(): an
+        inclusive [lo, hi] constraint on the offset column (hi=None =
+        unbounded), per-partition-column allowed value sets, and — in
+        typed (jsonschema) mode — per-column zone constraints checked
+        against analyze_stats() sidecars. Subclasses with their own
+        __init__ (the protobuf reader) MUST call this so the inherited
+        pushFilters()/partitions() find every attribute they touch."""
         self._off_lo: int = 0
         self._off_hi: int | None = None
         self._pcol_allowed: dict[str, set] = {}
         # col -> [lo_value, lo_inclusive, hi_value, hi_inclusive]
         self._zone: dict[str, list] = {}
+        if not hasattr(self, "pcols"):
+            self.pcols = []
+        if not hasattr(self, "json_schema"):
+            self.json_schema = None
+        if not hasattr(self, "pushdown_enabled"):
+            self.pushdown_enabled = True
 
     def pushFilters(self, filters):
         """Planning-time pruning, the query-side payoff of the footer

@@ -94,18 +94,14 @@ class FourMcProtoReader(FourMcDataSourceReader):
         self.verify = str(options.get("verify", "true")).lower() != "false"
         self.proto_schema = _schema_from_options(options)
         self.columns = [f.name for f in schema.fields]
-        # pruning state consumed by the inherited partitions(); the proto
-        # source exposes no offset/partition columns, so these stay inert
-        # unless pushFilters ever runs
-        self.pcols = []
-        self._off_lo = 0
-        self._off_hi = None
-        self._pcol_allowed = {}
-        self._zone = {}  # typed-scan zone maps are a text-source feature
-        self.json_schema = None  # ditto for the jsonschema typed scan
         self.pushdown_enabled = (
             str(options.get("pushdown", "true")).lower() != "false"
         )
+        # shared pruning state consumed by the inherited pushFilters()/
+        # partitions(); the proto source exposes no offset/partition/
+        # typed columns, so it stays inert (defaults: pcols=[],
+        # json_schema=None)
+        self._init_pruning_state()
 
     def read(self, partition: FourMcInputPartition):
         import pyarrow as pa
