@@ -301,6 +301,16 @@ def compact_group(
         if carry_stats else {}
     )
     carry = bool(metas) and all(m is not None for m in metas.values())
+    if carry and not newline_fix:
+        # with the newline fix OFF, an unterminated non-final input
+        # GLUES its last line onto the next input's first — the glued
+        # line is owned by the block holding the last terminator, whose
+        # carried stats would be too narrow (and narrow stats can
+        # wrongly prune). Conservative: carry nothing for such groups.
+        if any(
+            not _last_block_ends_with_newline(s) for s in plan.inputs[:-1]
+        ):
+            carry = False
     block_entries: list[dict] = []
     tmp = f"{out_path}.inprogress"
     with open(tmp, "wb") as out_f:
@@ -329,6 +339,8 @@ def compact_group(
         _write_carried_sidecar(
             out_path, [metas[s] for s in plan.inputs], block_entries
         )
+    else:
+        _drop_stale_sidecar(out_path)
     return {
         "out": out_path,
         "inputs": len(plan.inputs),
@@ -339,6 +351,19 @@ def compact_group(
     }
 
 
+def _drop_stale_sidecar(out_path: str) -> None:
+    """A rerun into the same out_dir writes deterministic compact-NNNNNN
+    names: when the new output carries no stats, a sidecar left by an
+    earlier run must not survive next to it — the size check alone
+    could accept it if the byte sizes happen to collide."""
+    from fourmc_spark.sources.datasource import STATS_SUFFIX
+
+    try:
+        os.remove(out_path + STATS_SUFFIX)
+    except OSError:
+        pass
+
+
 def _write_carried_sidecar(
     out_path: str, metas: list[dict], block_entries: list[dict]
 ) -> None:
@@ -346,6 +371,8 @@ def _write_carried_sidecar(
     entries. A column enters the merged file tier only when EVERY input
     records it (a gap would make the merged range too narrow)."""
     import json as _json
+
+    from fourmc_spark.sources.datasource import _zone_comparable
 
     common = set(metas[0].get("columns", {}))
     for m in metas[1:]:
@@ -355,6 +382,13 @@ def _write_carried_sidecar(
         stats = [m["columns"][c] for m in metas]
         mns = [s.get("min") for s in stats if s.get("min") is not None]
         mxs = [s.get("max") for s in stats if s.get("max") is not None]
+        vals = mns + mxs
+        if any(not _zone_comparable(vals[0], v) for v in vals[1:]):
+            # inputs analyzed under different DDLs for this column:
+            # min()/max() across mixed types would raise, and even a
+            # successful mix could understate the range — skip it
+            # (conservative: the column never file-prunes)
+            continue
         file_cols[c] = {
             "min": min(mns) if mns else None,
             "max": max(mxs) if mxs else None,
@@ -404,6 +438,7 @@ def _recompress_group(
                 fixes += 1
         w.close()
     os.replace(tmp, out_path)
+    _drop_stale_sidecar(out_path)  # recompression invalidates zone maps
     return {
         "out": out_path,
         "inputs": len(plan.inputs),

@@ -180,8 +180,9 @@ class FourMcDataSourceReader(DataSourceReader):
             str(options.get("skipfirstline", "false")).lower() == "true"
         )
         self.pcols = _partition_col_opt(options)
-        # pushdown=false: per-read opt-out of ALL planning-time pruning.
-        # Spark 4.1.2 caches one readInfo per relation instance
+        # pushdown=false (parsed in _init_pruning_state): per-read
+        # opt-out of ALL planning-time pruning. Spark 4.1.2 caches one
+        # readInfo per relation instance
         # (PythonDataSourceV2.getOrCreateReadInfo): after a FILTERED
         # action on a base load() DataFrame, a later action on the SAME
         # DataFrame with fewer/different filters skips the pushdown
@@ -189,9 +190,6 @@ class FourMcDataSourceReader(DataSourceReader):
         # call load() per query (planning is O(files)), keep one
         # filtered DataFrame per filter set, or set pushdown=false on
         # reads that will be reused with varying filters.
-        self.pushdown_enabled = (
-            str(options.get("pushdown", "true")).lower() != "false"
-        )
         self.with_file = (
             str(options.get("withfilename", "false")).lower() == "true"
         )
@@ -200,27 +198,32 @@ class FourMcDataSourceReader(DataSourceReader):
             _parse_flat_ddl(js) if js else None
         )
         self.columns = [f.name for f in schema.fields]
-        self._init_pruning_state()
+        self._init_pruning_state(options)
 
-    def _init_pruning_state(self) -> None:
+    def _init_pruning_state(self, options) -> None:
         """Planning-time pruning state, filled by pushFilters(): an
-        inclusive [lo, hi] constraint on the offset column (hi=None =
-        unbounded), per-partition-column allowed value sets, and — in
-        typed (jsonschema) mode — per-column zone constraints checked
-        against analyze_stats() sidecars. Subclasses with their own
-        __init__ (the protobuf reader) MUST call this so the inherited
-        pushFilters()/partitions() find every attribute they touch."""
+        inclusive [lo, hi] constraint on the offset pseudo-column
+        (hi=None = unbounded), per-partition-column allowed value sets,
+        and — in typed (jsonschema) mode — per-column zone constraints
+        checked against analyze_stats() sidecars. Subclasses with their
+        own __init__ (the protobuf reader) MUST call this so the
+        inherited pushFilters()/partitions() find every attribute they
+        touch — and must set offset_is_pseudo=False when their schema's
+        'offset' (if any) is a PAYLOAD field, not the scan's
+        compressed-block-offset column."""
         self._off_lo: int = 0
         self._off_hi: int | None = None
         self._pcol_allowed: dict[str, set] = {}
         # col -> [lo_value, lo_inclusive, hi_value, hi_inclusive]
         self._zone: dict[str, list] = {}
+        self.pushdown_enabled = (
+            str(options.get("pushdown", "true")).lower() != "false"
+        )
+        self.offset_is_pseudo = True
         if not hasattr(self, "pcols"):
             self.pcols = []
         if not hasattr(self, "json_schema"):
             self.json_schema = None
-        if not hasattr(self, "pushdown_enabled"):
-            self.pushdown_enabled = True
 
     def pushFilters(self, filters):
         """Planning-time pruning, the query-side payoff of the footer
@@ -249,11 +252,14 @@ class FourMcDataSourceReader(DataSourceReader):
             if not attr or len(attr) != 1:
                 continue
             col = attr[0]
-            # the offset pseudo-column exists only in (offset, value)
-            # mode; in typed mode a payload field named "offset" is an
-            # ordinary zone-map column — routing it here would prune
-            # blocks by COMPRESSED BYTE offsets against JSON values
-            if col == "offset" and self.json_schema is None:
+            # the offset pseudo-column exists only in the text source's
+            # (offset, value) mode; in typed mode — and in the protobuf
+            # source, whose user-defined schema may legally hold a
+            # payload field named "offset" — routing it here would
+            # prune blocks by COMPRESSED BYTE offsets against record
+            # values
+            if (col == "offset" and self.offset_is_pseudo
+                    and self.json_schema is None):
                 v = getattr(flt, "value", None)
                 if not isinstance(v, int) or isinstance(v, bool):
                     continue

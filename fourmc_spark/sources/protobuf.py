@@ -94,14 +94,12 @@ class FourMcProtoReader(FourMcDataSourceReader):
         self.verify = str(options.get("verify", "true")).lower() != "false"
         self.proto_schema = _schema_from_options(options)
         self.columns = [f.name for f in schema.fields]
-        self.pushdown_enabled = (
-            str(options.get("pushdown", "true")).lower() != "false"
-        )
         # shared pruning state consumed by the inherited pushFilters()/
-        # partitions(); the proto source exposes no offset/partition/
-        # typed columns, so it stays inert (defaults: pcols=[],
-        # json_schema=None)
-        self._init_pruning_state()
+        # partitions(); every proto column is a PAYLOAD field from the
+        # user's schema — including one legally named "offset", which
+        # must never route into the compressed-block-offset pruning
+        self._init_pruning_state(options)
+        self.offset_is_pseudo = False
 
     def read(self, partition: FourMcInputPartition):
         import pyarrow as pa

@@ -386,3 +386,88 @@ def test_compact_without_input_sidecars_carries_nothing(spark, tmp_path):
     stats = compact_blocks(spark, src, out, target_bytes=1 << 40)
     assert stats["stats_carried"] == 0
     assert _load_zone_sidecar(glob.glob(f"{out}/*.4mz")[0]) is None
+
+
+def test_compact_carry_disabled_when_glue_possible(spark, tmp_path):
+    """newline_fix=False + an unterminated non-final input glues lines
+    across the seam; carried block stats would be too narrow for the
+    block owning the glued line, so carry must shut off entirely."""
+    from fourmc_spark.operators.maintenance import analyze_stats
+    from fourmc_spark.sources.datasource import _load_zone_sidecar
+
+    src = str(tmp_path / "glue_in")
+    out = str(tmp_path / "glue_out")
+    os.makedirs(src)
+    write_file(os.path.join(src, "a.4mz"), b'{"k": 1, "v": 1}', codec="zstd")
+    write_file(os.path.join(src, "b.4mz"), b'{"k": 2, "v": 2}\n',
+               codec="zstd")
+    analyze_stats(spark, src, "k bigint, v bigint")
+    stats = compact_blocks(spark, src, out, target_bytes=1 << 40,
+                           newline_fix=False)
+    assert stats["stats_carried"] == 0
+    assert _load_zone_sidecar(glob.glob(f"{out}/*.4mz")[0]) is None
+    # terminated inputs with the fix off still carry
+    out2 = str(tmp_path / "glue_out2")
+    src2 = str(tmp_path / "glue_in2")
+    os.makedirs(src2)
+    write_file(os.path.join(src2, "a.4mz"), b'{"k": 1, "v": 1}\n',
+               codec="zstd")
+    write_file(os.path.join(src2, "b.4mz"), b'{"k": 2, "v": 2}\n',
+               codec="zstd")
+    analyze_stats(spark, src2, "k bigint, v bigint")
+    stats2 = compact_blocks(spark, src2, out2, target_bytes=1 << 40,
+                            newline_fix=False)
+    assert stats2["stats_carried"] == 1
+
+
+def test_compact_rerun_drops_stale_sidecar(spark, tmp_path):
+    """Deterministic compact-NNNNNN names: a rerun into the same out_dir
+    that does NOT carry stats must remove a sidecar left by an earlier
+    carrying run — the size check alone could accept it on a size
+    collision and then prune against the wrong data."""
+    from fourmc_spark.operators.maintenance import analyze_stats
+    from fourmc_spark.sources.datasource import _load_zone_sidecar
+
+    src = str(tmp_path / "rerun_in")
+    out = str(tmp_path / "rerun_out")
+    _mk_ndjson_tree(src, n_files=2, rows=50)
+    analyze_stats(spark, src, "k bigint, v bigint")
+    compact_blocks(spark, src, out, target_bytes=1 << 40)
+    outf = glob.glob(f"{out}/*.4mz")[0]
+    assert _load_zone_sidecar(outf) is not None
+    # rerun without input sidecars (fresh un-analyzed inputs)
+    src2 = str(tmp_path / "rerun_in2")
+    _mk_ndjson_tree(src2, n_files=2, rows=50)
+    stats = compact_blocks(spark, src2, out, target_bytes=1 << 40)
+    assert stats["stats_carried"] == 0
+    assert not os.path.exists(outf + ".stats.json")
+    # and the reseal path also invalidates
+    compact_blocks(spark, src, out, target_bytes=1 << 40)  # carried again
+    outs = glob.glob(f"{out}/*.stats.json")
+    assert outs
+    compact_blocks(spark, src, out, target_bytes=1 << 40,
+                   codec="zstd", level="high")  # forced reseal
+    assert not glob.glob(f"{out}/*.stats.json")
+
+
+def test_carried_merge_skips_incomparable_columns(tmp_path):
+    """Inputs analyzed under different DDLs for the same column name
+    (string vs bigint min/max) must not crash the merge; the column is
+    skipped (conservative) while comparable columns survive."""
+    import json as _json
+
+    from fourmc_spark.operators.maintenance import _write_carried_sidecar
+    from fourmc_spark.sources.datasource import STATS_SUFFIX
+
+    outf = str(tmp_path / "m.4mz")
+    write_file(outf, b"x\n", codec="zstd")
+    metas = [
+        {"rows": 1, "columns": {"k": {"min": 5, "max": 9, "nulls": 0},
+                                "v": {"min": 1, "max": 2, "nulls": 0}}},
+        {"rows": 1, "columns": {"k": {"min": "abc", "max": "zzz", "nulls": 0},
+                                "v": {"min": 3, "max": 4, "nulls": 0}}},
+    ]
+    _write_carried_sidecar(outf, metas, [])
+    sc = _json.load(open(outf + STATS_SUFFIX))
+    assert "k" not in sc["columns"]
+    assert sc["columns"]["v"] == {"min": 1, "max": 4, "nulls": 0}
