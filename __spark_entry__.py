@@ -55,11 +55,12 @@ sys.path.insert(0, _HERE)
 # surface. _PRIORITY pins this round's most important unverified queries
 # to the very front.
 _PRIORITY: list[str] = [
-    # round 9: 163/169 driver-verified (CORRECTNESS_r01-r08 union, all
+    # round 9: 163/170 driver-verified (CORRECTNESS_r01-r08 union, all
     # green); the round-9 additions (stream_4mc_ordered_multibatch,
     # maintenance_compact_4mc, text_heavy_hitters, sql_4mc_zonemap_scan,
-    # sql_4mc_zonemap_blocks_scan, maintenance_compact_zonemap) are the
-    # only unverified queries and sort ahead of verified ones
+    # sql_4mc_zonemap_blocks_scan, maintenance_compact_zonemap,
+    # sql_4mc_sinkstats_scan) are the only unverified queries and sort
+    # ahead of verified ones
     # automatically via _ordered(), so nothing needs pinning. The
     # rotation gives the driver's 50-slot window a regression
     # re-confirmation pass over long-verified queries each round.

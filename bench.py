@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     "sql_4mc_zonemap_blocks_scan",
     # round 9: full lifecycle — ANALYZE -> carry-stats compact -> pruned query
     "maintenance_compact_zonemap",
+    # round 9: write-time zone maps (sink statsschema), no ANALYZE pass
+    "sql_4mc_sinkstats_scan",
 ]
 
 

@@ -4493,6 +4493,89 @@ def stream_4mc_tumbling_q(spark, sf):
 
 
 @query(
+    "sql_4mc_sinkstats_scan",
+    """SELECT event_type,
+              CAST(count(*) AS BIGINT) AS cnt,
+              CAST(sum(user_id) AS BIGINT) AS user_sum,
+              round(sum(value), 2) AS value_sum,
+              CAST(min(event_id) AS BIGINT) AS min_event,
+              CAST(max(event_id) AS BIGINT) AS max_event
+       FROM events WHERE event_id BETWEEN 400 AND 1599
+       GROUP BY event_type ORDER BY event_type""",
+)
+def sql_4mc_sinkstats_scan_q(spark, sf):
+    # Zone maps at WRITE time (round 9): the sink's statsschema option
+    # computes each sealed file's min/max from the exact rows it
+    # receives and seals the sidecar with the file — fresh ingest
+    # prunes immediately, no ANALYZE pass at all. Construction mirrors
+    # sql_4mc_zonemap_scan minus analyze_stats: events write id-sorted
+    # into 6 files WITH statsschema, a poison file (garbage bytes +
+    # valid out-of-range sidecar) is planted, and the range query must
+    # both hash-match the batch oracle (sink-computed stats that were
+    # too NARROW would prune real rows and break the hash) and survive
+    # the poison (proving pruning engaged before any footer read).
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from fourmc_spark.session import register_fourmc
+    from fourmc_spark.sources.datasource import STATS_SUFFIX
+
+    register_fourmc(spark)
+    ddl = "event_id bigint, user_id bigint, event_type string, value double"
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    d = tempfile.mkdtemp(prefix="fourmc-sinkstats-")
+    try:
+        (
+            ev.repartitionByRange(6, "event_id")
+            .select(F.to_json(F.struct(*ev.columns)).alias("value"))
+            .write.format("fourmc")
+            .option("codec", "zstd").option("level", "medium")
+            .option("statsschema", ddl)
+            .mode("overwrite").save(d)
+        )
+        poison = os.path.join(d, "poison.4mz")
+        with open(poison, "wb") as f:
+            f.write(b"NOT-A-4MC-CONTAINER" * 16)
+        with open(poison + STATS_SUFFIX, "w") as f:
+            _json.dump(
+                {
+                    "version": 2,
+                    "size": os.path.getsize(poison),
+                    "rows": 1,
+                    "columns": {
+                        "event_id": {
+                            "min": 10**9, "max": 2 * 10**9, "nulls": 0
+                        }
+                    },
+                },
+                f,
+            )
+        back = (
+            spark.read.format("fourmc")
+            .option("jsonschema", ddl).load(d)
+            .where(F.col("event_id").between(400, 1599))
+        )
+        out = (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.sum("user_id").cast("long").alias("user_sum"),
+                F.round(F.sum("value"), 2).alias("value_sum"),
+                F.min("event_id").cast("long").alias("min_event"),
+                F.max("event_id").cast("long").alias("max_event"),
+            )
+            .orderBy("event_type")
+        )
+        return _detach(out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
     "maintenance_compact_zonemap",
     """SELECT event_type,
               CAST(count(*) AS BIGINT) AS cnt,

@@ -910,6 +910,17 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
             succ = os.path.join(self.path, "_SUCCESS")
             if os.path.exists(succ):
                 self.existing.append(succ)
+        # statsschema=<flat ddl>: the task computes file-tier zone maps
+        # (min/max/null-count per declared column) from the NDJSON value
+        # lines WHILE writing, and seals a .stats.json sidecar next to
+        # each file — fresh ingest prunes immediately, no ANALYZE lag.
+        # Requires the value lines to be valid NDJSON for the declared
+        # fields (the to_json(struct(...)) pipeline); Arrow-parsed per
+        # batch, zero cost when unset.
+        ss = options.get("statsschema")
+        self.stats_schema: StructType | None = (
+            _parse_flat_ddl(ss) if ss else None
+        )
         # pick the string column to serialize as lines
         data_names = [n for n in names if n not in self.partition_cols]
         if "value" in data_names:
@@ -958,8 +969,12 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
         os.makedirs(staging, exist_ok=True)
         task_id = uuid.uuid4().hex
 
-        streams: dict[str, tuple] = {}  # reldir -> (fileobj, writer)
+        streams: dict[str, tuple] = {}  # reldir -> (fileobj, writer, staged, acc)
         files: list[tuple[str, str]] = []
+        stat_cols = (
+            [f.name for f in self.stats_schema.fields]
+            if self.stats_schema is not None else []
+        )
 
         def _writer_for(reldir: str):
             if reldir in streams:
@@ -980,18 +995,90 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
                 w = FourMcWriter(
                     f, codec=codec, level=self.level, block_size=self.block_size
                 )
-            streams[reldir] = (f, w)
+            acc = (
+                {"rows": 0, "cols": {c: [None, None, 0] for c in stat_cols}}
+                if self.stats_schema is not None else None
+            )
+            streams[reldir] = (f, w, staged, acc)
             files.append((staged, final))
             return w
+
+        def _accumulate_stats(reldir: str, values: "pa.Array") -> None:
+            # file-tier zone map from the exact lines this file receives:
+            # one Arrow JSON parse per batch (C-side), typed min_max —
+            # int64 stays exact (no pandas float64 boundary)
+            import pyarrow.compute as pc
+            import pyarrow.json as pj
+
+            acc = streams[reldir][3]
+            strs = values.cast(pa.string())
+            # NULL values write as empty lines; both read back as
+            # all-null rows, so both stat as '{}'
+            strs = pc.fill_null(strs, "{}")
+            strs = pc.if_else(
+                pc.equal(pc.binary_length(strs), 0), pa.scalar("{}"), strs
+            )
+            la = pa.ListArray.from_arrays(
+                pa.array([0, len(strs)], type=pa.int32()), strs
+            )
+            nd = pc.binary_join(la, "\n")[0].as_buffer()
+            tbl = pj.read_json(
+                pa.BufferReader(nd),
+                parse_options=pj.ParseOptions(
+                    explicit_schema=_arrow_schema_for(self.stats_schema),
+                    unexpected_field_behavior="ignore",
+                ),
+            )
+            acc["rows"] += len(strs)
+            for c in stat_cols:
+                col = tbl.column(c)
+                st = acc["cols"][c]
+                st[2] += col.null_count
+                if col.null_count < len(col):
+                    mm = pc.min_max(col)
+                    mn = mm["min"].as_py()
+                    mx = mm["max"].as_py()
+                    if st[0] is None or mn < st[0]:
+                        st[0] = mn
+                    if st[1] is None or mx > st[1]:
+                        st[1] = mx
+
+        def _seal_sidecar(f, staged: str, acc) -> None:
+            if acc is None:
+                return
+            import datetime
+            import json as _json
+
+            def _jv(v):
+                if isinstance(v, (datetime.datetime, datetime.date)):
+                    return (v.isoformat(sep=" ") if hasattr(v, "hour")
+                            else v.isoformat())
+                return v
+
+            meta = {
+                "version": 2,
+                "size": os.path.getsize(staged),
+                "rows": acc["rows"],
+                "columns": {
+                    c: {"min": _jv(st[0]), "max": _jv(st[1]), "nulls": st[2]}
+                    for c, st in acc["cols"].items()
+                },
+            }
+            with open(staged + STATS_SUFFIX, "w") as sf:
+                _json.dump(meta, sf)
+
+        def _close_stream(reldir: str) -> None:
+            f, w, staged, acc = streams.pop(reldir)
+            w.close()
+            f.close()
+            _seal_sidecar(f, staged, acc)
 
         def _roll_if_needed(reldir: str) -> None:
             if self.max_file_bytes <= 0 or reldir not in streams:
                 return
-            f, w = streams[reldir]
+            f = streams[reldir][0]
             if f.tell() >= self.max_file_bytes:
-                w.close()
-                f.close()
-                del streams[reldir]  # next batch opens a fresh sealed file
+                _close_stream(reldir)  # next batch opens a fresh sealed file
 
         def _sub_batches(batch: "pa.RecordBatch"):
             # with rolling on, bound the roll-check granularity: a task's
@@ -1012,6 +1099,10 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
                         _writer_for("").write(
                             _join_lines(batch.column(self.value_col))
                         )
+                        if self.stats_schema is not None:
+                            _accumulate_stats(
+                                "", batch.column(self.value_col)
+                            )
                         _roll_if_needed("")
                         continue
                     for reldir, sub in _split_by_partition(
@@ -1020,11 +1111,14 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
                         _writer_for(reldir).write(
                             _join_lines(sub.column(self.value_col))
                         )
+                        if self.stats_schema is not None:
+                            _accumulate_stats(
+                                reldir, sub.column(self.value_col)
+                            )
                         _roll_if_needed(reldir)
         finally:
-            for f, w in streams.values():
-                w.close()
-                f.close()
+            for reldir in list(streams):
+                _close_stream(reldir)
         return FourMcCommitMessage(files=tuple(files))
 
     def commit(self, messages) -> None:
@@ -1039,6 +1133,9 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
                 for staged, final in m.files:
                     os.makedirs(os.path.dirname(final), exist_ok=True)
                     os.replace(staged, final)
+                    # statsschema sidecar rides along with its data file
+                    if os.path.exists(staged + STATS_SUFFIX):
+                        os.replace(staged + STATS_SUFFIX, final + STATS_SUFFIX)
         staging = os.path.join(self.path, "_temporary")
         try:
             os.rmdir(staging)
@@ -1051,5 +1148,6 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
         for m in messages or []:
             if m is not None:
                 for staged, _ in m.files:
-                    if os.path.exists(staged):
-                        os.remove(staged)
+                    for p in (staged, staged + STATS_SUFFIX):
+                        if os.path.exists(p):
+                            os.remove(p)

@@ -389,12 +389,15 @@ class FourMcStreamWriter(DataSourceStreamArrowWriter):
         return self._w.write(iterator)
 
     def _discard_staging(self, messages) -> None:
+        from fourmc_spark.sources.datasource import STATS_SUFFIX
+
         for m in messages or []:
             if m is None:
                 continue
             for staged, _final in m.files:
-                if staged and os.path.exists(staged):
-                    os.remove(staged)
+                for p in (staged, staged + STATS_SUFFIX if staged else None):
+                    if p and os.path.exists(p):
+                        os.remove(p)
         try:
             os.rmdir(os.path.join(self.path, "_temporary"))
         except OSError:
@@ -463,12 +466,15 @@ class FourMcStreamWriter(DataSourceStreamArrowWriter):
                 d = os.path.dirname(final)
                 ext = os.path.splitext(final)[1]
                 os.makedirs(d, exist_ok=True)
-                os.replace(
-                    staged,
-                    os.path.join(
-                        d, f"part-b{batchId:010d}-{ti:05d}-{fi:03d}{ext}"
-                    ),
+                newname = os.path.join(
+                    d, f"part-b{batchId:010d}-{ti:05d}-{fi:03d}{ext}"
                 )
+                os.replace(staged, newname)
+                from fourmc_spark.sources.datasource import STATS_SUFFIX
+
+                if os.path.exists(staged + STATS_SUFFIX):
+                    # statsschema sidecar follows its sealed file
+                    os.replace(staged + STATS_SUFFIX, newname + STATS_SUFFIX)
         self._write_marker(done_marker, batchId)
         staging = os.path.join(self.path, "_temporary")
         try:
@@ -477,9 +483,4 @@ class FourMcStreamWriter(DataSourceStreamArrowWriter):
             pass
 
     def abort(self, messages, batchId: int) -> None:
-        for m in messages or []:
-            if m is None:
-                continue
-            for staged, _final in m.files:
-                if staged and os.path.exists(staged):
-                    os.remove(staged)
+        self._discard_staging(messages)

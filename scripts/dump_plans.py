@@ -75,6 +75,7 @@ SHOWCASE = [
     "sql_4mc_zonemap_scan",     # typed NDJSON scan, zone-map file pruning
     "sql_4mc_zonemap_blocks_scan",  # block-tier zone maps inside kept files
     "maintenance_compact_zonemap",  # ANALYZE -> carry-stats compact -> pruned query
+    "sql_4mc_sinkstats_scan",   # write-time zone maps from the sink itself
 ]
 
 

@@ -1007,3 +1007,121 @@ def test_spark_readinfo_cache_hazard_characterized(spark, tmp_path):
     nopd = spark.read.format("fourmc").option("pushdown", "false").load(d)
     assert nopd.filter(F.col("offset") > 10**9).count() == 0
     assert nopd.count() == 5000
+
+
+def test_sink_statsschema_writes_sidecars(spark, tmp_path):
+    """option('statsschema', ddl) on the sink: every sealed file gets a
+    file-tier zone map computed from the exact rows it received — equal
+    to what a post-hoc ANALYZE would record, with no second pass."""
+    import json as _json
+
+    from fourmc_spark.operators.maintenance import analyze_stats
+
+    d = str(tmp_path / "ss")
+    df = spark.range(400).select(
+        F.to_json(F.struct(
+            F.col("id").alias("k"),
+            F.concat(F.lit("n"), F.col("id") % 7).alias("name"),
+            (F.col("id") * 0.5).alias("v"),
+        )).alias("value")
+    )
+    (df.repartitionByRange(3, "value").write.format("fourmc")
+       .option("codec", "zstd").option("statsschema", _ZM_DDL)
+       .mode("overwrite").save(d))
+    sidecars = sorted(glob.glob(f"{d}/*.stats.json"))
+    assert len(sidecars) == 3
+    sink_stats = {p: _json.load(open(p)) for p in sidecars}
+    for p, sc in sink_stats.items():
+        assert sc["size"] == os.path.getsize(p[: -len(".stats.json")])
+    # a fresh ANALYZE (file tier) agrees exactly
+    analyze_stats(spark, d, _ZM_DDL, blocks=False)
+    for p, sc in sink_stats.items():
+        fresh = _json.load(open(p))
+        assert fresh["rows"] == sc["rows"]
+        assert fresh["columns"] == sc["columns"]
+    # null values (empty lines) stat as all-null rows
+    d2 = str(tmp_path / "ss_null")
+    (spark.createDataFrame([('{"k":1}',), (None,), ('{"k":3}',)],
+                           "value string")
+     .coalesce(1).write.format("fourmc")
+     .option("statsschema", "k bigint").mode("overwrite").save(d2))
+    sc2 = _json.load(open(glob.glob(f"{d2}/*.stats.json")[0]))
+    assert sc2["rows"] == 3
+    assert sc2["columns"]["k"] == {"min": 1, "max": 3, "nulls": 1}
+
+
+def test_sink_statsschema_with_rolling_and_partitionby(spark, tmp_path):
+    import json as _json
+
+    d = str(tmp_path / "ss_roll")
+    df = spark.range(12000).select(
+        F.col("id").alias("k"),
+        F.to_json(F.struct(
+            F.col("id").alias("k"),
+            F.lit("x").alias("name"),
+            (F.col("id") * 1.0).alias("v"),
+        )).alias("value"),
+        (F.col("id") % 2).cast("string").alias("side"),
+    )
+    (df.coalesce(1).sortWithinPartitions("k").drop("k")
+       .write.format("fourmc").option("codec", "zstd")
+       .option("statsschema", _ZM_DDL)
+       .option("partitionby", "side")
+       .option("blocksize", 1024).option("maxfilebytes", 2048)
+       .mode("overwrite").save(d))
+    data_files = sorted(
+        p for p in glob.glob(f"{d}/side=*/*.4mz")
+    )
+    assert len(data_files) > 4  # rolled
+    total_rows = 0
+    for p in data_files:
+        sc = _json.load(open(p + ".stats.json"))
+        assert sc["size"] == os.path.getsize(p)
+        total_rows += sc["rows"]
+        assert sc["columns"]["k"]["min"] is not None
+    assert total_rows == 12000
+    # immediate pruning over the sink-written sidecars stays exact
+    typed = (spark.read.format("fourmc").option("jsonschema", _ZM_DDL)
+             .option("partitioncolumns", "side").load(d)
+             .where((F.col("k") >= 1000) & (F.col("k") < 1100)))
+    assert typed.count() == 100
+
+
+def test_stream_sink_statsschema_sidecars(spark, tmp_path):
+    """The streaming sink inherits statsschema through the batch task
+    body: each sealed micro-batch file gets a sidecar under its
+    deterministic committed name, and a no-op replay discards the
+    replay attempt's staged sidecars."""
+    import json as _json
+
+    import pyarrow as pa
+    from pyspark.sql.datasource import CaseInsensitiveDict
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from fourmc_spark.sources.stream import FourMcStreamWriter
+
+    out = str(tmp_path / "ss_stream")
+    os.makedirs(out)
+    schema = StructType([StructField("value", StringType())])
+    rows = ['{"k": %d}' % i for i in range(100)]
+
+    def attempt():
+        w = FourMcStreamWriter(
+            CaseInsensitiveDict({"path": out, "codec": "zstd",
+                                 "statsschema": "k bigint"}),
+            schema, overwrite=False,
+        )
+        msg = w.write(iter([pa.RecordBatch.from_pydict({"value": rows})]))
+        w.commit([msg], batchId=3)
+
+    attempt()
+    data = glob.glob(f"{out}/part-b*.4mz")
+    assert len(data) == 1
+    sc = _json.load(open(data[0] + ".stats.json"))
+    assert sc["rows"] == 100
+    assert sc["columns"]["k"] == {"min": 0, "max": 99, "nulls": 0}
+    assert sc["size"] == os.path.getsize(data[0])
+    before = sorted(os.listdir(out))
+    attempt()  # replay no-ops; staged file AND sidecar discarded
+    assert sorted(os.listdir(out)) == before
+    assert not os.path.exists(os.path.join(out, "_temporary"))
