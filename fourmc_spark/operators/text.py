@@ -1062,6 +1062,67 @@ def bpe_encode(df: DataFrame, merges, text_col: str = "text",
     return df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)
 
 
+#: merge fan-in for the distributed Misra-Gries reduction — a CONSTANT,
+#: so the final single-partition merge sees <= MG_MERGE_PARTS*(m+1) rows
+#: no matter how many partitions the corpus scan ran with.
+MG_MERGE_PARTS = 32
+
+
+def _mg_merged_summary(sketch_df: DataFrame, m: int) -> DataFrame:
+    """Merge per-partition Misra-Gries summaries into ONE summary <= m.
+
+    Input/output schema: ``token string, w long`` — token rows carry MG
+    weights; null-token trailer rows carry exact per-partition token
+    counts (summed through every stage, so the final trailer is N).
+
+    Two stages, both streaming the same capacity-m reduction used by
+    the sketch pass (Agarwal et al., "Mergeable Summaries", PODS'12):
+    a hash repartition on token into ``MG_MERGE_PARTS`` partitions
+    (all partial weights for a token meet in one place; nulls co-hash
+    so N sums correctly), then a single-partition final merge over the
+    <= MG_MERGE_PARTS*(m+1) survivors. The subtract-(m+1)-th-largest
+    step destroys >= (m+1)*d weight per reduction, so total undercount
+    anywhere is <= N/(m+1) regardless of merge topology — see the
+    ``heavy_hitters`` docstring for why that keeps the superset
+    guarantee intact.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    def mg_merge(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        counters: dict[str, int] = {}
+        n_tot = 0
+        for pdf in it:
+            mask = pdf["token"].notna()
+            n_tot += int(pdf["w"][~mask].sum())
+            summed = (
+                pd.DataFrame({"t": pdf["token"][mask], "c": pdf["w"][mask]})
+                .groupby("t", sort=False)["c"].sum()
+            )
+            for tok, c in summed.items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > m:
+                vals = sorted(counters.values(), reverse=True)
+                d = vals[m]
+                counters = {
+                    t: c - d for t, c in counters.items() if c - d > 0
+                }
+        yield pd.DataFrame(
+            {"token": pd.Series(list(counters) + [None], dtype="object"),
+             "w": pd.Series(list(counters.values()) + [n_tot],
+                            dtype="int64")}
+        )
+
+    schema = "token string, w long"
+    return (
+        sketch_df.repartition(MG_MERGE_PARTS, "token")
+        .mapInPandas(mg_merge, schema=schema)
+        .repartition(1)
+        .mapInPandas(mg_merge, schema=schema)
+    )
+
+
 def heavy_hitters(
     df: DataFrame, phi: float = 0.001, text_col: str = "text"
 ) -> DataFrame:
@@ -1077,22 +1138,35 @@ def heavy_hitters(
        m = ceil(2/phi) per partition (``mapInPandas``, Arrow-batched,
        vectorized ``value_counts`` merged into the sketch with the
        subtract-(m+1)-th-largest reduction of Agarwal et al.,
-       "Mergeable Summaries", PODS'12). MG guarantees undercounts by
-       at most N_p/(m+1); any token with global count >= phi*N has
-       count_p >= phi*N_p on at least one partition (pigeonhole), and
-       phi*N_p >= (2/m)*N_p > N_p/(m+1), so the union of partition
-       sketches is a guaranteed candidate SUPERSET;
-    2. candidates (<= m per partition, collected as model state with a
-       loud size guard — the same bounded-collect pattern as the
-       k-means/IVF quantizers) are broadcast back and the exact
-       recount groups only matching tokens — the shuffle carries at
-       most m * n_partitions distinct keys, not the corpus. Each
-       partition's sketch row set also carries its exact token count,
-       so N rides the sketch pass: the whole operator reads the corpus
-       exactly TWICE (sketch + recount).
+       "Mergeable Summaries", PODS'12), emitting (token, weight) rows
+       plus one trailer row per partition with its exact token count;
+    2. the per-partition summaries are merged DISTRIBUTED, never on the
+       driver: a hash repartition on token routes each token's partial
+       weights to one of a constant number of merge partitions, each of
+       which streams its rows through the same MG reduction, then a
+       final single-partition pass merges those into ONE summary of at
+       most m rows. The mergeability argument is global: every
+       reduction step (sketch-build or merge) that subtracts d destroys
+       at least (m+1)*d of summary weight, and only N weight is ever
+       inserted, so the SUM of all subtractions anywhere in the DAG is
+       <= N/(m+1) — any token's total undercount is bounded by that
+       same budget. A true heavy hitter has count >= ceil(phi*N) >
+       N/(m+1) (m = ceil(2/phi) gives m+1 > 2/phi), so it survives the
+       final summary with positive weight: the merged summary is a
+       guaranteed candidate SUPERSET of size <= m, independent of the
+       input partition count. The driver collects only those <= m+1
+       rows (candidates + N trailer);
+    3. candidates are broadcast back and the exact recount groups only
+       matching tokens — the shuffle carries at most m distinct keys,
+       not the corpus. The whole operator reads the corpus exactly
+       TWICE (sketch + recount).
 
     The output is exact, so the sketch's approximation error never
     reaches the caller; it only bounds which tokens pay the recount.
+    The ``HH_MAX_CANDIDATES`` guard is checked BEFORE any job runs —
+    after the distributed merge the collect is structurally <= m+1
+    rows, so the only way to exceed it is an m (i.e. a phi) that was
+    too aggressive to begin with.
     """
     import math
     import os
@@ -1103,6 +1177,13 @@ def heavy_hitters(
     if not 0.0 < phi <= 1.0:
         raise ValueError(f"phi must be in (0, 1], got {phi}")
     m = int(math.ceil(2.0 / phi))
+    max_candidates = int(os.environ.get("HH_MAX_CANDIDATES", 5_000_000))
+    if m + 1 > max_candidates:
+        raise ValueError(
+            f"heavy_hitters: sketch capacity m+1={m + 1} (phi={phi}) "
+            f"exceeds the driver guard ({max_candidates}); raise phi "
+            "or set HH_MAX_CANDIDATES"
+        )
 
     toks_expr = tokens_spark(text_col)
 
@@ -1124,22 +1205,16 @@ def heavy_hitters(
         # one trailer row per partition carries its exact token count
         yield pd.DataFrame(
             {"token": pd.Series(list(counters) + [None], dtype="object"),
-             "npart": [0] * len(counters) + [n_part]}
+             "w": pd.Series(list(counters.values()) + [n_part],
+                            dtype="int64")}
         )
 
-    max_candidates = int(os.environ.get("HH_MAX_CANDIDATES", 5_000_000))
-    summary = (
+    summary = _mg_merged_summary(
         df.select(F.expr(toks_expr).alias("toks"))
-        .mapInPandas(sketch, schema="token string, npart long")
-        .collect()  # <= (m+1) rows per partition — sketch model state
-    )
-    if len(summary) > max_candidates:
-        raise ValueError(
-            f"heavy_hitters: candidate set {len(summary)} exceeds the "
-            f"driver guard ({max_candidates}); raise phi, coalesce the "
-            "input, or set HH_MAX_CANDIDATES"
-        )
-    total = sum(r["npart"] for r in summary)
+        .mapInPandas(sketch, schema="token string, w long"),
+        m,
+    ).collect()  # <= m+1 rows by construction, whatever the input size
+    total = sum(r["w"] for r in summary if r["token"] is None)
     threshold = int(math.ceil(total * phi))
     cand = sorted({r["token"] for r in summary if r["token"] is not None})
     spark = df.sparkSession

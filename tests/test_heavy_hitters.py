@@ -83,3 +83,52 @@ def test_heavy_hitters_phi_validation(spark):
         heavy_hitters(df, phi=0.0)
     with pytest.raises(ValueError, match="phi"):
         heavy_hitters(df, phi=1.5)
+
+
+def test_heavy_hitters_guard_fires_before_any_job(spark, monkeypatch):
+    # the guard is on m itself, pre-flight: no Spark job should run
+    monkeypatch.setenv("HH_MAX_CANDIDATES", "10")
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="HH_MAX_CANDIDATES"):
+        heavy_hitters(df, phi=0.01)  # m = 200 > 10
+
+
+def test_mg_merged_summary_size_independent_of_input_partitions(spark):
+    # the driver-side collect in heavy_hitters is the merged summary;
+    # it must stay <= m+1 rows whether the corpus scan ran on 2 or 64
+    # partitions (the round-9 version collected m rows PER partition)
+    from fourmc_spark.operators.text import _mg_merged_summary
+
+    import pandas as pd
+
+    m = 8
+
+    def sketch(it):
+        counters, n = {}, 0
+        for pdf in it:
+            for tok in pdf["token"]:
+                counters[tok] = counters.get(tok, 0) + 1
+                n += 1
+            if len(counters) > m:
+                vals = sorted(counters.values(), reverse=True)
+                d = vals[m]
+                counters = {t: c - d for t, c in counters.items() if c - d > 0}
+        yield pd.DataFrame(
+            {"token": pd.Series(list(counters) + [None], dtype="object"),
+             "w": pd.Series(list(counters.values()) + [n], dtype="int64")}
+        )
+
+    rows = [(f"tok{i % 50}",) for i in range(2000)] + [("hot",)] * 1000
+    sizes = {}
+    for nparts in (2, 64):
+        src = spark.createDataFrame(rows, "token string").repartition(nparts)
+        merged = _mg_merged_summary(
+            src.mapInPandas(sketch, schema="token string, w long"), m
+        ).collect()
+        sizes[nparts] = len(merged)
+        assert len(merged) <= m + 1
+        # the exact-N trailer must survive every merge stage
+        assert sum(r["w"] for r in merged if r["token"] is None) == 3000
+        # the one true heavy token must survive the merged superset
+        assert "hot" in {r["token"] for r in merged}
+    assert sizes[64] <= m + 1  # NOT m * 64
