@@ -390,8 +390,8 @@ def _write_carried_sidecar(
             # (conservative: the column never file-prunes)
             continue
         file_cols[c] = {
-            "min": min(mns) if mns else None,
-            "max": max(mxs) if mxs else None,
+            "min": _zone_min(mns),
+            "max": _zone_max(mxs),
             "nulls": sum(int(s.get("nulls") or 0) for s in stats),
         }
     meta = {
@@ -526,6 +526,32 @@ def compact_protobuf(spark: SparkSession, in_dir: str, out_dir: str, **kw) -> di
     return compact_blocks(spark, in_dir, out_dir, **kw)
 
 
+def _zone_min(vals):
+    """min over stat values with Spark's NaN ordering (NaN greatest):
+    NaN contributes to min only when EVERY value is NaN. Python's bare
+    min/max are order-dependent with NaN ([nan,1]→nan but [1,nan]→1),
+    which could record a max below a real NaN row — a conservativeness
+    violation for x >= k predicates."""
+    import math
+
+    if not vals:
+        return None
+    real = [v for v in vals
+            if not (isinstance(v, float) and math.isnan(v))]
+    return min(real) if real else float("nan")
+
+
+def _zone_max(vals):
+    """max over stat values with Spark's NaN ordering (NaN greatest)."""
+    import math
+
+    if not vals:
+        return None
+    if any(isinstance(v, float) and math.isnan(v) for v in vals):
+        return float("nan")
+    return max(vals)
+
+
 def _json_stat_value(v):
     import datetime
     import decimal
@@ -598,6 +624,26 @@ def analyze_stats(
         c for c in cols
         if isinstance(types.get(c), (T.LongType, T.IntegerType, T.ShortType))
     }
+    # instant-typed (TimestampType) stats are recorded as EPOCH MICROS
+    # via unix_micros — computed JVM-side from the internal UTC instant,
+    # so the sidecar value is session-timezone-free and directly
+    # comparable against the micros the pushdown canonicalizes aware
+    # filter values to. (TimestampNTZ and date have no instant — their
+    # wall-clock ISO strings through the pandas boundary are already
+    # unambiguous, and _zone_pair parses them before comparing.)
+    ts_cols = {
+        c for c in cols if isinstance(types.get(c), T.TimestampType)
+    }
+    # float/double min/max ALSO travel as strings: Spark's SQL ordering
+    # puts NaN above every double (x >= 0 MATCHES a NaN row), but a NaN
+    # min/max through the pandas boundary is indistinguishable from
+    # null — which the reader treats as "no values: prune everything".
+    # The string "NaN" survives the boundary and decodes to float nan,
+    # whose comparisons are all false — such spans never prune.
+    floats = {
+        c for c in cols
+        if isinstance(types.get(c), (T.DoubleType, T.FloatType))
+    }
     src = (
         spark.read.format("fourmc")
         .option("withfilename", "true")
@@ -613,7 +659,9 @@ def analyze_stats(
     for i, c in enumerate(cols):
         fc = F.col("_r").getField(c)
         mn, mx = F.min(fc), F.max(fc)
-        if c in integral:
+        if c in ts_cols:
+            mn, mx = F.unix_micros(mn), F.unix_micros(mx)
+        if c in integral or c in ts_cols or c in floats:
             mn, mx = mn.cast("string"), mx.cast("string")
         aggs.append(mn.alias(f"__min_{i}"))
         aggs.append(mx.alias(f"__max_{i}"))
@@ -626,8 +674,11 @@ def analyze_stats(
 
     def _decode(c: str, i: int, v):
         v = _json_stat_value(v)
-        if v is not None and c in integral:
-            v = int(v)
+        if v is not None:
+            if c in integral or c in ts_cols:
+                v = int(v)
+            elif c in floats:
+                v = float(v)  # parses "NaN"/"Infinity"/"-Infinity" too
         return v
 
     def _write_sidecar(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -640,8 +691,8 @@ def analyze_stats(
             mxs = [x for x in (_decode(c, i, v) for v in pdf[f"__max_{i}"])
                    if x is not None]
             file_cols[c] = {
-                "min": min(mns) if mns else None,
-                "max": max(mxs) if mxs else None,
+                "min": _zone_min(mns),
+                "max": _zone_max(mxs),
                 "nulls": int(pdf[f"__nulls_{i}"].sum()),
             }
         meta = {

@@ -4576,6 +4576,108 @@ def sql_4mc_sinkstats_scan_q(spark, sf):
 
 
 @query(
+    "sql_4mc_zonemap_ts_scan",
+    """SELECT event_type,
+              CAST(count(*) AS BIGINT) AS cnt,
+              CAST(sum(user_id) AS BIGINT) AS user_sum,
+              round(sum(value), 2) AS value_sum,
+              CAST(min(event_id) AS BIGINT) AS min_event,
+              CAST(max(event_id) AS BIGINT) AS max_event
+       FROM {EV} ev
+       WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+         AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+       GROUP BY event_type ORDER BY event_type""",
+)
+def sql_4mc_zonemap_ts_scan_q(spark, sf):
+    # TEMPORAL zone maps under the driver hash gate (round 10): time is
+    # THE clustering key for sealed logs, and until this round a
+    # `ts BETWEEN` predicate pruned nothing (the r9 pushdown kept only
+    # number/string bounds). Now analyze_stats records TimestampType
+    # min/max as EPOCH MICROS (computed JVM-side via unix_micros, so
+    # the sidecar is session-timezone-free), and the typed scan's
+    # pushdown canonicalizes the tz-aware instant filter values that
+    # VariantVal delivers to the same micros before comparing — a range
+    # on `ts` prunes whole files exactly like an id range.
+    #
+    # Same in-gate poison proof as sql_4mc_zonemap_scan: a garbage file
+    # with a valid, size-matching sidecar whose ts range lives in 2030
+    # is planted after ANALYZE; planning that ever opened it would
+    # throw, so the gate is green iff temporal pruning engaged before
+    # any footer read. ts serializes at FULL microsecond precision
+    # (date_format pattern, not to_json's millis default) so the
+    # typed-scan values hash-match the parquet oracle exactly.
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from fourmc_spark.operators.maintenance import analyze_stats
+    from fourmc_spark.session import register_fourmc
+    from fourmc_spark.sources.datasource import STATS_SUFFIX
+
+    register_fourmc(spark)
+    ddl = ("ts timestamp, event_id bigint, user_id bigint, "
+           "event_type string, value double")
+    ev = _t(spark, sf, "events").select(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "event_id", "user_id", "event_type", "value",
+    )
+    d = tempfile.mkdtemp(prefix="fourmc-zonemap-ts-")
+    try:
+        (
+            ev.repartitionByRange(6, "ts")
+            .select(F.to_json(F.struct(*ev.columns)).alias("value"))
+            .write.format("fourmc")
+            .option("codec", "zstd").option("level", "medium")
+            .mode("overwrite").save(d)
+        )
+        analyze_stats(spark, d, ddl)
+        poison = os.path.join(d, "poison.4mz")
+        with open(poison, "wb") as f:
+            f.write(b"NOT-A-4MC-CONTAINER" * 16)
+        with open(poison + STATS_SUFFIX, "w") as f:
+            _json.dump(
+                {
+                    "version": 2,
+                    "size": os.path.getsize(poison),
+                    "rows": 1,
+                    "columns": {
+                        # 2030-01-01 .. 2030-01-02 as epoch micros:
+                        # disjoint from the Jan-2024 predicate window
+                        "ts": {
+                            "min": 1893456000000000,
+                            "max": 1893542400000000,
+                            "nulls": 0,
+                        }
+                    },
+                },
+                f,
+            )
+        back = (
+            spark.read.format("fourmc")
+            .option("jsonschema", ddl).load(d)
+            .where(
+                (F.col("ts") >= "2024-01-10 00:00:00")
+                & (F.col("ts") < "2024-01-20 00:00:00")
+            )
+        )
+        out = (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.sum("user_id").cast("long").alias("user_sum"),
+                F.round(F.sum("value"), 2).alias("value_sum"),
+                F.min("event_id").cast("long").alias("min_event"),
+                F.max("event_id").cast("long").alias("max_event"),
+            )
+            .orderBy("event_type")
+        )
+        return _detach(out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
     "maintenance_compact_zonemap",
     """SELECT event_type,
               CAST(count(*) AS BIGINT) AS cnt,

@@ -29,6 +29,7 @@ Usage::
 
 from __future__ import annotations
 
+import json as _json
 import os
 import uuid
 from dataclasses import dataclass
@@ -289,18 +290,38 @@ class FourMcDataSourceReader(DataSourceReader):
                 f.name for f in self.json_schema.fields
             }:
                 # zone-map constraint on a typed payload column: file
-                # pruning against analyze_stats sidecars. Only number
-                # and string bounds (the types whose ordering is
-                # identical in Spark, JSON, and Python — timestamps stay
-                # conservative/unpruned in v1).
+                # pruning against analyze_stats sidecars. Number,
+                # string, timestamp, and date bounds. Instant-typed
+                # (TimestampType) filter values arrive as tz-aware UTC
+                # datetimes (VariantVal.toPython) and are canonicalized
+                # to EPOCH MICROS ints — comparable against the micros
+                # the new sidecars store, session-timezone-free; naive
+                # (TimestampNTZ) and date values stay Python objects
+                # and are compared against PARSED sidecar ISO strings
+                # (see _zone_pair), so sidecar text-format drift can
+                # never flip an ordering.
+                import datetime as _dt
+
                 v = getattr(flt, "value", None)
+                if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+                    v = (
+                        v.astimezone(_dt.timezone.utc)
+                        - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+                    ) // _dt.timedelta(microseconds=1)
                 is_num = isinstance(v, (int, float)) and not isinstance(v, bool)
-                if not (is_num or isinstance(v, str)):
-                    continue
+                if not (is_num or isinstance(v, (str, _dt.date))):
+                    continue  # (datetime is a date subclass: both pass)
                 z = self._zone.setdefault(col, [None, True, None, True])
 
+                def _cls(x):
+                    if isinstance(x, _dt.datetime):
+                        return "ts"
+                    if isinstance(x, _dt.date):
+                        return "date"
+                    return isinstance(x, str)
+
                 def _num_str_cmp_ok(old):
-                    return old is None or isinstance(old, str) == isinstance(v, str)
+                    return old is None or _cls(old) == _cls(v)
 
                 if isinstance(flt, EqualTo):
                     if _num_str_cmp_ok(z[0]) and (z[0] is None or v > z[0]):
@@ -433,19 +454,6 @@ class FourMcDataSourceReader(DataSourceReader):
             [f.name for f in self.json_schema.fields] if typed else []
         )
         want_typed = [c for c in self.columns if c in typed_names]
-        # column pruning reaches the PARSER: only the requested fields
-        # go into explicit_schema, and unexpected_field_behavior=ignore
-        # below skips every other key without inferring/materializing it
-        arrow_schema = (
-            _arrow_schema_for(
-                StructType(
-                    [f for f in self.json_schema.fields
-                     if f.name in want_typed]
-                )
-            )
-            if typed
-            else None
-        )
         # hive partition columns wanted in the output: constant per file
         want_pcols = [c for c in self.pcols if c in self.columns]
         want_file = self.with_file and "_file" in self.columns
@@ -478,16 +486,11 @@ class FourMcDataSourceReader(DataSourceReader):
         def _typed_batch(ndjson: "pa.Buffer | bytes") -> "pa.RecordBatch":
             # Arrow's JSON kernels parse the whole micro-batch in C;
             # explicit_schema pins types so output never depends on
-            # inference (absent fields come back NULL)
-            import pyarrow.json as pj
-
-            tbl = pj.read_json(
-                pa.BufferReader(ndjson),
-                parse_options=pj.ParseOptions(
-                    explicit_schema=arrow_schema,
-                    unexpected_field_behavior="ignore",
-                ),
-            )
+            # inference (absent fields come back NULL). Column pruning
+            # reaches the PARSER: only the requested fields enter
+            # explicit_schema; unexpected_field_behavior=ignore skips
+            # every other key without inferring/materializing it.
+            tbl = _parse_ndjson_typed(ndjson, self.json_schema, want_typed)
             cols = [tbl.column(c).combine_chunks() for c in want_typed]
             return pa.RecordBatch.from_arrays(cols, names=list(want_typed))
 
@@ -648,9 +651,21 @@ def _parse_flat_ddl(ddl: str) -> StructType:
 
 
 def _arrow_schema_for(st: StructType):
-    """Arrow explicit_schema for the typed NDJSON scan. Only types whose
-    JSON representation parses unambiguously are supported; anything
-    else should stay in ``value`` mode and be parsed with from_json."""
+    """Arrow explicit_schema for the typed NDJSON scan, plus the
+    post-parse casts the raw parse can't express. Only types whose JSON
+    representation parses unambiguously are supported; anything else
+    should stay in ``value`` mode and be parsed with from_json.
+
+    Returns ``(parse_schema, post_casts)``: DATE columns parse as
+    STRING (Arrow's JSON reader accepts only epoch-day numbers for
+    date32, but the sink/to_json pipeline writes ISO strings) and are
+    cast to date32 afterwards — the string→date32 cast kernel does
+    accept ISO text. Timestamp columns parse as naive microseconds:
+    Arrow normalizes zone-suffixed text ("...Z", "...+05:00") to the
+    UTC wall clock and passes zone-less text through, which matches
+    from_json exactly when the session timezone is UTC (the to_json
+    pipeline always writes zone-suffixed UTC text, so its data is
+    unambiguous under any session timezone)."""
     import pyarrow as pa
     from pyspark.sql import types as T
 
@@ -667,17 +682,98 @@ def _arrow_schema_for(st: StructType):
         (T.TimestampType, pa.timestamp("us")),
     ]
     fields = []
+    post_casts: dict[str, "pa.DataType"] = {}
     for f in st.fields:
         for spark_t, arrow_t in mapping:
             if isinstance(f.dataType, spark_t):
-                fields.append(pa.field(f.name, arrow_t))
+                if arrow_t == pa.date32():
+                    fields.append(pa.field(f.name, pa.string()))
+                    post_casts[f.name] = arrow_t
+                else:
+                    fields.append(pa.field(f.name, arrow_t))
                 break
         else:
             raise ValueError(
                 f"fourmc jsonschema: unsupported type {f.dataType} for "
                 f"column {f.name!r} — use value mode + from_json for it"
             )
-    return pa.schema(fields)
+    return pa.schema(fields), post_casts
+
+
+def _float_cols_of(st: StructType) -> list[str]:
+    from pyspark.sql import types as T
+
+    return [
+        f.name for f in st.fields
+        if isinstance(f.dataType, (T.DoubleType, T.FloatType))
+    ]
+
+
+def _unquote_float_specials(ndjson: bytes, float_cols: list[str]) -> bytes:
+    """Rewrite quoted non-finite float tokens to bare JSON tokens for
+    the DECLARED float/double keys only: Spark's to_json serializes
+    NaN/Infinity doubles as the quoted strings "NaN"/"Infinity"/
+    "-Infinity", which Arrow's typed parse rejects ('changed from
+    number to string'). The lookbehind keeps the rewrite out of string
+    VALUES: inside a JSON string every quote is escaped, so an
+    unescaped "key": match can only be a real object key."""
+    import re
+
+    for c in float_cols:
+        key = re.escape(_json.dumps(c))
+        ndjson = re.sub(
+            (r'(?<!\\)(' + key + r'\s*:\s*)"(NaN|Infinity|\+Infinity'
+             r'|-Infinity)"').encode(),
+            rb"\1\2",
+            ndjson,
+        )
+    return ndjson
+
+
+def _parse_ndjson_typed(ndjson, st: StructType, want: list[str]):
+    """One Arrow C-side parse of an NDJSON buffer against the declared
+    flat schema, returning a pa.Table with the FINAL column types for
+    ``want`` (post-parse casts applied). On the quoted-NaN/Infinity
+    ArrowInvalid, retries once after rewriting those tokens for the
+    declared float columns; any other parse failure names the
+    value-mode + from_json fallback."""
+    import pyarrow as pa
+    import pyarrow.json as pj
+
+    sub = StructType([f for f in st.fields if f.name in want])
+    schema, post_casts = _arrow_schema_for(sub)
+    opts = pj.ParseOptions(
+        explicit_schema=schema, unexpected_field_behavior="ignore"
+    )
+    if not isinstance(ndjson, (bytes, pa.Buffer)):
+        raise TypeError("ndjson must be bytes or an Arrow buffer")
+    try:
+        tbl = pj.read_json(pa.BufferReader(ndjson), parse_options=opts)
+    except pa.ArrowInvalid:
+        floats = [c for c in _float_cols_of(sub) if c in want]
+        if not floats:
+            raise
+        raw = ndjson if isinstance(ndjson, bytes) else ndjson.to_pybytes()
+        try:
+            tbl = pj.read_json(
+                pa.BufferReader(_unquote_float_specials(raw, floats)),
+                parse_options=opts,
+            )
+        except pa.ArrowInvalid as e:
+            raise ValueError(
+                "fourmc jsonschema: typed parse failed even after "
+                "normalizing quoted NaN/Infinity float tokens — read in "
+                "value mode and parse with from_json instead"
+            ) from e
+    cols, names = [], []
+    for c in want:
+        col = tbl.column(c).combine_chunks()
+        tgt = post_casts.get(c)
+        if tgt is not None:
+            col = col.cast(tgt)
+        cols.append(col)
+        names.append(c)
+    return pa.Table.from_arrays(cols, names=names)
 
 
 # per-file zone-map sidecar written by operators/maintenance.analyze_stats
@@ -685,15 +781,60 @@ STATS_SUFFIX = ".stats.json"
 
 
 def _zone_comparable(a, b) -> bool:
-    """Only compare orderings that are identical in Spark SQL, JSON, and
-    Python: number vs number, str vs str. Anything else is skipped
-    (conservative — the file is scanned)."""
+    """Same-ordering check for two SIDECAR values (JSON primitives):
+    number vs number, str vs str. Used by the compaction stats carry to
+    refuse min/max across inputs analyzed under different DDLs. (Bound
+    vs sidecar comparisons go through _zone_pair, which also parses
+    temporal ISO strings.)"""
     def _num(x):
         return isinstance(x, (int, float)) and not isinstance(x, bool)
 
     return (_num(a) and _num(b)) or (
         isinstance(a, str) and isinstance(b, str)
     )
+
+
+def _zone_pair(stat, bv):
+    """Normalize a (sidecar stat value, pushed bound value) pair into
+    two directly comparable objects, or None when no ordering is
+    provably shared (conservative — the file/block is scanned).
+
+    Shared orderings: number vs number (covers TimestampType bounds,
+    canonicalized to epoch micros by pushFilters, against the micros
+    ints new sidecars store); str vs str; a naive-datetime bound
+    (TimestampNTZ) or date bound against a sidecar ISO string, PARSED
+    before comparing so text-format drift (variable fraction digits,
+    'T' vs ' ' separator, old sidecars) can never flip an ordering.
+    A TimestampType bound against an OLD sidecar's wall-clock string is
+    deliberately incomparable — those strings are session-timezone
+    wall times with no zone recorded; re-ANALYZE writes micros."""
+    import datetime as _dt
+
+    def _num(x):
+        return isinstance(x, (int, float)) and not isinstance(x, bool)
+
+    if _num(stat) and _num(bv):
+        return stat, bv
+    if isinstance(bv, _dt.datetime):  # naive NTZ bound (aware→micros already)
+        if isinstance(stat, str):
+            try:
+                s = _dt.datetime.fromisoformat(stat)
+            except ValueError:
+                return None
+            if s.tzinfo is not None:
+                return None
+            return s, bv
+        return None
+    if isinstance(bv, _dt.date):
+        if isinstance(stat, str):
+            try:
+                return _dt.date.fromisoformat(stat), bv
+            except ValueError:
+                return None
+        return None
+    if isinstance(stat, str) and isinstance(bv, str):
+        return stat, bv
+    return None
 
 
 def _load_zone_sidecar(path: str):
@@ -720,11 +861,13 @@ def _range_excluded(mn, mx, bound) -> bool:
     lo, lo_inc, hi, hi_inc = bound
     if mn is None or mx is None:
         return True
-    if lo is not None and _zone_comparable(mx, lo):
-        if mx < lo or (mx == lo and not lo_inc):
+    if lo is not None:
+        p = _zone_pair(mx, lo)
+        if p is not None and (p[0] < p[1] or (p[0] == p[1] and not lo_inc)):
             return True
-    if hi is not None and _zone_comparable(mn, hi):
-        if mn > hi or (mn == hi and not hi_inc):
+    if hi is not None:
+        p = _zone_pair(mn, hi)
+        if p is not None and (p[0] > p[1] or (p[0] == p[1] and not hi_inc)):
             return True
     return False
 
@@ -996,7 +1139,9 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
                     f, codec=codec, level=self.level, block_size=self.block_size
                 )
             acc = (
-                {"rows": 0, "cols": {c: [None, None, 0] for c in stat_cols}}
+                # per column: [min, max, nulls, has_nan]
+                {"rows": 0,
+                 "cols": {c: [None, None, 0, False] for c in stat_cols}}
                 if self.stats_schema is not None else None
             )
             streams[reldir] = (f, w, staged, acc)
@@ -1008,7 +1153,6 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
             # one Arrow JSON parse per batch (C-side), typed min_max —
             # int64 stays exact (no pandas float64 boundary)
             import pyarrow.compute as pc
-            import pyarrow.json as pj
 
             acc = streams[reldir][3]
             strs = values.cast(pa.string())
@@ -1022,19 +1166,28 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
                 pa.array([0, len(strs)], type=pa.int32()), strs
             )
             nd = pc.binary_join(la, "\n")[0].as_buffer()
-            tbl = pj.read_json(
-                pa.BufferReader(nd),
-                parse_options=pj.ParseOptions(
-                    explicit_schema=_arrow_schema_for(self.stats_schema),
-                    unexpected_field_behavior="ignore",
-                ),
-            )
+            tbl = _parse_ndjson_typed(nd, self.stats_schema, stat_cols)
             acc["rows"] += len(strs)
             for c in stat_cols:
                 col = tbl.column(c)
                 st = acc["cols"][c]
                 st[2] += col.null_count
-                if col.null_count < len(col):
+                n_valid = len(col) - col.null_count
+                if pa.types.is_floating(col.type) and n_valid:
+                    # Arrow min_max SKIPS NaN (all-NaN spans return the
+                    # +inf/-inf identities) but Spark's SQL ordering
+                    # puts NaN ABOVE everything — x >= 0 matches a NaN
+                    # row. Track NaN presence so the sealed max can be
+                    # widened to NaN (comparisons against NaN are all
+                    # false, so such spans never prune — conservative
+                    # AND semantically exact, NaN being Spark's max).
+                    n_nan = pc.sum(
+                        pc.is_nan(col), min_count=0
+                    ).as_py() or 0
+                    if n_nan:
+                        st[3] = True
+                    n_valid -= n_nan
+                if n_valid:
                     mm = pc.min_max(col)
                     mn = mm["min"].as_py()
                     mx = mm["max"].as_py()
@@ -1047,21 +1200,44 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
             if acc is None:
                 return
             import datetime
-            import json as _json
 
-            def _jv(v):
-                if isinstance(v, (datetime.datetime, datetime.date)):
-                    return (v.isoformat(sep=" ") if hasattr(v, "hour")
-                            else v.isoformat())
+            from pyspark.sql import types as T
+
+            # TimestampType stats travel as EPOCH MICROS ints — the one
+            # representation the pushdown can compare against an
+            # instant-typed filter value without knowing the session
+            # timezone (the Arrow parse normalized zone-suffixed text
+            # to the UTC wall clock, so naive-epoch arithmetic is exact)
+            ts_cols = {
+                f2.name for f2 in self.stats_schema.fields
+                if isinstance(f2.dataType, T.TimestampType)
+            }
+            _EPOCH = datetime.datetime(1970, 1, 1)
+            _US = datetime.timedelta(microseconds=1)
+
+            def _jv(c, v):
+                if isinstance(v, datetime.datetime):
+                    if c in ts_cols:
+                        return (v.replace(tzinfo=None) - _EPOCH) // _US
+                    return v.isoformat(sep=" ")
+                if isinstance(v, datetime.date):
+                    return v.isoformat()
                 return v
+
+            def _col_meta(c, st):
+                mn, mx = _jv(c, st[0]), _jv(c, st[1])
+                if st[3]:  # NaN present: NaN is Spark's greatest double
+                    mx = float("nan")
+                    if mn is None:  # every valid value was NaN
+                        mn = float("nan")
+                return {"min": mn, "max": mx, "nulls": st[2]}
 
             meta = {
                 "version": 2,
                 "size": os.path.getsize(staged),
                 "rows": acc["rows"],
                 "columns": {
-                    c: {"min": _jv(st[0]), "max": _jv(st[1]), "nulls": st[2]}
-                    for c, st in acc["cols"].items()
+                    c: _col_meta(c, st) for c, st in acc["cols"].items()
                 },
             }
             with open(staged + STATS_SUFFIX, "w") as sf:

@@ -1125,3 +1125,216 @@ def test_stream_sink_statsschema_sidecars(spark, tmp_path):
     attempt()  # replay no-ops; staged file AND sidecar discarded
     assert sorted(os.listdir(out)) == before
     assert not os.path.exists(os.path.join(out, "_temporary"))
+
+
+# ---------------------------------------------------------------------------
+# Temporal zone maps (r10): timestamp/date pushdown + NaN conservativeness
+# ---------------------------------------------------------------------------
+
+_TZM_DDL = "ts timestamp, tsn timestamp_ntz, d date, x double, k bigint"
+
+
+def _write_tzm_tree(spark, d: str):
+    """Two files with disjoint temporal ranges (Jan vs Jun 2024); the
+    Jan file carries a NaN double."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    jan = spark.sql("""select * from values
+      (timestamp'2024-01-02 03:04:05.123', timestamp_ntz'2024-01-02 03:04:05',
+       date'2024-01-15', cast('NaN' as double), 1L),
+      (timestamp'2024-01-05 00:00:00', timestamp_ntz'2024-01-05 00:00:00',
+       date'2024-01-20', 2.5, 2L)
+      as t(ts, tsn, d, x, k)""")
+    jun = spark.sql("""select * from values
+      (timestamp'2024-06-02 03:04:05', timestamp_ntz'2024-06-02 03:04:05',
+       date'2024-06-15', 7.5, 3L),
+      (timestamp'2024-06-09 00:00:00', timestamp_ntz'2024-06-09 00:00:00',
+       date'2024-06-20', 9.5, 4L)
+      as t(ts, tsn, d, x, k)""")
+    for i, df in ((0, jan), (1, jun)):
+        (df.select(F.to_json(F.struct("ts", "tsn", "d", "x", "k"))
+                   .alias("value"))
+           .coalesce(1).write.format("fourmc").option("codec", "zstd")
+           .mode("overwrite" if i == 0 else "append").save(d))
+
+
+def _tzm_planned(d, filters):
+    from pyspark.sql.datasource import CaseInsensitiveDict
+
+    from fourmc_spark.sources.datasource import (
+        FourMcDataSourceReader, _parse_flat_ddl,
+    )
+
+    rd = FourMcDataSourceReader(
+        CaseInsensitiveDict({"path": d, "jsonschema": _TZM_DDL}),
+        _parse_flat_ddl(_TZM_DDL),
+    )
+    list(rd.pushFilters(filters))
+    return {p.path for p in rd.partitions() if p.path}
+
+
+def test_typed_scan_temporal_and_special_float_matches_from_json(
+    spark, tmp_path
+):
+    """timestamp/timestamp_ntz/date typed columns and quoted
+    NaN/Infinity doubles (Spark to_json's serialization) must parse
+    identically to the value-mode from_json oracle. The date typed scan
+    and non-finite doubles were unreadable before r10 (ArrowInvalid)."""
+    d = str(tmp_path / "tzm_scan")
+    _write_tzm_tree(spark, d)
+    typed = (spark.read.format("fourmc").option("jsonschema", _TZM_DDL)
+             .load(d))
+    ref = (
+        spark.read.format("fourmc").load(d)
+        .select(F.from_json("value", _TZM_DDL).alias("r")).select("r.*")
+    )
+    assert typed.count() == 4
+    assert typed.exceptAll(ref).count() == 0
+    assert ref.exceptAll(typed).count() == 0
+
+
+def test_zone_pruning_timestamp_date_bounds(spark, tmp_path):
+    """analyze_stats records TimestampType stats as epoch micros and
+    temporal ISO strings for ntz/date; the pushdown canonicalizes the
+    aware/naive/date filter values VariantVal delivers, and pruning
+    holds at equality boundaries."""
+    import datetime as dt
+
+    from pyspark.sql.datasource import (
+        EqualTo, GreaterThanOrEqual, LessThan, LessThanOrEqual,
+    )
+
+    from fourmc_spark.operators.maintenance import analyze_stats
+
+    d = str(tmp_path / "tzm")
+    _write_tzm_tree(spark, d)
+    analyze_stats(spark, d, _TZM_DDL)
+    import json as _json
+    scs = sorted(glob.glob(f"{d}/*.stats.json"))
+    assert len(scs) == 2
+    metas = [_json.load(open(s)) for s in scs]
+    ts_mins = sorted(m["columns"]["ts"]["min"] for m in metas)
+    # 2024-01-02T03:04:05.123Z / 2024-06-02T03:04:05Z as epoch micros
+    assert ts_mins == [1704164645123000, 1717297445000000]
+
+    utc = dt.timezone.utc
+    full = _tzm_planned(d, [])
+    assert len(full) == 2
+    # TimestampType: aware-UTC bound (what VariantVal.toPython yields)
+    feb = dt.datetime(2024, 2, 1, tzinfo=utc)
+    kept = _tzm_planned(d, [LessThan(("ts",), feb)])
+    assert len(kept) == 1 and kept < full
+    assert _tzm_planned(d, [GreaterThanOrEqual(("ts",), feb)]) < full
+    # equality boundary: <= exact max of the Jan file keeps it
+    jan_max = dt.datetime(2024, 1, 5, tzinfo=utc)
+    assert len(_tzm_planned(d, [LessThanOrEqual(("ts",), jan_max)])) == 1
+    # ...but < exact min of everything prunes all
+    jan_min = dt.datetime(2024, 1, 2, 3, 4, 5, 123000, tzinfo=utc)
+    assert _tzm_planned(d, [LessThan(("ts",), jan_min)]) == set()
+    assert len(_tzm_planned(d, [EqualTo(("ts",), jan_min)])) == 1
+    # TimestampNTZ: naive bound vs ISO-string stats (parsed, not lexic)
+    assert len(_tzm_planned(
+        d, [LessThan(("tsn",), dt.datetime(2024, 2, 1))]
+    )) == 1
+    assert len(_tzm_planned(
+        d, [LessThanOrEqual(("tsn",), dt.datetime(2024, 1, 5))]
+    )) == 1
+    # DateType: date bound vs ISO date strings
+    assert len(_tzm_planned(d, [LessThan(("d",), dt.date(2024, 3, 1))])) == 1
+    assert _tzm_planned(d, [LessThan(("d",), dt.date(2024, 1, 15))]) == set()
+    assert len(_tzm_planned(d, [EqualTo(("d",), dt.date(2024, 6, 15))])) == 1
+    # pruning never changes a real query's results
+    typed = (spark.read.format("fourmc").option("jsonschema", _TZM_DDL)
+             .load(d))
+    got = typed.filter(F.col("ts") < "2024-02-01").orderBy("k").collect()
+    assert [r["k"] for r in got] == [1, 2]
+
+
+def test_zone_ts_conservative_on_wall_clock_string_sidecar(spark, tmp_path):
+    """An OLD-format sidecar stores TimestampType stats as wall-clock
+    ISO strings (session-tz-ambiguous); an instant bound must treat
+    them as incomparable and KEEP the file."""
+    import datetime as dt
+    import json as _json
+
+    from pyspark.sql.datasource import LessThan
+
+    from fourmc_spark.format.writer import write_file
+    from fourmc_spark.sources.datasource import STATS_SUFFIX
+
+    d = str(tmp_path / "tzm_old")
+    os.makedirs(d)
+    p = os.path.join(d, "a.4mz")
+    write_file(p, b'{"ts": "2024-06-02T03:04:05Z", "k": 3}\n', codec="zstd")
+    with open(p + STATS_SUFFIX, "w") as f:
+        _json.dump({"version": 2, "size": os.path.getsize(p), "rows": 1,
+                    "columns": {"ts": {"min": "2024-06-02 03:04:05",
+                                       "max": "2024-06-09 00:00:00",
+                                       "nulls": 0}}}, f)
+    feb = dt.datetime(2024, 2, 1, tzinfo=dt.timezone.utc)
+    assert len(_tzm_planned(d, [LessThan(("ts",), feb)])) == 1  # kept
+
+
+def test_zone_nan_double_never_prunes_matching_rows(spark, tmp_path):
+    """Spark orders NaN ABOVE every double, so x >= k MATCHES NaN rows:
+    a span containing NaN must never be pruned by a lower bound — for
+    sidecars written by analyze_stats AND by the statsschema sink."""
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from fourmc_spark.operators.maintenance import analyze_stats
+
+    d = str(tmp_path / "nanzm")
+    _write_tzm_tree(spark, d)  # Jan file: x = {NaN, 2.5}
+    analyze_stats(spark, d, _TZM_DDL)
+    kept = _tzm_planned(d, [GreaterThanOrEqual(("x",), 100.0)])
+    assert len(kept) == 1 and "part-" in next(iter(kept))
+    typed = (spark.read.format("fourmc").option("jsonschema", _TZM_DDL)
+             .load(d))
+    rows = typed.filter(F.col("x") >= 100.0).collect()
+    assert [r["k"] for r in rows] == [1]  # the NaN row survives
+
+    # statsschema sink path: same data sealed at write time
+    d2 = str(tmp_path / "nanzm_sink")
+    src = spark.read.format("fourmc").load(d)
+    src.write.format("fourmc").option("codec", "zstd") \
+       .option("statsschema", _TZM_DDL).mode("overwrite").save(d2)
+    import json as _json
+    import math
+    metas = [_json.load(open(s)) for s in glob.glob(f"{d2}/*.stats.json")]
+    nan_maxes = [m["columns"]["x"]["max"] for m in metas
+                 if isinstance(m["columns"]["x"]["max"], float)
+                 and math.isnan(m["columns"]["x"]["max"])]
+    assert nan_maxes, "the NaN span's max must be recorded as NaN"
+    typed2 = (spark.read.format("fourmc").option("jsonschema", _TZM_DDL)
+              .load(d2))
+    assert [r["k"] for r in typed2.filter(F.col("x") >= 100.0).collect()] \
+        == [1]
+
+
+def test_sink_statsschema_temporal_micros_prune_end_to_end(spark, tmp_path):
+    """Write-time (statsschema) sidecars carry TimestampType stats as
+    epoch micros; a ts range on the typed scan prunes the other file
+    BEFORE any footer read (poison-file proof)."""
+    import json as _json
+
+    from fourmc_spark.sources.datasource import STATS_SUFFIX
+
+    d = str(tmp_path / "tzm_sink")
+    _write_tzm_tree(spark, str(tmp_path / "tzm_src"))
+    src = spark.read.format("fourmc").load(str(tmp_path / "tzm_src"))
+    src.write.format("fourmc").option("codec", "zstd") \
+       .option("statsschema", _TZM_DDL).mode("overwrite").save(d)
+    # poison: garbage container whose valid sidecar excludes the range
+    bad = os.path.join(d, "bad.4mz")
+    with open(bad, "wb") as f:
+        f.write(b"POISON-NOT-A-CONTAINER" * 16)
+    with open(bad + STATS_SUFFIX, "w") as f:
+        _json.dump({"version": 2, "size": os.path.getsize(bad), "rows": 1,
+                    "columns": {"ts": {"min": 1893456000000000,  # 2030
+                                       "max": 1893542400000000,
+                                       "nulls": 0}}}, f)
+    typed = (spark.read.format("fourmc").option("jsonschema", _TZM_DDL)
+             .load(d))
+    got = typed.filter(
+        (F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-02-01")
+    ).orderBy("k").collect()
+    assert [r["k"] for r in got] == [1, 2]
