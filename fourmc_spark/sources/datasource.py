@@ -1300,18 +1300,30 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
     def commit(self, messages) -> None:
         if self.overwrite:
             for old in self.existing:
-                try:
-                    os.remove(old)
-                except FileNotFoundError:
-                    pass
+                # the data file's sidecar must not outlive it: a later
+                # file landing on the same name with a colliding byte
+                # size would re-adopt stats for different content
+                for p in (old, old + STATS_SUFFIX):
+                    try:
+                        os.remove(p)
+                    except FileNotFoundError:
+                        pass
         for m in messages:
             if m is not None:
                 for staged, final in m.files:
                     os.makedirs(os.path.dirname(final), exist_ok=True)
                     os.replace(staged, final)
-                    # statsschema sidecar rides along with its data file
+                    # statsschema sidecar rides along with its data
+                    # file; a stats-less file landing over a previous
+                    # occupant must also evict that occupant's sidecar
+                    # (mirrors maintenance._drop_stale_sidecar)
                     if os.path.exists(staged + STATS_SUFFIX):
                         os.replace(staged + STATS_SUFFIX, final + STATS_SUFFIX)
+                    else:
+                        try:
+                            os.remove(final + STATS_SUFFIX)
+                        except FileNotFoundError:
+                            pass
         staging = os.path.join(self.path, "_temporary")
         try:
             os.rmdir(staging)

@@ -475,6 +475,16 @@ class FourMcStreamWriter(DataSourceStreamArrowWriter):
                 if os.path.exists(staged + STATS_SUFFIX):
                     # statsschema sidecar follows its sealed file
                     os.replace(staged + STATS_SUFFIX, newname + STATS_SUFFIX)
+                else:
+                    # a stats-less file landing over a pre-existing
+                    # deterministic name (markers removed by hand,
+                    # checkpoint rebuilt into a kept output dir) must
+                    # evict the previous occupant's sidecar — the
+                    # size check alone could re-adopt it on collision
+                    try:
+                        os.remove(newname + STATS_SUFFIX)
+                    except FileNotFoundError:
+                        pass
         self._write_marker(done_marker, batchId)
         staging = os.path.join(self.path, "_temporary")
         try:

@@ -1338,3 +1338,64 @@ def test_sink_statsschema_temporal_micros_prune_end_to_end(spark, tmp_path):
         (F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-02-01")
     ).orderBy("k").collect()
     assert [r["k"] for r in got] == [1, 2]
+
+
+def test_overwrite_and_rename_never_orphan_sidecars(spark, tmp_path):
+    """Sidecars must not outlive their data files: overwrite removes
+    the old files' sidecars, and a stats-less write landing on a name
+    that previously carried stats evicts the stale sidecar (the size
+    check alone could re-adopt it on a byte-size collision)."""
+    d = str(tmp_path / "orph")
+    df = spark.range(50).select(
+        F.to_json(F.struct(F.col("id").alias("k"))).alias("value")
+    ).coalesce(1)
+    df.write.format("fourmc").option("statsschema", "k bigint") \
+      .mode("overwrite").save(d)
+    assert glob.glob(f"{d}/*.stats.json")
+    # overwrite WITHOUT statsschema: no sidecar may survive
+    df.write.format("fourmc").mode("overwrite").save(d)
+    assert glob.glob(f"{d}/*.stats.json") == []
+    # read back clean (a stale sidecar with out-of-range stats would
+    # have pruned these rows)
+    typed = (spark.read.format("fourmc").option("jsonschema", "k bigint")
+             .load(d))
+    assert typed.filter(F.col("k") >= 0).count() == 50
+
+
+def test_stream_sink_rename_evicts_stale_sidecar(tmp_path):
+    """A stream-sink rename landing a stats-less file over an existing
+    deterministic part-b name removes that name's old sidecar."""
+    import json as _json
+
+    import pyarrow as pa
+    from pyspark.sql.datasource import CaseInsensitiveDict
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from fourmc_spark.sources.datasource import STATS_SUFFIX
+    from fourmc_spark.sources.stream import FourMcStreamWriter
+
+    out = str(tmp_path / "sw")
+    os.makedirs(out)
+    schema = StructType([StructField("value", StringType())])
+
+    def run_batch(batch_id, stats):
+        opts = {"path": out, "codec": "zstd"}
+        if stats:
+            opts["statsschema"] = "k bigint"
+        w = FourMcStreamWriter(CaseInsensitiveDict(opts), schema, False)
+        msg = w.write(iter([pa.RecordBatch.from_pydict(
+            {"value": ['{"k": 1}', '{"k": 2}']}
+        )]))
+        w.commit([msg], batchId=batch_id)
+
+    run_batch(1, stats=True)
+    data = glob.glob(f"{out}/part-b*.4mz")
+    assert len(data) == 1 and os.path.exists(data[0] + STATS_SUFFIX)
+    # simulate a rebuilt pipeline re-landing the same deterministic
+    # name without stats (markers removed by hand, output dir kept)
+    for mk in ("_fourmc_sink_done", "_fourmc_sink_hwb"):
+        os.remove(os.path.join(out, mk))
+    run_batch(1, stats=False)
+    data2 = glob.glob(f"{out}/part-b*.4mz")
+    assert len(data2) == 1
+    assert not os.path.exists(data2[0] + STATS_SUFFIX)
