@@ -526,6 +526,155 @@ def compact_protobuf(spark: SparkSession, in_dir: str, out_dir: str, **kw) -> di
     return compact_blocks(spark, in_dir, out_dir, **kw)
 
 
+def analyze_stats_proto(
+    spark: SparkSession,
+    path: str,
+    fields=None,
+    columns: list[str] | None = None,
+    blocks: bool = True,
+) -> dict:
+    """ANALYZE twin of :func:`analyze_stats` for ElephantBird-protobuf
+    4mc/4mz trees (the ``fourmcproto`` source): one pass per file
+    computes the two-tier zone map — per-FILE and per-BLOCK row count +
+    min/max/null-count per scalar field — and writes the same
+    ``<file>.stats.json`` sidecar the typed scans prune against.
+
+    The block key is the compressed offset of the block in which each
+    EB record's sync marker starts — exactly the ownership rule the
+    proto split reader enforces (format/protobuf.py:
+    iter_eb_records_for_split), so dropping a block removes precisely
+    the records its stats speak for. bool/bytes/repeated fields are
+    skipped (no shared ordering with the JSON sidecar primitives);
+    float/double spans containing NaN record max=NaN (Spark orders NaN
+    above every double — such spans never prune, conservatively).
+
+    100 TB shape: ONE task per data file (sc.parallelize over the file
+    list, the compact_blocks pattern), each streaming its records once
+    and writing the sidecar executor-side; the driver sees one summary
+    row per file. Proto records must be decoded serially within a file
+    anyway (EB sync-marker framing), so per-file is the natural
+    parallel grain — at 128-256 MB per sealed file a 100 TB tree is
+    ~500k independent tasks."""
+    import json as _json
+    import math
+
+    from fourmc_spark.format.protobuf import USER_SCHEMA
+    from fourmc_spark.sources.datasource import STATS_SUFFIX, _list_files
+
+    schema = tuple(fields) if fields else USER_SCHEMA
+    eligible = [
+        f.name for f in schema
+        if not f.repeated
+        and f.type in ("string", "int64", "int32", "double", "float")
+    ]
+    cols = [c for c in (columns or eligible) if c in eligible]
+    if not cols:
+        raise ValueError(
+            "analyze_stats_proto: no scalar orderable fields to analyze"
+        )
+    floats = {
+        f.name for f in schema if f.type in ("double", "float")
+    }
+    files = [
+        p for p in _list_files(path)
+        if p.endswith((".4mc", ".4mz")) and not p.endswith(STATS_SUFFIX)
+    ]
+    if not files:
+        return {"files": 0, "rows": 0, "columns": cols,
+                "block_stats": blocks}
+    want_blocks = blocks
+
+    def _analyze_one(fpath: str) -> dict:
+        import os as _os
+
+        from fourmc_spark.format.protobuf import iter_eb_records_for_split
+        from fourmc_spark.format.reader import scan_file_info
+
+        codec, fsize, _offsets = scan_file_info(fpath)
+        # per (block offset) -> {"rows": n, c: [mn, mx, nulls, has_nan]}
+        per_block: dict[int, dict] = {}
+        with open(fpath, "rb") as f:
+            for owner, rec in iter_eb_records_for_split(
+                f, codec, 0, fsize, schema
+            ):
+                b = per_block.get(owner)
+                if b is None:
+                    b = per_block[owner] = {
+                        "rows": 0,
+                        "c": {c: [None, None, 0, False] for c in cols},
+                    }
+                b["rows"] += 1
+                for c in cols:
+                    v = rec.get(c)
+                    st = b["c"][c]
+                    if v is None:
+                        st[2] += 1
+                        continue
+                    if c in floats:
+                        v = float(v)
+                        if math.isnan(v):
+                            st[3] = True
+                            continue
+                    if st[0] is None or v < st[0]:
+                        st[0] = v
+                    if st[1] is None or v > st[1]:
+                        st[1] = v
+        def _mnmx(st):
+            mn, mx = st[0], st[1]
+            if st[3]:  # NaN present: Spark's greatest double
+                mx = float("nan")
+                if mn is None:
+                    mn = float("nan")
+            return mn, mx
+
+        file_cols = {}
+        for c in cols:
+            mns, mxs, nulls = [], [], 0
+            for b in per_block.values():
+                mn, mx = _mnmx(b["c"][c])
+                if mn is not None:
+                    mns.append(mn)
+                if mx is not None:
+                    mxs.append(mx)
+                nulls += b["c"][c][2]
+            file_cols[c] = {
+                "min": _zone_min(mns), "max": _zone_max(mxs),
+                "nulls": nulls,
+            }
+        rows = sum(b["rows"] for b in per_block.values())
+        meta = {
+            "version": 2,
+            "size": _os.path.getsize(fpath),
+            "rows": rows,
+            "columns": file_cols,
+        }
+        if want_blocks:
+            meta["blocks"] = [
+                {
+                    "o": o,
+                    "c": {
+                        c: list(_mnmx(b["c"][c])) + [b["c"][c][2]]
+                        for c in cols
+                    },
+                }
+                for o, b in sorted(per_block.items())
+            ]
+        tmp = fpath + STATS_SUFFIX + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(meta, f)
+        _os.replace(tmp, fpath + STATS_SUFFIX)
+        return {"file": fpath, "rows": rows, "n_blocks": len(per_block)}
+
+    sc = spark.sparkContext
+    summaries = sc.parallelize(files, len(files)).map(_analyze_one).collect()
+    return {
+        "files": len(summaries),
+        "rows": sum(r["rows"] for r in summaries),
+        "columns": cols,
+        "block_stats": blocks,
+    }
+
+
 def _zone_min(vals):
     """min over stat values with Spark's NaN ordering (NaN greatest):
     NaN contributes to min only when EVERY value is NaN. Python's bare

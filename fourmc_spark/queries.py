@@ -2671,6 +2671,105 @@ def proto_4mc_roundtrip_q(spark, sf):
 
 
 @query(
+    "proto_4mc_zonemap_scan",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+              CAST(sum(user_id) AS BIGINT) AS user_sum,
+              round(sum(value), 2) AS value_sum,
+              CAST(min(event_id) AS BIGINT) AS min_event,
+              CAST(max(event_id) AS BIGINT) AS max_event
+       FROM events WHERE event_id BETWEEN 1500 AND 3099
+       GROUP BY event_type ORDER BY event_type""",
+)
+def proto_4mc_zonemap_scan_q(spark, sf):
+    # Zone maps for the PROTOBUF typed scan (round 10): before this,
+    # the proto reader got partition/path pruning but a range predicate
+    # on a payload int64 (the reference's `birthDate` shape,
+    # user.proto:11) scanned every file. analyze_stats_proto streams
+    # each file's EB records once (one task per file, sidecar written
+    # executor-side) and records the same two-tier sidecar the text
+    # scan uses, keyed by the sync-marker-owner block offset; the
+    # shared pushFilters accepts value constraints on the declared
+    # scalar payload fields. Same poison proof as the text twins: a
+    # garbage container with a valid out-of-range sidecar is planted —
+    # green iff file pruning engaged before any footer read.
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from fourmc_spark.operators.maintenance import analyze_stats_proto
+    from fourmc_spark.session import register_fourmc
+    from fourmc_spark.sources.datasource import STATS_SUFFIX
+
+    register_fourmc(spark)
+    field_list = [
+        {"number": 1, "name": "event_id", "type": "int64"},
+        {"number": 2, "name": "user_id", "type": "int64"},
+        {"number": 3, "name": "event_type", "type": "string"},
+        {"number": 4, "name": "value", "type": "double"},
+    ]
+    fields = _json.dumps(field_list)
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    d = tempfile.mkdtemp(prefix="fourmc-proto-zm-")
+    try:
+        (
+            ev.repartitionByRange(6, "event_id")
+            .write.format("fourmcproto")
+            .option("fields", fields)
+            .option("codec", "zstd").option("level", "medium")
+            .mode("overwrite").save(d)
+        )
+        from fourmc_spark.format.protobuf import ProtoField
+
+        analyze_stats_proto(
+            spark, d,
+            fields=tuple(
+                ProtoField(f["number"], f["name"], f["type"])
+                for f in field_list
+            ),
+        )
+        poison = os.path.join(d, "poison.4mz")
+        with open(poison, "wb") as f:
+            f.write(b"NOT-A-4MC-CONTAINER" * 16)
+        with open(poison + STATS_SUFFIX, "w") as f:
+            _json.dump(
+                {
+                    "version": 2,
+                    "size": os.path.getsize(poison),
+                    "rows": 1,
+                    "columns": {
+                        "event_id": {
+                            "min": 10**9, "max": 2 * 10**9, "nulls": 0
+                        }
+                    },
+                },
+                f,
+            )
+        back = (
+            spark.read.format("fourmcproto")
+            .option("fields", fields)
+            .load(d)
+            .where(F.col("event_id").between(1500, 3099))
+        )
+        out = (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.sum("user_id").cast("long").alias("user_sum"),
+                F.round(F.sum("value"), 2).alias("value_sum"),
+                F.min("event_id").cast("long").alias("min_event"),
+                F.max("event_id").cast("long").alias("max_event"),
+            )
+            .orderBy("event_type")
+        )
+        return _detach(out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
     "stream_proto_sink",
     """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
               CAST(sum(user_id) AS BIGINT) AS user_sum,
@@ -5052,6 +5151,96 @@ def stream_4mc_sink_q(spark, sf):
                 ).alias("_r")
             )
             .select("_r.*")
+        )
+        out = (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.sum("user_id").cast("long").alias("user_sum"),
+                F.round(F.sum("value"), 2).alias("value_sum"),
+                F.min("event_id").cast("long").alias("min_event"),
+                F.max("event_id").cast("long").alias("max_event"),
+            )
+            .orderBy("event_type")
+        )
+        return _detach(out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "stream_4mc_sinkstats_scan",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+              CAST(sum(user_id) AS BIGINT) AS user_sum,
+              round(sum(value), 2) AS value_sum,
+              CAST(min(event_id) AS BIGINT) AS min_event,
+              CAST(max(event_id) AS BIGINT) AS max_event
+       FROM events WHERE event_id BETWEEN 600 AND 2399
+       GROUP BY event_type ORDER BY event_type""",
+)
+def stream_4mc_sinkstats_scan_q(spark, sf):
+    # Write-time zone maps on the STREAMING sink (round 10): the
+    # statsschema sidecars ride the stream commit's deterministic
+    # renames (sources/stream.py), so a live stream's output prunes
+    # range queries IMMEDIATELY — no ANALYZE pass between ingest and
+    # query. Twin of stream_4mc_sink plus the sql_4mc_sinkstats_scan
+    # poison proof: events stream through writeStream.format("fourmc")
+    # with .option("statsschema", ddl), then a garbage file with a
+    # valid out-of-range sidecar is planted and the typed scan's range
+    # query must both hash-match the batch oracle (stream-computed
+    # stats too narrow would prune real rows) and survive the poison
+    # (pruning engaged before any footer read). Each micro-batch task
+    # seals its own sidecar executor-side — at 100 TB of daily ingest
+    # the stats tier costs one Arrow parse per written batch, no
+    # second pass over the data, and the driver never sees a row.
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from fourmc_spark.session import register_fourmc
+    from fourmc_spark.sources.datasource import STATS_SUFFIX
+    from fourmc_spark.streaming import read_events_stream
+
+    register_fourmc(spark)
+    ddl = "event_id bigint, user_id bigint, event_type string, value double"
+    d = tempfile.mkdtemp(prefix="fourmc-stream-sinkstats-")
+    out_dir, ckpt = f"{d}/out", f"{d}/ckpt"
+    try:
+        sdf = read_events_stream(spark, f"{sf}/events.parquet").select(
+            F.to_json(
+                F.struct("event_id", "user_id", "event_type", "value")
+            ).alias("value")
+        )
+        q = (
+            sdf.writeStream.format("fourmc")
+            .option("codec", "zstd").option("level", "medium")
+            .option("statsschema", ddl)
+            .option("path", out_dir).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        poison = os.path.join(out_dir, "poison.4mz")
+        with open(poison, "wb") as f:
+            f.write(b"NOT-A-4MC-CONTAINER" * 16)
+        with open(poison + STATS_SUFFIX, "w") as f:
+            _json.dump(
+                {
+                    "version": 2,
+                    "size": os.path.getsize(poison),
+                    "rows": 1,
+                    "columns": {
+                        "event_id": {
+                            "min": 10**9, "max": 2 * 10**9, "nulls": 0
+                        }
+                    },
+                },
+                f,
+            )
+        back = (
+            spark.read.format("fourmc")
+            .option("jsonschema", ddl).load(out_dir)
+            .where(F.col("event_id").between(600, 2399))
         )
         out = (
             back.groupBy("event_type")

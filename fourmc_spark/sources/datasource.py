@@ -225,6 +225,13 @@ class FourMcDataSourceReader(DataSourceReader):
             self.pcols = []
         if not hasattr(self, "json_schema"):
             self.json_schema = None
+        # columns eligible for value zone-map constraints: the typed
+        # NDJSON scan's declared fields here; the protobuf reader
+        # overrides with its scalar payload fields
+        self._zone_cols: frozenset = (
+            frozenset(f.name for f in self.json_schema.fields)
+            if self.json_schema is not None else frozenset()
+        )
 
     def pushFilters(self, filters):
         """Planning-time pruning, the query-side payoff of the footer
@@ -286,9 +293,7 @@ class FourMcDataSourceReader(DataSourceReader):
                     continue
                 prev = self._pcol_allowed.get(col)
                 self._pcol_allowed[col] = vals if prev is None else prev & vals
-            elif self.json_schema is not None and col in {
-                f.name for f in self.json_schema.fields
-            }:
+            elif col in self._zone_cols:
                 # zone-map constraint on a typed payload column: file
                 # pruning against analyze_stats sidecars. Number,
                 # string, timestamp, and date bounds. Instant-typed

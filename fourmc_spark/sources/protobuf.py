@@ -98,8 +98,17 @@ class FourMcProtoReader(FourMcDataSourceReader):
         # partitions(); every proto column is a PAYLOAD field from the
         # user's schema — including one legally named "offset", which
         # must never route into the compressed-block-offset pruning
+        # (it zone-prunes by VALUE like any other payload field)
         self._init_pruning_state(options)
         self.offset_is_pseudo = False
+        # value zone-map constraints (analyze_stats_proto sidecars) on
+        # the scalar orderable payload fields; bool/bytes/repeated have
+        # no shared ordering with JSON stats and stay unpruned
+        self._zone_cols = frozenset(
+            f.name for f in self.proto_schema
+            if not f.repeated
+            and f.type in ("string", "int64", "int32", "double", "float")
+        )
 
     def read(self, partition: FourMcInputPartition):
         import pyarrow as pa
@@ -176,6 +185,9 @@ class FourMcProtoWriter(DataSourceArrowWriter):
         self.records_per_block = int(
             options.get("recordsperblock", DEFAULT_RECORDS_PER_BLOCK)
         )
+        from fourmc_spark.format.core import MAX_BLOCK_SIZE
+
+        self.block_size = int(options.get("blocksize", MAX_BLOCK_SIZE))
         self.overwrite = overwrite
         self.proto_schema = _schema_from_options(options)
         self.field_names = [f.name for f in schema.fields]
@@ -200,7 +212,7 @@ class FourMcProtoWriter(DataSourceArrowWriter):
         final = os.path.join(self.path, fname)
         pending: list[bytes] = []
         with open(staged, "wb") as f, FourMcWriter(
-            f, codec=codec, level=self.level
+            f, codec=codec, level=self.level, block_size=self.block_size
         ) as w:
             for batch in iterator:
                 for row in batch.to_pylist():
@@ -214,11 +226,16 @@ class FourMcProtoWriter(DataSourceArrowWriter):
 
     def commit(self, messages) -> None:
         if self.overwrite:
+            from fourmc_spark.sources.datasource import STATS_SUFFIX
+
             for old in self.existing:
-                try:
-                    os.remove(old)
-                except FileNotFoundError:
-                    pass
+                # an analyze_stats_proto sidecar must not outlive its
+                # data file (same eviction rule as the text sink)
+                for p in (old, old + STATS_SUFFIX):
+                    try:
+                        os.remove(p)
+                    except FileNotFoundError:
+                        pass
         for m in messages:
             if m is not None:
                 for staged, final in m.files:

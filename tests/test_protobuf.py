@@ -292,3 +292,162 @@ def test_marker_straddles_container_blocks(tmp_path):
             f, "lz4", 0, 10**18, USER_SCHEMA
         )]
     assert [g["userId"] for g in got] == [u["userId"] for u in users]
+
+
+# ---------------------------------------------------------------------------
+# Proto zone maps (r10): analyze_stats_proto + value pushdown on the scan
+# ---------------------------------------------------------------------------
+
+def _proto_planned(d, filters, schema=None):
+    from pyspark.sql.datasource import CaseInsensitiveDict
+
+    from fourmc_spark.format.protobuf import spark_struct
+    from fourmc_spark.sources.protobuf import FourMcProtoReader
+
+    sch = schema or spark_struct(USER_SCHEMA)
+    rd = FourMcProtoReader(CaseInsensitiveDict({"path": d}), sch)
+    list(rd.pushFilters(filters))
+    return [p for p in rd.partitions() if p.path]
+
+
+def test_proto_analyze_stats_and_zone_pruning(spark, tmp_path):
+    """analyze_stats_proto writes the same sidecar format the scans
+    prune against: int64/string range predicates skip whole files, and
+    results never change."""
+    from pyspark.sql.datasource import (
+        EqualTo, GreaterThanOrEqual, LessThan,
+    )
+
+    from fourmc_spark.operators.maintenance import analyze_stats_proto
+
+    d = str(tmp_path / "pzm")
+    users = _users(400)
+    df = spark.createDataFrame(
+        [(u["userId"], u["name"], u["type"], u["birthDate"], u["tags"])
+         for u in users],
+        "userId string, name string, type string, birthDate long, "
+        "tags array<string>",
+    )
+    df.repartitionByRange(4, "birthDate").write.format("fourmcproto") \
+      .option("codec", "zstd").mode("overwrite").save(d)
+    res = analyze_stats_proto(spark, d)
+    assert res["files"] == 4 and res["rows"] == 400
+    assert "tags" not in res["columns"]  # repeated: not zone-eligible
+
+    full = {p.path for p in _proto_planned(d, [])}
+    assert len(full) == 4
+    lo = users[0]["birthDate"]
+    # range keeps only overlapping files
+    kept = {p.path for p in _proto_planned(
+        d, [LessThan(("birthDate",), lo + 100 * 86400)]
+    )}
+    assert 0 < len(kept) < 4
+    # out-of-domain prunes everything
+    assert _proto_planned(
+        d, [GreaterThanOrEqual(("birthDate",), 10**18)]
+    ) == []
+    assert _proto_planned(d, [GreaterThanOrEqual(("userId",), "zzz")]) == []
+    # point predicate hits one file
+    assert len({p.path for p in _proto_planned(
+        d, [EqualTo(("birthDate",), lo)]
+    )}) == 1
+    # pruning never changes a real query
+    back = spark.read.format("fourmcproto").load(d)
+    got = back.filter(F.col("birthDate") < lo + 100 * 86400).count()
+    assert got == 100
+
+
+def test_proto_block_zone_maps_prune_within_file(spark, tmp_path):
+    """Block tier: one sorted file with tiny container blocks; a narrow
+    birthDate range must plan fewer partitions than the full scan and
+    return exactly the matching records."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from fourmc_spark.operators.maintenance import analyze_stats_proto
+
+    d = str(tmp_path / "pzm_blocks")
+    users = _users(2000)
+    df = spark.createDataFrame(
+        [(u["userId"], u["name"], u["type"], u["birthDate"], u["tags"])
+         for u in users],
+        "userId string, name string, type string, birthDate long, "
+        "tags array<string>",
+    )
+    (df.orderBy("birthDate").coalesce(1).write.format("fourmcproto")
+       .option("codec", "zstd").option("recordsperblock", 25)
+       .option("blocksize", 2048).mode("overwrite").save(d))
+    res = analyze_stats_proto(spark, d)
+    assert res["files"] == 1
+    import glob as _glob
+    import json as _json
+    meta = _json.load(open(_glob.glob(f"{d}/*.stats.json")[0]))
+    assert len(meta["blocks"]) > 4
+
+    def n_blocks(parts):
+        # count kept container blocks via partition spans
+        return sum(1 for p in parts)
+
+    full = _proto_planned(d, [], schema=df.schema)
+    lo = users[500]["birthDate"]
+    hi = users[600]["birthDate"]
+    narrow = _proto_planned(
+        d,
+        [GreaterThanOrEqual(("birthDate",), lo), LessThan(("birthDate",), hi)],
+        schema=df.schema,
+    )
+    assert sum(p.end - p.start for p in narrow) < sum(
+        p.end - p.start for p in full
+    )
+    back = spark.read.format("fourmcproto").load(d)
+    got = back.filter(
+        (F.col("birthDate") >= lo) & (F.col("birthDate") < hi)
+    ).count()
+    assert got == 100
+
+
+def test_proto_zone_pruned_file_is_never_opened(spark, tmp_path):
+    """Poison proof for the proto scan: a garbage container with a
+    valid out-of-range sidecar must be excluded before any footer
+    read."""
+    import json as _json
+
+    from fourmc_spark.sources.datasource import STATS_SUFFIX
+
+    d = str(tmp_path / "pzm_poison")
+    users = _users(50)
+    spark.createDataFrame(
+        [(u["userId"], u["name"], u["type"], u["birthDate"], u["tags"])
+         for u in users],
+        "userId string, name string, type string, birthDate long, "
+        "tags array<string>",
+    ).coalesce(1).write.format("fourmcproto").mode("overwrite").save(d)
+    from fourmc_spark.operators.maintenance import analyze_stats_proto
+    analyze_stats_proto(spark, d)
+    bad = os.path.join(d, "bad.4mc")
+    with open(bad, "wb") as f:
+        f.write(b"POISON" * 64)
+    with open(bad + STATS_SUFFIX, "w") as f:
+        _json.dump({"version": 2, "size": os.path.getsize(bad), "rows": 1,
+                    "columns": {"birthDate": {"min": 10**17, "max": 10**18,
+                                              "nulls": 0}}}, f)
+    back = spark.read.format("fourmcproto").load(d)
+    got = back.filter(F.col("birthDate") < 10**12).count()
+    assert got == 50
+
+
+def test_proto_overwrite_evicts_sidecars(spark, tmp_path):
+    from fourmc_spark.operators.maintenance import analyze_stats_proto
+
+    d = str(tmp_path / "pzm_evict")
+    users = _users(20)
+    df = spark.createDataFrame(
+        [(u["userId"], u["name"], u["type"], u["birthDate"], u["tags"])
+         for u in users],
+        "userId string, name string, type string, birthDate long, "
+        "tags array<string>",
+    ).coalesce(1)
+    df.write.format("fourmcproto").mode("overwrite").save(d)
+    analyze_stats_proto(spark, d)
+    assert glob.glob(f"{d}/*.stats.json")
+    df.write.format("fourmcproto").mode("overwrite").save(d)
+    assert glob.glob(f"{d}/*.stats.json") == []
