@@ -3466,6 +3466,90 @@ def text_heavy_hitters_q(spark, sf):
     return text.heavy_hitters(_t(spark, sf, "documents"), phi=0.002)
 
 
+@query(
+    "stream_heavy_hitters",
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+     tot AS (SELECT count(*) AS n FROM toks)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM toks GROUP BY token
+HAVING count(*) >= ceil((SELECT n FROM tot) * 0.002)
+ORDER BY cnt DESC, token""",
+)
+def stream_heavy_hitters_q(spark, sf):
+    # STREAMING frequent-token monitoring under the batch hash gate
+    # (round-10 stretch): the Misra-Gries summary is mergeable across
+    # micro-batches, so it lives as applyInPandasWithState keyed state
+    # (token-hash buckets, one capacity-m summary each) updated per
+    # trigger; every trigger re-emits the touched buckets' sketches.
+    # Documents arrive across FIVE micro-batches (one seed file drains
+    # first, four more trickle in under maxfilespertrigger=1 — the
+    # stream_4mc_multibatch technique), then heavy_hitters_finalize
+    # takes each bucket's latest sketch as the candidate superset and
+    # exact-recounts over the accumulated corpus. Equality with the
+    # batch GROUP BY/HAVING oracle proves the state carried the
+    # superset guarantee across commits — a candidate lost anywhere in
+    # the chain (state dropped, version mixed, trailer miscounted)
+    # would lose a heavy token and break the hash. Same phi as
+    # text_heavy_hitters, the batch twin.
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from fourmc_spark.session import register_fourmc
+    from fourmc_spark.streaming import (
+        heavy_hitters_finalize, heavy_hitters_sketch_stream,
+    )
+
+    register_fourmc(spark)
+    root = tempfile.mkdtemp(prefix="fourmc-stream-hh-")
+    staged, live, ckpt = f"{root}/staged", f"{root}/live", f"{root}/ckpt"
+    ddl = "doc_id bigint, text string"
+    try:
+        (
+            _t(spark, sf, "documents").select("doc_id", "text")
+            .repartition(5)
+            .select(F.to_json(F.struct("doc_id", "text")).alias("value"))
+            .write.format("fourmc").option("codec", "zstd")
+            .mode("overwrite").save(staged)
+        )
+        files = sorted(_glob.glob(f"{staged}/part-*.4mz"))
+        _os.makedirs(live)
+        _os.rename(files[0], f"{live}/{_os.path.basename(files[0])}")
+        sdf = (
+            spark.readStream.format("fourmc")
+            .option("maxfilespertrigger", "1").load(live)
+            .select(F.from_json("value", ddl).alias("r")).select("r.*")
+        )
+        name = f"qhh_{_uuid.uuid4().hex[:12]}"
+        q = (
+            heavy_hitters_sketch_stream(sdf, phi=0.002)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt).start()
+        )
+        try:
+            q.processAllAvailable()  # batch 0: the seed file
+            for f in files[1:]:  # one micro-batch per late arrival
+                _os.rename(f, f"{live}/{_os.path.basename(f)}")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+        corpus = (
+            spark.read.format("fourmc").load(live)
+            .select(F.from_json("value", ddl).alias("r")).select("r.*")
+        )
+        out = heavy_hitters_finalize(
+            spark.table(name), corpus, phi=0.002
+        )
+        return _detach(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _rp_oracle() -> str:
     """Random-projection oracle: the identical quantized Gaussian matrix
     inlined as literals; every output component is an exact int64 dot

@@ -34,7 +34,9 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -964,3 +966,162 @@ def compact_dedup_state(spark: SparkSession, state_dir: str,
     _manifest_swap(state_dir, [name], hwm, id_parts, sig_parts)
     _manifest_gc(state_dir, [name])
     return name
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters (round 10): mergeable Misra-Gries sketch as
+# keyed state, exact recount on demand
+# ---------------------------------------------------------------------------
+
+#: token-hash fan-out for the streaming sketch state: each bucket holds
+#: ONE capacity-m Misra-Gries summary, so cluster-wide state is
+#: buckets * m (token, weight) pairs — constant in the stream length.
+HH_STREAM_BUCKETS = 32
+
+_HH_OUT = StructType(
+    [
+        StructField("bucket", IntegerType()),
+        StructField("ver", LongType()),
+        StructField("token", StringType()),
+        StructField("w", LongType()),
+    ]
+)
+_HH_STATE = StructType(
+    [
+        StructField("tokens", ArrayType(StringType())),
+        StructField("weights", ArrayType(LongType())),
+        StructField("n", LongType()),
+        StructField("ver", LongType()),
+    ]
+)
+
+
+def heavy_hitters_sketch_stream(
+    docs: DataFrame,
+    phi: float = 0.002,
+    text_col: str = "text",
+    buckets: int = HH_STREAM_BUCKETS,
+) -> DataFrame:
+    """Streaming frequent-token monitoring: a Misra-Gries summary as
+    ``applyInPandasWithState`` keyed state, updated per micro-batch.
+
+    Tokens hash into ``buckets`` groups; each group's state is one
+    capacity-m MG summary (m = ceil(2/phi)) plus the group's exact
+    token count and a batch version. Every trigger that touches a
+    bucket re-emits the bucket's full current sketch (<= m token rows
+    and one null-token trailer carrying the exact count) stamped with
+    the new version — a live dashboard keeps the latest version per
+    bucket; :func:`heavy_hitters_finalize` turns it into the EXACT
+    answer with one batch recount.
+
+    The MG sketch is mergeable (Agarwal et al., "Mergeable Summaries",
+    PODS'12), and the guarantee survives any update topology: every
+    reduction step destroys >= (m+1)*d summary weight against the
+    stream's total token-count budget N, so any token's undercount is
+    <= N/(m+1) < phi*N — a true heavy hitter always survives its
+    bucket's summary with positive weight, across any number of
+    micro-batches. Batch twin: operators/text.heavy_hitters (same
+    candidate-superset argument, partition-sketch form).
+
+    100 TB posture: state is buckets*m small rows, independent of
+    stream length; per trigger the update shuffles only the batch's
+    distinct (bucket, token) partial counts, never the corpus; no
+    driver data path.
+    """
+    import math
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from fourmc_spark.functions import tokens_spark
+
+    if not 0.0 < phi <= 1.0:
+        raise ValueError(f"phi must be in (0, 1], got {phi}")
+    m = int(math.ceil(2.0 / phi))
+
+    def fn(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (bucket,) = key
+        if state.exists:
+            toks, ws, n, ver = state.get
+            counters = dict(zip(toks, (int(w) for w in ws)))
+        else:
+            counters, n, ver = {}, 0, 0
+        for pdf in pdf_iter:
+            s = pdf["token"]
+            n += len(s)
+            for tok, c in s.value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > m:
+                vals = sorted(counters.values(), reverse=True)
+                d = vals[m]  # (m+1)-th largest
+                counters = {
+                    t: c - d for t, c in counters.items() if c - d > 0
+                }
+        ver += 1
+        state.update((list(counters), [int(v) for v in counters.values()],
+                      int(n), int(ver)))
+        yield pd.DataFrame(
+            {
+                "bucket": [bucket] * (len(counters) + 1),
+                "ver": [ver] * (len(counters) + 1),
+                "token": pd.Series(list(counters) + [None], dtype="object"),
+                "w": pd.Series(list(counters.values()) + [n], dtype="int64"),
+            }
+        )
+
+    toks = docs.select(
+        F.explode(F.expr(tokens_spark(text_col))).alias("token")
+    ).withColumn(
+        "bucket", (F.abs(F.hash("token")) % buckets).cast("int")
+    )
+    return toks.groupBy("bucket").applyInPandasWithState(
+        fn,
+        outputStructType=_HH_OUT,
+        stateStructType=_HH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def heavy_hitters_finalize(
+    emissions: DataFrame,
+    corpus: DataFrame,
+    phi: float = 0.002,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact heavy hitters from the stream's sketch emissions: keep each
+    bucket's LATEST version, take its token rows as the candidate
+    superset and its trailers as the exact total N, then broadcast the
+    candidates into one exact recount over the accumulated corpus —
+    identical output to the batch GROUP BY/HAVING rule. The collected
+    emissions are sketch-row-sized (<= buckets*(m+1) rows per trigger
+    that touched a bucket), never corpus-sized; the latest-version cut
+    happens driver-side because a memory-sink table cannot be
+    self-joined (Spark internal error) and the rows are model state
+    anyway."""
+    import math
+
+    from fourmc_spark.functions import tokens_spark
+
+    latest_ver: dict[int, int] = {}
+    rows = emissions.select("bucket", "ver", "token", "w").collect()
+    for r in rows:
+        if r["ver"] > latest_ver.get(r["bucket"], 0):
+            latest_ver[r["bucket"]] = r["ver"]
+    rows = [r for r in rows if r["ver"] == latest_ver[r["bucket"]]]
+    total = sum(r["w"] for r in rows if r["token"] is None)
+    threshold = int(math.ceil(total * phi))
+    cand = sorted({r["token"] for r in rows if r["token"] is not None})
+    spark = corpus.sparkSession
+    candidates = spark.createDataFrame([(t,) for t in cand], "token string")
+    exploded = corpus.select(
+        F.explode(F.expr(tokens_spark(text_col))).alias("token")
+    )
+    return (
+        exploded.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= threshold)
+        .orderBy(F.desc("cnt"), "token")
+    )

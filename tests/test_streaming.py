@@ -1331,3 +1331,97 @@ def test_dedup_ingest_reads_legacy_seen_ids_manifest(spark, tmp_path):
         )
     names, hwm, id_parts, sig_parts = _manifest_read(state)
     assert hwm == 2 and id_parts == 64 and sig_parts == 64
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters (r10): MG sketch as keyed state across batches
+# ---------------------------------------------------------------------------
+
+def _hh_stream_run(spark, tmp_path, docs_rows, phi, n_files=4):
+    """Seal docs into n_files, stream them in >= n_files micro-batches
+    through the sketch, return (emissions_df, corpus_df)."""
+    import glob as _glob
+    import uuid as _uuid
+
+    from fourmc_spark.streaming import heavy_hitters_sketch_stream
+
+    root = str(tmp_path / "hhstream")
+    staged, live, ckpt = f"{root}/staged", f"{root}/live", f"{root}/ckpt"
+    ddl = "doc_id bigint, text string"
+    df = spark.createDataFrame(docs_rows, ddl)
+    (df.repartition(n_files)
+       .select(F.to_json(F.struct("doc_id", "text")).alias("value"))
+       .write.format("fourmc").option("codec", "zstd")
+       .mode("overwrite").save(staged))
+    files = sorted(_glob.glob(f"{staged}/part-*.4mz"))
+    os.makedirs(live)
+    os.rename(files[0], f"{live}/{os.path.basename(files[0])}")
+    sdf = (spark.readStream.format("fourmc")
+           .option("maxfilespertrigger", "1").load(live)
+           .select(F.from_json("value", ddl).alias("r")).select("r.*"))
+    name = f"thh_{_uuid.uuid4().hex[:10]}"
+    q = (heavy_hitters_sketch_stream(sdf, phi=phi)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("update").option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        for f in files[1:]:
+            os.rename(f, f"{live}/{os.path.basename(f)}")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    corpus = (spark.read.format("fourmc").load(live)
+              .select(F.from_json("value", ddl).alias("r")).select("r.*"))
+    return spark.table(name), corpus
+
+
+def test_stream_heavy_hitters_matches_batch_exact(spark, tmp_path):
+    from fourmc_spark.operators.text import heavy_hitters
+    from fourmc_spark.streaming import heavy_hitters_finalize
+
+    rows = []
+    did = 0
+    for i in range(1, 40):
+        for j in range(400 // i):
+            rows.append((did, f"t{i:03d} filler-{did}"))
+            did += 1
+    emissions, corpus = _hh_stream_run(spark, tmp_path, rows, phi=0.01)
+    # the state version advanced across multiple micro-batches
+    assert emissions.agg(F.max("ver")).first()[0] >= 4
+    got = [(r["token"], r["cnt"]) for r in
+           heavy_hitters_finalize(emissions, corpus, phi=0.01).collect()]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    want = [(r["token"], r["cnt"]) for r in
+            heavy_hitters(df, phi=0.01).collect()]
+    assert got == want and len(got) > 0
+
+
+def test_stream_heavy_hitters_survives_eviction_across_batches(
+    spark, tmp_path
+):
+    """phi=0.05 -> m=40 per bucket; hundreds of once-only decoys force
+    constant reductions while the two true heavy tokens are spread so
+    no single micro-batch alone certifies them — only state carried
+    across commits can."""
+    from fourmc_spark.streaming import heavy_hitters_finalize
+
+    rows = []
+    did = 0
+    for p in range(6):
+        for _ in range(30):
+            rows.append((did, "hot cold"))
+            did += 1
+        for j in range(400):
+            rows.append((did, f"decoy-{p}-{j}"))
+            did += 1
+    emissions, corpus = _hh_stream_run(
+        spark, tmp_path, rows, phi=0.05, n_files=6
+    )
+    got = heavy_hitters_finalize(emissions, corpus, phi=0.05).collect()
+    assert {r["token"] for r in got} == {"hot", "cold"}
+    # per-bucket emissions stay state-sized: <= m+1 rows per version
+    m = 40
+    counts = (emissions.groupBy("bucket", "ver").count()
+              .agg(F.max("count")).first()[0])
+    assert counts <= m + 1
