@@ -148,6 +148,14 @@ BENCH_QUERIES = [
     "maintenance_compact_zonemap",
     # round 9: write-time zone maps (sink statsschema), no ANALYZE pass
     "sql_4mc_sinkstats_scan",
+    # round 10: temporal zone maps (epoch-micros sidecars, ts range pruning)
+    "sql_4mc_zonemap_ts_scan",
+    # round 10: zone maps on the protobuf typed scan
+    "proto_4mc_zonemap_scan",
+    # round 10: statsschema sidecars sealed by the STREAMING sink
+    "stream_4mc_sinkstats_scan",
+    # round 10: MG sketch as streaming keyed state + exact recount
+    "stream_heavy_hitters",
 ]
 
 

@@ -76,6 +76,10 @@ SHOWCASE = [
     "sql_4mc_zonemap_blocks_scan",  # block-tier zone maps inside kept files
     "maintenance_compact_zonemap",  # ANALYZE -> carry-stats compact -> pruned query
     "sql_4mc_sinkstats_scan",   # write-time zone maps from the sink itself
+    "sql_4mc_zonemap_ts_scan",  # temporal zone maps: ts range prunes files
+    "proto_4mc_zonemap_scan",   # zone maps on the protobuf typed scan
+    "stream_4mc_sinkstats_scan",  # statsschema sealed by the STREAMING sink
+    "stream_heavy_hitters",     # MG sketch as keyed state + exact recount
 ]
 
 
