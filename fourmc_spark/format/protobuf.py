@@ -419,3 +419,20 @@ def spark_struct(schema: tuple[ProtoField, ...]):
             dt = T.ArrayType(dt, containsNull=False)
         fields.append(T.StructField(f.name, dt, nullable=True))
     return T.StructType(fields)
+
+
+#: proto field types whose values share an ordering with the JSON
+#: sidecar primitives (number/string) — the single source of truth for
+#: which payload fields are zone-map-eligible, consumed by BOTH the
+#: scan's pushFilters (sources/protobuf.py) and the analyzer
+#: (operators/maintenance.analyze_stats_proto); a type added to one
+#: side only would strand pruning state or waste ANALYZE work.
+ZONE_ELIGIBLE_TYPES = ("string", "int64", "int32", "double", "float")
+
+
+def zone_eligible_fields(schema: tuple[ProtoField, ...]) -> list[str]:
+    """Names of the scalar orderable fields zone maps can prune on."""
+    return [
+        f.name for f in schema
+        if not f.repeated and f.type in ZONE_ELIGIBLE_TYPES
+    ]

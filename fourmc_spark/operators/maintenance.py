@@ -558,15 +558,13 @@ def analyze_stats_proto(
     import json as _json
     import math
 
-    from fourmc_spark.format.protobuf import USER_SCHEMA
+    from fourmc_spark.format.protobuf import (
+        USER_SCHEMA, zone_eligible_fields,
+    )
     from fourmc_spark.sources.datasource import STATS_SUFFIX, _list_files
 
     schema = tuple(fields) if fields else USER_SCHEMA
-    eligible = [
-        f.name for f in schema
-        if not f.repeated
-        and f.type in ("string", "int64", "int32", "double", "float")
-    ]
+    eligible = zone_eligible_fields(schema)
     cols = [c for c in (columns or eligible) if c in eligible]
     if not cols:
         raise ValueError(
@@ -810,6 +808,13 @@ def analyze_stats(
         mn, mx = F.min(fc), F.max(fc)
         if c in ts_cols:
             mn, mx = F.unix_micros(mn), F.unix_micros(mx)
+        if c in floats:
+            # widen float32 BEFORE the string cast: CAST(0.1f AS STRING)
+            # is the float32 shortest repr "0.1", which reparses to a
+            # double just BELOW the widened float value 0.100000001...
+            # — a bound sitting under the true max wrongly prunes.
+            # Doubles round-trip through their own shortest repr.
+            mn, mx = mn.cast("double"), mx.cast("double")
         if c in integral or c in ts_cols or c in floats:
             mn, mx = mn.cast("string"), mx.cast("string")
         aggs.append(mn.alias(f"__min_{i}"))

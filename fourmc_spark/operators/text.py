@@ -1068,6 +1068,26 @@ def bpe_encode(df: DataFrame, merges, text_col: str = "text",
 MG_MERGE_PARTS = 32
 
 
+def mg_reduce(counters: dict, m: int) -> dict:
+    """THE Misra-Gries reduction: when more than ``m`` counters live,
+    subtract the (m+1)-th-largest weight ``d`` from every counter and
+    drop the non-positive ones, so at most ``m`` survive.
+
+    This exact form carries the whole superset-guarantee proof shared
+    by the batch sketch, the distributed merge, and the streaming
+    keyed-state variant: each reduction destroys >= (m+1)*d total
+    weight (at least m+1 counters hold >= d), and only N weight is ever
+    inserted, so the SUM of all subtractions across any DAG of inserts
+    and merges is <= N/(m+1) — every user must call this one kernel so
+    the bound can never drift between paths (Agarwal et al., "Mergeable
+    Summaries", PODS'12)."""
+    if len(counters) > m:
+        vals = sorted(counters.values(), reverse=True)
+        d = vals[m]  # (m+1)-th largest
+        counters = {t: c - d for t, c in counters.items() if c - d > 0}
+    return counters
+
+
 def _mg_merged_summary(sketch_df: DataFrame, m: int) -> DataFrame:
     """Merge per-partition Misra-Gries summaries into ONE summary <= m.
 
@@ -1102,12 +1122,7 @@ def _mg_merged_summary(sketch_df: DataFrame, m: int) -> DataFrame:
             )
             for tok, c in summed.items():
                 counters[tok] = counters.get(tok, 0) + int(c)
-            if len(counters) > m:
-                vals = sorted(counters.values(), reverse=True)
-                d = vals[m]
-                counters = {
-                    t: c - d for t, c in counters.items() if c - d > 0
-                }
+            counters = mg_reduce(counters, m)
         yield pd.DataFrame(
             {"token": pd.Series(list(counters) + [None], dtype="object"),
              "w": pd.Series(list(counters.values()) + [n_tot],
@@ -1196,12 +1211,7 @@ def heavy_hitters(
             n_part += len(s)
             for tok, c in s.value_counts().items():
                 counters[tok] = counters.get(tok, 0) + int(c)
-            if len(counters) > m:
-                vals = sorted(counters.values(), reverse=True)
-                d = vals[m]  # (m+1)-th largest
-                counters = {
-                    t: c - d for t, c in counters.items() if c - d > 0
-                }
+            counters = mg_reduce(counters, m)
         # one trailer row per partition carries its exact token count
         yield pd.DataFrame(
             {"token": pd.Series(list(counters) + [None], dtype="object"),

@@ -488,16 +488,22 @@ class FourMcDataSourceReader(DataSourceReader):
                 names.append("_file")
             return pa.RecordBatch.from_arrays(arrays, names=names)
 
+        # Arrow's JSON kernels parse each micro-batch in C;
+        # explicit_schema pins types so output never depends on
+        # inference (absent fields come back NULL). Column pruning
+        # reaches the PARSER: only the requested fields enter
+        # explicit_schema; unexpected_field_behavior=ignore skips every
+        # other key without inferring/materializing it. Built once per
+        # partition — never per batch.
+        typed_parser = (
+            _TypedNdjsonParser(self.json_schema, want_typed)
+            if typed else None
+        )
+
         def _typed_batch(ndjson: "pa.Buffer | bytes") -> "pa.RecordBatch":
-            # Arrow's JSON kernels parse the whole micro-batch in C;
-            # explicit_schema pins types so output never depends on
-            # inference (absent fields come back NULL). Column pruning
-            # reaches the PARSER: only the requested fields enter
-            # explicit_schema; unexpected_field_behavior=ignore skips
-            # every other key without inferring/materializing it.
-            tbl = _parse_ndjson_typed(ndjson, self.json_schema, want_typed)
-            cols = [tbl.column(c).combine_chunks() for c in want_typed]
-            return pa.RecordBatch.from_arrays(cols, names=list(want_typed))
+            return pa.RecordBatch.from_arrays(
+                typed_parser.arrays(ndjson), names=list(want_typed)
+            )
 
         def _cast_lines(arr: "pa.Array") -> "pa.Array":
             try:
@@ -735,50 +741,75 @@ def _unquote_float_specials(ndjson: bytes, float_cols: list[str]) -> bytes:
     return ndjson
 
 
-def _parse_ndjson_typed(ndjson, st: StructType, want: list[str]):
+class _TypedNdjsonParser:
     """One Arrow C-side parse of an NDJSON buffer against the declared
-    flat schema, returning a pa.Table with the FINAL column types for
-    ``want`` (post-parse casts applied). On the quoted-NaN/Infinity
-    ArrowInvalid, retries once after rewriting those tokens for the
-    declared float columns; any other parse failure names the
-    value-mode + from_json fallback."""
-    import pyarrow as pa
-    import pyarrow.json as pj
+    flat schema, producing FINAL-typed combined arrays for ``want``
+    (post-parse casts applied). Built ONCE per scan partition / sink
+    task — the schema filtering, Arrow schema, and ParseOptions are
+    hot-path-invariant, so they must not be rebuilt per micro-batch.
 
-    sub = StructType([f for f in st.fields if f.name in want])
-    schema, post_casts = _arrow_schema_for(sub)
-    opts = pj.ParseOptions(
-        explicit_schema=schema, unexpected_field_behavior="ignore"
-    )
-    if not isinstance(ndjson, (bytes, pa.Buffer)):
-        raise TypeError("ndjson must be bytes or an Arrow buffer")
-    try:
-        tbl = pj.read_json(pa.BufferReader(ndjson), parse_options=opts)
-    except pa.ArrowInvalid:
-        floats = [c for c in _float_cols_of(sub) if c in want]
-        if not floats:
-            raise
-        raw = ndjson if isinstance(ndjson, bytes) else ndjson.to_pybytes()
+    On the quoted-NaN/Infinity ArrowInvalid (Spark's to_json serializes
+    non-finite doubles as quoted strings), retries once after rewriting
+    those tokens for the declared float columns; any other parse
+    failure names the value-mode + from_json fallback."""
+
+    def __init__(self, st: StructType, want: list[str]) -> None:
+        import pyarrow.json as pj
+
+        self.want = list(want)
+        sub = StructType([f for f in st.fields if f.name in self.want])
+        self.schema, self.post_casts = _arrow_schema_for(sub)
+        self.float_cols = _float_cols_of(sub)
+        self.opts = pj.ParseOptions(
+            explicit_schema=self.schema, unexpected_field_behavior="ignore"
+        )
+
+    def arrays(self, ndjson) -> list:
+        """Final-typed pa.Array per ``want`` column, chunks combined."""
+        import pyarrow as pa
+        import pyarrow.json as pj
+
+        if not isinstance(ndjson, (bytes, pa.Buffer)):
+            raise TypeError("ndjson must be bytes or an Arrow buffer")
         try:
             tbl = pj.read_json(
-                pa.BufferReader(_unquote_float_specials(raw, floats)),
-                parse_options=opts,
+                pa.BufferReader(ndjson), parse_options=self.opts
             )
-        except pa.ArrowInvalid as e:
-            raise ValueError(
-                "fourmc jsonschema: typed parse failed even after "
-                "normalizing quoted NaN/Infinity float tokens — read in "
-                "value mode and parse with from_json instead"
-            ) from e
-    cols, names = [], []
-    for c in want:
-        col = tbl.column(c).combine_chunks()
-        tgt = post_casts.get(c)
-        if tgt is not None:
-            col = col.cast(tgt)
-        cols.append(col)
-        names.append(c)
-    return pa.Table.from_arrays(cols, names=names)
+        except pa.ArrowInvalid:
+            if not self.float_cols:
+                raise
+            raw = (ndjson if isinstance(ndjson, bytes)
+                   else ndjson.to_pybytes())
+            try:
+                tbl = pj.read_json(
+                    pa.BufferReader(
+                        _unquote_float_specials(raw, self.float_cols)
+                    ),
+                    parse_options=self.opts,
+                )
+            except pa.ArrowInvalid as e:
+                raise ValueError(
+                    "fourmc jsonschema: typed parse failed even after "
+                    "normalizing quoted NaN/Infinity float tokens — read "
+                    "in value mode and parse with from_json instead"
+                ) from e
+        out = []
+        for c in self.want:
+            col = tbl.column(c).combine_chunks()
+            tgt = self.post_casts.get(c)
+            if tgt is not None:
+                col = col.cast(tgt)
+            out.append(col)
+        return out
+
+
+def _parse_ndjson_typed(ndjson, st: StructType, want: list[str]):
+    """One-shot convenience over :class:`_TypedNdjsonParser` (tests,
+    cold paths). Hot paths build the parser once instead."""
+    import pyarrow as pa
+
+    p = _TypedNdjsonParser(st, want)
+    return pa.Table.from_arrays(p.arrays(ndjson), names=list(p.want))
 
 
 # per-file zone-map sidecar written by operators/maintenance.analyze_stats
@@ -1065,6 +1096,18 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
         # Requires the value lines to be valid NDJSON for the declared
         # fields (the to_json(struct(...)) pipeline); Arrow-parsed per
         # batch, zero cost when unset.
+        # LIMITATION (documented, same convention as the typed scan):
+        # TimestampType stats are epoch micros computed from the parsed
+        # wall clock — exact for zone-suffixed text (to_json always
+        # writes Z-suffixed UTC) under ANY session timezone, but
+        # ZONE-LESS timestamp text is assumed UTC, so under a non-UTC
+        # spark.sql.session.timeZone its sidecar micros would be offset
+        # from the instants the session reads back, and pruning could
+        # go wrong. The writer cannot see the session timezone (Python
+        # DataSource workers get options only) and Arrow's parse cannot
+        # flag zone-less text (it silently assumes UTC). For zone-less
+        # timestamp text under a non-UTC session, use analyze_stats()
+        # instead — its unix_micros aggregation is session-tz-exact.
         ss = options.get("statsschema")
         self.stats_schema: StructType | None = (
             _parse_flat_ddl(ss) if ss else None
@@ -1123,6 +1166,10 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
             [f.name for f in self.stats_schema.fields]
             if self.stats_schema is not None else []
         )
+        stats_parser = (
+            _TypedNdjsonParser(self.stats_schema, stat_cols)
+            if self.stats_schema is not None else None
+        )
 
         def _writer_for(reldir: str):
             if reldir in streams:
@@ -1171,10 +1218,9 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
                 pa.array([0, len(strs)], type=pa.int32()), strs
             )
             nd = pc.binary_join(la, "\n")[0].as_buffer()
-            tbl = _parse_ndjson_typed(nd, self.stats_schema, stat_cols)
+            arrays = stats_parser.arrays(nd)
             acc["rows"] += len(strs)
-            for c in stat_cols:
-                col = tbl.column(c)
+            for c, col in zip(stat_cols, arrays):
                 st = acc["cols"][c]
                 st[2] += col.null_count
                 n_valid = len(col) - col.null_count

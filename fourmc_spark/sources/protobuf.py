@@ -104,11 +104,9 @@ class FourMcProtoReader(FourMcDataSourceReader):
         # value zone-map constraints (analyze_stats_proto sidecars) on
         # the scalar orderable payload fields; bool/bytes/repeated have
         # no shared ordering with JSON stats and stay unpruned
-        self._zone_cols = frozenset(
-            f.name for f in self.proto_schema
-            if not f.repeated
-            and f.type in ("string", "int64", "int32", "double", "float")
-        )
+        from fourmc_spark.format.protobuf import zone_eligible_fields
+
+        self._zone_cols = frozenset(zone_eligible_fields(self.proto_schema))
 
     def read(self, partition: FourMcInputPartition):
         import pyarrow as pa

@@ -1033,6 +1033,7 @@ def heavy_hitters_sketch_stream(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from fourmc_spark.functions import tokens_spark
+    from fourmc_spark.operators.text import mg_reduce
 
     if not 0.0 < phi <= 1.0:
         raise ValueError(f"phi must be in (0, 1], got {phi}")
@@ -1048,16 +1049,10 @@ def heavy_hitters_sketch_stream(
         else:
             counters, n, ver = {}, 0, 0
         for pdf in pdf_iter:
-            s = pdf["token"]
-            n += len(s)
-            for tok, c in s.value_counts().items():
+            n += int(pdf["c"].sum())
+            for tok, c in zip(pdf["token"], pdf["c"]):
                 counters[tok] = counters.get(tok, 0) + int(c)
-            if len(counters) > m:
-                vals = sorted(counters.values(), reverse=True)
-                d = vals[m]  # (m+1)-th largest
-                counters = {
-                    t: c - d for t, c in counters.items() if c - d > 0
-                }
+            counters = mg_reduce(counters, m)
         ver += 1
         state.update((list(counters), [int(v) for v in counters.values()],
                       int(n), int(ver)))
@@ -1070,11 +1065,27 @@ def heavy_hitters_sketch_stream(
             }
         )
 
+    # map-side partial counts BEFORE the keyed-state shuffle: the
+    # exchange feeding applyInPandasWithState then carries each scan
+    # partition's DISTINCT (bucket, token, count) rows instead of every
+    # token occurrence — the streaming analog of the batch sketch
+    # pass's "never shuffle the token stream" rule. (A groupBy agg
+    # cannot precede a stateful operator, so the partial combine runs
+    # as a stateless mapInPandas.)
+    def partial_counts(
+        it: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vc = pdf.groupby(["bucket", "token"], sort=False).size()
+            out = vc.reset_index(name="c")
+            out["c"] = out["c"].astype("int64")
+            yield out
+
     toks = docs.select(
         F.explode(F.expr(tokens_spark(text_col))).alias("token")
     ).withColumn(
         "bucket", (F.abs(F.hash("token")) % buckets).cast("int")
-    )
+    ).mapInPandas(partial_counts, schema="bucket int, token string, c long")
     return toks.groupBy("bucket").applyInPandasWithState(
         fn,
         outputStructType=_HH_OUT,

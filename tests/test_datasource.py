@@ -1399,3 +1399,26 @@ def test_stream_sink_rename_evicts_stale_sidecar(tmp_path):
     data2 = glob.glob(f"{out}/part-b*.4mz")
     assert len(data2) == 1
     assert not os.path.exists(data2[0] + STATS_SUFFIX)
+
+
+def test_analyze_float32_stats_never_prune_exact_boundary(spark, tmp_path):
+    """float32 stats must widen to double BEFORE the string cast:
+    CAST(0.1f AS STRING) is the float32 shortest repr "0.1", which
+    reparses to a double BELOW the widened float value — a bound under
+    the true max would wrongly prune `x >= CAST(0.1 AS FLOAT)` rows."""
+    from fourmc_spark.format.writer import write_file
+    from fourmc_spark.operators.maintenance import analyze_stats
+
+    d = str(tmp_path / "f32")
+    os.makedirs(d)
+    write_file(os.path.join(d, "a.4mz"), b'{"x": 0.1, "k": 1}\n',
+               codec="zstd")
+    ddl = "x float, k bigint"
+    analyze_stats(spark, d, ddl)
+    import json as _json
+    meta = _json.load(open(glob.glob(f"{d}/*.stats.json")[0]))
+    widened = 0.10000000149011612  # float32 0.1 as double
+    assert meta["columns"]["x"]["max"] == widened
+    typed = spark.read.format("fourmc").option("jsonschema", ddl).load(d)
+    rows = typed.filter(F.col("x") >= F.lit(0.1).cast("float")).collect()
+    assert [r["k"] for r in rows] == [1]
