@@ -1422,3 +1422,32 @@ def test_analyze_float32_stats_never_prune_exact_boundary(spark, tmp_path):
     typed = spark.read.format("fourmc").option("jsonschema", ddl).load(d)
     rows = typed.filter(F.col("x") >= F.lit(0.1).cast("float")).collect()
     assert [r["k"] for r in rows] == [1]
+
+
+def test_zone_pruning_applies_to_unsplittable_zst_files(spark, tmp_path):
+    """File-tier zone maps compose with the unsplittable codecs too:
+    the zone check runs before the codec branch in partitions(), so a
+    .zst file whose sidecar excludes the pushed range contributes zero
+    partitions — proven by a poison .zst of garbage bytes."""
+    import json as _json
+
+    from fourmc_spark.format.writer import write_zst_file
+    from fourmc_spark.operators.maintenance import analyze_stats
+    from fourmc_spark.sources.datasource import STATS_SUFFIX
+
+    d = str(tmp_path / "zstzm")
+    os.makedirs(d)
+    write_zst_file(os.path.join(d, "a.zst"), b'{"k": 1}\n{"k": 2}\n')
+    analyze_stats(spark, d, "k bigint")
+    bad = os.path.join(d, "bad.zst")
+    with open(bad, "wb") as f:
+        f.write(b"NOT-ZSTD-AT-ALL" * 8)
+    with open(bad + STATS_SUFFIX, "w") as f:
+        _json.dump({"version": 2, "size": os.path.getsize(bad), "rows": 1,
+                    "columns": {"k": {"min": 1000, "max": 2000,
+                                      "nulls": 0}}}, f)
+    typed = (spark.read.format("fourmc").option("jsonschema", "k bigint")
+             .load(d))
+    assert sorted(
+        r["k"] for r in typed.filter(F.col("k") < 100).collect()
+    ) == [1, 2]
