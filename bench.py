@@ -150,8 +150,9 @@ BENCH_QUERIES = [
     "sql_4mc_sinkstats_scan",
     # round 10: temporal zone maps (epoch-micros sidecars, ts range pruning)
     "sql_4mc_zonemap_ts_scan",
-    # round 10: zone maps on the protobuf typed scan
+    # round 10: zone maps on the protobuf typed scan (file + block tiers)
     "proto_4mc_zonemap_scan",
+    "proto_4mc_zonemap_blocks_scan",
     # round 10: statsschema sidecars sealed by the STREAMING sink
     "stream_4mc_sinkstats_scan",
     # round 10: MG sketch as streaming keyed state + exact recount

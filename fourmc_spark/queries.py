@@ -2770,6 +2770,91 @@ def proto_4mc_zonemap_scan_q(spark, sf):
 
 
 @query(
+    "proto_4mc_zonemap_blocks_scan",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+              CAST(sum(user_id) AS BIGINT) AS user_sum,
+              round(sum(value), 2) AS value_sum,
+              CAST(min(event_id) AS BIGINT) AS min_event,
+              CAST(max(event_id) AS BIGINT) AS max_event
+       FROM events WHERE event_id BETWEEN 900 AND 2499
+       GROUP BY event_type ORDER BY event_type""",
+)
+def proto_4mc_zonemap_blocks_scan_q(spark, sf):
+    # BLOCK tier of the proto zone maps (round 10; proto twin of
+    # sql_4mc_zonemap_blocks_scan): events sorted by event_id into 2
+    # sealed EB-protobuf files with 8 KiB container blocks and 25
+    # records per EB block, so the range's selectivity lives INSIDE
+    # files; analyze_stats_proto keys per-block min/max by the block in
+    # which each record's sync marker STARTS — the exact ownership rule
+    # the split reader enforces — and the planner drops non-matching
+    # blocks within kept files. The hash oracle is unforgiving about
+    # the two ownership seams: an EB block SPANNING into a dropped
+    # container block must still complete (split spillover), and
+    # records OWNED by a dropped block must not survive via their
+    # spill bytes.
+    import json as _json
+    import shutil
+    import tempfile
+
+    from fourmc_spark.operators.maintenance import analyze_stats_proto
+    from fourmc_spark.session import register_fourmc
+
+    register_fourmc(spark)
+    field_list = [
+        {"number": 1, "name": "event_id", "type": "int64"},
+        {"number": 2, "name": "user_id", "type": "int64"},
+        {"number": 3, "name": "event_type", "type": "string"},
+        {"number": 4, "name": "value", "type": "double"},
+    ]
+    fields = _json.dumps(field_list)
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    d = tempfile.mkdtemp(prefix="fourmc-proto-zmb-")
+    try:
+        (
+            ev.repartitionByRange(2, "event_id")
+            .sortWithinPartitions("event_id")
+            .write.format("fourmcproto")
+            .option("fields", fields)
+            .option("codec", "zstd").option("level", "medium")
+            .option("blocksize", 8 * 1024)
+            .option("recordsperblock", 25)
+            .mode("overwrite").save(d)
+        )
+        from fourmc_spark.format.protobuf import ProtoField
+
+        analyze_stats_proto(
+            spark, d,
+            fields=tuple(
+                ProtoField(f["number"], f["name"], f["type"])
+                for f in field_list
+            ),
+            blocks=True,
+        )
+        back = (
+            spark.read.format("fourmcproto")
+            .option("fields", fields)
+            .load(d)
+            .where(F.col("event_id").between(900, 2499))
+        )
+        out = (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.sum("user_id").cast("long").alias("user_sum"),
+                F.round(F.sum("value"), 2).alias("value_sum"),
+                F.min("event_id").cast("long").alias("min_event"),
+                F.max("event_id").cast("long").alias("max_event"),
+            )
+            .orderBy("event_type")
+        )
+        return _detach(out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
     "stream_proto_sink",
     """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
               CAST(sum(user_id) AS BIGINT) AS user_sum,

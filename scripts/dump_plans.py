@@ -78,6 +78,7 @@ SHOWCASE = [
     "sql_4mc_sinkstats_scan",   # write-time zone maps from the sink itself
     "sql_4mc_zonemap_ts_scan",  # temporal zone maps: ts range prunes files
     "proto_4mc_zonemap_scan",   # zone maps on the protobuf typed scan
+    "proto_4mc_zonemap_blocks_scan",  # proto block tier (sync-marker seams)
     "stream_4mc_sinkstats_scan",  # statsschema sealed by the STREAMING sink
     "stream_heavy_hitters",     # MG sketch as keyed state + exact recount
 ]

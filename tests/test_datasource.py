@@ -1451,3 +1451,64 @@ def test_zone_pruning_applies_to_unsplittable_zst_files(spark, tmp_path):
     assert sorted(
         r["k"] for r in typed.filter(F.col("k") < 100).collect()
     ) == [1, 2]
+
+
+def test_zone_ts_block_pruning_within_file(spark, tmp_path):
+    """Block tier works for temporal columns too: a single ts-sorted
+    multi-block file plans fewer compressed bytes under a narrow ts
+    range, and the rows still come back exactly."""
+    import datetime as dt
+
+    from pyspark.sql.datasource import (
+        CaseInsensitiveDict, GreaterThanOrEqual, LessThan,
+    )
+
+    from fourmc_spark.operators.maintenance import analyze_stats
+    from fourmc_spark.sources.datasource import (
+        FourMcDataSourceReader, _parse_flat_ddl,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = str(tmp_path / "tsblocks")
+    ddl = "ts timestamp, k bigint"
+    df = spark.range(4000).select(
+        F.date_format(
+            F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 60),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        ).alias("ts"),
+        F.col("id").alias("k"),
+    )
+    (df.orderBy("k").coalesce(1)
+       .select(F.to_json(F.struct("ts", "k")).alias("value"))
+       .write.format("fourmc").option("codec", "zstd")
+       .option("blocksize", 4096).mode("overwrite").save(d))
+    analyze_stats(spark, d, ddl)
+    import json as _json
+    meta = _json.load(open(glob.glob(f"{d}/*.stats.json")[0]))
+    assert len(meta["blocks"]) > 8
+    assert isinstance(meta["blocks"][0]["c"]["ts"][0], int)  # micros
+
+    schema = _parse_flat_ddl(ddl)
+    opts = CaseInsensitiveDict({"path": d, "jsonschema": ddl})
+
+    def planned(filters):
+        rd = FourMcDataSourceReader(opts, schema)
+        list(rd.pushFilters(filters))
+        return [p for p in rd.partitions() if p.path]
+
+    full = planned([])
+    utc = dt.timezone.utc
+    lo = dt.datetime(2024, 1, 1, 10, 0, tzinfo=utc)
+    hi = dt.datetime(2024, 1, 1, 12, 0, tzinfo=utc)
+    narrow = planned(
+        [GreaterThanOrEqual(("ts",), lo), LessThan(("ts",), hi)]
+    )
+    assert sum(p.end - p.start for p in narrow) < sum(
+        p.end - p.start for p in full
+    )
+    typed = spark.read.format("fourmc").option("jsonschema", ddl).load(d)
+    got = typed.filter(
+        (F.col("ts") >= "2024-01-01 10:00:00")
+        & (F.col("ts") < "2024-01-01 12:00:00")
+    ).count()
+    assert got == 120
