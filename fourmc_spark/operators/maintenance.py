@@ -34,7 +34,10 @@ Two compaction strategies, picked by what needs to change:
   preserved exactly, at the cost of decoding one block per input.
 * ElephantBird-protobuf containers need no fix (records self-delimit
   via sync markers; a whole file is always a whole-record stream), so
-  ``compact_protobuf`` passes ``newline_fix=False``.
+  ``compact_protobuf`` passes ``newline_fix=False`` — and because
+  marker-start ownership is concatenation-invariant, it also carries
+  zone maps EXACTLY (``self_delimiting=True``: every block entry kept,
+  no seam drops).
 * NEVER compact in place under a live ordered-names stream: replacing
   files below the consumer's high-water mark violates the orderednames
   contract (sources/stream.py). Compaction writes a NEW tree; readers
@@ -275,13 +278,15 @@ def compact_group(
     out_path: str,
     newline_fix: bool = True,
     carry_stats: bool = True,
+    self_delimiting: bool = False,
 ) -> dict:
     """Compact one plan into *out_path* (executor-side; pure file I/O).
 
     ``carry_stats=True`` forwards analyze_stats zone maps WITHOUT
     re-analyzing: raw-copied blocks keep their per-block min/max (the
     entries remap from input to output offsets), and the file tier
-    merges the inputs' file stats. Two conservativeness rules:
+    merges the inputs' file stats. Two conservativeness rules for the
+    TEXT record model:
 
     * carried only when EVERY input has a valid (size-matching)
       sidecar — otherwise the output gets none;
@@ -291,6 +296,13 @@ def compact_group(
       stats would be too NARROW — and narrow stats can wrongly prune.
       Too-wide stats (the next input's block 0 no longer owns its
       first line) are safe and kept.
+
+    ``self_delimiting=True`` (the EB-protobuf model, compact_protobuf):
+    records self-delimit via sync markers and ownership is
+    marker-start-block, which concatenation cannot move — no record
+    ever crosses into another input's block. Both text rules are
+    needless there, so EVERY block entry carries and the newline-glue
+    check is skipped (it would kill the carry on ~every binary file).
     """
     magic = core.magic_for_codec(plan.codec)
     offsets: list[int] = []
@@ -301,7 +313,7 @@ def compact_group(
         if carry_stats else {}
     )
     carry = bool(metas) and all(m is not None for m in metas.values())
-    if carry and not newline_fix:
+    if carry and not newline_fix and not self_delimiting:
         # with the newline fix OFF, an unterminated non-final input
         # GLUES its last line onto the next input's first — the glued
         # line is owned by the block holding the last terminator, whose
@@ -323,7 +335,10 @@ def compact_group(
                     b.get("o"): b.get("c")
                     for b in metas[src].get("blocks") or ()
                 }
-                for in_off, out_off in pairs[:-1]:  # drop the seam block
+                # text: drop the seam block (ownership can widen into
+                # it); self-delimiting records: every entry stays exact
+                kept = pairs if self_delimiting else pairs[:-1]
+                for in_off, out_off in kept:
                     c = by_off.get(in_off)
                     if c is not None:
                         block_entries.append({"o": out_off, "c": c})
@@ -457,6 +472,7 @@ def compact_blocks(
     codec: str | None = None,
     level="medium",
     carry_stats: bool = True,
+    self_delimiting: bool = False,
 ) -> dict:
     """Compact a tree of sealed 4mc/4mz files into *out_dir* by raw
     block copy (no recompression). Hive subdirectories are mirrored
@@ -497,7 +513,7 @@ def compact_blocks(
         if not reseal and out_codec == p.codec:
             return compact_group(
                 p, out_path, newline_fix=newline_fix,
-                carry_stats=carry_stats,
+                carry_stats=carry_stats, self_delimiting=self_delimiting,
             )
         return _recompress_group(
             p, out_path, out_codec, level, workers=1,
@@ -521,8 +537,11 @@ def compact_blocks(
 
 def compact_protobuf(spark: SparkSession, in_dir: str, out_dir: str, **kw) -> dict:
     """Protobuf twin of ``compact_blocks``: EB records self-delimit, so
-    no newline fix — otherwise identical raw block copy."""
+    no newline fix, and zone maps carry EXACTLY (every block entry —
+    sync-marker ownership is concatenation-invariant, no seam drops);
+    otherwise identical raw block copy."""
     kw.setdefault("newline_fix", False)
+    kw.setdefault("self_delimiting", True)
     return compact_blocks(spark, in_dir, out_dir, **kw)
 
 

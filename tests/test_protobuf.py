@@ -451,3 +451,56 @@ def test_proto_overwrite_evicts_sidecars(spark, tmp_path):
     assert glob.glob(f"{d}/*.stats.json")
     df.write.format("fourmcproto").mode("overwrite").save(d)
     assert glob.glob(f"{d}/*.stats.json") == []
+
+
+def test_proto_compact_carries_zone_maps_exactly(spark, tmp_path):
+    """compact_protobuf carries analyze_stats_proto zone maps through
+    the raw block copy with NO seam drops (sync-marker ownership is
+    concatenation-invariant): every input block entry survives with a
+    remapped offset, the compacted tree prunes, and results are exact."""
+    import json as _json
+
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from fourmc_spark.operators.maintenance import (
+        analyze_stats_proto, compact_protobuf,
+    )
+
+    d_in = str(tmp_path / "pin")
+    d_out = str(tmp_path / "pout")
+    users = _users(1200)
+    df = spark.createDataFrame(
+        [(u["userId"], u["name"], u["type"], u["birthDate"], u["tags"])
+         for u in users],
+        "userId string, name string, type string, birthDate long, "
+        "tags array<string>",
+    )
+    (df.orderBy("birthDate").repartitionByRange(4, "birthDate")
+       .sortWithinPartitions("birthDate")
+       .write.format("fourmcproto").option("codec", "zstd")
+       .option("recordsperblock", 25).option("blocksize", 2048)
+       .mode("overwrite").save(d_in))
+    analyze_stats_proto(spark, d_in)
+    n_blocks_in = sum(
+        len(_json.load(open(s))["blocks"])
+        for s in glob.glob(f"{d_in}/*.stats.json")
+    )
+    res = compact_protobuf(spark, d_in, d_out)
+    assert res["outputs"] == 1 and res["stats_carried"] == 1
+    meta = _json.load(open(glob.glob(f"{d_out}/*.stats.json")[0]))
+    assert len(meta["blocks"]) == n_blocks_in  # NO seam drops
+    assert meta["carried"] is True
+
+    # the carried maps prune on the compacted tree without re-ANALYZE
+    full = _proto_planned(d_out, [], schema=df.schema)
+    lo = users[600]["birthDate"]
+    narrow = _proto_planned(
+        d_out, [GreaterThanOrEqual(("birthDate",), lo)], schema=df.schema
+    )
+    assert sum(p.end - p.start for p in narrow) < sum(
+        p.end - p.start for p in full
+    )
+    # one load() per filter set (the documented readInfo-cache rule)
+    back = spark.read.format("fourmcproto").load(d_out)
+    assert back.filter(F.col("birthDate") >= lo).count() == 600
+    assert spark.read.format("fourmcproto").load(d_out).count() == 1200
