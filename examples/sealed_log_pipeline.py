@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""The sealed-log lifecycle end-to-end — stream-ingest with write-time
+zone maps, raw-copy compaction that CARRIES them, and a pruned temporal
+range query that never opens a non-matching file.
+
+This is the steady-state 100 TB shape the zone-map tier exists for: a
+time-clustered event log lands through the STREAMING sink (each sealed
+file gets a ``.stats.json`` sidecar computed from the exact rows it
+received — no ANALYZE lag), the small per-trigger files are later
+collapsed by ``compact_blocks`` (raw block copy: no recompression, and
+the zone maps move along with remapped offsets), and every range query
+— on ids or on TIME (TimestampType bounds travel as epoch micros) —
+plans from the sidecars alone, opening only the files and blocks that
+can match. No stage ever runs a dedicated stats job over the data.
+
+Pipeline:
+
+    events stream (rate-limited micro-batches)
+      -> writeStream.format("fourmc")
+         .option("statsschema", ddl)        (sidecar sealed per file)
+      -> compact_blocks(in, out)            (raw copy, carry_stats)
+      -> typed scan, ts-range + id queries  (file/block pruning)
+
+Usage:
+    python examples/sealed_log_pipeline.py [sf_dir]
+
+Defaults to /root/testdata/sf0.001 so the example runs out of the box.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DDL = ("ts timestamp, event_id bigint, user_id bigint, "
+       "event_type string, value double")
+
+
+def ingest_stream(spark, sf_dir: str, out_dir: str, ckpt: str) -> int:
+    """Stream events through the 4mc sink with write-time zone maps."""
+    from pyspark.sql import functions as F
+
+    from fourmc_spark.streaming import read_events_stream
+
+    sdf = read_events_stream(spark, f"{sf_dir}/events.parquet").select(
+        F.to_json(
+            F.struct(
+                # full microsecond precision (to_json's default is
+                # millis); zone-less text + UTC session is the typed
+                # scan's documented convention
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .alias("ts"),
+                "event_id", "user_id", "event_type", "value",
+            )
+        ).alias("value")
+    )
+    q = (
+        sdf.writeStream.format("fourmc")
+        .option("codec", "zstd").option("level", "medium")
+        .option("statsschema", DDL)
+        .option("path", out_dir).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return len(glob.glob(f"{out_dir}/*.4mz"))
+
+
+def run(spark, sf_dir: str = "/root/testdata/sf0.001") -> dict:
+    from pyspark.sql import functions as F
+
+    from fourmc_spark.operators.maintenance import compact_blocks
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = tempfile.mkdtemp(prefix="sealed-log-")
+    live, compacted = f"{root}/live", f"{root}/compacted"
+    try:
+        n_files = ingest_stream(spark, sf_dir, live, f"{root}/ckpt")
+        sidecars = glob.glob(f"{live}/*.stats.json")
+
+        res = compact_blocks(spark, live, compacted)
+        carried = res["stats_carried"]
+
+        # the compacted tree prunes immediately from the CARRIED maps —
+        # a ts range opens only overlapping files/blocks (one load()
+        # per filter set: Spark caches one scan per relation instance)
+        meta = json.load(open(glob.glob(f"{compacted}/*.stats.json")[0]))
+        lo_us = meta["columns"]["ts"]["min"]
+        hi_us = meta["columns"]["ts"]["max"]
+        mid_us = (lo_us + hi_us) // 2
+        mid = F.timestamp_micros(F.lit(mid_us))
+        typed = (spark.read.format("fourmc").option("jsonschema", DDL)
+                 .load(compacted))
+        recent = typed.filter(F.col("ts") >= mid).count()
+        typed2 = (spark.read.format("fourmc").option("jsonschema", DDL)
+                  .load(compacted))
+        total = typed2.count()
+        oracle = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .filter(F.unix_micros(F.col("ts").cast("timestamp")) >= mid_us)
+            .count()
+        )
+        return {
+            "stream_files": n_files,
+            "stream_sidecars": len(sidecars),
+            "compacted_files": res["outputs"],
+            "stats_carried": carried,
+            "total_rows": total,
+            "recent_rows": recent,
+            "oracle_recent_rows": oracle,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    from fourmc_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("sealed-log-pipeline", master="local[4]")
+    stats = run(spark, sf_dir)
+    print(json.dumps(stats, indent=2))
+    assert stats["recent_rows"] == stats["oracle_recent_rows"]
+
+
+if __name__ == "__main__":
+    main()

@@ -52,3 +52,18 @@ def test_semantic_search_example(spark):
     assert stats["total"] - stats["kept"] == 5
     assert stats["bm25_rows"] == 5
     assert stats["fused_rows"] == 5
+
+
+def test_sealed_log_pipeline_example(spark):
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    )
+    from examples.sealed_log_pipeline import run
+
+    stats = run(spark, "/root/testdata/sf0.001")
+    assert stats["stream_sidecars"] == stats["stream_files"] >= 1
+    assert stats["stats_carried"] == stats["compacted_files"] >= 1
+    assert stats["total_rows"] == 1000
+    # temporal pruning never changes results: exact vs the parquet oracle
+    assert stats["recent_rows"] == stats["oracle_recent_rows"] > 0
