@@ -551,6 +551,7 @@ def analyze_stats_proto(
     fields=None,
     columns: list[str] | None = None,
     blocks: bool = True,
+    split_bytes: int = 256 << 20,
 ) -> dict:
     """ANALYZE twin of :func:`analyze_stats` for ElephantBird-protobuf
     4mc/4mz trees (the ``fourmcproto`` source): one pass per file
@@ -567,13 +568,15 @@ def analyze_stats_proto(
     float/double spans containing NaN record max=NaN (Spark orders NaN
     above every double — such spans never prune, conservatively).
 
-    100 TB shape: ONE task per data file (sc.parallelize over the file
-    list, the compact_blocks pattern), each streaming its records once
-    and writing the sidecar executor-side; the driver sees one summary
-    row per file. Proto records must be decoded serially within a file
-    anyway (EB sync-marker framing), so per-file is the natural
-    parallel grain — at 128-256 MB per sealed file a 100 TB tree is
-    ~500k independent tasks."""
+    100 TB shape: files split into block-aligned ranges of at most
+    ``split_bytes`` (the same footer-pread planning the scan does), one
+    task per range streaming its records once; per-file block stats
+    merge executor-side via reduceByKey (block keys are disjoint across
+    ranges by the ownership rule), and the reducer task writes the
+    sidecar. The driver holds only the O(files) footer indexes and one
+    summary row per file. A tree of sealed 128-256 MB files gets one
+    task per file (~500k independent tasks at 100 TB); a handful of
+    giant files still fan out instead of serializing on one core."""
     import json as _json
     import math
 
@@ -601,18 +604,20 @@ def analyze_stats_proto(
                 "block_stats": blocks}
     want_blocks = blocks
 
-    def _analyze_one(fpath: str) -> dict:
-        import os as _os
+    def _range_stats(task) -> tuple:
+        """(file, {block offset -> rows + per-col [mn, mx, nulls,
+        has_nan]}) for one block-aligned range — ownership is the
+        marker-start block, so ranges never share a block key."""
+        fpath, codec, start, end = task
 
         from fourmc_spark.format.protobuf import iter_eb_records_for_split
-        from fourmc_spark.format.reader import scan_file_info
 
-        codec, fsize, _offsets = scan_file_info(fpath)
-        # per (block offset) -> {"rows": n, c: [mn, mx, nulls, has_nan]}
         per_block: dict[int, dict] = {}
+        if start >= end:
+            return fpath, per_block
         with open(fpath, "rb") as f:
             for owner, rec in iter_eb_records_for_split(
-                f, codec, 0, fsize, schema
+                f, codec, start, end, schema
             ):
                 b = per_block.get(owner)
                 if b is None:
@@ -636,6 +641,16 @@ def analyze_stats_proto(
                         st[0] = v
                     if st[1] is None or v > st[1]:
                         st[1] = v
+        return fpath, per_block
+
+    def _merge_pb(a: dict, b: dict) -> dict:
+        a.update(b)  # block keys disjoint across ranges
+        return a
+
+    def _finalize(kv) -> dict:
+        fpath, per_block = kv
+        import os as _os
+
         def _mnmx(st):
             mn, mx = st[0], st[1]
             if st[3]:  # NaN present: Spark's greatest double
@@ -682,13 +697,39 @@ def analyze_stats_proto(
         _os.replace(tmp, fpath + STATS_SUFFIX)
         return {"file": fpath, "rows": rows, "n_blocks": len(per_block)}
 
+    # plan block-aligned ranges per file from the footer indexes — the
+    # same O(files) preads split planning already pays
+    from fourmc_spark.format.reader import scan_file_info
+
+    tasks: list[tuple] = []
+    for fpath in files:
+        codec, fsize, offsets = scan_file_info(fpath)
+        if not offsets:
+            tasks.append((fpath, codec, 0, 0))  # empty: rows-0 sidecar
+            continue
+        i, n = 0, len(offsets)
+        while i < n:
+            j = i + 1
+            while j < n and offsets[j] - offsets[i] < split_bytes:
+                j += 1
+            tasks.append(
+                (fpath, codec, offsets[i], offsets[j] if j < n else fsize)
+            )
+            i = j
     sc = spark.sparkContext
-    summaries = sc.parallelize(files, len(files)).map(_analyze_one).collect()
+    summaries = (
+        sc.parallelize(tasks, len(tasks))
+        .map(lambda t: _range_stats(t))
+        .reduceByKey(_merge_pb)
+        .map(_finalize)
+        .collect()
+    )
     return {
         "files": len(summaries),
         "rows": sum(r["rows"] for r in summaries),
         "columns": cols,
         "block_stats": blocks,
+        "tasks": len(tasks),
     }
 
 

@@ -504,3 +504,36 @@ def test_proto_compact_carries_zone_maps_exactly(spark, tmp_path):
     back = spark.read.format("fourmcproto").load(d_out)
     assert back.filter(F.col("birthDate") >= lo).count() == 600
     assert spark.read.format("fourmcproto").load(d_out).count() == 1200
+
+
+def test_proto_analyze_split_ranges_identical_sidecar(spark, tmp_path):
+    """analyze_stats_proto with tiny split_bytes (many tasks per file)
+    must produce the byte-identical sidecar of the single-range run —
+    block ownership is disjoint across ranges, so the executor-side
+    merge loses nothing."""
+    import json as _json
+
+    from fourmc_spark.operators.maintenance import analyze_stats_proto
+
+    d = str(tmp_path / "pranges")
+    users = _users(1500)
+    spark.createDataFrame(
+        [(u["userId"], u["name"], u["type"], u["birthDate"], u["tags"])
+         for u in users],
+        "userId string, name string, type string, birthDate long, "
+        "tags array<string>",
+    ).coalesce(1).write.format("fourmcproto") \
+     .option("recordsperblock", 20).option("blocksize", 2048) \
+     .mode("overwrite").save(d)
+
+    res1 = analyze_stats_proto(spark, d)  # one range per file
+    assert res1["tasks"] == 1
+    sc_path = glob.glob(f"{d}/*.stats.json")[0]
+    single = _json.load(open(sc_path))
+    assert len(single["blocks"]) > 4
+
+    res2 = analyze_stats_proto(spark, d, split_bytes=4096)  # many ranges
+    assert res2["tasks"] > 2
+    multi = _json.load(open(sc_path))
+    assert multi == single
+    assert res2["rows"] == res1["rows"] == 1500
