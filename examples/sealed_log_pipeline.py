@@ -5,13 +5,17 @@ range query that never opens a non-matching file.
 
 This is the steady-state 100 TB shape the zone-map tier exists for: a
 time-clustered event log lands through the STREAMING sink (each sealed
-file gets a ``.stats.json`` sidecar computed from the exact rows it
-received — no ANALYZE lag), the small per-trigger files are later
-collapsed by ``compact_blocks`` (raw block copy: no recompression, and
-the zone maps move along with remapped offsets), and every range query
-— on ids or on TIME (TimestampType bounds travel as epoch micros) —
-plans from the sidecars alone, opening only the files and blocks that
-can match. No stage ever runs a dedicated stats job over the data.
+file gets a FILE-tier ``.stats.json`` sidecar computed from the exact
+rows it received — no ANALYZE lag), the small per-trigger files are
+later collapsed by ``compact_blocks`` (raw block copy: no
+recompression, and the file-tier zone maps merge and move along), and
+every range query — on ids or on TIME (TimestampType bounds travel as
+epoch micros) — plans from the sidecars alone, opening only the FILES
+that can match. No stage ever runs a dedicated stats job over the
+data. (For the per-BLOCK tier inside kept files, run
+``analyze_stats()`` once on the compacted tree — write-time sidecars
+are file-tier by design, since a rolling stream file's blocks are not
+yet range-clustered.)
 
 Pipeline:
 
@@ -100,9 +104,14 @@ def run(spark, sf_dir: str = "/root/testdata/sf0.001") -> dict:
         typed2 = (spark.read.format("fourmc").option("jsonschema", DDL)
                   .load(compacted))
         total = typed2.count()
+        # load_events normalizes either physical ts era (plain micros
+        # TIMESTAMP, or nanos-era int64 — which this same session's
+        # nanosAsLong conf would otherwise surface as LongType here)
+        from fourmc_spark.events import load_events
+
         oracle = (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-            .filter(F.unix_micros(F.col("ts").cast("timestamp")) >= mid_us)
+            load_events(spark, f"{sf_dir}/events.parquet")
+            .filter(F.unix_micros(F.col("ts")) >= mid_us)
             .count()
         )
         return {

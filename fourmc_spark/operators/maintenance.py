@@ -568,15 +568,16 @@ def analyze_stats_proto(
     float/double spans containing NaN record max=NaN (Spark orders NaN
     above every double — such spans never prune, conservatively).
 
-    100 TB shape: files split into block-aligned ranges of at most
-    ``split_bytes`` (the same footer-pread planning the scan does), one
-    task per range streaming its records once; per-file block stats
-    merge executor-side via reduceByKey (block keys are disjoint across
-    ranges by the ownership rule), and the reducer task writes the
-    sidecar. The driver holds only the O(files) footer indexes and one
-    summary row per file. A tree of sealed 128-256 MB files gets one
-    task per file (~500k independent tasks at 100 TB); a handful of
-    giant files still fan out instead of serializing on one core."""
+    100 TB shape: files at or under ``split_bytes`` are one task each,
+    footer read EXECUTOR-side (the driver pays no per-file pread — a
+    100 TB tree of sealed 128-256 MB files is ~500k independent tasks
+    planned from the listing alone); files LARGER than ``split_bytes``
+    split into block-aligned ranges, each closing at the first block
+    boundary at or past ``split_bytes`` (so a range overshoots by at
+    most one block). Per-file block stats merge executor-side via
+    reduceByKey (block keys are disjoint across ranges by the
+    ownership rule) and the reducer task writes the sidecar; the
+    driver sees one summary row per file."""
     import json as _json
     import math
 
@@ -612,6 +613,10 @@ def analyze_stats_proto(
 
         from fourmc_spark.format.protobuf import iter_eb_records_for_split
 
+        if codec is None:  # whole file: resolve the footer executor-side
+            from fourmc_spark.format.reader import scan_file_info
+
+            codec, end, _offs = scan_file_info(fpath)
         per_block: dict[int, dict] = {}
         if start >= end:
             return fpath, per_block
@@ -697,12 +702,19 @@ def analyze_stats_proto(
         _os.replace(tmp, fpath + STATS_SUFFIX)
         return {"file": fpath, "rows": rows, "n_blocks": len(per_block)}
 
-    # plan block-aligned ranges per file from the footer indexes — the
-    # same O(files) preads split planning already pays
+    # plan tasks: files at or under split_bytes (the common sealed-log
+    # case) are one whole-file task each whose footer is read
+    # EXECUTOR-side — the driver pays only the os.stat the listing
+    # already did, never 500k serial footer preads; only files LARGER
+    # than split_bytes get a driver-side footer read to plan
+    # block-aligned ranges (codec None = resolve executor-side)
     from fourmc_spark.format.reader import scan_file_info
 
     tasks: list[tuple] = []
     for fpath in files:
+        if os.path.getsize(fpath) <= split_bytes:
+            tasks.append((fpath, None, 0, -1))  # whole file
+            continue
         codec, fsize, offsets = scan_file_info(fpath)
         if not offsets:
             tasks.append((fpath, codec, 0, 0))  # empty: rows-0 sidecar
@@ -719,7 +731,7 @@ def analyze_stats_proto(
     sc = spark.sparkContext
     summaries = (
         sc.parallelize(tasks, len(tasks))
-        .map(lambda t: _range_stats(t))
+        .map(_range_stats)
         .reduceByKey(_merge_pb)
         .map(_finalize)
         .collect()
