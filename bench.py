@@ -157,6 +157,10 @@ BENCH_QUERIES = [
     "stream_4mc_sinkstats_scan",
     # round 10: MG sketch as streaming keyed state + exact recount
     "stream_heavy_hitters",
+    # round 10: bloom sidecars — point-IN pruning on unclustered keys,
+    # and the OR-merge carry through raw block-copy compaction
+    "sql_4mc_bloom_scan",
+    "maintenance_compact_bloom",
 ]
 
 

@@ -32,6 +32,7 @@ import threading
 __all__ = [
     "xxh32",
     "xxh32_at",
+    "xxh64",
     "lz4_compress",
     "lz4_decompress",
     "lz4_decompress_at",
@@ -189,6 +190,91 @@ def xxh32_py(data: bytes, seed: int = 0) -> int:
 
 if xxh32 is None:  # pragma: no cover
     xxh32 = xxh32_py
+
+# ---------------------------------------------------------------------------
+# XXH64 — the hash behind Spark's JVM-side `xxhash64` expression (seed 42),
+# verified bit-identical in tests/test_native.py. The bloom sidecar tier
+# (operators/maintenance.analyze_bloom) builds bitmaps with the JVM
+# expression at scan speed; the planner (sources/datasource.py) reproduces
+# the same hash here to probe membership at pruning time.
+# ---------------------------------------------------------------------------
+
+if _xxh is not None:
+    _xxh.XXH64.restype = ctypes.c_uint64
+    _xxh.XXH64.argtypes = [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_uint64]
+
+    def xxh64(data: bytes, seed: int = 0) -> int:
+        """64-bit xxHash of *data* (unsigned)."""
+        return int(_xxh.XXH64(bytes(data), len(data), seed))
+
+else:  # pragma: no cover - exercised only without libxxhash
+    xxh64 = None  # assigned below after the pure-Python impl
+
+# Pure-Python XXH64 (same public reference algorithm as XXH32 above; kept
+# for environments without libxxhash and as a cross-check in tests).
+_P64_1 = 0x9E3779B185EBCA87
+_P64_2 = 0xC2B2AE3D27D4EB4F
+_P64_3 = 0x165667B19E3779F9
+_P64_4 = 0x85EBCA77C2B2AE63
+_P64_5 = 0x27D4EB2F165667C5
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh64_round(acc: int, inp: int) -> int:
+    return (_rotl64((acc + inp * _P64_2) & _M64, 31) * _P64_1) & _M64
+
+
+def xxh64_py(data: bytes, seed: int = 0) -> int:
+    """Pure-Python XXH64; bit-identical to ``XXH64`` from libxxhash."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P64_1 + _P64_2) & _M64
+        v2 = (seed + _P64_2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P64_1) & _M64
+        mv = memoryview(data)
+        limit = n - 32
+        while i <= limit:
+            v1 = _xxh64_round(v1, int.from_bytes(mv[i : i + 8], "little"))
+            v2 = _xxh64_round(v2, int.from_bytes(mv[i + 8 : i + 16], "little"))
+            v3 = _xxh64_round(v3, int.from_bytes(mv[i + 16 : i + 24], "little"))
+            v4 = _xxh64_round(v4, int.from_bytes(mv[i + 24 : i + 32], "little"))
+            i += 32
+        h = (
+            _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+        ) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _xxh64_round(0, v)) * _P64_1 + _P64_4) & _M64
+    else:
+        h = (seed + _P64_5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h ^= _xxh64_round(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_rotl64(h, 27) * _P64_1 + _P64_4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _P64_1) & _M64
+        h = (_rotl64(h, 23) * _P64_2 + _P64_3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P64_5) & _M64
+        h = (_rotl64(h, 11) * _P64_1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P64_2) & _M64
+    h ^= h >> 29
+    h = (h * _P64_3) & _M64
+    h ^= h >> 32
+    return h
+
+
+if xxh64 is None:  # pragma: no cover
+    xxh64 = xxh64_py
 
 # ---------------------------------------------------------------------------
 # LZ4 raw blocks

@@ -417,12 +417,69 @@ def _write_carried_sidecar(
         "blocks": block_entries,
         "carried": True,
     }
+    blooms = _merge_carried_blooms(metas)
+    if blooms:
+        meta["bloom"] = blooms
     from fourmc_spark.sources.datasource import STATS_SUFFIX
 
     tmp = out_path + STATS_SUFFIX + ".tmp"
     with open(tmp, "w") as f:
         _json.dump(meta, f)
     os.replace(tmp, out_path + STATS_SUFFIX)
+
+
+def _merge_carried_blooms(metas: list[dict]) -> dict:
+    """Bloom carry across compaction: the output file's value set is the
+    UNION of its inputs', and a bloom of a union is the bitwise OR of
+    the blooms — exact, no re-hash. A column carries only when EVERY
+    input has a bloom for it under the IDENTICAL contract (algo, seed,
+    bits, k, bitmap length); any gap or mismatch drops that column
+    (conservative: it simply never bloom-prunes). Seam-block text
+    ownership shifts are irrelevant here — the OR covers every input
+    row, and extra coverage only adds false positives, never false
+    absence."""
+    import base64 as _b64
+    import json as _json  # noqa: F401  (symmetry with the callers)
+
+    all_blooms = [m.get("bloom") for m in metas]
+    if not all(isinstance(b, dict) for b in all_blooms):
+        common = set()
+    else:
+        common = set(all_blooms[0])
+        for b in all_blooms[1:]:
+            common &= set(b)
+    merged = {}
+    for c in sorted(common):
+        specs = [b[c] for b in all_blooms]
+        head = specs[0]
+        if not all(
+            isinstance(s, dict)
+            and s.get("algo") == head.get("algo")
+            and s.get("seed") == head.get("seed")
+            and s.get("bits") == head.get("bits")
+            and s.get("k") == head.get("k")
+            for s in specs
+        ):
+            continue
+        try:
+            bms = [_b64.b64decode(s["b64"], validate=True) for s in specs]
+        except (KeyError, TypeError, ValueError):
+            continue
+        if any(len(bm) != len(bms[0]) for bm in bms):
+            continue
+        acc = 0  # big-int OR: C-speed regardless of bitmap size
+        for bm in bms:
+            acc |= int.from_bytes(bm, "little")
+        merged[c] = {
+            "algo": head["algo"],
+            "seed": head["seed"],
+            "bits": head["bits"],
+            "k": head["k"],
+            "b64": _b64.b64encode(
+                acc.to_bytes(len(bms[0]), "little")
+            ).decode("ascii"),
+        }
+    return merged
 
 
 def _recompress_group(
@@ -927,6 +984,17 @@ def analyze_stats(
             "rows": int(pdf["__rows"].sum()),
             "columns": file_cols,
         }
+        # a bloom tier sealed by analyze_bloom for the SAME bytes stays
+        # valid — re-ANALYZE of min/max must not drop it
+        try:
+            with open(fpath + STATS_SUFFIX) as f:
+                old = _json.load(f)
+            if old.get("size") == meta["size"] and isinstance(
+                old.get("bloom"), dict
+            ):
+                meta["bloom"] = old["bloom"]
+        except (OSError, ValueError):
+            pass
         if want_blocks:
             meta["blocks"] = [
                 {
@@ -961,4 +1029,182 @@ def analyze_stats(
         "rows": sum(r["rows"] for r in summaries),
         "columns": cols,
         "block_stats": blocks,
+    }
+
+
+_BLOOM_ELIGIBLE = "long/int/short/string"
+
+
+def analyze_bloom(
+    spark: SparkSession,
+    path: str,
+    schema_ddl: str,
+    columns: list[str],
+    bits: int = 1 << 20,
+    k: int = 7,
+) -> dict:
+    """ANALYZE ... FOR BLOOM: per-FILE bloom filters for point-predicate
+    pruning on columns zone maps cannot help with.
+
+    Zone maps (analyze_stats) prune by [min, max] — decisive on the
+    natural clustering key (time, monotonic ids) and useless on
+    everything else: a point lookup ``doc_id = X`` against a
+    time-ordered log overlaps every file's id range, so min/max keeps
+    them all. This pass amends each file's ``.stats.json`` sidecar with
+    a bloom bitmap per requested column; the typed scan's planner then
+    drops every file whose bloom proves all probed values absent
+    (EqualTo / In pushdown, sources/datasource.py). False positives
+    only cost a scan Spark's re-applied filters empty out; false
+    negatives are impossible for the values the file actually holds.
+
+    Hashing happens JVM-SIDE (``F.xxhash64`` on ``CAST(col AS
+    STRING)``, verified bit-identical to libxxhash XXH64 seed 42 in
+    tests/test_native.py), so the analyze pass runs at scan speed; the
+    planner reproduces the hash in Python (format/native.xxh64) per
+    probed value — O(k) bit tests per (file, value), no data I/O.
+
+    Eligibility is long/int/short/string columns: their CAST AS STRING
+    is the same canonical text Python's ``str()`` produces, so build
+    and probe agree exactly. Floats/timestamps are refused (equality
+    semantics on those are hazard-prone; ranges already have zone
+    maps).
+
+    100 TB shape: one distributed scan; the shuffle carries per-file
+    DISTINCT (column, bit-position) rows — capped at files × columns ×
+    ``bits`` regardless of row count (map-side partial dedup) — and
+    sidecars are amended EXECUTOR-SIDE (applyInPandas per file); the
+    driver sees one summary row per file. Sizing: false-positive rate
+    ≈ (1 - e^(-k·n/bits))^k for n distinct values per file; the
+    2^20-bit default (128 KiB bitmap) holds ~100k NDV per file at ~1%.
+    Compaction OR-merges carried blooms (union of inputs = bitwise OR,
+    exact), so steady-state needs no re-ANALYZE.
+    """
+    import base64 as _b64
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from fourmc_spark.sources.datasource import (
+        BLOOM_ALGO, BLOOM_SEED, STATS_SUFFIX, _parse_flat_ddl,
+    )
+
+    if bits % 8 or not 64 <= bits <= (1 << 27):
+        raise ValueError(
+            f"analyze_bloom: bits must be a multiple of 8 in [64, 2^27], got {bits}"
+        )
+    if not 1 <= k <= 16:
+        raise ValueError(f"analyze_bloom: k must be in [1, 16], got {k}")
+    st = _parse_flat_ddl(schema_ddl)
+    types = {f.name: f.dataType for f in st.fields}
+    cols = list(columns)
+    if not cols:
+        raise ValueError("analyze_bloom: at least one column required")
+    for c in cols:
+        if c not in types:
+            raise ValueError(f"analyze_bloom: column {c!r} not in schema")
+        if not isinstance(
+            types[c],
+            (T.LongType, T.IntegerType, T.ShortType, T.StringType),
+        ):
+            raise ValueError(
+                f"analyze_bloom: column {c!r} has type {types[c].simpleString()};"
+                f" only {_BLOOM_ELIGIBLE} columns are bloom-eligible"
+                " (their CAST AS STRING matches the probe's str())"
+            )
+
+    src = (
+        spark.read.format("fourmc")
+        .option("withfilename", "true")
+        .load(path)
+        .select("_file", F.from_json("value", schema_ddl).alias("_r"))
+    )
+    # one pass: every row fans out to k (column, bit-position) structs per
+    # non-null bloom column, flattened into a single explode
+    def _pos_fn(c, h1, h2):
+        def inner(i):
+            return F.struct(
+                F.lit(c).alias("col_name"),
+                F.pmod(h1 + i.cast("long") * h2, F.lit(bits))
+                .cast("int")
+                .alias("pos"),
+            )
+
+        return inner
+
+    per_col = []
+    for c in cols:
+        fc = F.col("_r").getField(c)
+        h = F.xxhash64(fc.cast("string"))  # Spark's fixed seed 42
+        h1 = h.bitwiseAND(F.lit(4294967295))
+        h2 = F.shiftrightunsigned(h, 32).bitwiseOR(F.lit(1))
+        positions = F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)), _pos_fn(c, h1, h2)
+        )
+        # NULL values never match equality: rows where the column is null
+        # contribute nothing (the when() yields NULL, filtered pre-flatten)
+        per_col.append(F.when(fc.isNotNull(), positions))
+    flat = F.flatten(F.filter(F.array(*per_col), lambda x: x.isNotNull()))
+    pos_rows = src.select("_file", F.explode(flat).alias("e")).select(
+        "_file", F.col("e.col_name").alias("col_name"), F.col("e.pos").alias("pos")
+    )
+    # seed rows keep files whose bloom columns are ALL NULL in the group
+    # output (their bitmaps must seal EMPTY — all-zero prunes every probe,
+    # which is exact: equality never matches NULL)
+    seed = src.select("_file").distinct().select(
+        "_file",
+        F.lit(None).cast("string").alias("col_name"),
+        F.lit(None).cast("int").alias("pos"),
+    )
+    all_rows = pos_rows.unionByName(seed).dropDuplicates(
+        ["_file", "col_name", "pos"]
+    )
+
+    def _amend(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        fpath = key[0]
+        meta = None
+        try:
+            with open(fpath + STATS_SUFFIX) as f:
+                meta = _json.load(f)
+            if meta.get("size") != os.path.getsize(fpath):
+                meta = None  # stale: data rewritten after the last ANALYZE
+        except (OSError, ValueError):
+            meta = None
+        if meta is None:
+            meta = {"version": 2, "size": os.path.getsize(fpath)}
+        blooms = meta.setdefault("bloom", {})
+        set_bits = 0
+        for c in cols:
+            bm = np.zeros(bits // 8, dtype=np.uint8)
+            p = pdf.loc[pdf["col_name"] == c, "pos"].to_numpy(dtype=np.int64)
+            if len(p):
+                np.bitwise_or.at(
+                    bm, p >> 3, np.left_shift(1, p & 7).astype(np.uint8)
+                )
+            blooms[c] = {
+                "algo": BLOOM_ALGO,
+                "seed": BLOOM_SEED,
+                "bits": bits,
+                "k": k,
+                "b64": _b64.b64encode(bm.tobytes()).decode("ascii"),
+            }
+            set_bits += int(len(np.unique(p)))
+        tmp = fpath + STATS_SUFFIX + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(meta, f)
+        os.replace(tmp, fpath + STATS_SUFFIX)
+        return pd.DataFrame({"file": [fpath], "set_bits": [set_bits]})
+
+    summaries = (
+        all_rows.groupBy("_file")
+        .applyInPandas(_amend, "file string, set_bits long")
+        .collect()
+    )
+    return {
+        "files": len(summaries),
+        "columns": cols,
+        "bits": bits,
+        "k": k,
+        "set_bits": sum(r["set_bits"] for r in summaries),
     }

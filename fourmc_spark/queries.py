@@ -5042,6 +5042,189 @@ def maintenance_compact_zonemap_q(spark, sf):
 
 
 @query(
+    "sql_4mc_bloom_scan",
+    """SELECT CAST(event_id AS BIGINT) AS event_id,
+              CAST(user_id AS BIGINT) AS user_id,
+              event_type, value
+       FROM events WHERE event_id IN (3, 17, 411, 888)
+       ORDER BY event_id""",
+)
+def sql_4mc_bloom_scan_q(spark, sf):
+    # BLOOM-SIDECAR point-lookup pruning under the driver hash gate
+    # (round 10): zone maps prune by [min, max] — decisive on the
+    # clustering key and useless on everything else. Here events are
+    # written UNCLUSTERED (hash repartition: every file's event_id span
+    # covers the whole domain, so the zone tier keeps all of them) and
+    # analyze_bloom() seals a per-file bloom bitmap; the typed scan's
+    # pushdown turns the IN-list into point probes (xxhash64 of the
+    # value's canonical text, k bit tests per file — no data I/O) and
+    # drops every file whose bloom proves all probed ids absent. That
+    # is the parquet-bloom/Iceberg point-lookup economics for sealed
+    # logs: at 100 TB an id lookup opens ~1 file instead of all of
+    # them, false positives only cost a scan the re-applied filter
+    # empties.
+    #
+    # The pruning is PROVEN in-gate: a poison file of garbage bytes
+    # carries a valid, size-matching sidecar whose bloom bitmap is ALL
+    # ZERO under the real contract tag — every probe tests negative,
+    # so planning must drop it before any footer read or the gate goes
+    # red. Conservative-safety twins (missing/foreign-tagged blooms
+    # never prune; type-mismatched values never prune) live in
+    # tests/test_bloom.py.
+    import base64 as _b64
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from fourmc_spark.operators.maintenance import analyze_bloom
+    from fourmc_spark.session import register_fourmc
+    from fourmc_spark.sources.datasource import (
+        BLOOM_ALGO, BLOOM_SEED, STATS_SUFFIX,
+    )
+
+    register_fourmc(spark)
+    ddl = "event_id bigint, user_id bigint, event_type string, value double"
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    bits, k = 1 << 18, 6
+    d = tempfile.mkdtemp(prefix="fourmc-bloom-")
+    try:
+        (
+            ev.repartition(6)  # UNCLUSTERED: zone maps cannot prune this
+            .select(F.to_json(F.struct(*ev.columns)).alias("value"))
+            .write.format("fourmc")
+            .option("codec", "zstd").option("level", "medium")
+            .mode("overwrite").save(d)
+        )
+        analyze_bloom(spark, d, ddl, ["event_id"], bits=bits, k=k)
+        poison = os.path.join(d, "poison.4mz")
+        with open(poison, "wb") as f:
+            f.write(b"NOT-A-4MC-CONTAINER" * 16)
+        with open(poison + STATS_SUFFIX, "w") as f:
+            _json.dump(
+                {
+                    "version": 2,
+                    "size": os.path.getsize(poison),
+                    "bloom": {
+                        "event_id": {
+                            "algo": BLOOM_ALGO,
+                            "seed": BLOOM_SEED,
+                            "bits": bits,
+                            "k": k,
+                            # all-zero bitmap: every probe provably absent
+                            "b64": _b64.b64encode(
+                                bytes(bits // 8)
+                            ).decode("ascii"),
+                        }
+                    },
+                },
+                f,
+            )
+        out = (
+            spark.read.format("fourmc")
+            .option("jsonschema", ddl).load(d)
+            .where(F.col("event_id").isin([3, 17, 411, 888]))
+            .select("event_id", "user_id", "event_type", "value")
+            .orderBy("event_id")
+        )
+        return _detach(out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "maintenance_compact_bloom",
+    """SELECT CAST(event_id AS BIGINT) AS event_id,
+              CAST(user_id AS BIGINT) AS user_id,
+              event_type, value
+       FROM events WHERE event_id IN (5, 240, 777)
+       ORDER BY event_id""",
+)
+def maintenance_compact_bloom_q(spark, sf):
+    # Bloom sidecars survive COMPACTION without re-hashing (round 10):
+    # ingest (6 unclustered small files) -> analyze_bloom -> raw
+    # block-copy compaction, whose sidecar carry OR-merges the inputs'
+    # bitmaps (bloom of a union IS the bitwise OR — exact, unlike the
+    # seam-lossy zone-map carry) -> point-IN query over the COMPACTED
+    # tree, pruned by the carried blooms with no re-ANALYZE. The oracle
+    # is the plain batch query over events, so an OR-merge that lost a
+    # bit (false absence) would lose a row and break the hash; a poison
+    # file planted in the compacted dir (garbage bytes + all-zero
+    # bloom) proves the probe path engages before any footer read.
+    import base64 as _b64
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from fourmc_spark.operators.maintenance import analyze_bloom, compact_blocks
+    from fourmc_spark.session import register_fourmc
+    from fourmc_spark.sources.datasource import (
+        BLOOM_ALGO, BLOOM_SEED, STATS_SUFFIX,
+    )
+
+    register_fourmc(spark)
+    ddl = "event_id bigint, user_id bigint, event_type string, value double"
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    bits, k = 1 << 18, 6
+    root = tempfile.mkdtemp(prefix="fourmc-compact-bloom-")
+    staged, out = f"{root}/staged", f"{root}/compact"
+    try:
+        (
+            ev.repartition(6)
+            .select(F.to_json(F.struct(*ev.columns)).alias("value"))
+            .write.format("fourmc")
+            .option("codec", "zstd").option("level", "medium")
+            .mode("overwrite").save(staged)
+        )
+        analyze_bloom(spark, staged, ddl, ["event_id"], bits=bits, k=k)
+        total = sum(
+            os.path.getsize(p) for p in _glob.glob(f"{staged}/part-*.4mz")
+        )
+        stats = compact_blocks(
+            spark, staged, out, target_bytes=max(1, total // 2)
+        )
+        assert stats["stats_carried"] == stats["outputs"], stats
+        poison = os.path.join(out, "poison.4mz")
+        with open(poison, "wb") as f:
+            f.write(b"NOT-A-4MC-CONTAINER" * 16)
+        with open(poison + STATS_SUFFIX, "w") as f:
+            _json.dump(
+                {
+                    "version": 2,
+                    "size": os.path.getsize(poison),
+                    "bloom": {
+                        "event_id": {
+                            "algo": BLOOM_ALGO,
+                            "seed": BLOOM_SEED,
+                            "bits": bits,
+                            "k": k,
+                            "b64": _b64.b64encode(
+                                bytes(bits // 8)
+                            ).decode("ascii"),
+                        }
+                    },
+                },
+                f,
+            )
+        back = (
+            spark.read.format("fourmc")
+            .option("jsonschema", ddl).load(out)
+            .where(F.col("event_id").isin([5, 240, 777]))
+            .select("event_id", "user_id", "event_type", "value")
+            .orderBy("event_id")
+        )
+        return _detach(back)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "stream_4mc_multibatch",
     """SELECT date_trunc('hour', ts) AS win_start, event_type,
               CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS sum_value

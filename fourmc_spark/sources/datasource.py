@@ -217,6 +217,9 @@ class FourMcDataSourceReader(DataSourceReader):
         self._pcol_allowed: dict[str, set] = {}
         # col -> [lo_value, lo_inclusive, hi_value, hi_inclusive]
         self._zone: dict[str, list] = {}
+        # col -> intersected set of EqualTo/In point values, probed
+        # against analyze_bloom sidecar bitmaps (file tier)
+        self._point: dict[str, set] = {}
         self.pushdown_enabled = (
             str(options.get("pushdown", "true")).lower() != "false"
         )
@@ -232,6 +235,22 @@ class FourMcDataSourceReader(DataSourceReader):
             frozenset(f.name for f in self.json_schema.fields)
             if self.json_schema is not None else frozenset()
         )
+        # bloom-probe type families (analyze_bloom's eligibility: the
+        # column's CAST AS STRING must equal the probe's str()). Columns
+        # absent here are never bloom-probed — the proto reader leaves
+        # this empty until it grows its own bloom pass.
+        from pyspark.sql import types as _T
+
+        self._bloom_typemap: dict[str, str] = {}
+        if self.json_schema is not None:
+            for f in self.json_schema.fields:
+                if isinstance(
+                    f.dataType,
+                    (_T.LongType, _T.IntegerType, _T.ShortType),
+                ):
+                    self._bloom_typemap[f.name] = "int"
+                elif isinstance(f.dataType, _T.StringType):
+                    self._bloom_typemap[f.name] = "str"
 
     def pushFilters(self, filters):
         """Planning-time pruning, the query-side payoff of the footer
@@ -307,7 +326,54 @@ class FourMcDataSourceReader(DataSourceReader):
                 # never flip an ordering.
                 import datetime as _dt
 
+                def _is_point(x):
+                    # bloom-probe-able point value: int (not bool) or str
+                    return (
+                        isinstance(x, int) and not isinstance(x, bool)
+                    ) or isinstance(x, str)
+
+                def _take_points(vals: set):
+                    prev = self._point.get(col)
+                    self._point[col] = (
+                        vals if prev is None else prev & vals
+                    )
+
+                if isinstance(flt, In):
+                    # IN-list on a typed payload column: the exact set
+                    # feeds the bloom probe, and [min, max] of the list
+                    # is a valid conjunct relaxation for the zone tier.
+                    # Same-class int or str lists only (mixed/temporal
+                    # lists stay unpruned — conservative).
+                    vals = list(flt.value)
+                    if not vals:
+                        continue
+                    all_int = all(
+                        isinstance(x, int) and not isinstance(x, bool)
+                        for x in vals
+                    )
+                    all_str = all(isinstance(x, str) for x in vals)
+                    if not (all_int or all_str):
+                        continue
+                    _take_points(set(vals))
+                    lo_hi = [(min(vals), True, 0), (max(vals), True, 2)]
+                    for v, inc, slot in lo_hi:
+                        z = self._zone.setdefault(
+                            col, [None, True, None, True]
+                        )
+                        old = z[slot]
+                        same = old is None or (
+                            isinstance(old, str) == isinstance(v, str)
+                            and not isinstance(old, _dt.date)
+                        )
+                        if slot == 0 and same and (old is None or v > old):
+                            z[0], z[1] = v, True
+                        if slot == 2 and same and (old is None or v < old):
+                            z[2], z[3] = v, True
+                    continue
+
                 v = getattr(flt, "value", None)
+                if isinstance(flt, EqualTo) and _is_point(v):
+                    _take_points({v})
                 if isinstance(v, _dt.datetime) and v.tzinfo is not None:
                     v = (
                         v.astimezone(_dt.timezone.utc)
@@ -353,7 +419,15 @@ class FourMcDataSourceReader(DataSourceReader):
         from fourmc_spark.format.reader import scan_file_info
 
         parts: list[FourMcInputPartition] = []
-        for path in _list_files(self.path):
+        # point sets intersected to EMPTY (e.g. doc_id = 1 AND doc_id = 2,
+        # or two disjoint IN lists): the conjunction is unsatisfiable —
+        # plan nothing, Spark still re-applies the filters on zero rows
+        paths = (
+            []
+            if any(not s for s in self._point.values())
+            else _list_files(self.path)
+        )
+        for path in paths:
             if self._pcol_allowed:
                 pvals = _partition_values_from_path(
                     path, list(self._pcol_allowed)
@@ -364,12 +438,19 @@ class FourMcDataSourceReader(DataSourceReader):
                 ):
                     continue  # file pruned by partition-column predicate
             dropped_blocks: frozenset = frozenset()
-            if self._zone:
+            if self._zone or self._point:
                 meta = _load_zone_sidecar(path)
                 if meta is not None:
-                    if _zone_file_pruned(meta, self._zone):
+                    if self._zone and _zone_file_pruned(meta, self._zone):
                         continue  # file pruned by analyze_stats zone map
-                    dropped_blocks = _zone_dropped_blocks(meta, self._zone)
+                    if self._point and _bloom_file_pruned(
+                        meta, self._point, self._bloom_typemap
+                    ):
+                        continue  # file pruned by analyze_bloom bitmap
+                    if self._zone:
+                        dropped_blocks = _zone_dropped_blocks(
+                            meta, self._zone
+                        )
             if path.endswith(".zst"):
                 fsize = os.path.getsize(path)
                 if fsize:
@@ -944,6 +1025,88 @@ def _zone_dropped_blocks(meta: dict, zone: dict[str, list]) -> frozenset:
                 dropped.add(b.get("o"))
                 break
     return frozenset(dropped)
+
+
+#: bloom sidecar hash contract (shared with operators/maintenance.
+#: analyze_bloom, which imports these): xxhash64(CAST(col AS STRING)
+#: UTF-8 bytes) with Spark's fixed seed 42, double-hashed into k
+#: positions (h1 + i*h2) mod bits where h1 = low 32 bits, h2 = high 32
+#: bits | 1; bit p sits at byte p >> 3, mask 1 << (p & 7). The probe
+#: recognizes exactly this tag — sidecars written under any future
+#: contract are ignored (conservative: the file is scanned).
+BLOOM_ALGO = "xxh64-str"
+BLOOM_SEED = 42
+
+
+def _bloom_probe_hit(spec: dict, canon: str) -> bool:
+    """True iff the bloom MAY contain *canon* — any malformed or
+    unrecognized spec counts as a hit (never prune on doubt)."""
+    import base64
+
+    from fourmc_spark.format.native import xxh64
+
+    try:
+        bits, k = spec["bits"], spec["k"]
+        bm = base64.b64decode(spec["b64"], validate=True)
+    except (KeyError, TypeError, ValueError):
+        return True
+    if (
+        not isinstance(bits, int)
+        or not isinstance(k, int)
+        or isinstance(bits, bool)
+        or isinstance(k, bool)
+        or bits <= 0
+        or not 1 <= k <= 64
+        or len(bm) * 8 != bits
+    ):
+        return True
+    h = xxh64(canon.encode("utf-8"), BLOOM_SEED)
+    h1 = h & 0xFFFFFFFF
+    h2 = (h >> 32) | 1
+    for i in range(k):
+        p = (h1 + i * h2) % bits
+        if not (bm[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True
+
+
+def _bloom_file_pruned(
+    meta: dict, points: dict[str, set], typemap: dict[str, str]
+) -> bool:
+    """True iff some probed column's bloom proves EVERY point value
+    absent from the file. Conservative everywhere: missing bloom,
+    foreign algo/seed tag, value whose type doesn't match the declared
+    column family (its canonical text could differ from CAST AS
+    STRING) => NOT pruned."""
+    blooms = meta.get("bloom")
+    if not isinstance(blooms, dict):
+        return False
+    for col, vals in points.items():
+        fam = typemap.get(col)
+        spec = blooms.get(col)
+        if (
+            fam is None
+            or not isinstance(spec, dict)
+            or spec.get("algo") != BLOOM_ALGO
+            or spec.get("seed") != BLOOM_SEED
+        ):
+            continue
+        any_hit = False
+        provable = True
+        for v in vals:
+            if fam == "int" and isinstance(v, int) and not isinstance(v, bool):
+                canon = str(v)
+            elif fam == "str" and isinstance(v, str):
+                canon = v
+            else:
+                provable = False
+                break
+            if _bloom_probe_hit(spec, canon):
+                any_hit = True
+                break
+        if provable and not any_hit:
+            return True
+    return False
 
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
