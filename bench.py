@@ -161,6 +161,9 @@ BENCH_QUERIES = [
     # and the OR-merge carry through raw block-copy compaction
     "sql_4mc_bloom_scan",
     "maintenance_compact_bloom",
+    # round 10: blooms on the protobuf typed scan (sealed in the same
+    # analyze_stats_proto decode pass)
+    "proto_4mc_bloom_scan",
 ]
 
 

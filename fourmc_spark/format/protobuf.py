@@ -436,3 +436,20 @@ def zone_eligible_fields(schema: tuple[ProtoField, ...]) -> list[str]:
         f.name for f in schema
         if not f.repeated and f.type in ZONE_ELIGIBLE_TYPES
     ]
+
+
+#: proto type -> bloom probe family: fields whose decoded Python value's
+#: str() IS the canonical probe text (ints in decimal, strings as-is).
+#: float/double are excluded (equality semantics hazard — ranges already
+#: have zone maps), bool/bytes/repeated have no canonical probe text.
+BLOOM_ELIGIBLE_TYPES = {"string": "str", "int64": "int", "int32": "int"}
+
+
+def bloom_eligible_fields(schema: tuple[ProtoField, ...]) -> dict[str, str]:
+    """name -> probe type family ('int' | 'str') for the fields bloom
+    sidecars can prune on (sources/datasource._bloom_file_pruned)."""
+    return {
+        f.name: BLOOM_ELIGIBLE_TYPES[f.type]
+        for f in schema
+        if not f.repeated and f.type in BLOOM_ELIGIBLE_TYPES
+    }

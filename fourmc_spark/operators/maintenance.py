@@ -609,12 +609,25 @@ def analyze_stats_proto(
     columns: list[str] | None = None,
     blocks: bool = True,
     split_bytes: int = 256 << 20,
+    bloom_columns: list[str] | None = None,
+    bloom_bits: int = 1 << 20,
+    bloom_k: int = 7,
 ) -> dict:
     """ANALYZE twin of :func:`analyze_stats` for ElephantBird-protobuf
     4mc/4mz trees (the ``fourmcproto`` source): one pass per file
     computes the two-tier zone map — per-FILE and per-BLOCK row count +
     min/max/null-count per scalar field — and writes the same
     ``<file>.stats.json`` sidecar the typed scans prune against.
+
+    ``bloom_columns`` additionally seals a per-file bloom bitmap per
+    named int/string field IN THE SAME DECODE PASS (no second read):
+    each non-null value hashes through the shared contract
+    (xxh64(str(value)) seed 42 — identical bytes to the NDJSON tier's
+    JVM ``CAST AS STRING`` path) into ``bloom_bits``/``bloom_k``
+    positions; the ``fourmcproto`` reader probes EqualTo/In point
+    predicates against them at planning time, pruning point lookups on
+    unclustered fields the zone tier cannot touch. Range merges union
+    the position sets (exact — same rows, same hashes).
 
     The block key is the compressed offset of the block in which each
     EB record's sync marker starts — exactly the ownership rule the
@@ -639,7 +652,7 @@ def analyze_stats_proto(
     import math
 
     from fourmc_spark.format.protobuf import (
-        USER_SCHEMA, zone_eligible_fields,
+        USER_SCHEMA, bloom_eligible_fields, zone_eligible_fields,
     )
     from fourmc_spark.sources.datasource import STATS_SUFFIX, _list_files
 
@@ -653,6 +666,24 @@ def analyze_stats_proto(
     floats = {
         f.name for f in schema if f.type in ("double", "float")
     }
+    bl_cols = list(bloom_columns or [])
+    if bl_cols:
+        if bloom_bits % 8 or not 64 <= bloom_bits <= (1 << 27):
+            raise ValueError(
+                "analyze_stats_proto: bloom_bits must be a multiple of 8 "
+                f"in [64, 2^27], got {bloom_bits}"
+            )
+        if not 1 <= bloom_k <= 16:
+            raise ValueError(
+                f"analyze_stats_proto: bloom_k must be in [1, 16], got {bloom_k}"
+            )
+        bl_eligible = bloom_eligible_fields(schema)
+        for c in bl_cols:
+            if c not in bl_eligible:
+                raise ValueError(
+                    f"analyze_stats_proto: field {c!r} is not bloom-eligible"
+                    " (scalar int32/int64/string only)"
+                )
     files = [
         p for p in _list_files(path)
         if p.endswith((".4mc", ".4mz")) and not p.endswith(STATS_SUFFIX)
@@ -663,20 +694,24 @@ def analyze_stats_proto(
     want_blocks = blocks
 
     def _range_stats(task) -> tuple:
-        """(file, {block offset -> rows + per-col [mn, mx, nulls,
-        has_nan]}) for one block-aligned range — ownership is the
-        marker-start block, so ranges never share a block key."""
+        """(file, (per-block stats, bloom position sets)) for one
+        block-aligned range — per-block ownership is the marker-start
+        block, so ranges never share a block key; bloom sets union
+        exactly across ranges."""
         fpath, codec, start, end = task
 
+        from fourmc_spark.format.native import xxh64
         from fourmc_spark.format.protobuf import iter_eb_records_for_split
+        from fourmc_spark.sources.datasource import BLOOM_SEED
 
         if codec is None:  # whole file: resolve the footer executor-side
             from fourmc_spark.format.reader import scan_file_info
 
             codec, end, _offs = scan_file_info(fpath)
         per_block: dict[int, dict] = {}
+        bl: dict[str, set] = {c: set() for c in bl_cols}
         if start >= end:
-            return fpath, per_block
+            return fpath, (per_block, bl)
         with open(fpath, "rb") as f:
             for owner, rec in iter_eb_records_for_split(
                 f, codec, start, end, schema
@@ -703,14 +738,26 @@ def analyze_stats_proto(
                         st[0] = v
                     if st[1] is None or v > st[1]:
                         st[1] = v
-        return fpath, per_block
+                for c in bl_cols:
+                    v = rec.get(c)
+                    if v is None:
+                        continue
+                    h = xxh64(str(v).encode("utf-8"), BLOOM_SEED)
+                    h1 = h & 0xFFFFFFFF
+                    h2 = (h >> 32) | 1
+                    add = bl[c].add
+                    for i in range(bloom_k):
+                        add((h1 + i * h2) % bloom_bits)
+        return fpath, (per_block, bl)
 
-    def _merge_pb(a: dict, b: dict) -> dict:
-        a.update(b)  # block keys disjoint across ranges
+    def _merge_pb(a: tuple, b: tuple) -> tuple:
+        a[0].update(b[0])  # block keys disjoint across ranges
+        for c, s in b[1].items():
+            a[1][c] |= s  # bloom positions union exactly
         return a
 
     def _finalize(kv) -> dict:
-        fpath, per_block = kv
+        fpath, (per_block, bl) = kv
         import os as _os
 
         def _mnmx(st):
@@ -742,6 +789,26 @@ def analyze_stats_proto(
             "rows": rows,
             "columns": file_cols,
         }
+        if bl_cols:
+            import base64 as _b64
+
+            from fourmc_spark.sources.datasource import (
+                BLOOM_ALGO, BLOOM_SEED,
+            )
+
+            bitmaps = {}
+            for c in bl_cols:
+                bm = bytearray(bloom_bits // 8)
+                for p in bl[c]:
+                    bm[p >> 3] |= 1 << (p & 7)
+                bitmaps[c] = {
+                    "algo": BLOOM_ALGO,
+                    "seed": BLOOM_SEED,
+                    "bits": bloom_bits,
+                    "k": bloom_k,
+                    "b64": _b64.b64encode(bytes(bm)).decode("ascii"),
+                }
+            meta["bloom"] = bitmaps
         if want_blocks:
             meta["blocks"] = [
                 {
@@ -798,6 +865,7 @@ def analyze_stats_proto(
         "rows": sum(r["rows"] for r in summaries),
         "columns": cols,
         "block_stats": blocks,
+        "bloom_columns": bl_cols,
         "tasks": len(tasks),
     }
 

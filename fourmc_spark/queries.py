@@ -2770,6 +2770,105 @@ def proto_4mc_zonemap_scan_q(spark, sf):
 
 
 @query(
+    "proto_4mc_bloom_scan",
+    """SELECT CAST(event_id AS BIGINT) AS event_id,
+              CAST(user_id AS BIGINT) AS user_id,
+              event_type, value
+       FROM events WHERE event_id IN (9, 230, 615)
+       ORDER BY event_id""",
+)
+def proto_4mc_bloom_scan_q(spark, sf):
+    # Bloom sidecars on the PROTOBUF typed scan (round 10): events are
+    # written UNCLUSTERED (hash repartition — every file's event_id
+    # span covers the domain, so the proto zone tier keeps all of
+    # them), and analyze_stats_proto seals per-file bloom bitmaps IN
+    # THE SAME decode pass (bloom_columns: xxh64(str(value)) seed 42 —
+    # byte-identical to the NDJSON tier's JVM CAST-AS-STRING contract,
+    # so the shared _bloom_file_pruned probe needs no proto-specific
+    # path). The reader's pushFilters turns the IN-list into point
+    # probes and drops files whose bloom proves all ids absent. Poison
+    # proof: a garbage container with an all-zero bloom under the real
+    # contract tag — green iff the probe pruned it before any footer
+    # read.
+    import base64 as _b64
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from fourmc_spark.operators.maintenance import analyze_stats_proto
+    from fourmc_spark.session import register_fourmc
+    from fourmc_spark.sources.datasource import (
+        BLOOM_ALGO, BLOOM_SEED, STATS_SUFFIX,
+    )
+
+    register_fourmc(spark)
+    field_list = [
+        {"number": 1, "name": "event_id", "type": "int64"},
+        {"number": 2, "name": "user_id", "type": "int64"},
+        {"number": 3, "name": "event_type", "type": "string"},
+        {"number": 4, "name": "value", "type": "double"},
+    ]
+    fields = _json.dumps(field_list)
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    bits, k = 1 << 18, 6
+    d = tempfile.mkdtemp(prefix="fourmc-proto-bloom-")
+    try:
+        (
+            ev.repartition(6)  # UNCLUSTERED: the zone tier keeps every file
+            .write.format("fourmcproto")
+            .option("fields", fields)
+            .option("codec", "zstd").option("level", "medium")
+            .mode("overwrite").save(d)
+        )
+        from fourmc_spark.format.protobuf import ProtoField
+
+        analyze_stats_proto(
+            spark, d,
+            fields=tuple(
+                ProtoField(f["number"], f["name"], f["type"])
+                for f in field_list
+            ),
+            bloom_columns=["event_id"], bloom_bits=bits, bloom_k=k,
+        )
+        poison = os.path.join(d, "poison.4mz")
+        with open(poison, "wb") as f:
+            f.write(b"NOT-A-4MC-CONTAINER" * 16)
+        with open(poison + STATS_SUFFIX, "w") as f:
+            _json.dump(
+                {
+                    "version": 2,
+                    "size": os.path.getsize(poison),
+                    "bloom": {
+                        "event_id": {
+                            "algo": BLOOM_ALGO,
+                            "seed": BLOOM_SEED,
+                            "bits": bits,
+                            "k": k,
+                            "b64": _b64.b64encode(
+                                bytes(bits // 8)
+                            ).decode("ascii"),
+                        }
+                    },
+                },
+                f,
+            )
+        back = (
+            spark.read.format("fourmcproto")
+            .option("fields", fields)
+            .load(d)
+            .where(F.col("event_id").isin([9, 230, 615]))
+            .select("event_id", "user_id", "event_type", "value")
+            .orderBy("event_id")
+        )
+        return _detach(back)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
     "proto_4mc_zonemap_blocks_scan",
     """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
               CAST(sum(user_id) AS BIGINT) AS user_sum,

@@ -104,9 +104,15 @@ class FourMcProtoReader(FourMcDataSourceReader):
         # value zone-map constraints (analyze_stats_proto sidecars) on
         # the scalar orderable payload fields; bool/bytes/repeated have
         # no shared ordering with JSON stats and stay unpruned
-        from fourmc_spark.format.protobuf import zone_eligible_fields
+        from fourmc_spark.format.protobuf import (
+            bloom_eligible_fields, zone_eligible_fields,
+        )
 
         self._zone_cols = frozenset(zone_eligible_fields(self.proto_schema))
+        # bloom probes on scalar int/string payload fields: the decoded
+        # Python value's str() is the canonical text analyze_stats_proto
+        # hashed at build time (bloom_columns=...)
+        self._bloom_typemap = bloom_eligible_fields(self.proto_schema)
 
     def read(self, partition: FourMcInputPartition):
         import pyarrow as pa

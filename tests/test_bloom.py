@@ -325,6 +325,74 @@ def test_merge_carried_blooms_or_and_mismatch_drop():
     assert _merge_carried_blooms([a, {}]) == {}
 
 
+def test_analyze_stats_proto_bloom_tier(spark, tmp_path):
+    """Proto twin: blooms sealed in the SAME decode pass as the zone
+    stats, probed by the fourmcproto reader's shared pushdown —
+    non-matching files zeroed in place are never opened."""
+    import pytest
+
+    from fourmc_spark.format.protobuf import ProtoField
+    from fourmc_spark.operators.maintenance import analyze_stats_proto
+
+    fields = (
+        ProtoField(1, "k", "int64"),
+        ProtoField(2, "name", "string"),
+    )
+    fjson = _json.dumps(
+        [{"number": 1, "name": "k", "type": "int64"},
+         {"number": 2, "name": "name", "type": "string"}]
+    )
+    d = str(tmp_path / "pb")
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("n"), F.col("id") % 5).alias("name"),
+    )
+    (df.repartition(3).write.format("fourmcproto")
+       .option("fields", fjson).option("codec", "zstd")
+       .mode("overwrite").save(d))
+    res = analyze_stats_proto(
+        spark, d, fields=fields, bloom_columns=["k", "name"],
+        bloom_bits=1 << 14, bloom_k=5,
+    )
+    assert res["files"] == 3 and res["bloom_columns"] == ["k", "name"]
+    meta = _json.load(open(sorted(_glob.glob(f"{d}/*.stats.json"))[0]))
+    assert set(meta["bloom"]) == {"k", "name"}
+    assert "columns" in meta and "blocks" in meta  # zone tier intact
+    # the probe prunes through the proto reader end-to-end
+    rdr = spark.read.format("fourmcproto").option("fields", fjson)
+    assert {r["k"] for r in rdr.load(d).collect()} == set(range(300))
+    # zero two of three files (size-preserving); probe ids from the
+    # survivor only — found iff bloom pruning skipped the zeroed files
+    files = sorted(_glob.glob(f"{d}/part-*.4mz"))
+    keep = files[0]
+    kept_ids = set()
+    from fourmc_spark.format.protobuf import iter_eb_records_for_split
+    from fourmc_spark.format.reader import scan_file_info
+    codec, fsize, _ = scan_file_info(keep)
+    with open(keep, "rb") as f:
+        for _o, rec in iter_eb_records_for_split(f, codec, 0, fsize, fields):
+            kept_ids.add(rec["k"])
+    probe = sorted(kept_ids)[:2]
+    for p in files[1:]:
+        sz = os.path.getsize(p)
+        with open(p, "wb") as fh:
+            fh.write(b"\x00" * sz)
+    got = sorted(
+        r["k"] for r in rdr.load(d)
+        .filter(F.col("k").isin([int(x) for x in probe])).collect()
+    )
+    assert got == sorted(probe)
+    # string probes work through the same contract
+    assert rdr.load(d).filter(F.col("name") == "zzz").count() == 0
+    # validation: float fields are refused
+    with pytest.raises(ValueError, match="bloom-eligible"):
+        analyze_stats_proto(
+            spark, d,
+            fields=fields + (ProtoField(3, "v", "double"),),
+            bloom_columns=["v"],
+        )
+
+
 def test_compact_blocks_carries_blooms(spark, tmp_path):
     """End-to-end: analyze_bloom -> compact_blocks -> probes over the
     compacted tree still find every row (OR-merge lost no bit) and
