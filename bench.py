@@ -164,6 +164,8 @@ BENCH_QUERIES = [
     # round 10: blooms on the protobuf typed scan (sealed in the same
     # analyze_stats_proto decode pass)
     "proto_4mc_bloom_scan",
+    # round 10: write-time blooms sealed by the STREAMING sink
+    "stream_4mc_bloomsink_scan",
 ]
 
 

@@ -5709,6 +5709,93 @@ def stream_4mc_sinkstats_scan_q(spark, sf):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@query(
+    "stream_4mc_bloomsink_scan",
+    """SELECT CAST(event_id AS BIGINT) AS event_id,
+              CAST(user_id AS BIGINT) AS user_id,
+              event_type, value
+       FROM events WHERE event_id IN (7, 133, 501, 952)
+       ORDER BY event_id""",
+)
+def stream_4mc_bloomsink_scan_q(spark, sf):
+    # Write-time BLOOMS on the STREAMING sink (round 10): with
+    # .option("bloomcolumns", "event_id") riding statsschema, every
+    # sealed micro-batch file carries a bloom bitmap built from the
+    # exact distinct values it received (Arrow-dedup per batch, XXH64
+    # under the shared contract) — a live sealed log answers POINT
+    # lookups immediately, no ANALYZE job ever. The poison proof is the
+    # all-zero-bloom garbage file; the batch oracle proves the
+    # stream-computed bitmaps lost no value (a dropped bit would prune
+    # a real row and break the hash). Combined with the statsschema
+    # zone tier and compaction's OR-merge carry, the steady-state
+    # pipeline prunes ranges AND point probes from ingest onward.
+    import base64 as _b64
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from fourmc_spark.session import register_fourmc
+    from fourmc_spark.sources.datasource import (
+        BLOOM_ALGO, BLOOM_SEED, STATS_SUFFIX,
+    )
+    from fourmc_spark.streaming import read_events_stream
+
+    register_fourmc(spark)
+    ddl = "event_id bigint, user_id bigint, event_type string, value double"
+    bits, k = 1 << 18, 6
+    d = tempfile.mkdtemp(prefix="fourmc-stream-bloomsink-")
+    out_dir, ckpt = f"{d}/out", f"{d}/ckpt"
+    try:
+        sdf = read_events_stream(spark, f"{sf}/events.parquet").select(
+            F.to_json(
+                F.struct("event_id", "user_id", "event_type", "value")
+            ).alias("value")
+        )
+        q = (
+            sdf.writeStream.format("fourmc")
+            .option("codec", "zstd").option("level", "medium")
+            .option("statsschema", ddl)
+            .option("bloomcolumns", "event_id")
+            .option("bloombits", str(bits)).option("bloomk", str(k))
+            .option("path", out_dir).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        poison = os.path.join(out_dir, "poison.4mz")
+        with open(poison, "wb") as f:
+            f.write(b"NOT-A-4MC-CONTAINER" * 16)
+        with open(poison + STATS_SUFFIX, "w") as f:
+            _json.dump(
+                {
+                    "version": 2,
+                    "size": os.path.getsize(poison),
+                    "bloom": {
+                        "event_id": {
+                            "algo": BLOOM_ALGO,
+                            "seed": BLOOM_SEED,
+                            "bits": bits,
+                            "k": k,
+                            "b64": _b64.b64encode(
+                                bytes(bits // 8)
+                            ).decode("ascii"),
+                        }
+                    },
+                },
+                f,
+            )
+        back = (
+            spark.read.format("fourmc")
+            .option("jsonschema", ddl).load(out_dir)
+            .where(F.col("event_id").isin([7, 133, 501, 952]))
+            .select("event_id", "user_id", "event_type", "value")
+            .orderBy("event_id")
+        )
+        return _detach(back)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 _PROFILE_COLS = ["doc_id", "lang", "n_chars", "source", "text"]
 _PROFILE_ORACLE = " UNION ALL ".join(
     f"""SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,

@@ -1275,6 +1275,53 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
         self.stats_schema: StructType | None = (
             _parse_flat_ddl(ss) if ss else None
         )
+        # bloomcolumns=c1[,c2...]: ALSO seal write-time bloom bitmaps for
+        # the named statsschema fields (int/string only — the same
+        # eligibility as analyze_bloom, whose sidecars these match
+        # bit-for-bit). Values canonicalize through Arrow's int->string
+        # cast (decimal text == the probe's str()), dedup per batch with
+        # pc.unique, and hash via ctypes XXH64 — the only Python-side
+        # per-value work in the sink, opt-in and proportional to the
+        # batch's DISTINCT values. With statsschema + bloomcolumns a
+        # sealed log prunes ranges AND point lookups with no ANALYZE
+        # job ever; compaction carries both tiers.
+        bc = options.get("bloomcolumns", "")
+        self.bloom_cols = [c.strip() for c in bc.split(",") if c.strip()]
+        self.bloom_bits = int(options.get("bloombits", 1 << 20))
+        self.bloom_k = int(options.get("bloomk", 7))
+        if self.bloom_cols:
+            if self.stats_schema is None:
+                raise ValueError(
+                    "fourmc sink: bloomcolumns requires statsschema "
+                    "(the declared NDJSON fields to parse)"
+                )
+            if self.bloom_bits % 8 or not 64 <= self.bloom_bits <= (1 << 27):
+                raise ValueError(
+                    "fourmc sink: bloombits must be a multiple of 8 in "
+                    f"[64, 2^27], got {self.bloom_bits}"
+                )
+            if not 1 <= self.bloom_k <= 16:
+                raise ValueError(
+                    f"fourmc sink: bloomk must be in [1, 16], got {self.bloom_k}"
+                )
+            from pyspark.sql import types as _T
+
+            types = {f.name: f.dataType for f in self.stats_schema.fields}
+            for c in self.bloom_cols:
+                if c not in types:
+                    raise ValueError(
+                        f"fourmc sink: bloomcolumns field {c!r} not in "
+                        "statsschema"
+                    )
+                if not isinstance(
+                    types[c],
+                    (_T.LongType, _T.IntegerType, _T.ShortType, _T.StringType),
+                ):
+                    raise ValueError(
+                        f"fourmc sink: bloomcolumns field {c!r} has type "
+                        f"{types[c].simpleString()}; only long/int/short/"
+                        "string fields are bloom-eligible"
+                    )
         # pick the string column to serialize as lines
         data_names = [n for n in names if n not in self.partition_cols]
         if "value" in data_names:
@@ -1354,9 +1401,11 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
                     f, codec=codec, level=self.level, block_size=self.block_size
                 )
             acc = (
-                # per column: [min, max, nulls, has_nan]
+                # per column: [min, max, nulls, has_nan]; bloom: set of
+                # bit positions per bloomcolumns field
                 {"rows": 0,
-                 "cols": {c: [None, None, 0, False] for c in stat_cols}}
+                 "cols": {c: [None, None, 0, False] for c in stat_cols},
+                 "bloom": {c: set() for c in self.bloom_cols}}
                 if self.stats_schema is not None else None
             )
             streams[reldir] = (f, w, staged, acc)
@@ -1409,6 +1458,18 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
                         st[0] = mn
                     if st[1] is None or mx > st[1]:
                         st[1] = mx
+                if c in acc["bloom"]:
+                    from fourmc_spark.format.native import xxh64
+
+                    uniq = pc.unique(pc.drop_null(col.cast(pa.string())))
+                    pos = acc["bloom"][c]
+                    bits, k = self.bloom_bits, self.bloom_k
+                    for v in uniq:
+                        h = xxh64(v.as_py().encode("utf-8"), BLOOM_SEED)
+                        h1 = h & 0xFFFFFFFF
+                        h2 = (h >> 32) | 1
+                        for i in range(k):
+                            pos.add((h1 + i * h2) % bits)
 
         def _seal_sidecar(f, staged: str, acc) -> None:
             if acc is None:
@@ -1454,6 +1515,22 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
                     c: _col_meta(c, st) for c, st in acc["cols"].items()
                 },
             }
+            if self.bloom_cols:
+                import base64 as _b64
+
+                bitmaps = {}
+                for c in self.bloom_cols:
+                    bm = bytearray(self.bloom_bits // 8)
+                    for p in acc["bloom"][c]:
+                        bm[p >> 3] |= 1 << (p & 7)
+                    bitmaps[c] = {
+                        "algo": BLOOM_ALGO,
+                        "seed": BLOOM_SEED,
+                        "bits": self.bloom_bits,
+                        "k": self.bloom_k,
+                        "b64": _b64.b64encode(bytes(bm)).decode("ascii"),
+                    }
+                meta["bloom"] = bitmaps
             with open(staged + STATS_SUFFIX, "w") as sf:
                 _json.dump(meta, sf)
 

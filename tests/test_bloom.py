@@ -325,6 +325,59 @@ def test_merge_carried_blooms_or_and_mismatch_drop():
     assert _merge_carried_blooms([a, {}]) == {}
 
 
+def test_sink_bloomcolumns_seals_and_prunes(spark, tmp_path):
+    """Write-time blooms: .option('bloomcolumns', ...) riding
+    statsschema seals per-file bitmaps from the exact rows each file
+    received — point probes prune immediately, no ANALYZE pass."""
+    import pytest
+
+    d = str(tmp_path / "sinkbl")
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("n"), F.col("id") % 7).alias("name"),
+        (F.col("id") * 0.5).alias("v"),
+    )
+    (df.repartition(4)
+       .select(F.to_json(F.struct("k", "name", "v")).alias("value"))
+       .write.format("fourmc").option("codec", "zstd")
+       .option("statsschema", _DDL)
+       .option("bloomcolumns", "k,name")
+       .option("bloombits", str(1 << 14)).option("bloomk", "5")
+       .mode("overwrite").save(d))
+    metas = [_json.load(open(p)) for p in _glob.glob(f"{d}/*.stats.json")]
+    assert len(metas) == 4
+    assert all(set(m["bloom"]) == {"k", "name"} for m in metas)
+    assert all("columns" in m for m in metas)  # zone tier still sealed
+    # never-opened pin: zero the files that don't hold the probed ids
+    per_file = _ids_per_file(spark, d)
+    probe = sorted(next(iter(per_file.values())))[:2]
+    for f, ids in per_file.items():
+        if not ids & set(probe):
+            path = os.path.join(d, f)
+            sz = os.path.getsize(path)
+            with open(path, "wb") as fh:
+                fh.write(b"\x00" * sz)
+    got = sorted(
+        r["k"]
+        for r in spark.read.format("fourmc").option("jsonschema", _DDL)
+        .load(d).filter(F.col("k").isin([int(x) for x in probe])).collect()
+    )
+    assert got == sorted(probe)
+    # validation: bloomcolumns without statsschema / bad field / float
+    base = df.select(F.to_json(F.struct("k", "name", "v")).alias("value"))
+    with pytest.raises(Exception, match="requires statsschema"):
+        (base.write.format("fourmc").option("bloomcolumns", "k")
+         .mode("overwrite").save(str(tmp_path / "x1")))
+    with pytest.raises(Exception, match="not in"):
+        (base.write.format("fourmc").option("statsschema", _DDL)
+         .option("bloomcolumns", "zz")
+         .mode("overwrite").save(str(tmp_path / "x2")))
+    with pytest.raises(Exception, match="bloom-eligible"):
+        (base.write.format("fourmc").option("statsschema", _DDL)
+         .option("bloomcolumns", "v")
+         .mode("overwrite").save(str(tmp_path / "x3")))
+
+
 def test_analyze_stats_proto_bloom_tier(spark, tmp_path):
     """Proto twin: blooms sealed in the SAME decode pass as the zone
     stats, probed by the fourmcproto reader's shared pushdown —
