@@ -220,6 +220,9 @@ class FourMcDataSourceReader(DataSourceReader):
         # col -> intersected set of EqualTo/In point values, probed
         # against analyze_bloom sidecar bitmaps (file tier)
         self._point: dict[str, set] = {}
+        # col -> {"null", "notnull"} requirements (IsNull / IsNotNull /
+        # null-safe equality), pruned via sidecar null counts
+        self._nullreq: dict[str, set] = {}
         self.pushdown_enabled = (
             str(options.get("pushdown", "true")).lower() != "false"
         )
@@ -267,8 +270,8 @@ class FourMcDataSourceReader(DataSourceReader):
         never change results.
         """
         from pyspark.sql.datasource import (
-            EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan,
-            LessThanOrEqual,
+            EqualNullSafe, EqualTo, GreaterThan, GreaterThanOrEqual, In,
+            IsNotNull, IsNull, LessThan, LessThanOrEqual, StringStartsWith,
         )
 
         if not self.pushdown_enabled:
@@ -338,6 +341,42 @@ class FourMcDataSourceReader(DataSourceReader):
                         vals if prev is None else prev & vals
                     )
 
+                if isinstance(flt, (IsNull, IsNotNull)):
+                    # null-ness constraints prune from the sidecar null
+                    # counts: a file/block with NO non-null values
+                    # (min and max both null) yields nothing under
+                    # IsNotNull; one with nulls == 0 yields nothing
+                    # under IsNull. Both requirements on one column is
+                    # unsatisfiable — partitions() plans nothing.
+                    self._nullreq.setdefault(col, set()).add(
+                        "null" if isinstance(flt, IsNull) else "notnull"
+                    )
+                    continue
+                if isinstance(flt, StringStartsWith):
+                    # prefix predicate == the range [v, next_prefix(v)):
+                    # UTF-8 byte order equals code-point order, so the
+                    # string zone bounds compare soundly
+                    v = flt.value
+                    if not isinstance(v, str) or not v:
+                        continue
+                    z = self._zone.setdefault(col, [None, True, None, True])
+                    if isinstance(z[0], (str, type(None))) and (
+                        z[0] is None or v > z[0]
+                    ):
+                        z[0], z[1] = v, True
+                    hi = _next_prefix(v)
+                    if hi is not None and isinstance(
+                        z[2], (str, type(None))
+                    ) and (z[2] is None or hi < z[2]):
+                        z[2], z[3] = hi, False
+                    continue
+                if isinstance(flt, EqualNullSafe):
+                    # col <=> NULL matches exactly the null rows: that is
+                    # an IsNull requirement; non-null values behave like
+                    # EqualTo below (the class check tuples include it)
+                    if getattr(flt, "value", None) is None:
+                        self._nullreq.setdefault(col, set()).add("null")
+                        continue
                 if isinstance(flt, In):
                     # IN-list on a typed payload column: the exact set
                     # feeds the bloom probe, and [min, max] of the list
@@ -372,7 +411,7 @@ class FourMcDataSourceReader(DataSourceReader):
                     continue
 
                 v = getattr(flt, "value", None)
-                if isinstance(flt, EqualTo) and _is_point(v):
+                if isinstance(flt, (EqualTo, EqualNullSafe)) and _is_point(v):
                     _take_points({v})
                 if isinstance(v, _dt.datetime) and v.tzinfo is not None:
                     v = (
@@ -394,7 +433,7 @@ class FourMcDataSourceReader(DataSourceReader):
                 def _num_str_cmp_ok(old):
                     return old is None or _cls(old) == _cls(v)
 
-                if isinstance(flt, EqualTo):
+                if isinstance(flt, (EqualTo, EqualNullSafe)):
                     if _num_str_cmp_ok(z[0]) and (z[0] is None or v > z[0]):
                         z[0], z[1] = v, True
                     if _num_str_cmp_ok(z[2]) and (z[2] is None or v < z[2]):
@@ -419,14 +458,14 @@ class FourMcDataSourceReader(DataSourceReader):
         from fourmc_spark.format.reader import scan_file_info
 
         parts: list[FourMcInputPartition] = []
-        # point sets intersected to EMPTY (e.g. doc_id = 1 AND doc_id = 2,
-        # or two disjoint IN lists): the conjunction is unsatisfiable —
-        # plan nothing, Spark still re-applies the filters on zero rows
-        paths = (
-            []
-            if any(not s for s in self._point.values())
-            else _list_files(self.path)
+        # provably-unsatisfiable conjunctions plan NOTHING: point sets
+        # intersected to empty (doc_id = 1 AND doc_id = 2, disjoint IN
+        # lists) or a column required both null and not-null. Spark
+        # still re-applies the filters on zero rows.
+        unsat = any(not s for s in self._point.values()) or any(
+            len(r) > 1 for r in self._nullreq.values()
         )
+        paths = [] if unsat else _list_files(self.path)
         for path in paths:
             if self._pcol_allowed:
                 pvals = _partition_values_from_path(
@@ -438,11 +477,15 @@ class FourMcDataSourceReader(DataSourceReader):
                 ):
                     continue  # file pruned by partition-column predicate
             dropped_blocks: frozenset = frozenset()
-            if self._zone or self._point:
+            if self._zone or self._point or self._nullreq:
                 meta = _load_zone_sidecar(path)
                 if meta is not None:
                     if self._zone and _zone_file_pruned(meta, self._zone):
                         continue  # file pruned by analyze_stats zone map
+                    if self._nullreq and _null_file_pruned(
+                        meta, self._nullreq
+                    ):
+                        continue  # null-ness requirement unsatisfiable
                     if self._point and _bloom_file_pruned(
                         meta, self._point, self._bloom_typemap
                     ):
@@ -450,6 +493,10 @@ class FourMcDataSourceReader(DataSourceReader):
                     if self._zone:
                         dropped_blocks = _zone_dropped_blocks(
                             meta, self._zone
+                        )
+                    if self._nullreq:
+                        dropped_blocks = dropped_blocks | (
+                            _null_dropped_blocks(meta, self._nullreq)
                         )
             if path.endswith(".zst"):
                 fsize = os.path.getsize(path)
@@ -1036,6 +1083,63 @@ def _zone_dropped_blocks(meta: dict, zone: dict[str, list]) -> frozenset:
 #: contract are ignored (conservative: the file is scanned).
 BLOOM_ALGO = "xxh64-str"
 BLOOM_SEED = 42
+
+
+def _next_prefix(v: str) -> str | None:
+    """Smallest string greater than every string with prefix *v* (an
+    EXCLUSIVE upper bound for StartsWith), or None when no such string
+    exists (all code points at the max). Walks from the end, bumping
+    the first incrementable code point and truncating the rest;
+    surrogate-range successors are skipped (unencodable in UTF-8, and
+    0xE000 is the next real code point — order-safe either way)."""
+    for i in range(len(v) - 1, -1, -1):
+        cp = ord(v[i])
+        nxt = cp + 1
+        if nxt == 0xD800:  # skip the surrogate block entirely
+            nxt = 0xE000
+        if nxt <= 0x10FFFF:
+            return v[:i] + chr(nxt)
+    return None
+
+
+def _null_file_pruned(meta: dict, nullreq: dict[str, set]) -> bool:
+    """True iff some null-ness requirement is provably unsatisfiable in
+    this file: IsNotNull against a column with NO non-null values
+    (min and max both null — includes the zero-row case, vacuously
+    empty), or IsNull against a column whose recorded null count is 0.
+    Conservative: missing column stats never prune."""
+    cols = meta.get("columns", {})
+    for col, req in nullreq.items():
+        st = cols.get(col)
+        if not isinstance(st, dict):
+            continue
+        if (
+            "notnull" in req
+            and st.get("min") is None
+            and st.get("max") is None
+        ):
+            return True
+        if "null" in req and st.get("nulls") == 0:
+            return True
+    return False
+
+
+def _null_dropped_blocks(meta: dict, nullreq: dict[str, set]) -> frozenset:
+    """Block offsets whose per-block stats prove the null-ness
+    requirements unsatisfiable — same rules as the file tier."""
+    dropped = set()
+    for b in meta.get("blocks") or ():
+        c = b.get("c", {})
+        for col, req in nullreq.items():
+            st = c.get(col)
+            if not isinstance(st, (list, tuple)) or len(st) < 3:
+                continue
+            if ("notnull" in req and st[0] is None and st[1] is None) or (
+                "null" in req and st[2] == 0
+            ):
+                dropped.add(b.get("o"))
+                break
+    return frozenset(dropped)
 
 
 def _bloom_probe_hit(spec: dict, canon: str) -> bool:

@@ -81,6 +81,10 @@ SHOWCASE = [
     "proto_4mc_zonemap_blocks_scan",  # proto block tier (sync-marker seams)
     "stream_4mc_sinkstats_scan",  # statsschema sealed by the STREAMING sink
     "stream_heavy_hitters",     # MG sketch as keyed state + exact recount
+    "sql_4mc_bloom_scan",       # bloom sidecars: point-IN pruning, unclustered keys
+    "maintenance_compact_bloom",  # bloom OR-merge carry through raw compaction
+    "proto_4mc_bloom_scan",     # blooms on the protobuf typed scan (same pass)
+    "stream_4mc_bloomsink_scan",  # write-time blooms from the streaming sink
 ]
 
 

@@ -718,6 +718,107 @@ def test_zone_pruned_file_is_never_opened(spark, tmp_path):
     assert [(r["k"], r["v"]) for r in rows] == [(1, 1.0)]
 
 
+def test_nullness_pushdown_prunes(spark, tmp_path):
+    """IsNull / IsNotNull / null-safe-equality prune from the sidecar
+    null counts: a file with NO non-null values drops under IsNotNull,
+    one with zero nulls drops under IsNull; requiring both on one
+    column plans nothing. Poison-grade proof: the pruned file's bytes
+    are zeroed in place (size preserved), so the query succeeds iff
+    planning never opened it."""
+    import json as _json
+
+    from pyspark.sql.datasource import (
+        CaseInsensitiveDict, EqualNullSafe, IsNotNull, IsNull,
+    )
+
+    from fourmc_spark.format.writer import write_file
+    from fourmc_spark.operators.maintenance import analyze_stats
+    from fourmc_spark.sources.datasource import (
+        FourMcDataSourceReader, _parse_flat_ddl,
+    )
+
+    d = str(tmp_path / "nullness")
+    os.makedirs(d)
+    write_file(os.path.join(d, "allnull.4mz"),
+               b'{"k": null, "name": "a"}\n{"k": null, "name": "b"}\n',
+               codec="zstd")
+    write_file(os.path.join(d, "nonull.4mz"),
+               b'{"k": 7, "name": "z1"}\n{"k": 8, "name": "z2"}\n',
+               codec="zstd")
+    analyze_stats(spark, d, _ZM_DDL)
+    schema = _parse_flat_ddl(_ZM_DDL)
+    opts = CaseInsensitiveDict({"path": d, "jsonschema": _ZM_DDL})
+
+    def planned(filters):
+        rd = FourMcDataSourceReader(opts, schema)
+        list(rd.pushFilters(filters))
+        return {os.path.basename(p.path) for p in rd.partitions() if p.path}
+
+    assert planned([IsNotNull(("k",))]) == {"nonull.4mz"}
+    assert planned([IsNull(("k",))]) == {"allnull.4mz"}
+    assert planned([EqualNullSafe(("k",), None)]) == {"allnull.4mz"}
+    assert planned([EqualNullSafe(("k",), 7)]) == {"nonull.4mz"}
+    assert planned([IsNull(("k",)), IsNotNull(("k",))]) == set()
+    # end-to-end: Spark pushes IsNotNull; the all-null file is zeroed
+    # in place and must never be opened
+    p = os.path.join(d, "allnull.4mz")
+    sz = os.path.getsize(p)
+    with open(p, "wb") as fh:
+        fh.write(b"\x00" * sz)
+    typed = spark.read.format("fourmc").option("jsonschema", _ZM_DDL).load(d)
+    rows = sorted(r["k"] for r in typed.filter(F.col("k").isNotNull()).collect())
+    assert rows == [7, 8]
+
+
+def test_prefix_pushdown_prunes(spark, tmp_path):
+    """StringStartsWith prunes via the string zone maps as the range
+    [prefix, next_prefix(prefix)) — and _next_prefix handles the max
+    code point and the surrogate boundary."""
+    from pyspark.sql.datasource import CaseInsensitiveDict, StringStartsWith
+
+    from fourmc_spark.format.writer import write_file
+    from fourmc_spark.operators.maintenance import analyze_stats
+    from fourmc_spark.sources.datasource import (
+        FourMcDataSourceReader, _next_prefix, _parse_flat_ddl,
+    )
+
+    assert _next_prefix("ab") == "ac"
+    assert _next_prefix("a\U0010ffff") == "b"  # maxed tail: bump previous
+    assert _next_prefix("\U0010ffff") is None  # nothing greater exists
+    assert _next_prefix(chr(0xD7FF)) == chr(0xE000)  # skip surrogates
+
+    d = str(tmp_path / "prefix")
+    os.makedirs(d)
+    write_file(os.path.join(d, "low.4mz"),
+               b'{"k": 1, "name": "apple"}\n{"k": 2, "name": "axe"}\n',
+               codec="zstd")
+    write_file(os.path.join(d, "high.4mz"),
+               b'{"k": 3, "name": "zebra"}\n{"k": 4, "name": "zoo"}\n',
+               codec="zstd")
+    analyze_stats(spark, d, _ZM_DDL)
+    schema = _parse_flat_ddl(_ZM_DDL)
+    opts = CaseInsensitiveDict({"path": d, "jsonschema": _ZM_DDL})
+
+    def planned(filters):
+        rd = FourMcDataSourceReader(opts, schema)
+        list(rd.pushFilters(filters))
+        return {os.path.basename(p.path) for p in rd.partitions() if p.path}
+
+    assert planned([StringStartsWith(("name",), "z")]) == {"high.4mz"}
+    assert planned([StringStartsWith(("name",), "a")]) == {"low.4mz"}
+    assert planned([StringStartsWith(("name",), "m")]) == set()
+    # boundary exactness: every 'z*' row survives a real pruned query
+    p = os.path.join(d, "low.4mz")
+    sz = os.path.getsize(p)
+    with open(p, "wb") as fh:
+        fh.write(b"\x00" * sz)  # pruned file must never be opened
+    typed = spark.read.format("fourmc").option("jsonschema", _ZM_DDL).load(d)
+    rows = sorted(
+        r["name"] for r in typed.filter(F.col("name").startswith("z")).collect()
+    )
+    assert rows == ["zebra", "zoo"]
+
+
 def test_typed_scan_rejects_nested_ddl(spark):
     from fourmc_spark.sources.datasource import _parse_flat_ddl
 
