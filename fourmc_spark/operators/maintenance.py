@@ -439,7 +439,6 @@ def _merge_carried_blooms(metas: list[dict]) -> dict:
     row, and extra coverage only adds false positives, never false
     absence."""
     import base64 as _b64
-    import json as _json  # noqa: F401  (symmetry with the callers)
 
     all_blooms = [m.get("bloom") for m in metas]
     if not all(isinstance(b, dict) for b in all_blooms):
@@ -458,6 +457,7 @@ def _merge_carried_blooms(metas: list[dict]) -> dict:
             and s.get("seed") == head.get("seed")
             and s.get("bits") == head.get("bits")
             and s.get("k") == head.get("k")
+            and s.get("fam") == head.get("fam")
             for s in specs
         ):
             continue
@@ -470,15 +470,12 @@ def _merge_carried_blooms(metas: list[dict]) -> dict:
         acc = 0  # big-int OR: C-speed regardless of bitmap size
         for bm in bms:
             acc |= int.from_bytes(bm, "little")
-        merged[c] = {
-            "algo": head["algo"],
-            "seed": head["seed"],
-            "bits": head["bits"],
-            "k": head["k"],
-            "b64": _b64.b64encode(
+        merged[c] = dict(
+            head,
+            b64=_b64.b64encode(
                 acc.to_bytes(len(bms[0]), "little")
             ).decode("ascii"),
-        }
+        )
     return merged
 
 
@@ -666,7 +663,14 @@ def analyze_stats_proto(
     floats = {
         f.name for f in schema if f.type in ("double", "float")
     }
+    unknown = [c for c in (columns or ()) if c not in eligible]
+    if unknown:
+        raise ValueError(
+            f"analyze_stats_proto: columns {unknown!r} are not scalar "
+            f"orderable fields of the schema (eligible: {eligible})"
+        )
     bl_cols = list(bloom_columns or [])
+    bl_fams: dict[str, str] = {}
     if bl_cols:
         if bloom_bits % 8 or not 64 <= bloom_bits <= (1 << 27):
             raise ValueError(
@@ -684,6 +688,7 @@ def analyze_stats_proto(
                     f"analyze_stats_proto: field {c!r} is not bloom-eligible"
                     " (scalar int32/int64/string only)"
                 )
+            bl_fams[c] = bl_eligible[c]
     files = [
         p for p in _list_files(path)
         if p.endswith((".4mc", ".4mz")) and not p.endswith(STATS_SUFFIX)
@@ -702,7 +707,7 @@ def analyze_stats_proto(
 
         from fourmc_spark.format.native import xxh64
         from fourmc_spark.format.protobuf import iter_eb_records_for_split
-        from fourmc_spark.sources.datasource import BLOOM_SEED
+        from fourmc_spark.sources.datasource import BLOOM_SEED, bloom_positions
 
         if codec is None:  # whole file: resolve the footer executor-side
             from fourmc_spark.format.reader import scan_file_info
@@ -743,11 +748,7 @@ def analyze_stats_proto(
                     if v is None:
                         continue
                     h = xxh64(str(v).encode("utf-8"), BLOOM_SEED)
-                    h1 = h & 0xFFFFFFFF
-                    h2 = (h >> 32) | 1
-                    add = bl[c].add
-                    for i in range(bloom_k):
-                        add((h1 + i * h2) % bloom_bits)
+                    bl[c].update(bloom_positions(h, bloom_k, bloom_bits))
         return fpath, (per_block, bl)
 
     def _merge_pb(a: tuple, b: tuple) -> tuple:
@@ -790,24 +791,16 @@ def analyze_stats_proto(
             "columns": file_cols,
         }
         if bl_cols:
-            import base64 as _b64
-
-            from fourmc_spark.sources.datasource import (
-                BLOOM_ALGO, BLOOM_SEED,
-            )
+            from fourmc_spark.sources.datasource import seal_bloom_spec
 
             bitmaps = {}
             for c in bl_cols:
                 bm = bytearray(bloom_bits // 8)
                 for p in bl[c]:
                     bm[p >> 3] |= 1 << (p & 7)
-                bitmaps[c] = {
-                    "algo": BLOOM_ALGO,
-                    "seed": BLOOM_SEED,
-                    "bits": bloom_bits,
-                    "k": bloom_k,
-                    "b64": _b64.b64encode(bytes(bm)).decode("ascii"),
-                }
+                bitmaps[c] = seal_bloom_spec(
+                    bytes(bm), bloom_bits, bloom_k, bl_fams[c]
+                )
             meta["bloom"] = bitmaps
         if want_blocks:
             meta["blocks"] = [
@@ -1147,7 +1140,6 @@ def analyze_bloom(
     Compaction OR-merges carried blooms (union of inputs = bitwise OR,
     exact), so steady-state needs no re-ANALYZE.
     """
-    import base64 as _b64
     import json as _json
 
     import numpy as np
@@ -1155,7 +1147,7 @@ def analyze_bloom(
     from pyspark.sql import types as T
 
     from fourmc_spark.sources.datasource import (
-        BLOOM_ALGO, BLOOM_SEED, STATS_SUFFIX, _parse_flat_ddl,
+        STATS_SUFFIX, _parse_flat_ddl, seal_bloom_spec,
     )
 
     if bits % 8 or not 64 <= bits <= (1 << 27):
@@ -1181,6 +1173,10 @@ def analyze_bloom(
                 f" only {_BLOOM_ELIGIBLE} columns are bloom-eligible"
                 " (their CAST AS STRING matches the probe's str())"
             )
+    fams = {
+        c: "str" if isinstance(types[c], T.StringType) else "int"
+        for c in cols
+    }
 
     src = (
         spark.read.format("fourmc")
@@ -1250,13 +1246,7 @@ def analyze_bloom(
                 np.bitwise_or.at(
                     bm, p >> 3, np.left_shift(1, p & 7).astype(np.uint8)
                 )
-            blooms[c] = {
-                "algo": BLOOM_ALGO,
-                "seed": BLOOM_SEED,
-                "bits": bits,
-                "k": k,
-                "b64": _b64.b64encode(bm.tobytes()).decode("ascii"),
-            }
+            blooms[c] = seal_bloom_spec(bm.tobytes(), bits, k, fams[c])
             set_bits += int(len(np.unique(p)))
         tmp = fpath + STATS_SUFFIX + ".tmp"
         with open(tmp, "w") as f:

@@ -2790,7 +2790,6 @@ def proto_4mc_bloom_scan_q(spark, sf):
     # proof: a garbage container with an all-zero bloom under the real
     # contract tag — green iff the probe pruned it before any footer
     # read.
-    import base64 as _b64
     import json as _json
     import os
     import shutil
@@ -2799,7 +2798,7 @@ def proto_4mc_bloom_scan_q(spark, sf):
     from fourmc_spark.operators.maintenance import analyze_stats_proto
     from fourmc_spark.session import register_fourmc
     from fourmc_spark.sources.datasource import (
-        BLOOM_ALGO, BLOOM_SEED, STATS_SUFFIX,
+        STATS_SUFFIX, seal_bloom_spec,
     )
 
     register_fourmc(spark)
@@ -2842,15 +2841,10 @@ def proto_4mc_bloom_scan_q(spark, sf):
                     "version": 2,
                     "size": os.path.getsize(poison),
                     "bloom": {
-                        "event_id": {
-                            "algo": BLOOM_ALGO,
-                            "seed": BLOOM_SEED,
-                            "bits": bits,
-                            "k": k,
-                            "b64": _b64.b64encode(
-                                bytes(bits // 8)
-                            ).decode("ascii"),
-                        }
+                        # all-zero bitmap: every probe provably absent
+                        "event_id": seal_bloom_spec(
+                            bytes(bits // 8), bits, k, "int"
+                        ),
                     },
                 },
                 f,
@@ -5170,7 +5164,6 @@ def sql_4mc_bloom_scan_q(spark, sf):
     # red. Conservative-safety twins (missing/foreign-tagged blooms
     # never prune; type-mismatched values never prune) live in
     # tests/test_bloom.py.
-    import base64 as _b64
     import json as _json
     import os
     import shutil
@@ -5179,7 +5172,7 @@ def sql_4mc_bloom_scan_q(spark, sf):
     from fourmc_spark.operators.maintenance import analyze_bloom
     from fourmc_spark.session import register_fourmc
     from fourmc_spark.sources.datasource import (
-        BLOOM_ALGO, BLOOM_SEED, STATS_SUFFIX,
+        STATS_SUFFIX, seal_bloom_spec,
     )
 
     register_fourmc(spark)
@@ -5207,16 +5200,10 @@ def sql_4mc_bloom_scan_q(spark, sf):
                     "version": 2,
                     "size": os.path.getsize(poison),
                     "bloom": {
-                        "event_id": {
-                            "algo": BLOOM_ALGO,
-                            "seed": BLOOM_SEED,
-                            "bits": bits,
-                            "k": k,
-                            # all-zero bitmap: every probe provably absent
-                            "b64": _b64.b64encode(
-                                bytes(bits // 8)
-                            ).decode("ascii"),
-                        }
+                        # all-zero bitmap: every probe provably absent
+                        "event_id": seal_bloom_spec(
+                            bytes(bits // 8), bits, k, "int"
+                        ),
                     },
                 },
                 f,
@@ -5252,7 +5239,6 @@ def maintenance_compact_bloom_q(spark, sf):
     # bit (false absence) would lose a row and break the hash; a poison
     # file planted in the compacted dir (garbage bytes + all-zero
     # bloom) proves the probe path engages before any footer read.
-    import base64 as _b64
     import glob as _glob
     import json as _json
     import os
@@ -5262,7 +5248,7 @@ def maintenance_compact_bloom_q(spark, sf):
     from fourmc_spark.operators.maintenance import analyze_bloom, compact_blocks
     from fourmc_spark.session import register_fourmc
     from fourmc_spark.sources.datasource import (
-        BLOOM_ALGO, BLOOM_SEED, STATS_SUFFIX,
+        STATS_SUFFIX, seal_bloom_spec,
     )
 
     register_fourmc(spark)
@@ -5298,15 +5284,10 @@ def maintenance_compact_bloom_q(spark, sf):
                     "version": 2,
                     "size": os.path.getsize(poison),
                     "bloom": {
-                        "event_id": {
-                            "algo": BLOOM_ALGO,
-                            "seed": BLOOM_SEED,
-                            "bits": bits,
-                            "k": k,
-                            "b64": _b64.b64encode(
-                                bytes(bits // 8)
-                            ).decode("ascii"),
-                        }
+                        # all-zero bitmap: every probe provably absent
+                        "event_id": seal_bloom_spec(
+                            bytes(bits // 8), bits, k, "int"
+                        ),
                     },
                 },
                 f,
@@ -5729,7 +5710,6 @@ def stream_4mc_bloomsink_scan_q(spark, sf):
     # a real row and break the hash). Combined with the statsschema
     # zone tier and compaction's OR-merge carry, the steady-state
     # pipeline prunes ranges AND point probes from ingest onward.
-    import base64 as _b64
     import json as _json
     import os
     import shutil
@@ -5737,7 +5717,7 @@ def stream_4mc_bloomsink_scan_q(spark, sf):
 
     from fourmc_spark.session import register_fourmc
     from fourmc_spark.sources.datasource import (
-        BLOOM_ALGO, BLOOM_SEED, STATS_SUFFIX,
+        STATS_SUFFIX, seal_bloom_spec,
     )
     from fourmc_spark.streaming import read_events_stream
 
@@ -5771,15 +5751,10 @@ def stream_4mc_bloomsink_scan_q(spark, sf):
                     "version": 2,
                     "size": os.path.getsize(poison),
                     "bloom": {
-                        "event_id": {
-                            "algo": BLOOM_ALGO,
-                            "seed": BLOOM_SEED,
-                            "bits": bits,
-                            "k": k,
-                            "b64": _b64.b64encode(
-                                bytes(bits // 8)
-                            ).decode("ascii"),
-                        }
+                        # all-zero bitmap: every probe provably absent
+                        "event_id": seal_bloom_spec(
+                            bytes(bits // 8), bits, k, "int"
+                        ),
                     },
                 },
                 f,

@@ -882,6 +882,7 @@ class _TypedNdjsonParser:
     failure names the value-mode + from_json fallback."""
 
     def __init__(self, st: StructType, want: list[str]) -> None:
+        import pyarrow as pa
         import pyarrow.json as pj
 
         self.want = list(want)
@@ -891,53 +892,79 @@ class _TypedNdjsonParser:
         self.opts = pj.ParseOptions(
             explicit_schema=self.schema, unexpected_field_behavior="ignore"
         )
+        # date columns primarily parse as STRING (to_json writes ISO
+        # text, which Arrow's date32 JSON parse rejects), but data that
+        # predates the string path — or any producer writing epoch-day
+        # NUMBERS, the one form Arrow's date32 parse accepts natively —
+        # must keep reading: a retry schema parses dates as date32
+        # directly (no post-cast). Mixed representations for one
+        # column inside one buffer stay unsupported (both parses fail;
+        # the error names the value-mode fallback).
+        self.date_retry_opts = None
+        if any(t == pa.date32() for t in self.post_casts.values()):
+            native = [
+                pa.field(f.name, pa.date32())
+                if self.post_casts.get(f.name) == pa.date32()
+                else f
+                for f in self.schema
+            ]
+            self.date_retry_opts = pj.ParseOptions(
+                explicit_schema=pa.schema(native),
+                unexpected_field_behavior="ignore",
+            )
+
+    def _parse(self, ndjson):
+        """The parse-attempt ladder: primary schema; then (as needed)
+        quoted-NaN rewrite, epoch-day-number dates, and both at once."""
+        import pyarrow as pa
+        import pyarrow.json as pj
+
+        try:
+            return pj.read_json(
+                pa.BufferReader(ndjson), parse_options=self.opts
+            ), False
+        except pa.ArrowInvalid:
+            if not self.float_cols and self.date_retry_opts is None:
+                raise
+        raw = ndjson if isinstance(ndjson, bytes) else ndjson.to_pybytes()
+        attempts = []
+        if self.float_cols:
+            fixed = _unquote_float_specials(raw, self.float_cols)
+            attempts.append((fixed, self.opts, False))
+        if self.date_retry_opts is not None:
+            attempts.append((raw, self.date_retry_opts, True))
+            if self.float_cols:
+                attempts.append((fixed, self.date_retry_opts, True))
+        err = None
+        for buf, opts, native_dates in attempts:
+            try:
+                return pj.read_json(
+                    pa.BufferReader(buf), parse_options=opts
+                ), native_dates
+            except pa.ArrowInvalid as e:
+                err = e
+        raise ValueError(
+            "fourmc jsonschema: typed parse failed under every supported "
+            "representation (ISO-string or epoch-day-number dates, quoted "
+            "NaN/Infinity floats normalized) — read in value mode and "
+            "parse with from_json instead"
+        ) from err
 
     def arrays(self, ndjson) -> list:
         """Final-typed pa.Array per ``want`` column, chunks combined."""
         import pyarrow as pa
-        import pyarrow.json as pj
 
         if not isinstance(ndjson, (bytes, pa.Buffer)):
             raise TypeError("ndjson must be bytes or an Arrow buffer")
-        try:
-            tbl = pj.read_json(
-                pa.BufferReader(ndjson), parse_options=self.opts
-            )
-        except pa.ArrowInvalid:
-            if not self.float_cols:
-                raise
-            raw = (ndjson if isinstance(ndjson, bytes)
-                   else ndjson.to_pybytes())
-            try:
-                tbl = pj.read_json(
-                    pa.BufferReader(
-                        _unquote_float_specials(raw, self.float_cols)
-                    ),
-                    parse_options=self.opts,
-                )
-            except pa.ArrowInvalid as e:
-                raise ValueError(
-                    "fourmc jsonschema: typed parse failed even after "
-                    "normalizing quoted NaN/Infinity float tokens — read "
-                    "in value mode and parse with from_json instead"
-                ) from e
+        tbl, native_dates = self._parse(ndjson)
         out = []
         for c in self.want:
             col = tbl.column(c).combine_chunks()
             tgt = self.post_casts.get(c)
-            if tgt is not None:
+            if tgt is not None and not (native_dates and tgt == pa.date32()):
                 col = col.cast(tgt)
             out.append(col)
         return out
-
-
-def _parse_ndjson_typed(ndjson, st: StructType, want: list[str]):
-    """One-shot convenience over :class:`_TypedNdjsonParser` (tests,
-    cold paths). Hot paths build the parser once instead."""
-    import pyarrow as pa
-
-    p = _TypedNdjsonParser(st, want)
-    return pa.Table.from_arrays(p.arrays(ndjson), names=list(p.want))
 
 
 # per-file zone-map sidecar written by operators/maintenance.analyze_stats
@@ -1142,18 +1169,57 @@ def _null_dropped_blocks(meta: dict, nullreq: dict[str, set]) -> frozenset:
     return frozenset(dropped)
 
 
-def _bloom_probe_hit(spec: dict, canon: str) -> bool:
-    """True iff the bloom MAY contain *canon* — any malformed or
-    unrecognized spec counts as a hit (never prune on doubt)."""
+def bloom_positions(h: int, k: int, bits: int):
+    """THE position derivation, shared by every Python bloom builder and
+    the probe (the JVM builder in analyze_bloom mirrors it as SQL
+    expressions, pinned equivalent by tests): double hashing with
+    h1 = low 32 bits, h2 = high 32 bits | 1, position_i =
+    (h1 + i*h2) mod bits. Any drift between a builder and the probe
+    would silently mis-prune under the same contract tag — this helper
+    exists so there is exactly one derivation to drift."""
+    h1 = h & 0xFFFFFFFF
+    h2 = (h >> 32) | 1
+    for i in range(k):
+        yield (h1 + i * h2) % bits
+
+
+def seal_bloom_spec(bitmap: bytes, bits: int, k: int, fam: str) -> dict:
+    """The sidecar bloom spec dict every builder seals: contract tag,
+    geometry, the build-time type FAMILY ('int' | 'str' — the probe
+    refuses a spec whose family differs from the read schema's, because
+    a DDL drift between build and read could hash different canonical
+    text for the same data), and the base64 bitmap."""
     import base64
 
-    from fourmc_spark.format.native import xxh64
+    return {
+        "algo": BLOOM_ALGO,
+        "seed": BLOOM_SEED,
+        "bits": bits,
+        "k": k,
+        "fam": fam,
+        "b64": base64.b64encode(bitmap).decode("ascii"),
+    }
 
+
+def _decode_bloom_spec(spec, fam: str):
+    """(bitmap bytes, bits, k) when *spec* is a well-formed bloom under
+    the recognized contract AND was built for type family *fam*; None
+    on any doubt (the file is scanned). Decoded ONCE per (file, column)
+    — probing an IN-list reuses the decoded bitmap."""
+    import base64
+
+    if (
+        not isinstance(spec, dict)
+        or spec.get("algo") != BLOOM_ALGO
+        or spec.get("seed") != BLOOM_SEED
+        or spec.get("fam") != fam
+    ):
+        return None
     try:
         bits, k = spec["bits"], spec["k"]
         bm = base64.b64decode(spec["b64"], validate=True)
     except (KeyError, TypeError, ValueError):
-        return True
+        return None
     if (
         not isinstance(bits, int)
         or not isinstance(k, int)
@@ -1163,15 +1229,8 @@ def _bloom_probe_hit(spec: dict, canon: str) -> bool:
         or not 1 <= k <= 64
         or len(bm) * 8 != bits
     ):
-        return True
-    h = xxh64(canon.encode("utf-8"), BLOOM_SEED)
-    h1 = h & 0xFFFFFFFF
-    h2 = (h >> 32) | 1
-    for i in range(k):
-        p = (h1 + i * h2) % bits
-        if not (bm[p >> 3] >> (p & 7)) & 1:
-            return False
-    return True
+        return None
+    return bm, bits, k
 
 
 def _bloom_file_pruned(
@@ -1179,22 +1238,22 @@ def _bloom_file_pruned(
 ) -> bool:
     """True iff some probed column's bloom proves EVERY point value
     absent from the file. Conservative everywhere: missing bloom,
-    foreign algo/seed tag, value whose type doesn't match the declared
-    column family (its canonical text could differ from CAST AS
-    STRING) => NOT pruned."""
+    foreign algo/seed tag, build-vs-read type-family mismatch, value
+    whose type doesn't match the declared column family (its canonical
+    text could differ from CAST AS STRING) => NOT pruned."""
+    from fourmc_spark.format.native import xxh64
+
     blooms = meta.get("bloom")
     if not isinstance(blooms, dict):
         return False
     for col, vals in points.items():
         fam = typemap.get(col)
-        spec = blooms.get(col)
-        if (
-            fam is None
-            or not isinstance(spec, dict)
-            or spec.get("algo") != BLOOM_ALGO
-            or spec.get("seed") != BLOOM_SEED
-        ):
+        if fam is None:
             continue
+        decoded = _decode_bloom_spec(blooms.get(col), fam)
+        if decoded is None:
+            continue
+        bm, bits, k = decoded
         any_hit = False
         provable = True
         for v in vals:
@@ -1205,7 +1264,11 @@ def _bloom_file_pruned(
             else:
                 provable = False
                 break
-            if _bloom_probe_hit(spec, canon):
+            h = xxh64(canon.encode("utf-8"), BLOOM_SEED)
+            if all(
+                (bm[p >> 3] >> (p & 7)) & 1
+                for p in bloom_positions(h, k, bits)
+            ):
                 any_hit = True
                 break
         if provable and not any_hit:
@@ -1570,10 +1633,7 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
                     bits, k = self.bloom_bits, self.bloom_k
                     for v in uniq:
                         h = xxh64(v.as_py().encode("utf-8"), BLOOM_SEED)
-                        h1 = h & 0xFFFFFFFF
-                        h2 = (h >> 32) | 1
-                        for i in range(k):
-                            pos.add((h1 + i * h2) % bits)
+                        pos.update(bloom_positions(h, k, bits))
 
         def _seal_sidecar(f, staged: str, acc) -> None:
             if acc is None:
@@ -1620,20 +1680,19 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
                 },
             }
             if self.bloom_cols:
-                import base64 as _b64
-
+                fams = {
+                    f2.name: "str"
+                    if isinstance(f2.dataType, T.StringType) else "int"
+                    for f2 in self.stats_schema.fields
+                }
                 bitmaps = {}
                 for c in self.bloom_cols:
                     bm = bytearray(self.bloom_bits // 8)
                     for p in acc["bloom"][c]:
                         bm[p >> 3] |= 1 << (p & 7)
-                    bitmaps[c] = {
-                        "algo": BLOOM_ALGO,
-                        "seed": BLOOM_SEED,
-                        "bits": self.bloom_bits,
-                        "k": self.bloom_k,
-                        "b64": _b64.b64encode(bytes(bm)).decode("ascii"),
-                    }
+                    bitmaps[c] = seal_bloom_spec(
+                        bytes(bm), self.bloom_bits, self.bloom_k, fams[c]
+                    )
                 meta["bloom"] = bitmaps
             with open(staged + STATS_SUFFIX, "w") as sf:
                 _json.dump(meta, sf)

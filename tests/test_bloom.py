@@ -247,6 +247,18 @@ def test_bloom_conservative_matrix(spark, tmp_path):
     )
     # a column missing from the typemap is never probed
     assert not _bloom_file_pruned(meta, {"k": {999}}, {})
+    # BUILD-vs-READ family drift: the spec was sealed for an int column,
+    # a read schema declaring it string must not trust the bitmap (the
+    # build could have hashed different canonical text for the same
+    # data) — and a legacy spec with no fam at all is never probed
+    assert not _bloom_file_pruned(
+        meta, {"k": {"zzz"}}, {"k": "str", "name": "str"}
+    )
+    nofam = _json.loads(_json.dumps(meta))
+    del nofam["bloom"]["k"]["fam"]
+    assert not _bloom_file_pruned(
+        nofam, {"k": {999}}, {"k": "int", "name": "str"}
+    )
 
 
 def test_bloom_all_null_column_prunes_every_probe(spark, tmp_path):
@@ -311,15 +323,19 @@ def test_merge_carried_blooms_or_and_mismatch_drop():
 
     def spec(bm: bytes, **over):
         s = {"algo": BLOOM_ALGO, "seed": BLOOM_SEED, "bits": len(bm) * 8,
-             "k": 3, "b64": base64.b64encode(bm).decode()}
+             "k": 3, "fam": "int", "b64": base64.b64encode(bm).decode()}
         s.update(over)
         return s
 
-    a = {"bloom": {"k": spec(b"\x01\x00"), "t": spec(b"\x10\x00")}}
-    b = {"bloom": {"k": spec(b"\x02\x80"), "t": spec(b"\x10\x00", k=4)}}
+    a = {"bloom": {"k": spec(b"\x01\x00"), "t": spec(b"\x10\x00"),
+                   "u": spec(b"\x01\x00")}}
+    b = {"bloom": {"k": spec(b"\x02\x80"), "t": spec(b"\x10\x00", k=4),
+                   "u": spec(b"\x01\x00", fam="str")}}
     merged = _merge_carried_blooms([a, b])
     assert base64.b64decode(merged["k"]["b64"]) == b"\x03\x80"  # bitwise OR
+    assert merged["k"]["fam"] == "int"  # contract fields carried intact
     assert "t" not in merged  # k mismatch: dropped, never mis-probes
+    assert "u" not in merged  # fam mismatch: dropped too
     # any input without a bloom for the column drops it
     assert _merge_carried_blooms([a, {"bloom": {}}]) == {}
     assert _merge_carried_blooms([a, {}]) == {}

@@ -819,6 +819,39 @@ def test_prefix_pushdown_prunes(spark, tmp_path):
     assert rows == ["zebra", "zoo"]
 
 
+def test_typed_scan_reads_both_date_representations(spark, tmp_path):
+    """DATE columns read under BOTH supported NDJSON forms: ISO strings
+    (the to_json pipeline) and epoch-day numbers (the only form Arrow's
+    native date32 JSON parse accepts — data written that way predates
+    the string-parse path and must keep reading)."""
+    import datetime
+
+    from fourmc_spark.format.writer import write_file
+
+    ddl = "k bigint, d date"
+    d_iso = str(tmp_path / "iso")
+    os.makedirs(d_iso)
+    write_file(os.path.join(d_iso, "a.4mz"),
+               b'{"k": 1, "d": "2022-01-08"}\n{"k": 2, "d": null}\n',
+               codec="zstd")
+    rows = (spark.read.format("fourmc").option("jsonschema", ddl)
+            .load(d_iso).orderBy("k").collect())
+    assert [(r["k"], r["d"]) for r in rows] == [
+        (1, datetime.date(2022, 1, 8)), (2, None)
+    ]
+    d_num = str(tmp_path / "num")
+    os.makedirs(d_num)
+    # 19000 epoch days == 2022-01-08
+    write_file(os.path.join(d_num, "a.4mz"),
+               b'{"k": 1, "d": 19000}\n{"k": 2, "d": null}\n',
+               codec="zstd")
+    rows = (spark.read.format("fourmc").option("jsonschema", ddl)
+            .load(d_num).orderBy("k").collect())
+    assert [(r["k"], r["d"]) for r in rows] == [
+        (1, datetime.date(2022, 1, 8)), (2, None)
+    ]
+
+
 def test_typed_scan_rejects_nested_ddl(spark):
     from fourmc_spark.sources.datasource import _parse_flat_ddl
 
