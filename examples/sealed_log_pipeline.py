@@ -1,29 +1,33 @@
 #!/usr/bin/env python
 """The sealed-log lifecycle end-to-end — stream-ingest with write-time
-zone maps, raw-copy compaction that CARRIES them, and a pruned temporal
-range query that never opens a non-matching file.
+zone maps AND bloom filters, raw-copy compaction that CARRIES both, and
+pruned queries (temporal range + point lookup) that never open a
+non-matching file.
 
-This is the steady-state 100 TB shape the zone-map tier exists for: a
+This is the steady-state 100 TB shape the sidecar tiers exist for: a
 time-clustered event log lands through the STREAMING sink (each sealed
-file gets a FILE-tier ``.stats.json`` sidecar computed from the exact
-rows it received — no ANALYZE lag), the small per-trigger files are
-later collapsed by ``compact_blocks`` (raw block copy: no
-recompression, and the file-tier zone maps merge and move along), and
-every range query — on ids or on TIME (TimestampType bounds travel as
-epoch micros) — plans from the sidecars alone, opening only the FILES
-that can match. No stage ever runs a dedicated stats job over the
-data. (For the per-BLOCK tier inside kept files, run
-``analyze_stats()`` once on the compacted tree — write-time sidecars
-are file-tier by design, since a rolling stream file's blocks are not
-yet range-clustered.)
+file gets a FILE-tier ``.stats.json`` sidecar — zone maps from
+``statsschema``, bloom bitmaps from ``bloomcolumns`` — computed from
+the exact rows it received; no ANALYZE lag), the small per-trigger
+files are later collapsed by ``compact_blocks`` (raw block copy: no
+recompression; zone maps merge, blooms OR together exactly), and every
+query plans from the sidecars alone: a range on ids or TIME
+(TimestampType bounds travel as epoch micros) opens only overlapping
+files, and a POINT lookup on the unclustered ``event_id`` — where
+min/max can never prune — opens only the files whose bloom may hold
+it. No stage ever runs a dedicated stats job over the data. (For the
+per-BLOCK tier inside kept files, run ``analyze_stats()`` once on the
+compacted tree — write-time sidecars are file-tier by design, since a
+rolling stream file's blocks are not yet range-clustered.)
 
 Pipeline:
 
     events stream (rate-limited micro-batches)
       -> writeStream.format("fourmc")
-         .option("statsschema", ddl)        (sidecar sealed per file)
-      -> compact_blocks(in, out)            (raw copy, carry_stats)
-      -> typed scan, ts-range + id queries  (file/block pruning)
+         .option("statsschema", ddl)        (zone sidecar per file)
+         .option("bloomcolumns", "event_id")  (bloom rides the sidecar)
+      -> compact_blocks(in, out)            (raw copy, carries both)
+      -> typed scan: ts-range + id point queries  (file pruning)
 
 Usage:
     python examples/sealed_log_pipeline.py [sf_dir]
@@ -68,6 +72,7 @@ def ingest_stream(spark, sf_dir: str, out_dir: str, ckpt: str) -> int:
         sdf.writeStream.format("fourmc")
         .option("codec", "zstd").option("level", "medium")
         .option("statsschema", DDL)
+        .option("bloomcolumns", "event_id")
         .option("path", out_dir).option("checkpointLocation", ckpt)
         .trigger(availableNow=True).start()
     )
@@ -114,6 +119,17 @@ def run(spark, sf_dir: str = "/root/testdata/sf0.001") -> dict:
             .filter(F.unix_micros(F.col("ts")) >= mid_us)
             .count()
         )
+        # point lookup on the UNCLUSTERED id: zone maps keep every file
+        # (each spans the id domain), the CARRIED blooms open only the
+        # files that may hold the probed ids
+        probe = [3, 17, 411]
+        typed3 = (spark.read.format("fourmc").option("jsonschema", DDL)
+                  .load(compacted))
+        point_rows = typed3.filter(F.col("event_id").isin(probe)).count()
+        point_oracle = (
+            load_events(spark, f"{sf_dir}/events.parquet")
+            .filter(F.col("event_id").isin(probe)).count()
+        )
         return {
             "stream_files": n_files,
             "stream_sidecars": len(sidecars),
@@ -122,6 +138,8 @@ def run(spark, sf_dir: str = "/root/testdata/sf0.001") -> dict:
             "total_rows": total,
             "recent_rows": recent,
             "oracle_recent_rows": oracle,
+            "point_rows": point_rows,
+            "oracle_point_rows": point_oracle,
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -135,6 +153,7 @@ def main() -> None:
     stats = run(spark, sf_dir)
     print(json.dumps(stats, indent=2))
     assert stats["recent_rows"] == stats["oracle_recent_rows"]
+    assert stats["point_rows"] == stats["oracle_point_rows"]
 
 
 if __name__ == "__main__":

@@ -297,6 +297,56 @@ def test_analyze_bloom_validation(spark, tmp_path):
         analyze_bloom(spark, d, _DDL, [])
 
 
+def test_bloom_never_false_negative_property():
+    """Hypothesis pin on the pure contract (no Spark): any value sealed
+    into a bitmap via the shared derivation ALWAYS probes as present,
+    under any geometry — a false negative would silently drop rows."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fourmc_spark.format.native import xxh64
+    from fourmc_spark.sources.datasource import (
+        _bloom_file_pruned, bloom_positions, seal_bloom_spec,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        vals=st.lists(
+            st.one_of(
+                st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                st.text(max_size=40),
+            ),
+            min_size=1,
+            max_size=30,
+        ),
+        bits_pow=st.integers(min_value=6, max_value=16),
+        k=st.integers(min_value=1, max_value=16),
+    )
+    def check(vals, bits_pow, k):
+        bits = 1 << bits_pow
+        bm = bytearray(bits // 8)
+        for v in vals:
+            h = xxh64(str(v).encode("utf-8"), BLOOM_SEED)
+            for p in bloom_positions(h, k, bits):
+                bm[p >> 3] |= 1 << (p & 7)
+        for fam, sub in (
+            ("int", [v for v in vals if isinstance(v, int)]),
+            ("str", [v for v in vals if isinstance(v, str)]),
+        ):
+            if not sub:
+                continue
+            meta = {
+                "bloom": {"c": seal_bloom_spec(bytes(bm), bits, k, fam)}
+            }
+            for v in sub:
+                # a sealed value must NEVER prune its own file
+                assert not _bloom_file_pruned(
+                    meta, {"c": {v}}, {"c": fam}
+                )
+
+    check()
+
+
 # ---------------------------------------------------------------------------
 # coexistence + carry
 # ---------------------------------------------------------------------------
