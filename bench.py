@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     "proto_4mc_bloom_scan",
     # round 10: write-time blooms sealed by the STREAMING sink
     "stream_4mc_bloomsink_scan",
+    # round 10: per-BLOCK bloom tier — point probes inside kept files
+    "sql_4mc_bloom_blocks_scan",
 ]
 
 

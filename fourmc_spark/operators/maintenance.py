@@ -324,6 +324,7 @@ def compact_group(
         ):
             carry = False
     block_entries: list[dict] = []
+    bloom_block_entries: list[dict] = []
     tmp = f"{out_path}.inprogress"
     with open(tmp, "wb") as out_f:
         out_f.write(core.encode_header(magic))
@@ -335,6 +336,11 @@ def compact_group(
                     b.get("o"): b.get("c")
                     for b in metas[src].get("blocks") or ()
                 }
+                bb = metas[src].get("bloom_blocks")
+                bloom_by_off = {
+                    b.get("o"): b.get("c")
+                    for b in (bb or {}).get("blocks") or ()
+                } if isinstance(bb, dict) else {}
                 # text: drop the seam block (ownership can widen into
                 # it); self-delimiting records: every entry stays exact
                 kept = pairs if self_delimiting else pairs[:-1]
@@ -342,6 +348,9 @@ def compact_group(
                     c = by_off.get(in_off)
                     if c is not None:
                         block_entries.append({"o": out_off, "c": c})
+                    c = bloom_by_off.get(in_off)
+                    if c is not None:
+                        bloom_block_entries.append({"o": out_off, "c": c})
             if newline_fix and not _last_block_ends_with_newline(src):
                 offsets.append(out_f.tell())
                 out_f.write(core.encode_block(1, b"\n", compressed=False))
@@ -352,7 +361,10 @@ def compact_group(
     os.replace(tmp, out_path)
     if carry:
         _write_carried_sidecar(
-            out_path, [metas[s] for s in plan.inputs], block_entries
+            out_path,
+            [metas[s] for s in plan.inputs],
+            block_entries,
+            bloom_block_entries,
         )
     else:
         _drop_stale_sidecar(out_path)
@@ -380,11 +392,17 @@ def _drop_stale_sidecar(out_path: str) -> None:
 
 
 def _write_carried_sidecar(
-    out_path: str, metas: list[dict], block_entries: list[dict]
+    out_path: str,
+    metas: list[dict],
+    block_entries: list[dict],
+    bloom_block_entries: list[dict] | None = None,
 ) -> None:
     """Merge the inputs' file-tier stats and attach the remapped block
     entries. A column enters the merged file tier only when EVERY input
-    records it (a gap would make the merged range too narrow)."""
+    records it (a gap would make the merged range too narrow). Block
+    BLOOM entries carry only when every input's ``bloom_blocks`` header
+    (algo/seed/bits/k/fam) is identical — a geometry or family mismatch
+    would probe one input's bitmaps under another's derivation."""
     import json as _json
 
     from fourmc_spark.sources.datasource import _zone_comparable
@@ -420,6 +438,25 @@ def _write_carried_sidecar(
     blooms = _merge_carried_blooms(metas)
     if blooms:
         meta["bloom"] = blooms
+    if bloom_block_entries:
+        heads = [m.get("bloom_blocks") for m in metas]
+        head = heads[0]
+        if isinstance(head, dict) and all(
+            isinstance(h, dict)
+            and all(
+                h.get(f) == head.get(f)
+                for f in ("algo", "seed", "bits", "k", "fam")
+            )
+            for h in heads
+        ):
+            meta["bloom_blocks"] = {
+                "algo": head["algo"],
+                "seed": head["seed"],
+                "bits": head["bits"],
+                "k": head["k"],
+                "fam": head["fam"],
+                "blocks": bloom_block_entries,
+            }
     from fourmc_spark.sources.datasource import STATS_SUFFIX
 
     tmp = out_path + STATS_SUFFIX + ".tmp"
@@ -1103,9 +1140,13 @@ def analyze_bloom(
     columns: list[str],
     bits: int = 1 << 20,
     k: int = 7,
+    block_bits: int | None = None,
+    block_k: int | None = None,
 ) -> dict:
     """ANALYZE ... FOR BLOOM: per-FILE bloom filters for point-predicate
-    pruning on columns zone maps cannot help with.
+    pruning on columns zone maps cannot help with — plus an optional
+    per-BLOCK tier (``block_bits``) so a point probe inside a KEPT file
+    scans only the blocks that may hold the value.
 
     Zone maps (analyze_stats) prune by [min, max] — decisive on the
     natural clustering key (time, monotonic ids) and useless on
@@ -1131,14 +1172,21 @@ def analyze_bloom(
     maps).
 
     100 TB shape: one distributed scan; the shuffle carries per-file
-    DISTINCT (column, bit-position) rows — capped at files × columns ×
-    ``bits`` regardless of row count (map-side partial dedup) — and
-    sidecars are amended EXECUTOR-SIDE (applyInPandas per file); the
-    driver sees one summary row per file. Sizing: false-positive rate
-    ≈ (1 - e^(-k·n/bits))^k for n distinct values per file; the
-    2^20-bit default (128 KiB bitmap) holds ~100k NDV per file at ~1%.
-    Compaction OR-merges carried blooms (union of inputs = bitwise OR,
-    exact), so steady-state needs no re-ANALYZE.
+    DISTINCT (column, block, bit-position) rows — capped at files ×
+    columns × (``bits`` + blocks × ``block_bits``) regardless of row
+    count (map-side partial dedup) — and sidecars are amended
+    EXECUTOR-SIDE (applyInPandas per file); the driver sees one summary
+    row per file. Sizing: false-positive rate ≈ (1 - e^(-k·n/bits))^k
+    for n distinct values per span; the 2^20-bit file default (128 KiB
+    bitmap) holds ~100k NDV per file at ~1%; size ``block_bits`` for
+    the ~4 MiB-block NDV (the 2^13 suggestion = 1 KiB per (block, col)
+    in the sidecar). The block tier is the within-file complement: a
+    kept 256 MB file (≈64 blocks) scans only the blocks whose bitmap
+    may hold the probe — parquet-page economics for point lookups on
+    ANY layout, clustered or not. Compaction OR-merges carried file
+    blooms (union of inputs = bitwise OR, exact) and carries block
+    blooms by offset remap with the same seam rule as zone maps, so
+    steady-state needs no re-ANALYZE.
     """
     import json as _json
 
@@ -1156,6 +1204,17 @@ def analyze_bloom(
         )
     if not 1 <= k <= 16:
         raise ValueError(f"analyze_bloom: k must be in [1, 16], got {k}")
+    bk = block_k if block_k is not None else k
+    if block_bits is not None:
+        if block_bits % 8 or not 64 <= block_bits <= (1 << 24):
+            raise ValueError(
+                "analyze_bloom: block_bits must be a multiple of 8 in "
+                f"[64, 2^24], got {block_bits}"
+            )
+        if not 1 <= bk <= 16:
+            raise ValueError(
+                f"analyze_bloom: block_k must be in [1, 16], got {bk}"
+            )
     st = _parse_flat_ddl(schema_ddl)
     types = {f.name: f.dataType for f in st.fields}
     cols = list(columns)
@@ -1182,15 +1241,20 @@ def analyze_bloom(
         spark.read.format("fourmc")
         .option("withfilename", "true")
         .load(path)
-        .select("_file", F.from_json("value", schema_ddl).alias("_r"))
+        .select(
+            "_file", "offset", F.from_json("value", schema_ddl).alias("_r")
+        )
     )
-    # one pass: every row fans out to k (column, bit-position) structs per
-    # non-null bloom column, flattened into a single explode
-    def _pos_fn(c, h1, h2):
+    # one pass: every row fans out to k (column, block, bit-position)
+    # structs per non-null bloom column — block -1 is the file tier, the
+    # owning block's compressed offset keys the block tier — flattened
+    # into a single explode
+    def _pos_fn(c, h1, h2, n_bits, block_expr):
         def inner(i):
             return F.struct(
                 F.lit(c).alias("col_name"),
-                F.pmod(h1 + i.cast("long") * h2, F.lit(bits))
+                block_expr.alias("block"),
+                F.pmod(h1 + i.cast("long") * h2, F.lit(n_bits))
                 .cast("int")
                 .alias("pos"),
             )
@@ -1203,26 +1267,36 @@ def analyze_bloom(
         h = F.xxhash64(fc.cast("string"))  # Spark's fixed seed 42
         h1 = h.bitwiseAND(F.lit(4294967295))
         h2 = F.shiftrightunsigned(h, 32).bitwiseOR(F.lit(1))
-        positions = F.transform(
-            F.sequence(F.lit(0), F.lit(k - 1)), _pos_fn(c, h1, h2)
-        )
-        # NULL values never match equality: rows where the column is null
-        # contribute nothing (the when() yields NULL, filtered pre-flatten)
-        per_col.append(F.when(fc.isNotNull(), positions))
+        tiers = [(k, bits, F.lit(-1).cast("long"))]
+        if block_bits is not None:
+            tiers.append((bk, block_bits, F.col("offset")))
+        for t_k, t_bits, block_expr in tiers:
+            positions = F.transform(
+                F.sequence(F.lit(0), F.lit(t_k - 1)),
+                _pos_fn(c, h1, h2, t_bits, block_expr),
+            )
+            # NULL values never match equality: rows where the column is
+            # null contribute nothing (NULL arrays filtered pre-flatten)
+            per_col.append(F.when(fc.isNotNull(), positions))
     flat = F.flatten(F.filter(F.array(*per_col), lambda x: x.isNotNull()))
     pos_rows = src.select("_file", F.explode(flat).alias("e")).select(
-        "_file", F.col("e.col_name").alias("col_name"), F.col("e.pos").alias("pos")
+        "_file",
+        F.col("e.col_name").alias("col_name"),
+        F.col("e.block").alias("block"),
+        F.col("e.pos").alias("pos"),
     )
-    # seed rows keep files whose bloom columns are ALL NULL in the group
-    # output (their bitmaps must seal EMPTY — all-zero prunes every probe,
-    # which is exact: equality never matches NULL)
-    seed = src.select("_file").distinct().select(
+    # seed rows keep every (file, block) present in the group output even
+    # when its bloom columns are ALL NULL there (those bitmaps must seal
+    # EMPTY — all-zero prunes every probe, which is exact: equality never
+    # matches NULL)
+    seed = src.select("_file", "offset").distinct().select(
         "_file",
         F.lit(None).cast("string").alias("col_name"),
+        F.col("offset").alias("block"),
         F.lit(None).cast("int").alias("pos"),
     )
     all_rows = pos_rows.unionByName(seed).dropDuplicates(
-        ["_file", "col_name", "pos"]
+        ["_file", "col_name", "block", "pos"]
     )
 
     def _amend(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -1237,17 +1311,54 @@ def analyze_bloom(
             meta = None
         if meta is None:
             meta = {"version": 2, "size": os.path.getsize(fpath)}
-        blooms = meta.setdefault("bloom", {})
-        set_bits = 0
-        for c in cols:
-            bm = np.zeros(bits // 8, dtype=np.uint8)
-            p = pdf.loc[pdf["col_name"] == c, "pos"].to_numpy(dtype=np.int64)
+        import base64 as _b64
+
+        def _bitmap(p: "np.ndarray", n_bits: int) -> bytes:
+            bm = np.zeros(n_bits // 8, dtype=np.uint8)
             if len(p):
                 np.bitwise_or.at(
                     bm, p >> 3, np.left_shift(1, p & 7).astype(np.uint8)
                 )
-            blooms[c] = seal_bloom_spec(bm.tobytes(), bits, k, fams[c])
+            return bm.tobytes()
+
+        blooms = meta.setdefault("bloom", {})
+        set_bits = 0
+        ftier = pdf[pdf["block"] == -1]
+        for c in cols:
+            p = ftier.loc[ftier["col_name"] == c, "pos"].to_numpy(
+                dtype=np.int64
+            )
+            blooms[c] = seal_bloom_spec(_bitmap(p, bits), bits, k, fams[c])
             set_bits += int(len(np.unique(p)))
+        if block_bits is not None:
+            btier = pdf[pdf["block"] != -1]
+            entries = []
+            for off in sorted(int(o) for o in btier["block"].unique()):
+                rows = btier[btier["block"] == off]
+                entries.append(
+                    {
+                        "o": off,
+                        "c": {
+                            c: _b64.b64encode(
+                                _bitmap(
+                                    rows.loc[
+                                        rows["col_name"] == c, "pos"
+                                    ].to_numpy(dtype=np.int64),
+                                    block_bits,
+                                )
+                            ).decode("ascii")
+                            for c in cols
+                        },
+                    }
+                )
+            meta["bloom_blocks"] = {
+                "algo": blooms[cols[0]]["algo"],
+                "seed": blooms[cols[0]]["seed"],
+                "bits": block_bits,
+                "k": bk,
+                "fam": dict(fams),
+                "blocks": entries,
+            }
         tmp = fpath + STATS_SUFFIX + ".tmp"
         with open(tmp, "w") as f:
             _json.dump(meta, f)
@@ -1264,5 +1375,6 @@ def analyze_bloom(
         "columns": cols,
         "bits": bits,
         "k": k,
+        "block_bits": block_bits,
         "set_bits": sum(r["set_bits"] for r in summaries),
     }

@@ -5221,6 +5221,62 @@ def sql_4mc_bloom_scan_q(spark, sf):
 
 
 @query(
+    "sql_4mc_bloom_blocks_scan",
+    """SELECT CAST(event_id AS BIGINT) AS event_id,
+              CAST(user_id AS BIGINT) AS user_id,
+              event_type, value
+       FROM events WHERE event_id IN (21, 433, 777)
+       ORDER BY event_id""",
+)
+def sql_4mc_bloom_blocks_scan_q(spark, sf):
+    # BLOCK-tier blooms under the driver hash gate (round 10): events
+    # land as ONE sealed file of many small blocks — the file tier
+    # cannot shrink anything — and analyze_bloom's block_bits seals a
+    # per-block bitmap keyed by the owning block's compressed offset.
+    # The planner drops every block whose bitmap proves all probed ids
+    # absent; dropping a block removes exactly the lines it OWNS
+    # (split spillover completes a line that starts in a kept
+    # partition), so the oracle hash pins BOTH ownership seams across
+    # many block boundaries on an UNCLUSTERED layout — the
+    # parquet-page economics for point lookups, no clustering needed.
+    import shutil
+    import tempfile
+
+    from fourmc_spark.operators.maintenance import analyze_bloom
+    from fourmc_spark.session import register_fourmc
+
+    register_fourmc(spark)
+    ddl = "event_id bigint, user_id bigint, event_type string, value double"
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    d = tempfile.mkdtemp(prefix="fourmc-bloom-blocks-")
+    try:
+        (
+            ev.coalesce(1)
+            .select(F.to_json(F.struct(*ev.columns)).alias("value"))
+            .write.format("fourmc")
+            .option("codec", "zstd").option("level", "medium")
+            .option("blocksize", 16 * 1024)
+            .mode("overwrite").save(d)
+        )
+        analyze_bloom(
+            spark, d, ddl, ["event_id"],
+            bits=1 << 16, k=5, block_bits=1 << 12, block_k=4,
+        )
+        out = (
+            spark.read.format("fourmc")
+            .option("jsonschema", ddl).load(d)
+            .where(F.col("event_id").isin([21, 433, 777]))
+            .select("event_id", "user_id", "event_type", "value")
+            .orderBy("event_id")
+        )
+        return _detach(out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
     "maintenance_compact_bloom",
     """SELECT CAST(event_id AS BIGINT) AS event_id,
               CAST(user_id AS BIGINT) AS user_id,

@@ -498,6 +498,12 @@ class FourMcDataSourceReader(DataSourceReader):
                         dropped_blocks = dropped_blocks | (
                             _null_dropped_blocks(meta, self._nullreq)
                         )
+                    if self._point:
+                        dropped_blocks = dropped_blocks | (
+                            _bloom_dropped_blocks(
+                                meta, self._point, self._bloom_typemap
+                            )
+                        )
             if path.endswith(".zst"):
                 fsize = os.path.getsize(path)
                 if fsize:
@@ -1233,6 +1239,90 @@ def _decode_bloom_spec(spec, fam: str):
     return bm, bits, k
 
 
+def _bloom_canon(v, fam: str):
+    """Canonical probe text for *v* under type family *fam*, or None
+    when the value's type doesn't match (can't prove absence)."""
+    if fam == "int" and isinstance(v, int) and not isinstance(v, bool):
+        return str(v)
+    if fam == "str" and isinstance(v, str):
+        return v
+    return None
+
+
+def _bloom_dropped_blocks(
+    meta: dict, points: dict[str, set], typemap: dict[str, str]
+) -> frozenset:
+    """Block offsets whose BLOCK-tier bloom (sidecar ``bloom_blocks``:
+    shared geometry header + per-block per-column base64 bitmaps)
+    proves every probed value absent — the within-file complement of
+    the file tier: a kept 256 MB file scans only the blocks that may
+    hold the probed id. Conservative on every doubt: foreign tag,
+    geometry/bitmap-length mismatch, family drift, missing column or
+    block entry => the block is kept."""
+    import base64
+
+    from fourmc_spark.format.native import xxh64
+
+    bb = meta.get("bloom_blocks")
+    if not isinstance(bb, dict) or bb.get("algo") != BLOOM_ALGO or (
+        bb.get("seed") != BLOOM_SEED
+    ):
+        return frozenset()
+    bits, k = bb.get("bits"), bb.get("k")
+    fams = bb.get("fam")
+    if (
+        not isinstance(bits, int)
+        or not isinstance(k, int)
+        or isinstance(bits, bool)
+        or isinstance(k, bool)
+        or bits <= 0
+        or bits % 8
+        or not 1 <= k <= 64
+        or not isinstance(fams, dict)
+    ):
+        return frozenset()
+    # positions per probed column computed ONCE, reused for every block
+    col_pos: dict[str, list[list[int]] | None] = {}
+    for col, vals in points.items():
+        fam = typemap.get(col)
+        if fam is None or fams.get(col) != fam:
+            continue
+        pos_lists = []
+        for v in vals:
+            canon = _bloom_canon(v, fam)
+            if canon is None:
+                pos_lists = None  # un-probeable value: skip the column
+                break
+            h = xxh64(canon.encode("utf-8"), BLOOM_SEED)
+            pos_lists.append(list(bloom_positions(h, k, bits)))
+        if pos_lists:
+            col_pos[col] = pos_lists
+    if not col_pos:
+        return frozenset()
+    dropped = set()
+    for b in bb.get("blocks") or ():
+        c = b.get("c")
+        if not isinstance(c, dict):
+            continue
+        for col, pos_lists in col_pos.items():
+            b64 = c.get(col)
+            if not isinstance(b64, str):
+                continue
+            try:
+                bm = base64.b64decode(b64, validate=True)
+            except (TypeError, ValueError):
+                continue
+            if len(bm) * 8 != bits:
+                continue
+            if not any(
+                all((bm[p >> 3] >> (p & 7)) & 1 for p in pl)
+                for pl in pos_lists
+            ):
+                dropped.add(b.get("o"))
+                break
+    return frozenset(dropped)
+
+
 def _bloom_file_pruned(
     meta: dict, points: dict[str, set], typemap: dict[str, str]
 ) -> bool:
@@ -1257,11 +1347,8 @@ def _bloom_file_pruned(
         any_hit = False
         provable = True
         for v in vals:
-            if fam == "int" and isinstance(v, int) and not isinstance(v, bool):
-                canon = str(v)
-            elif fam == "str" and isinstance(v, str):
-                canon = v
-            else:
+            canon = _bloom_canon(v, fam)
+            if canon is None:
                 provable = False
                 break
             h = xxh64(canon.encode("utf-8"), BLOOM_SEED)

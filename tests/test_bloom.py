@@ -297,6 +297,102 @@ def test_analyze_bloom_validation(spark, tmp_path):
         analyze_bloom(spark, d, _DDL, [])
 
 
+def test_block_tier_blooms_prune_within_files(spark, tmp_path):
+    """block_bits seals a per-BLOCK bloom tier: a point probe inside a
+    kept file plans only the blocks that may hold the value — on ANY
+    layout, no clustering required. Exactness is pinned by comparing
+    the pruned read against the full data, and the plan shrinkage by
+    counting planned partitions."""
+    from pyspark.sql.datasource import CaseInsensitiveDict, EqualTo
+
+    from fourmc_spark.operators.maintenance import analyze_bloom
+
+    d = str(tmp_path / "blb")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("n"), F.col("id") % 7).alias("name"),
+        (F.col("id") * 0.5).alias("v"),
+    )
+    # ONE file, many small blocks (16 KiB): the file tier can't help a
+    # probe here — only the block tier can shrink the plan
+    (df.coalesce(1)
+       .select(F.to_json(F.struct("k", "name", "v")).alias("value"))
+       .write.format("fourmc").option("codec", "zstd")
+       .option("blocksize", 16 * 1024)
+       .mode("overwrite").save(d))
+    res = analyze_bloom(
+        spark, d, _DDL, ["k"], bits=1 << 14, k=5,
+        block_bits=1 << 12, block_k=4,
+    )
+    assert res["block_bits"] == 1 << 12
+    meta = _json.load(open(sorted(_glob.glob(f"{d}/*.stats.json"))[0]))
+    bb = meta["bloom_blocks"]
+    assert bb["bits"] == 1 << 12 and bb["k"] == 4
+    assert bb["fam"] == {"k": "int"}
+    assert len(bb["blocks"]) > 3  # genuinely multi-block
+
+    schema = _parse_flat_ddl(_DDL)
+    opts = CaseInsensitiveDict(
+        {"path": d, "jsonschema": _DDL, "maxblockspersplit": "1"}
+    )
+
+    def n_parts(filters):
+        rd = FourMcDataSourceReader(opts, schema)
+        list(rd.pushFilters(filters))
+        return len([p for p in rd.partitions() if p.path])
+
+    full = n_parts([])
+    probed = n_parts([EqualTo(("k",), 57)])
+    assert 1 <= probed < full  # blocks dropped inside the kept file
+    # exactness: pruned reads return exactly the probed rows (both
+    # line-ownership seams exercised across many block boundaries)
+    typed = spark.read.format("fourmc").option("jsonschema", _DDL).load(d)
+    for probe in (0, 57, 1999):
+        got = [r["k"] for r in typed.filter(F.col("k") == probe).collect()]
+        assert got == [probe]
+        typed = spark.read.format("fourmc").option(
+            "jsonschema", _DDL
+        ).load(d)  # fresh relation per filter set (readInfo cache)
+
+
+def test_compact_carries_block_blooms(spark, tmp_path):
+    """compact_blocks carries bloom_blocks by offset remap with the
+    text seam rule; probes over the compacted tree stay exact."""
+    from fourmc_spark.operators.maintenance import analyze_bloom, compact_blocks
+
+    staged = str(tmp_path / "staged")
+    out = str(tmp_path / "out")
+    # multi-block inputs: the text seam rule drops each input's LAST
+    # copied block entry, so single-block inputs would carry nothing
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("n"), F.col("id") % 7).alias("name"),
+        (F.col("id") * 0.5).alias("v"),
+    )
+    (df.repartition(4)
+       .select(F.to_json(F.struct("k", "name", "v")).alias("value"))
+       .write.format("fourmc").option("codec", "zstd")
+       .option("blocksize", 8 * 1024)
+       .mode("overwrite").save(staged))
+    analyze_bloom(
+        spark, staged, _DDL, ["k"], bits=1 << 14, k=5,
+        block_bits=1 << 12, block_k=4,
+    )
+    total = sum(
+        os.path.getsize(p) for p in _glob.glob(f"{staged}/part-*.4mz")
+    )
+    stats = compact_blocks(spark, staged, out, target_bytes=max(1, total))
+    assert stats["stats_carried"] == stats["outputs"] >= 1
+    metas = [_json.load(open(p)) for p in _glob.glob(f"{out}/*.stats.json")]
+    assert any(m.get("bloom_blocks", {}).get("blocks") for m in metas)
+    got = sorted(
+        r["k"]
+        for r in spark.read.format("fourmc").option("jsonschema", _DDL)
+        .load(out).filter(F.col("k").isin([3, 57, 399])).collect()
+    )
+    assert got == [3, 57, 399]
+
+
 def test_bloom_never_false_negative_property():
     """Hypothesis pin on the pure contract (no Spark): any value sealed
     into a bitmap via the shared derivation ALWAYS probes as present,
