@@ -168,6 +168,8 @@ BENCH_QUERIES = [
     "stream_4mc_bloomsink_scan",
     # round 10: per-BLOCK bloom tier — point probes inside kept files
     "sql_4mc_bloom_blocks_scan",
+    # round 10: the typed-pruning tier on CSV lines (csvschema)
+    "sql_4mc_csv_zonemap_scan",
 ]
 
 

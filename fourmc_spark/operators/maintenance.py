@@ -945,16 +945,32 @@ def _json_stat_value(v):
     return v
 
 
+def _typed_record_expr(schema_ddl: str, record_format: str):
+    """The value-line parse expression for a typed record model: NDJSON
+    via from_json (default) or CSV via from_csv — both JVM-side, both
+    matching the corresponding typed scan option (jsonschema /
+    csvschema) row for row."""
+    if record_format == "json":
+        return F.from_json("value", schema_ddl)
+    if record_format == "csv":
+        return F.from_csv("value", schema_ddl)
+    raise ValueError(
+        f"record_format must be 'json' or 'csv', got {record_format!r}"
+    )
+
+
 def analyze_stats(
     spark: SparkSession,
     path: str,
     schema_ddl: str,
     columns: list[str] | None = None,
     blocks: bool = True,
+    record_format: str = "json",
 ) -> dict:
-    """ANALYZE for NDJSON 4mc/4mz trees: one distributed scan computes a
-    TWO-TIER zone map — per-FILE and (``blocks=True``) per-BLOCK row
-    count + min/max/null-count per column — and writes it to a
+    """ANALYZE for NDJSON (or, with ``record_format='csv'``, CSV-line)
+    4mc/4mz trees: one distributed scan computes a TWO-TIER zone map —
+    per-FILE and (``blocks=True``) per-BLOCK row count +
+    min/max/null-count per column — and writes it to a
     ``<file>.stats.json`` sidecar next to each data file.
 
     The typed scan (``jsonschema`` option, sources/datasource.py) then
@@ -1026,7 +1042,8 @@ def analyze_stats(
         # with the scan's _file/offset pseudo-columns when the DDL
         # legally declares fields with those names
         .select(
-            "_file", "offset", F.from_json("value", schema_ddl).alias("_r")
+            "_file", "offset",
+            _typed_record_expr(schema_ddl, record_format).alias("_r"),
         )
     )
     aggs = [F.count(F.lit(1)).cast("long").alias("__rows")]
@@ -1142,11 +1159,14 @@ def analyze_bloom(
     k: int = 7,
     block_bits: int | None = None,
     block_k: int | None = None,
+    record_format: str = "json",
 ) -> dict:
     """ANALYZE ... FOR BLOOM: per-FILE bloom filters for point-predicate
     pruning on columns zone maps cannot help with — plus an optional
     per-BLOCK tier (``block_bits``) so a point probe inside a KEPT file
     scans only the blocks that may hold the value.
+    ``record_format='csv'`` analyzes CSV-line trees (the ``csvschema``
+    typed scan) instead of NDJSON.
 
     Zone maps (analyze_stats) prune by [min, max] — decisive on the
     natural clustering key (time, monotonic ids) and useless on
@@ -1242,7 +1262,8 @@ def analyze_bloom(
         .option("withfilename", "true")
         .load(path)
         .select(
-            "_file", "offset", F.from_json("value", schema_ddl).alias("_r")
+            "_file", "offset",
+            _typed_record_expr(schema_ddl, record_format).alias("_r"),
         )
     )
     # one pass: every row fans out to k (column, block, bit-position)

@@ -5221,6 +5221,90 @@ def sql_4mc_bloom_scan_q(spark, sf):
 
 
 @query(
+    "sql_4mc_csv_zonemap_scan",
+    """SELECT event_type,
+              CAST(count(*) AS BIGINT) AS cnt,
+              CAST(sum(user_id) AS BIGINT) AS user_sum,
+              round(sum(value), 2) AS value_sum,
+              CAST(min(event_id) AS BIGINT) AS min_event,
+              CAST(max(event_id) AS BIGINT) AS max_event
+       FROM events WHERE event_id BETWEEN 1100 AND 2699
+       GROUP BY event_type ORDER BY event_type""",
+)
+def sql_4mc_csv_zonemap_scan_q(spark, sf):
+    # The typed-pruning tier on CSV lines (round 10): csvschema is the
+    # second record model to get the full sidecar surface — the scan
+    # parses value lines with Arrow's CSV kernels (positional DDL,
+    # from_csv-matching conventions: backslash escapes, empty field =
+    # NULL, quoted "" also NULL, Z-suffixed timestamps), which makes
+    # value predicates pushable, and analyze_stats(record_format='csv')
+    # seals the same two-tier zone maps the NDJSON tier prunes with.
+    # Same in-gate poison proof: a garbage container with a valid
+    # out-of-range sidecar is planted — green iff file pruning engaged
+    # before any footer read.
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from fourmc_spark.operators.maintenance import analyze_stats
+    from fourmc_spark.session import register_fourmc
+    from fourmc_spark.sources.datasource import STATS_SUFFIX
+
+    register_fourmc(spark)
+    ddl = "event_id bigint, user_id bigint, event_type string, value double"
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    d = tempfile.mkdtemp(prefix="fourmc-csv-zm-")
+    try:
+        (
+            ev.repartitionByRange(6, "event_id")
+            .select(F.to_csv(F.struct(*ev.columns)).alias("value"))
+            .write.format("fourmc")
+            .option("codec", "zstd").option("level", "medium")
+            .mode("overwrite").save(d)
+        )
+        analyze_stats(spark, d, ddl, record_format="csv")
+        poison = os.path.join(d, "poison.4mz")
+        with open(poison, "wb") as f:
+            f.write(b"NOT-A-4MC-CONTAINER" * 16)
+        with open(poison + STATS_SUFFIX, "w") as f:
+            _json.dump(
+                {
+                    "version": 2,
+                    "size": os.path.getsize(poison),
+                    "rows": 1,
+                    "columns": {
+                        "event_id": {
+                            "min": 10**9, "max": 2 * 10**9, "nulls": 0
+                        }
+                    },
+                },
+                f,
+            )
+        back = (
+            spark.read.format("fourmc")
+            .option("csvschema", ddl).load(d)
+            .where(F.col("event_id").between(1100, 2699))
+        )
+        out = (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.sum("user_id").cast("long").alias("user_sum"),
+                F.round(F.sum("value"), 2).alias("value_sum"),
+                F.min("event_id").cast("long").alias("min_event"),
+                F.max("event_id").cast("long").alias("max_event"),
+            )
+            .orderBy("event_type")
+        )
+        return _detach(out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
     "sql_4mc_bloom_blocks_scan",
     """SELECT CAST(event_id AS BIGINT) AS event_id,
               CAST(user_id AS BIGINT) AS user_id,

@@ -119,12 +119,13 @@ class FourMcDataSource(DataSource):
         return "fourmc"
 
     def schema(self) -> StructType:
-        js = self.options.get("jsonschema")
+        js = self.options.get("jsonschema") or self.options.get("csvschema")
         if js:
-            # typed NDJSON scan: the payload lines are parsed into these
-            # columns executor-side (Arrow JSON kernels), which makes
-            # value predicates PUSHABLE — combined with analyze_stats()
-            # sidecars they prune whole files by zone map (min/max)
+            # typed record scan (NDJSON or CSV lines): the payload lines
+            # are parsed into these columns executor-side (Arrow
+            # JSON/CSV kernels), which makes value predicates PUSHABLE —
+            # combined with analyze_stats()/analyze_bloom() sidecars
+            # they prune whole files and blocks
             fields = list(_parse_flat_ddl(js).fields)
         else:
             fields = [
@@ -195,9 +196,19 @@ class FourMcDataSourceReader(DataSourceReader):
             str(options.get("withfilename", "false")).lower() == "true"
         )
         js = options.get("jsonschema")
+        cs = options.get("csvschema")
+        if js and cs:
+            raise ValueError(
+                "fourmc source: jsonschema and csvschema are mutually "
+                "exclusive (one record model per read)"
+            )
+        # json_schema is the TYPED-scan schema regardless of record
+        # model (the shared pruning state keys off it); typed_fmt picks
+        # the parser (NDJSON or CSV) in read()
         self.json_schema: StructType | None = (
-            _parse_flat_ddl(js) if js else None
+            _parse_flat_ddl(js or cs) if (js or cs) else None
         )
+        self.typed_fmt = "csv" if cs else "json"
         self.columns = [f.name for f in schema.fields]
         self._init_pruning_state(options)
 
@@ -622,21 +633,26 @@ class FourMcDataSourceReader(DataSourceReader):
                 names.append("_file")
             return pa.RecordBatch.from_arrays(arrays, names=names)
 
-        # Arrow's JSON kernels parse each micro-batch in C;
-        # explicit_schema pins types so output never depends on
+        # Arrow's JSON/CSV kernels parse each micro-batch in C;
+        # explicit schemas pin types so output never depends on
         # inference (absent fields come back NULL). Column pruning
-        # reaches the PARSER: only the requested fields enter
-        # explicit_schema; unexpected_field_behavior=ignore skips every
-        # other key without inferring/materializing it. Built once per
-        # partition — never per batch.
-        typed_parser = (
-            _TypedNdjsonParser(self.json_schema, want_typed)
-            if typed else None
-        )
+        # reaches the PARSER: only the requested fields enter the
+        # explicit schema / include_columns. Built once per partition —
+        # never per batch. empty_line is the record model's all-null
+        # placeholder ('{}' for NDJSON, a line of bare commas for CSV).
+        if not typed:
+            typed_parser = None
+            empty_line = "{}"
+        elif self.typed_fmt == "csv":
+            typed_parser = _TypedCsvParser(self.json_schema, want_typed)
+            empty_line = typed_parser.empty_line
+        else:
+            typed_parser = _TypedNdjsonParser(self.json_schema, want_typed)
+            empty_line = "{}"
 
-        def _typed_batch(ndjson: "pa.Buffer | bytes") -> "pa.RecordBatch":
+        def _typed_batch(buf: "pa.Buffer | bytes") -> "pa.RecordBatch":
             return pa.RecordBatch.from_arrays(
-                typed_parser.arrays(ndjson), names=list(want_typed)
+                typed_parser.arrays(buf), names=list(want_typed)
             )
 
         def _cast_lines(arr: "pa.Array") -> "pa.Array":
@@ -661,11 +677,12 @@ class FourMcDataSourceReader(DataSourceReader):
             def flush():
                 if typed:
                     # empty lines (the sink writes NULL values that way)
-                    # must parse as all-null rows like from_json('') —
-                    # Arrow's reader would silently skip them (or raise
-                    # 'Empty JSON file' on an all-blank buffer)
+                    # must parse as all-null rows like from_json('') /
+                    # from_csv('') — Arrow's readers would skip or
+                    # reject them
+                    ph = empty_line.encode()
                     return _typed_batch(
-                        b"\n".join(ln if ln else b"{}" for ln in lines)
+                        b"\n".join(ln if ln else ph for ln in lines)
                     )
                 arrays, names = [], []
                 if want_offset:
@@ -727,7 +744,7 @@ class FourMcDataSourceReader(DataSourceReader):
                     strs = lines_arr.cast(pa.string())
                     strs = pc.if_else(
                         pc.equal(pc.binary_length(strs), 0),
-                        pa.scalar("{}"),
+                        pa.scalar(empty_line),
                         strs,
                     )
                     la = pa.ListArray.from_arrays(
@@ -968,6 +985,95 @@ class _TypedNdjsonParser:
             col = tbl.column(c).combine_chunks()
             tgt = self.post_casts.get(c)
             if tgt is not None and not (native_dates and tgt == pa.date32()):
+                col = col.cast(tgt)
+            out.append(col)
+        return out
+
+
+class _TypedCsvParser:
+    """CSV twin of :class:`_TypedNdjsonParser` (the ``csvschema`` scan
+    option): one Arrow C-side CSV parse per buffer against the declared
+    flat schema. CSV is POSITIONAL — the DDL declares every on-disk
+    column in order; ``want`` selects the parsed subset.
+
+    Conventions match Spark's ``to_csv``/``from_csv`` defaults: comma
+    separator, ``"`` quotes with ``\\`` escapes, empty unquoted field =
+    NULL, quoted ``\"\"`` also reads back NULL (from_csv cannot tell
+    them apart either). Timestamp columns parse as STRING and cast
+    after a trailing-``Z`` strip (to_csv writes Z-suffixed UTC; Arrow's
+    timestamp cast refuses zone offsets), matching from_csv under the
+    UTC session convention the typed tier documents. KNOWN divergence:
+    a ``\\`` in an UNQUOTED field is treated as an escape by Arrow but
+    as a literal by from_csv — data with raw unquoted backslashes
+    should stay in value mode + from_csv."""
+
+    def __init__(self, st: StructType, want: list[str]) -> None:
+        import pyarrow as pa
+        import pyarrow.csv as pcsv
+        from pyspark.sql import types as T
+
+        self.want = list(want)
+        self.all_names = [f.name for f in st.fields]
+        # empty VALUE lines must parse as all-null rows (the sink writes
+        # NULL rows that way): a line of n-1 bare commas is n null fields
+        self.empty_line = "," * (len(self.all_names) - 1)
+        sub = StructType([f for f in st.fields if f.name in self.want])
+        # reuse the NDJSON type mapping for validation; timestamps join
+        # dates on the parse-as-string + post-cast path (CSV text is
+        # Z-suffixed, which the cast kernel refuses until stripped)
+        schema, post = _arrow_schema_for(sub)
+        self.post_casts = dict(post)
+        col_types = {}
+        for f in schema:
+            if pa.types.is_timestamp(f.type):
+                col_types[f.name] = pa.string()
+                self.post_casts[f.name] = f.type
+            else:
+                col_types[f.name] = f.type
+        self.read_opts = pcsv.ReadOptions(column_names=self.all_names)
+        self.parse_opts = pcsv.ParseOptions(
+            quote_char='"',
+            double_quote=False,
+            escape_char="\\",
+            newlines_in_values=False,
+            ignore_empty_lines=False,
+        )
+        self.convert_opts = pcsv.ConvertOptions(
+            column_types=col_types,
+            include_columns=self.want,
+            null_values=[""],
+            strings_can_be_null=True,
+            quoted_strings_can_be_null=True,  # from_csv: "" is NULL too
+        )
+
+    def arrays(self, buf) -> list:
+        """Final-typed pa.Array per ``want`` column, chunks combined."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.csv as pcsv
+
+        if not isinstance(buf, (bytes, pa.Buffer)):
+            raise TypeError("csv buffer must be bytes or an Arrow buffer")
+        try:
+            tbl = pcsv.read_csv(
+                pa.BufferReader(buf),
+                read_options=self.read_opts,
+                parse_options=self.parse_opts,
+                convert_options=self.convert_opts,
+            )
+        except pa.ArrowInvalid as e:
+            raise ValueError(
+                "fourmc csvschema: typed CSV parse failed (malformed "
+                "rows, zone offsets other than Z, or unquoted escapes) "
+                "— read in value mode and parse with from_csv instead"
+            ) from e
+        out = []
+        for c in self.want:
+            col = tbl.column(c).combine_chunks()
+            tgt = self.post_casts.get(c)
+            if tgt is not None:
+                if pa.types.is_timestamp(tgt):
+                    col = pc.replace_substring_regex(col, "Z$", "")
                 col = col.cast(tgt)
             out.append(col)
         return out
@@ -1529,6 +1635,14 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
         self.stats_schema: StructType | None = (
             _parse_flat_ddl(ss) if ss else None
         )
+        # statsformat: the record model of the value lines ('json'
+        # default; 'csv' for to_csv pipelines — the csvschema twin)
+        self.stats_format = str(options.get("statsformat", "json")).lower()
+        if self.stats_format not in ("json", "csv"):
+            raise ValueError(
+                f"fourmc sink: statsformat must be 'json' or 'csv', "
+                f"got {self.stats_format!r}"
+            )
         # bloomcolumns=c1[,c2...]: ALSO seal write-time bloom bitmaps for
         # the named statsschema fields (int/string only — the same
         # eligibility as analyze_bloom, whose sidecars these match
@@ -1630,10 +1744,15 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
             [f.name for f in self.stats_schema.fields]
             if self.stats_schema is not None else []
         )
-        stats_parser = (
-            _TypedNdjsonParser(self.stats_schema, stat_cols)
-            if self.stats_schema is not None else None
-        )
+        if self.stats_schema is None:
+            stats_parser = None
+            stats_empty = "{}"
+        elif self.stats_format == "csv":
+            stats_parser = _TypedCsvParser(self.stats_schema, stat_cols)
+            stats_empty = stats_parser.empty_line
+        else:
+            stats_parser = _TypedNdjsonParser(self.stats_schema, stat_cols)
+            stats_empty = "{}"
 
         def _writer_for(reldir: str):
             if reldir in streams:
@@ -1675,10 +1794,13 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
             acc = streams[reldir][3]
             strs = values.cast(pa.string())
             # NULL values write as empty lines; both read back as
-            # all-null rows, so both stat as '{}'
-            strs = pc.fill_null(strs, "{}")
+            # all-null rows, so both stat as the record model's all-null
+            # placeholder
+            strs = pc.fill_null(strs, stats_empty)
             strs = pc.if_else(
-                pc.equal(pc.binary_length(strs), 0), pa.scalar("{}"), strs
+                pc.equal(pc.binary_length(strs), 0),
+                pa.scalar(stats_empty),
+                strs,
             )
             la = pa.ListArray.from_arrays(
                 pa.array([0, len(strs)], type=pa.int32()), strs

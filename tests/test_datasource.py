@@ -852,6 +852,102 @@ def test_typed_scan_reads_both_date_representations(spark, tmp_path):
     ]
 
 
+def test_typed_csv_scan_matches_from_csv(spark, tmp_path):
+    """option('csvschema', ddl): Arrow-CSV-parsed typed columns equal
+    the value-mode from_csv parse row for row — including quoted commas,
+    backslash-escaped quotes, NULL empty fields, quoted-empty-as-NULL,
+    and Z-suffixed timestamps."""
+    d = str(tmp_path / "csvtyped")
+    ddl = "k bigint, name string, v double, ts timestamp"
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 11 == 0, None).otherwise(
+            F.concat(F.lit('n," q'), (F.col("id") % 7).cast("string"))
+        ).alias("name"),
+        F.when(F.col("id") % 13 == 0, None)
+        .otherwise(F.col("id") * 0.5).alias("v"),
+        F.timestamp_micros(
+            F.lit(1700000000000000) + F.col("id") * 1000000
+        ).alias("ts"),
+    )
+    (df.repartition(3)
+       .select(F.to_csv(F.struct("k", "name", "v", "ts")).alias("value"))
+       .write.format("fourmc").option("codec", "zstd")
+       .mode("overwrite").save(d))
+    typed = spark.read.format("fourmc").option("csvschema", ddl).load(d)
+    assert typed.schema.simpleString() == (
+        "struct<k:bigint,name:string,v:double,ts:timestamp>"
+    )
+    ref = (spark.read.format("fourmc").load(d)
+           .select(F.from_csv("value", ddl).alias("r")).select("r.*"))
+    assert typed.count() == 300
+    assert typed.exceptAll(ref).count() == 0
+    assert ref.exceptAll(typed).count() == 0
+    # jsonschema and csvschema are mutually exclusive
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="mutually exclusive"):
+        (spark.read.format("fourmc").option("csvschema", ddl)
+         .option("jsonschema", ddl).load(d).count())
+
+
+def test_csv_sidecar_tiers_and_sink_seal(spark, tmp_path):
+    """The full sidecar surface on CSV lines: write-time seal via
+    statsformat=csv (+bloomcolumns), ANALYZE twins via
+    record_format='csv', zone/bloom pruning exact under poisoned
+    non-matching files."""
+    import glob as _glob
+    import json as _json
+
+    from fourmc_spark.operators.maintenance import analyze_bloom, analyze_stats
+
+    d = str(tmp_path / "csvsc")
+    ddl = _ZM_DDL  # k bigint, name string, v double
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("n"), F.col("id") % 7).alias("name"),
+        (F.col("id") * 0.5).alias("v"),
+    )
+    (df.repartitionByRange(4, "k")
+       .select(F.to_csv(F.struct("k", "name", "v")).alias("value"))
+       .write.format("fourmc").option("codec", "zstd")
+       .option("statsschema", ddl).option("statsformat", "csv")
+       .option("bloomcolumns", "name")
+       .mode("overwrite").save(d))
+    meta = _json.load(open(sorted(_glob.glob(f"{d}/*.stats.json"))[0]))
+    assert set(meta["columns"]) == {"k", "name", "v"}
+    assert set(meta["bloom"]) == {"name"}
+    # ANALYZE twins re-seal (two-tier + file blooms) from CSV lines
+    analyze_stats(spark, d, ddl, record_format="csv")
+    analyze_bloom(spark, d, ddl, ["k"], bits=1 << 14, k=5,
+                  record_format="csv")
+    per_file = {
+        r["_file"]: (r["mn"], r["mx"])
+        for r in spark.read.format("fourmc").option("csvschema", ddl)
+        .option("withfilename", "true").load(d)
+        .groupBy("_file")
+        .agg(F.min("k").alias("mn"), F.max("k").alias("mx")).collect()
+    }
+    for f, (mn, mx) in per_file.items():
+        if mn >= 200:  # provably outside the range query: zero in place
+            sz = os.path.getsize(f)
+            with open(f, "wb") as fh:
+                fh.write(b"\x00" * sz)
+    got = (spark.read.format("fourmc").option("csvschema", ddl).load(d)
+           .filter(F.col("k") < 200).agg(F.sum("k").alias("s")).first()["s"])
+    assert got == sum(range(200))
+    got2 = (spark.read.format("fourmc").option("csvschema", ddl).load(d)
+            .filter(F.col("k").isin([5, 77])).count())
+    assert got2 == 2
+    # statsformat validation
+    import pytest as _pytest
+    base = df.select(F.to_csv(F.struct("k", "name", "v")).alias("value"))
+    with _pytest.raises(Exception, match="statsformat"):
+        (base.write.format("fourmc").option("statsschema", ddl)
+         .option("statsformat", "xml")
+         .mode("overwrite").save(str(tmp_path / "x")))
+
+
 def test_typed_scan_rejects_nested_ddl(spark):
     from fourmc_spark.sources.datasource import _parse_flat_ddl
 
