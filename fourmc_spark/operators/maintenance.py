@@ -646,6 +646,8 @@ def analyze_stats_proto(
     bloom_columns: list[str] | None = None,
     bloom_bits: int = 1 << 20,
     bloom_k: int = 7,
+    bloom_block_bits: int | None = None,
+    bloom_block_k: int | None = None,
 ) -> dict:
     """ANALYZE twin of :func:`analyze_stats` for ElephantBird-protobuf
     4mc/4mz trees (the ``fourmcproto`` source): one pass per file
@@ -662,6 +664,10 @@ def analyze_stats_proto(
     predicates against them at planning time, pruning point lookups on
     unclustered fields the zone tier cannot touch. Range merges union
     the position sets (exact — same rows, same hashes).
+    ``bloom_block_bits`` additionally seals the per-BLOCK bloom tier
+    (keyed by the sync-marker-owner block offset — the same ownership
+    rule the proto split reader enforces), so point probes inside kept
+    files scan only the blocks that may hold the value.
 
     The block key is the compressed offset of the block in which each
     EB record's sync marker starts — exactly the ownership rule the
@@ -708,7 +714,23 @@ def analyze_stats_proto(
         )
     bl_cols = list(bloom_columns or [])
     bl_fams: dict[str, str] = {}
+    bk = bloom_block_k if bloom_block_k is not None else bloom_k
+    if bloom_block_bits is not None and not bl_cols:
+        raise ValueError(
+            "analyze_stats_proto: bloom_block_bits requires bloom_columns"
+        )
     if bl_cols:
+        if bloom_block_bits is not None and (
+            bloom_block_bits % 8 or not 64 <= bloom_block_bits <= (1 << 24)
+        ):
+            raise ValueError(
+                "analyze_stats_proto: bloom_block_bits must be a multiple "
+                f"of 8 in [64, 2^24], got {bloom_block_bits}"
+            )
+        if not 1 <= bk <= 16:
+            raise ValueError(
+                f"analyze_stats_proto: bloom_block_k must be in [1, 16], got {bk}"
+            )
         if bloom_bits % 8 or not 64 <= bloom_bits <= (1 << 27):
             raise ValueError(
                 "analyze_stats_proto: bloom_bits must be a multiple of 8 "
@@ -752,8 +774,9 @@ def analyze_stats_proto(
             codec, end, _offs = scan_file_info(fpath)
         per_block: dict[int, dict] = {}
         bl: dict[str, set] = {c: set() for c in bl_cols}
+        bl_blocks: dict[int, dict[str, set]] = {}
         if start >= end:
-            return fpath, (per_block, bl)
+            return fpath, (per_block, bl, bl_blocks)
         with open(fpath, "rb") as f:
             for owner, rec in iter_eb_records_for_split(
                 f, codec, start, end, schema
@@ -764,6 +787,8 @@ def analyze_stats_proto(
                         "rows": 0,
                         "c": {c: [None, None, 0, False] for c in cols},
                     }
+                    if bloom_block_bits is not None:
+                        bl_blocks[owner] = {c: set() for c in bl_cols}
                 b["rows"] += 1
                 for c in cols:
                     v = rec.get(c)
@@ -786,16 +811,21 @@ def analyze_stats_proto(
                         continue
                     h = xxh64(str(v).encode("utf-8"), BLOOM_SEED)
                     bl[c].update(bloom_positions(h, bloom_k, bloom_bits))
-        return fpath, (per_block, bl)
+                    if bloom_block_bits is not None:
+                        bl_blocks[owner][c].update(
+                            bloom_positions(h, bk, bloom_block_bits)
+                        )
+        return fpath, (per_block, bl, bl_blocks)
 
     def _merge_pb(a: tuple, b: tuple) -> tuple:
         a[0].update(b[0])  # block keys disjoint across ranges
         for c, s in b[1].items():
             a[1][c] |= s  # bloom positions union exactly
+        a[2].update(b[2])  # block-bloom keys disjoint too
         return a
 
     def _finalize(kv) -> dict:
-        fpath, (per_block, bl) = kv
+        fpath, (per_block, bl, bl_blocks) = kv
         import os as _os
 
         def _mnmx(st):
@@ -828,7 +858,11 @@ def analyze_stats_proto(
             "columns": file_cols,
         }
         if bl_cols:
-            from fourmc_spark.sources.datasource import seal_bloom_spec
+            import base64 as _b64
+
+            from fourmc_spark.sources.datasource import (
+                BLOOM_ALGO, BLOOM_SEED, seal_bloom_spec,
+            )
 
             bitmaps = {}
             for c in bl_cols:
@@ -839,6 +873,24 @@ def analyze_stats_proto(
                     bytes(bm), bloom_bits, bloom_k, bl_fams[c]
                 )
             meta["bloom"] = bitmaps
+            if bloom_block_bits is not None:
+                entries = []
+                for o in sorted(bl_blocks):
+                    cmap = {}
+                    for c in bl_cols:
+                        bm = bytearray(bloom_block_bits // 8)
+                        for p in bl_blocks[o][c]:
+                            bm[p >> 3] |= 1 << (p & 7)
+                        cmap[c] = _b64.b64encode(bytes(bm)).decode("ascii")
+                    entries.append({"o": o, "c": cmap})
+                meta["bloom_blocks"] = {
+                    "algo": BLOOM_ALGO,
+                    "seed": BLOOM_SEED,
+                    "bits": bloom_block_bits,
+                    "k": bk,
+                    "fam": dict(bl_fams),
+                    "blocks": entries,
+                }
         if want_blocks:
             meta["blocks"] = [
                 {

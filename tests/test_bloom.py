@@ -608,6 +608,63 @@ def test_analyze_stats_proto_bloom_tier(spark, tmp_path):
         )
 
 
+def test_proto_block_tier_blooms(spark, tmp_path):
+    """analyze_stats_proto's bloom_block_bits seals per-block bitmaps
+    keyed by the sync-marker-owner offset; the shared planner drops
+    non-matching blocks inside kept proto files and reads stay exact."""
+    from pyspark.sql.datasource import CaseInsensitiveDict, EqualTo
+
+    from fourmc_spark.format.protobuf import ProtoField
+    from fourmc_spark.operators.maintenance import analyze_stats_proto
+    from fourmc_spark.sources.protobuf import FourMcProtoReader
+
+    fields = (ProtoField(1, "k", "int64"), ProtoField(2, "name", "string"))
+    fjson = _json.dumps(
+        [{"number": 1, "name": "k", "type": "int64"},
+         {"number": 2, "name": "name", "type": "string"}]
+    )
+    d = str(tmp_path / "pbb")
+    df = spark.range(3000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("name"),
+    )
+    (df.coalesce(1).write.format("fourmcproto")
+       .option("fields", fjson).option("codec", "zstd")
+       .option("blocksize", 16 * 1024)
+       .mode("overwrite").save(d))
+    res = analyze_stats_proto(
+        spark, d, fields=fields, bloom_columns=["k"],
+        bloom_bits=1 << 14, bloom_k=5,
+        bloom_block_bits=1 << 12, bloom_block_k=4,
+    )
+    assert res["files"] == 1
+    meta = _json.load(open(sorted(_glob.glob(f"{d}/*.stats.json"))[0]))
+    bb = meta["bloom_blocks"]
+    assert bb["bits"] == 1 << 12 and bb["fam"] == {"k": "int"}
+    assert len(bb["blocks"]) > 3
+
+    from pyspark.sql.types import StructType
+
+    def n_parts(filters):
+        opts = CaseInsensitiveDict(
+            {"path": d, "fields": fjson, "maxblockspersplit": "1"}
+        )
+        from fourmc_spark.format.protobuf import spark_struct
+
+        rd = FourMcProtoReader(opts, spark_struct(fields))
+        list(rd.pushFilters(filters))
+        return len([p for p in rd.partitions() if p.path])
+
+    full = n_parts([])
+    probed = n_parts([EqualTo(("k",), 1234)])
+    assert 1 <= probed < full
+    rdr = spark.read.format("fourmcproto").option("fields", fjson)
+    for probe in (0, 1234, 2999):
+        got = [r["k"] for r in rdr.load(d).filter(F.col("k") == probe).collect()]
+        assert got == [probe]
+        rdr = spark.read.format("fourmcproto").option("fields", fjson)
+
+
 def test_compact_blocks_carries_blooms(spark, tmp_path):
     """End-to-end: analyze_bloom -> compact_blocks -> probes over the
     compacted tree still find every row (OR-merge lost no bit) and
