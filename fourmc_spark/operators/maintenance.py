@@ -1351,25 +1351,31 @@ def analyze_bloom(
             # NULL values never match equality: rows where the column is
             # null contribute nothing (NULL arrays filtered pre-flatten)
             per_col.append(F.when(fc.isNotNull(), positions))
-    flat = F.flatten(F.filter(F.array(*per_col), lambda x: x.isNotNull()))
-    pos_rows = src.select("_file", F.explode(flat).alias("e")).select(
-        "_file",
-        F.col("e.col_name").alias("col_name"),
-        F.col("e.block").alias("block"),
-        F.col("e.pos").alias("pos"),
+    # a SEED struct rides every row's fan-out so each (file, block) seen
+    # by the scan reaches the group output even when its bloom columns
+    # are ALL NULL there (those bitmaps must seal EMPTY — all-zero
+    # prunes every probe, which is exact: equality never matches NULL).
+    # Inlining it keeps the pass to ONE scan; map-side partial dedup
+    # collapses the per-row copies before the shuffle.
+    seed_struct = F.array(
+        F.struct(
+            F.lit(None).cast("string").alias("col_name"),
+            F.col("offset").alias("block"),
+            F.lit(None).cast("int").alias("pos"),
+        )
     )
-    # seed rows keep every (file, block) present in the group output even
-    # when its bloom columns are ALL NULL there (those bitmaps must seal
-    # EMPTY — all-zero prunes every probe, which is exact: equality never
-    # matches NULL)
-    seed = src.select("_file", "offset").distinct().select(
-        "_file",
-        F.lit(None).cast("string").alias("col_name"),
-        F.col("offset").alias("block"),
-        F.lit(None).cast("int").alias("pos"),
+    flat = F.flatten(
+        F.filter(F.array(*per_col, seed_struct), lambda x: x.isNotNull())
     )
-    all_rows = pos_rows.unionByName(seed).dropDuplicates(
-        ["_file", "col_name", "block", "pos"]
+    all_rows = (
+        src.select("_file", F.explode(flat).alias("e"))
+        .select(
+            "_file",
+            F.col("e.col_name").alias("col_name"),
+            F.col("e.block").alias("block"),
+            F.col("e.pos").alias("pos"),
+        )
+        .dropDuplicates(["_file", "col_name", "block", "pos"])
     )
 
     def _amend(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":

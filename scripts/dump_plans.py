@@ -85,6 +85,8 @@ SHOWCASE = [
     "maintenance_compact_bloom",  # bloom OR-merge carry through raw compaction
     "proto_4mc_bloom_scan",     # blooms on the protobuf typed scan (same pass)
     "stream_4mc_bloomsink_scan",  # write-time blooms from the streaming sink
+    "sql_4mc_bloom_blocks_scan",  # per-BLOCK bloom tier inside kept files
+    "sql_4mc_csv_zonemap_scan",   # the typed pruning tier on CSV lines
 ]
 
 
