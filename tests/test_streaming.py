@@ -1425,3 +1425,47 @@ def test_stream_heavy_hitters_survives_eviction_across_batches(
     counts = (emissions.groupBy("bucket", "ver").count()
               .agg(F.max("count")).first()[0])
     assert counts <= m + 1
+
+
+def test_typed_stream_source(spark, tmp_path):
+    """The typed record scan composes with the STREAM source: the
+    micro-batch reader delegates to the batch reader, so
+    readStream.option('jsonschema'/'csvschema', ddl) yields typed
+    columns per trigger — watermarks and event-time windows run on real
+    columns with no from_json/from_csv boilerplate."""
+    import glob
+    import os
+    import uuid
+
+    ddl = "k bigint, name string"
+    root = str(tmp_path / "typedstream")
+    live = f"{root}/live"
+    os.makedirs(live)
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("n"), F.col("id") % 5).alias("name"),
+    )
+    for fmt, conv, opt in (
+        ("json", F.to_json, "jsonschema"),
+        ("csv", F.to_csv, "csvschema"),
+    ):
+        sub = f"{live}/{fmt}"
+        os.makedirs(sub)
+        (df.coalesce(1).select(conv(F.struct("k", "name")).alias("value"))
+           .write.format("fourmc").option("codec", "zstd")
+           .mode("overwrite").save(f"{root}/staged-{fmt}"))
+        for f in glob.glob(f"{root}/staged-{fmt}/*.4mz"):
+            os.rename(f, f"{sub}/{os.path.basename(f)}")
+        name = f"tst_{uuid.uuid4().hex[:8]}"
+        sdf = spark.readStream.format("fourmc").option(opt, ddl).load(sub)
+        assert sdf.schema.simpleString() == "struct<k:bigint,name:string>"
+        q = (sdf.groupBy("name").agg(F.sum("k").alias("s"))
+             .writeStream.format("memory").queryName(name)
+             .outputMode("complete")
+             .option("checkpointLocation", f"{root}/ckpt-{fmt}").start())
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        got = sorted((r["name"], r["s"]) for r in spark.table(name).collect())
+        assert got == [("n0", 950), ("n1", 970), ("n2", 990),
+                       ("n3", 1010), ("n4", 1030)]
