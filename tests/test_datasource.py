@@ -891,6 +891,24 @@ def test_typed_csv_scan_matches_from_csv(spark, tmp_path):
          .option("jsonschema", ddl).load(d).count())
 
 
+def test_typed_csv_single_column_empty_lines(spark, tmp_path):
+    """The 1-column degenerate case: the all-null placeholder is the
+    EMPTY line itself, which ignore_empty_lines=False parses as one
+    null field — matching from_csv exactly."""
+    from fourmc_spark.format.writer import write_file
+
+    d = str(tmp_path / "csv1")
+    os.makedirs(d)
+    write_file(os.path.join(d, "a.4mz"), b"5\n\n7\n", codec="zstd")
+    got = [
+        r["k"]
+        for r in spark.read.format("fourmc")
+        .option("csvschema", "k bigint").load(d)
+        .orderBy(F.col("k").asc_nulls_first()).collect()
+    ]
+    assert got == [None, 5, 7]
+
+
 def test_csv_sidecar_tiers_and_sink_seal(spark, tmp_path):
     """The full sidecar surface on CSV lines: write-time seal via
     statsformat=csv (+bloomcolumns), ANALYZE twins via
