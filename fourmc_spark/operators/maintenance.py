@@ -441,22 +441,21 @@ def _write_carried_sidecar(
     if bloom_block_entries:
         heads = [m.get("bloom_blocks") for m in metas]
         head = heads[0]
-        if isinstance(head, dict) and all(
-            isinstance(h, dict)
+        keys = ("algo", "seed", "bits", "k", "fam")
+        if (
+            isinstance(head, dict)
+            # every header field PRESENT (a vacuous None == None match
+            # must not reach the seal below and KeyError the task)
+            and all(f in head for f in keys)
             and all(
-                h.get(f) == head.get(f)
-                for f in ("algo", "seed", "bits", "k", "fam")
+                isinstance(h, dict)
+                and all(h.get(f) == head.get(f) for f in keys)
+                for h in heads
             )
-            for h in heads
         ):
-            meta["bloom_blocks"] = {
-                "algo": head["algo"],
-                "seed": head["seed"],
-                "bits": head["bits"],
-                "k": head["k"],
-                "fam": head["fam"],
-                "blocks": bloom_block_entries,
-            }
+            meta["bloom_blocks"] = dict(
+                {f: head[f] for f in keys}, blocks=bloom_block_entries
+            )
     from fourmc_spark.sources.datasource import STATS_SUFFIX
 
     tmp = out_path + STATS_SUFFIX + ".tmp"
@@ -720,25 +719,13 @@ def analyze_stats_proto(
             "analyze_stats_proto: bloom_block_bits requires bloom_columns"
         )
     if bl_cols:
-        if bloom_block_bits is not None and (
-            bloom_block_bits % 8 or not 64 <= bloom_block_bits <= (1 << 24)
-        ):
-            raise ValueError(
-                "analyze_stats_proto: bloom_block_bits must be a multiple "
-                f"of 8 in [64, 2^24], got {bloom_block_bits}"
-            )
-        if not 1 <= bk <= 16:
-            raise ValueError(
-                f"analyze_stats_proto: bloom_block_k must be in [1, 16], got {bk}"
-            )
-        if bloom_bits % 8 or not 64 <= bloom_bits <= (1 << 27):
-            raise ValueError(
-                "analyze_stats_proto: bloom_bits must be a multiple of 8 "
-                f"in [64, 2^27], got {bloom_bits}"
-            )
-        if not 1 <= bloom_k <= 16:
-            raise ValueError(
-                f"analyze_stats_proto: bloom_k must be in [1, 16], got {bloom_k}"
+        from fourmc_spark.sources.datasource import validate_bloom_geometry
+
+        validate_bloom_geometry(bloom_bits, bloom_k, "analyze_stats_proto")
+        if bloom_block_bits is not None:
+            validate_bloom_geometry(
+                bloom_block_bits, bk, "analyze_stats_proto (block tier)",
+                max_bits=1 << 24,
             )
         bl_eligible = bloom_eligible_fields(schema)
         for c in bl_cols:
@@ -861,36 +848,38 @@ def analyze_stats_proto(
             import base64 as _b64
 
             from fourmc_spark.sources.datasource import (
-                BLOOM_ALGO, BLOOM_SEED, seal_bloom_spec,
+                seal_bloom_blocks_header, seal_bloom_spec,
             )
 
-            bitmaps = {}
-            for c in bl_cols:
-                bm = bytearray(bloom_bits // 8)
-                for p in bl[c]:
+            def _bitset(positions, n_bits: int) -> bytes:
+                bm = bytearray(n_bits // 8)
+                for p in positions:
                     bm[p >> 3] |= 1 << (p & 7)
-                bitmaps[c] = seal_bloom_spec(
-                    bytes(bm), bloom_bits, bloom_k, bl_fams[c]
+                return bytes(bm)
+
+            meta["bloom"] = {
+                c: seal_bloom_spec(
+                    _bitset(bl[c], bloom_bits), bloom_bits, bloom_k,
+                    bl_fams[c],
                 )
-            meta["bloom"] = bitmaps
+                for c in bl_cols
+            }
             if bloom_block_bits is not None:
-                entries = []
-                for o in sorted(bl_blocks):
-                    cmap = {}
-                    for c in bl_cols:
-                        bm = bytearray(bloom_block_bits // 8)
-                        for p in bl_blocks[o][c]:
-                            bm[p >> 3] |= 1 << (p & 7)
-                        cmap[c] = _b64.b64encode(bytes(bm)).decode("ascii")
-                    entries.append({"o": o, "c": cmap})
-                meta["bloom_blocks"] = {
-                    "algo": BLOOM_ALGO,
-                    "seed": BLOOM_SEED,
-                    "bits": bloom_block_bits,
-                    "k": bk,
-                    "fam": dict(bl_fams),
-                    "blocks": entries,
-                }
+                entries = [
+                    {
+                        "o": o,
+                        "c": {
+                            c: _b64.b64encode(
+                                _bitset(bl_blocks[o][c], bloom_block_bits)
+                            ).decode("ascii")
+                            for c in bl_cols
+                        },
+                    }
+                    for o in sorted(bl_blocks)
+                ]
+                meta["bloom_blocks"] = seal_bloom_blocks_header(
+                    bloom_block_bits, bk, bl_fams, entries
+                )
         if want_blocks:
             meta["blocks"] = [
                 {
@@ -997,15 +986,40 @@ def _json_stat_value(v):
     return v
 
 
-def _typed_record_expr(schema_ddl: str, record_format: str):
-    """The value-line parse expression for a typed record model: NDJSON
-    via from_json (default) or CSV via from_csv — both JVM-side, both
-    matching the corresponding typed scan option (jsonschema /
-    csvschema) row for row."""
+def _analyze_src(
+    spark: SparkSession, path: str, schema_ddl: str, record_format: str
+) -> DataFrame:
+    """The ``(_file, offset, _r struct)`` source the ANALYZE passes
+    aggregate over. NDJSON parses JVM-side with from_json (pinned equal
+    to the jsonschema scan row for row); CSV reads THROUGH the typed
+    scan itself (``csvschema`` + ``withoffset`` provenance), so sidecar
+    stats and bloom hashes are built from exactly the values the scan
+    yields — from_csv's unquoted-escape divergence from Arrow's CSV
+    parse can therefore never poison pruning (the sidecars and their
+    only consumer always agree). Consequence: a CSV DDL may not declare
+    fields named ``offset``/``_file`` (the provenance pseudo-columns) —
+    such data stays in value mode."""
     if record_format == "json":
-        return F.from_json("value", schema_ddl)
+        return (
+            spark.read.format("fourmc")
+            .option("withfilename", "true")
+            .load(path)
+            .select(
+                "_file", "offset", F.from_json("value", schema_ddl).alias("_r")
+            )
+        )
     if record_format == "csv":
-        return F.from_csv("value", schema_ddl)
+        from fourmc_spark.sources.datasource import _parse_flat_ddl
+
+        cols = [f.name for f in _parse_flat_ddl(schema_ddl).fields]
+        return (
+            spark.read.format("fourmc")
+            .option("csvschema", schema_ddl)
+            .option("withoffset", "true")
+            .option("withfilename", "true")
+            .load(path)
+            .select("_file", "offset", F.struct(*cols).alias("_r"))
+        )
     raise ValueError(
         f"record_format must be 'json' or 'csv', got {record_format!r}"
     )
@@ -1086,18 +1100,10 @@ def analyze_stats(
         c for c in cols
         if isinstance(types.get(c), (T.DoubleType, T.FloatType))
     }
-    src = (
-        spark.read.format("fourmc")
-        .option("withfilename", "true")
-        .load(path)
-        # the payload struct stays NESTED: expanding _r.* would collide
-        # with the scan's _file/offset pseudo-columns when the DDL
-        # legally declares fields with those names
-        .select(
-            "_file", "offset",
-            _typed_record_expr(schema_ddl, record_format).alias("_r"),
-        )
-    )
+    # the payload struct stays NESTED: expanding _r.* would collide
+    # with the scan's _file/offset pseudo-columns when the (JSON) DDL
+    # legally declares fields with those names
+    src = _analyze_src(spark, path, schema_ddl, record_format)
     aggs = [F.count(F.lit(1)).cast("long").alias("__rows")]
     for i, c in enumerate(cols):
         fc = F.col("_r").getField(c)
@@ -1151,15 +1157,16 @@ def analyze_stats(
             "rows": int(pdf["__rows"].sum()),
             "columns": file_cols,
         }
-        # a bloom tier sealed by analyze_bloom for the SAME bytes stays
-        # valid — re-ANALYZE of min/max must not drop it
+        # bloom tiers sealed by analyze_bloom for the SAME bytes stay
+        # valid — re-ANALYZE of min/max must not drop either of them
         try:
             with open(fpath + STATS_SUFFIX) as f:
                 old = _json.load(f)
-            if old.get("size") == meta["size"] and isinstance(
-                old.get("bloom"), dict
-            ):
-                meta["bloom"] = old["bloom"]
+            if old.get("size") == meta["size"]:
+                if isinstance(old.get("bloom"), dict):
+                    meta["bloom"] = old["bloom"]
+                if isinstance(old.get("bloom_blocks"), dict):
+                    meta["bloom_blocks"] = old["bloom_blocks"]
         except (OSError, ValueError):
             pass
         if want_blocks:
@@ -1270,23 +1277,14 @@ def analyze_bloom(
         STATS_SUFFIX, _parse_flat_ddl, seal_bloom_spec,
     )
 
-    if bits % 8 or not 64 <= bits <= (1 << 27):
-        raise ValueError(
-            f"analyze_bloom: bits must be a multiple of 8 in [64, 2^27], got {bits}"
-        )
-    if not 1 <= k <= 16:
-        raise ValueError(f"analyze_bloom: k must be in [1, 16], got {k}")
+    from fourmc_spark.sources.datasource import validate_bloom_geometry
+
+    validate_bloom_geometry(bits, k, "analyze_bloom")
     bk = block_k if block_k is not None else k
     if block_bits is not None:
-        if block_bits % 8 or not 64 <= block_bits <= (1 << 24):
-            raise ValueError(
-                "analyze_bloom: block_bits must be a multiple of 8 in "
-                f"[64, 2^24], got {block_bits}"
-            )
-        if not 1 <= bk <= 16:
-            raise ValueError(
-                f"analyze_bloom: block_k must be in [1, 16], got {bk}"
-            )
+        validate_bloom_geometry(
+            block_bits, bk, "analyze_bloom (block tier)", max_bits=1 << 24
+        )
     st = _parse_flat_ddl(schema_ddl)
     types = {f.name: f.dataType for f in st.fields}
     cols = list(columns)
@@ -1309,15 +1307,7 @@ def analyze_bloom(
         for c in cols
     }
 
-    src = (
-        spark.read.format("fourmc")
-        .option("withfilename", "true")
-        .load(path)
-        .select(
-            "_file", "offset",
-            _typed_record_expr(schema_ddl, record_format).alias("_r"),
-        )
-    )
+    src = _analyze_src(spark, path, schema_ddl, record_format)
     # one pass: every row fans out to k (column, block, bit-position)
     # structs per non-null bloom column — block -1 is the file tier, the
     # owning block's compressed offset keys the block tier — flattened
@@ -1410,34 +1400,45 @@ def analyze_bloom(
             blooms[c] = seal_bloom_spec(_bitmap(p, bits), bits, k, fams[c])
             set_bits += int(len(np.unique(p)))
         if block_bits is not None:
+            from fourmc_spark.sources.datasource import (
+                seal_bloom_blocks_header,
+            )
+
+            # ONE grouped pass over the block-tier rows (a per-offset
+            # boolean filter would rescan the frame O(blocks) times —
+            # quadratic exactly when blocks are many, the tier's
+            # target shape)
             btier = pdf[pdf["block"] != -1]
-            entries = []
-            for off in sorted(int(o) for o in btier["block"].unique()):
-                rows = btier[btier["block"] == off]
-                entries.append(
-                    {
-                        "o": off,
-                        "c": {
-                            c: _b64.b64encode(
-                                _bitmap(
-                                    rows.loc[
-                                        rows["col_name"] == c, "pos"
-                                    ].to_numpy(dtype=np.int64),
-                                    block_bits,
-                                )
-                            ).decode("ascii")
-                            for c in cols
-                        },
-                    }
-                )
-            meta["bloom_blocks"] = {
-                "algo": blooms[cols[0]]["algo"],
-                "seed": blooms[cols[0]]["seed"],
-                "bits": block_bits,
-                "k": bk,
-                "fam": dict(fams),
-                "blocks": entries,
-            }
+            grouped: dict[int, dict[str, "np.ndarray"]] = {}
+            for (off, cname), sub in btier.groupby(
+                ["block", "col_name"], sort=False
+            ):
+                if cname is None:
+                    continue  # seed rows carry no positions
+                grouped.setdefault(int(off), {})[cname] = sub[
+                    "pos"
+                ].to_numpy(dtype=np.int64)
+            # seed rows guarantee every block offset appears in pdf
+            all_offs = sorted(int(o) for o in btier["block"].unique())
+            empty = np.empty(0, dtype=np.int64)
+            entries = [
+                {
+                    "o": off,
+                    "c": {
+                        c: _b64.b64encode(
+                            _bitmap(
+                                grouped.get(off, {}).get(c, empty),
+                                block_bits,
+                            )
+                        ).decode("ascii")
+                        for c in cols
+                    },
+                }
+                for off in all_offs
+            ]
+            meta["bloom_blocks"] = seal_bloom_blocks_header(
+                block_bits, bk, fams, entries
+            )
         tmp = fpath + STATS_SUFFIX + ".tmp"
         with open(tmp, "w") as f:
             _json.dump(meta, f)

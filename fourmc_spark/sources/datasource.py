@@ -132,6 +132,15 @@ class FourMcDataSource(DataSource):
                 StructField("offset", LongType(), nullable=False),
                 StructField("value", StringType(), nullable=True),
             ]
+        # withoffset=true (typed mode): ALSO expose the owning block's
+        # compressed offset as a pseudo-column — the provenance key the
+        # ANALYZE passes group block stats by (value mode always has it)
+        if js and str(
+            self.options.get("withoffset", "false")
+        ).lower() == "true":
+            fields.insert(
+                0, StructField("offset", LongType(), nullable=False)
+            )
         # partitioncolumns=c1[,c2...]: rebuild hive key=value path segments
         # as string columns (cast downstream as needed)
         for c in _partition_col_opt(self.options):
@@ -209,6 +218,9 @@ class FourMcDataSourceReader(DataSourceReader):
             _parse_flat_ddl(js or cs) if (js or cs) else None
         )
         self.typed_fmt = "csv" if cs else "json"
+        self.with_offset = (
+            str(options.get("withoffset", "false")).lower() == "true"
+        )
         self.columns = [f.name for f in schema.fields]
         self._init_pruning_state(options)
 
@@ -598,7 +610,9 @@ class FourMcDataSourceReader(DataSourceReader):
         if not partition.path:
             return
         typed = self.json_schema is not None
-        want_offset = (not typed) and "offset" in self.columns
+        want_offset = "offset" in self.columns and (
+            not typed or self.with_offset
+        )
         want_value = (not typed) and "value" in self.columns
         typed_names = (
             [f.name for f in self.json_schema.fields] if typed else []
@@ -650,10 +664,13 @@ class FourMcDataSourceReader(DataSourceReader):
             typed_parser = _TypedNdjsonParser(self.json_schema, want_typed)
             empty_line = "{}"
 
-        def _typed_batch(buf: "pa.Buffer | bytes") -> "pa.RecordBatch":
-            return pa.RecordBatch.from_arrays(
-                typed_parser.arrays(buf), names=list(want_typed)
-            )
+        def _typed_batch(buf, offs=None) -> "pa.RecordBatch":
+            arrays = typed_parser.arrays(buf)
+            names = list(want_typed)
+            if want_offset:
+                arrays = [pa.array(offs, type=pa.int64())] + arrays
+                names = ["offset"] + names
+            return pa.RecordBatch.from_arrays(arrays, names=names)
 
         def _cast_lines(arr: "pa.Array") -> "pa.Array":
             try:
@@ -682,7 +699,8 @@ class FourMcDataSourceReader(DataSourceReader):
                     # reject them
                     ph = empty_line.encode()
                     return _typed_batch(
-                        b"\n".join(ln if ln else ph for ln in lines)
+                        b"\n".join(ln if ln else ph for ln in lines),
+                        offs=list(offsets),
                     )
                 arrays, names = [], []
                 if want_offset:
@@ -751,7 +769,7 @@ class FourMcDataSourceReader(DataSourceReader):
                         pa.array([0, len(strs)], type=pa.int32()), strs
                     )
                     nd = pc.binary_join(la, "\n")[0].as_buffer()
-                    yield _with_pcols(_typed_batch(nd))
+                    yield _with_pcols(_typed_batch(nd, offs=offs_np))
                     continue
                 arrays, names = [], []
                 if want_offset:
@@ -1015,8 +1033,13 @@ class _TypedCsvParser:
         self.want = list(want)
         self.all_names = [f.name for f in st.fields]
         # empty VALUE lines must parse as all-null rows (the sink writes
-        # NULL rows that way): a line of n-1 bare commas is n null fields
-        self.empty_line = "," * (len(self.all_names) - 1)
+        # NULL rows that way): a line of n-1 bare commas is n null
+        # fields. The 1-column case uses '""' (quoted empty, which
+        # quoted_strings_can_be_null reads as NULL) — an EMPTY placeholder
+        # would vanish when it lands as the buffer's unterminated final
+        # line (Arrow doesn't count a trailing empty line: row loss).
+        n = len(self.all_names)
+        self.empty_line = '""' if n == 1 else "," * (n - 1)
         sub = StructType([f for f in st.fields if f.name in self.want])
         # reuse the NDJSON type mapping for validation; timestamps join
         # dates on the parse-as-string + post-cast path (CSV text is
@@ -1061,22 +1084,22 @@ class _TypedCsvParser:
                 parse_options=self.parse_opts,
                 convert_options=self.convert_opts,
             )
+            out = []
+            for c in self.want:
+                col = tbl.column(c).combine_chunks()
+                tgt = self.post_casts.get(c)
+                if tgt is not None:
+                    if pa.types.is_timestamp(tgt):
+                        col = pc.replace_substring_regex(col, "Z$", "")
+                    col = col.cast(tgt)
+                out.append(col)
+            return out
         except pa.ArrowInvalid as e:
             raise ValueError(
                 "fourmc csvschema: typed CSV parse failed (malformed "
                 "rows, zone offsets other than Z, or unquoted escapes) "
                 "— read in value mode and parse with from_csv instead"
             ) from e
-        out = []
-        for c in self.want:
-            col = tbl.column(c).combine_chunks()
-            tgt = self.post_casts.get(c)
-            if tgt is not None:
-                if pa.types.is_timestamp(tgt):
-                    col = pc.replace_substring_regex(col, "Z$", "")
-                col = col.cast(tgt)
-            out.append(col)
-        return out
 
 
 # per-file zone-map sidecar written by operators/maintenance.analyze_stats
@@ -1311,6 +1334,35 @@ def seal_bloom_spec(bitmap: bytes, bits: int, k: int, fam: str) -> dict:
         "fam": fam,
         "b64": base64.b64encode(bitmap).decode("ascii"),
     }
+
+
+def seal_bloom_blocks_header(
+    bits: int, k: int, fams: dict, entries: list
+) -> dict:
+    """The sidecar ``bloom_blocks`` header every builder (and the
+    compaction carry) seals: one shared geometry + per-column family
+    map, with per-block per-column base64 bitmaps under ``blocks``."""
+    return {
+        "algo": BLOOM_ALGO,
+        "seed": BLOOM_SEED,
+        "bits": bits,
+        "k": k,
+        "fam": dict(fams),
+        "blocks": entries,
+    }
+
+
+def validate_bloom_geometry(
+    bits: int, k: int, what: str, max_bits: int = 1 << 27
+) -> None:
+    """Shared geometry validation for every bloom builder."""
+    if bits % 8 or not 64 <= bits <= max_bits:
+        raise ValueError(
+            f"{what}: bits must be a multiple of 8 in [64, "
+            f"2^{max_bits.bit_length() - 1}], got {bits}"
+        )
+    if not 1 <= k <= 16:
+        raise ValueError(f"{what}: k must be in [1, 16], got {k}")
 
 
 def _decode_bloom_spec(spec, fam: str):
@@ -1663,15 +1715,9 @@ class FourMcDataSourceWriter(DataSourceArrowWriter):
                     "fourmc sink: bloomcolumns requires statsschema "
                     "(the declared NDJSON fields to parse)"
                 )
-            if self.bloom_bits % 8 or not 64 <= self.bloom_bits <= (1 << 27):
-                raise ValueError(
-                    "fourmc sink: bloombits must be a multiple of 8 in "
-                    f"[64, 2^27], got {self.bloom_bits}"
-                )
-            if not 1 <= self.bloom_k <= 16:
-                raise ValueError(
-                    f"fourmc sink: bloomk must be in [1, 16], got {self.bloom_k}"
-                )
+            validate_bloom_geometry(
+                self.bloom_bits, self.bloom_k, "fourmc sink bloomcolumns"
+            )
             from pyspark.sql import types as _T
 
             types = {f.name: f.dataType for f in self.stats_schema.fields}

@@ -891,6 +891,39 @@ def test_typed_csv_scan_matches_from_csv(spark, tmp_path):
          .option("jsonschema", ddl).load(d).count())
 
 
+def test_csv_analyze_agrees_with_scan_on_escape_divergence(spark, tmp_path):
+    """ANALYZE-CSV builds sidecars THROUGH the typed scan (withoffset
+    provenance), so even on data where Arrow's CSV parse diverges from
+    from_csv (a backslash in an UNQUOTED field), the blooms/zone maps
+    hash exactly the values the scan yields — a point probe for the
+    scan's own value must never be falsely pruned."""
+    import glob as _glob
+
+    from fourmc_spark.format.writer import write_file
+    from fourmc_spark.operators.maintenance import analyze_bloom, analyze_stats
+
+    d = str(tmp_path / "csvesc")
+    os.makedirs(d)
+    ddl = "k bigint, name string, v double"
+    # unquoted backslash: Arrow reads 'ab' (escape), from_csv reads 'a\\b'
+    write_file(os.path.join(d, "a.4mz"), b'1,a\\b,0.5\n2,plain,1.0\n',
+               codec="zstd")
+    analyze_stats(spark, d, ddl, record_format="csv")
+    analyze_bloom(spark, d, ddl, ["name"], bits=1 << 10, k=3,
+                  record_format="csv")
+    typed = spark.read.format("fourmc").option("csvschema", ddl).load(d)
+    scan_val = sorted(r["name"] for r in typed.collect())[0]  # 'ab'
+    assert scan_val == "ab"
+    # probing the SCAN's value must hit (the sidecar hashed 'ab' too);
+    # a from_csv-built bloom would only hold 'a\\b' and falsely prune
+    typed2 = spark.read.format("fourmc").option("csvschema", ddl).load(d)
+    assert typed2.filter(F.col("name") == "ab").count() == 1
+    meta = __import__("json").load(
+        open(sorted(_glob.glob(f"{d}/*.stats.json"))[0])
+    )
+    assert meta["columns"]["name"]["min"] == "ab"  # scan's text, sealed
+
+
 def test_typed_csv_single_column_empty_lines(spark, tmp_path):
     """The 1-column degenerate case: the all-null placeholder is the
     EMPTY line itself, which ignore_empty_lines=False parses as one
@@ -907,6 +940,19 @@ def test_typed_csv_single_column_empty_lines(spark, tmp_path):
         .orderBy(F.col("k").asc_nulls_first()).collect()
     ]
     assert got == [None, 5, 7]
+    # a NULL row as the buffer's FINAL line must not vanish (Arrow
+    # doesn't count a trailing EMPTY line — the placeholder is the
+    # quoted empty '""' precisely so the last line is never empty)
+    d2 = str(tmp_path / "csv1t")
+    os.makedirs(d2)
+    write_file(os.path.join(d2, "a.4mz"), b"5\n\n", codec="zstd")
+    got = [
+        r["k"]
+        for r in spark.read.format("fourmc")
+        .option("csvschema", "k bigint").load(d2)
+        .orderBy(F.col("k").asc_nulls_first()).collect()
+    ]
+    assert got == [None, 5]
 
 
 def test_csv_sidecar_tiers_and_sink_seal(spark, tmp_path):
