@@ -71,6 +71,7 @@ __all__ = [
     "compact_partitioned",
     "compact_protobuf",
     "layout_stats",
+    "sidecar_health",
     "plan_compaction",
 ]
 
@@ -97,6 +98,71 @@ def layout_stats(path: str) -> dict:
         "max_bytes": max(sizes, default=0),
         "n_blocks": blocks,
     }
+
+
+def sidecar_health(path: str) -> dict:
+    """Operational audit of the pruning-sidecar tiers: which data files
+    carry a VALID (size-matching) ``.stats.json``, which are stale or
+    bare, and which tiers each valid sidecar seals — the numbers an
+    operator needs to decide when to re-ANALYZE (or whether write-time
+    ``statsschema``/``bloomcolumns`` is doing its job). Metadata-only:
+    one os.stat + one small JSON read per file, no data bytes."""
+    import json as _json
+
+    from fourmc_spark.sources.datasource import STATS_SUFFIX
+
+    files = [p for p in _list_files(path) if not p.endswith(STATS_SUFFIX)]
+    out = {
+        "n_files": len(files),
+        "with_sidecar": 0,
+        "stale": 0,        # sidecar exists but size mismatches (rewritten)
+        "missing": 0,
+        "zone_files": 0,   # file-tier min/max present
+        "zone_blocks": 0,  # per-block min/max present
+        "bloom_files": 0,  # file-tier blooms present
+        "bloom_blocks": 0,
+        "zone_columns": set(),
+        "bloom_columns": set(),
+        "orphan_sidecars": 0,  # sidecar with no data file
+    }
+    present = set(files)
+    for f in files:
+        sc = f + STATS_SUFFIX
+        if not os.path.exists(sc):
+            out["missing"] += 1
+            continue
+        try:
+            with open(sc) as fh:
+                meta = _json.load(fh)
+        except (OSError, ValueError):
+            out["stale"] += 1
+            continue
+        if meta.get("size") != os.path.getsize(f):
+            out["stale"] += 1
+            continue
+        out["with_sidecar"] += 1
+        cols = meta.get("columns")
+        if isinstance(cols, dict) and cols:
+            out["zone_files"] += 1
+            out["zone_columns"] |= set(cols)
+        if meta.get("blocks"):
+            out["zone_blocks"] += 1
+        bloom = meta.get("bloom")
+        if isinstance(bloom, dict) and bloom:
+            out["bloom_files"] += 1
+            out["bloom_columns"] |= set(bloom)
+        if isinstance(meta.get("bloom_blocks"), dict):
+            out["bloom_blocks"] += 1
+    root = path if os.path.isdir(path) else os.path.dirname(path)
+    for dirpath, _dirs, names in os.walk(root):
+        for n in names:
+            if n.endswith(STATS_SUFFIX):
+                data = os.path.join(dirpath, n[: -len(STATS_SUFFIX)])
+                if data not in present and not os.path.exists(data):
+                    out["orphan_sidecars"] += 1
+    out["zone_columns"] = sorted(out["zone_columns"])
+    out["bloom_columns"] = sorted(out["bloom_columns"])
+    return out
 
 
 def compact(

@@ -471,3 +471,49 @@ def test_carried_merge_skips_incomparable_columns(tmp_path):
     sc = _json.load(open(outf + STATS_SUFFIX))
     assert "k" not in sc["columns"]
     assert sc["columns"]["v"] == {"min": 1, "max": 4, "nulls": 0}
+
+
+def test_sidecar_health_report(spark, tmp_path):
+    """sidecar_health: valid/stale/missing accounting and tier flags,
+    metadata-only."""
+    import glob as _glob
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fourmc_spark.operators.maintenance import (
+        analyze_bloom, analyze_stats, sidecar_health,
+    )
+
+    d = str(tmp_path / "health")
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("n"), F.col("id") % 5).alias("name"),
+        (F.col("id") * 0.5).alias("v"),
+    )
+    (df.repartition(3)
+       .select(F.to_json(F.struct("k", "name", "v")).alias("value"))
+       .write.format("fourmc").option("codec", "zstd")
+       .mode("overwrite").save(d))
+    ddl = "k bigint, name string, v double"
+    h0 = sidecar_health(d)
+    assert h0["n_files"] == 3 and h0["missing"] == 3
+    analyze_stats(spark, d, ddl)
+    analyze_bloom(spark, d, ddl, ["k"], bits=1 << 12, k=3,
+                  block_bits=1 << 10)
+    h1 = sidecar_health(d)
+    assert h1["with_sidecar"] == 3 and h1["missing"] == 0
+    assert h1["zone_files"] == 3 and h1["zone_blocks"] == 3
+    assert h1["bloom_files"] == 3 and h1["bloom_blocks"] == 3
+    assert h1["zone_columns"] == ["k", "name", "v"]
+    assert h1["bloom_columns"] == ["k"]
+    # rewrite one file -> its sidecar goes stale; orphan a sidecar
+    f0 = sorted(_glob.glob(f"{d}/part-*.4mz"))[0]
+    with open(f0, "ab") as fh:
+        fh.write(b"x")
+    with open(os.path.join(d, "gone.4mz.stats.json"), "w") as fh:
+        _json.dump({"size": 1}, fh)
+    h2 = sidecar_health(d)
+    assert h2["stale"] == 1 and h2["with_sidecar"] == 2
+    assert h2["orphan_sidecars"] == 1
