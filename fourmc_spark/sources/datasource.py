@@ -1023,7 +1023,12 @@ class _TypedCsvParser:
     UTC session convention the typed tier documents. KNOWN divergence:
     a ``\\`` in an UNQUOTED field is treated as an escape by Arrow but
     as a literal by from_csv — data with raw unquoted backslashes
-    should stay in value mode + from_csv."""
+    should stay in value mode + from_csv (ANALYZE-CSV sidecars are
+    built THROUGH this parser, so pruning always agrees with the scan
+    either way). Embedded newlines cannot roundtrip in ANY CSV-line
+    consumer of this container (the record model is LINES; to_csv
+    quotes the newline but the line reader splits on it) — use the
+    JSON record model for such data."""
 
     def __init__(self, st: StructType, want: list[str]) -> None:
         import pyarrow as pa

@@ -71,7 +71,14 @@ def write_4mc_csv(
 ) -> None:
     """Typed columns → CSV lines inside .4mc/.4mz (``to_csv`` is a JVM
     expression; the sink seals per-task files with footer indexes, so
-    the output is immediately splittable for the next job)."""
+    the output is immediately splittable for the next job).
+
+    CONTRACT — no embedded newlines: the container's record model is
+    LINES (the reference's own schema-on-read rule), so a string value
+    containing ``\\n`` cannot roundtrip — to_csv quotes it, but the
+    line reader splits on the raw newline inside the quotes. Use the
+    JSON record model for such data (``write_4mc_json``: to_json
+    escapes newlines as ``\\\\n``, so JSON lines never span lines)."""
     out = df.select(
         F.to_csv(F.struct(*[F.col(c) for c in df.columns]), {"sep": sep}).alias("value")
     )
