@@ -236,3 +236,38 @@ def test_hadoop_container_roundtrip_arbitrary_bytes(
 # byte can legally decode to identical bytes; integrity there is the
 # transport's job (the reference makes the same trade for intermediate
 # data). 4mc corruption properties above stay strict.
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.integers(min_value=-(10**12), max_value=10**12),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    lo=st.one_of(st.none(), st.integers(-(10**12), 10**12)),
+    lo_inc=st.booleans(),
+    hi=st.one_of(st.none(), st.integers(-(10**12), 10**12)),
+    hi_inc=st.booleans(),
+)
+@settings(max_examples=300, deadline=None)
+def test_zone_range_exclusion_is_sound(vals, lo, lo_inc, hi, hi_inc):
+    """_range_excluded may only say True when NO value in the span can
+    satisfy the bound conjunction — a false exclusion is silent row
+    loss, the one failure the zone tier must never have."""
+    from fourmc_spark.sources.datasource import _range_excluded
+
+    mn, mx = min(vals), max(vals)
+    bound = (lo, lo_inc, hi, hi_inc)
+
+    def matches(v):
+        if lo is not None and (v < lo or (v == lo and not lo_inc)):
+            return False
+        if hi is not None and (v > hi or (v == hi and not hi_inc)):
+            return False
+        return True
+
+    if _range_excluded(mn, mx, bound):
+        assert not any(matches(v) for v in vals)
