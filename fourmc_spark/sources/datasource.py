@@ -1168,6 +1168,19 @@ def _zone_pair(stat, bv):
     return None
 
 
+#: parsed-sidecar cache, keyed (path, sidecar size, sidecar mtime_ns,
+#: data size) — the same freshness contract as the footer-index cache in
+#: format/reader.scan_file_info. Bloom-fattened sidecars cost ~200 µs to
+#: parse (measured, scripts/measure_bloom_planning.py: the 175 KB base64
+#: string dominates json.loads); repeat queries over the same tree
+#: re-plan per relation, so caching the PARSED dict turns the per-file
+#: cost into two os.stats. Bounded: evicts oldest half when full (a fat
+#: bloom sidecar parses to ~200 KB, so 2048 entries tops out ~400 MB on
+#: the driver — small next to the O(files) split plan itself).
+_SIDECAR_CACHE: dict[tuple, dict] = {}
+_SIDECAR_CACHE_MAX = 2048
+
+
 def _load_zone_sidecar(path: str):
     """The file's analyze_stats sidecar, or None when missing,
     unreadable, or STALE (recorded size != current size — the data was
@@ -1175,13 +1188,25 @@ def _load_zone_sidecar(path: str):
     import json
 
     try:
+        st = os.stat(path + STATS_SUFFIX)
+        key = (path, st.st_size, st.st_mtime_ns, os.path.getsize(path))
+    except OSError:
+        return None
+    hit = _SIDECAR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    try:
         with open(path + STATS_SUFFIX) as f:
             meta = json.load(f)
         if meta.get("size") != os.path.getsize(path):
             return None
-        return meta
     except (OSError, ValueError):
         return None
+    if len(_SIDECAR_CACHE) >= _SIDECAR_CACHE_MAX:
+        for k in list(_SIDECAR_CACHE)[: _SIDECAR_CACHE_MAX // 2]:
+            del _SIDECAR_CACHE[k]
+    _SIDECAR_CACHE[key] = meta
+    return meta
 
 
 def _range_excluded(mn, mx, bound) -> bool:

@@ -393,6 +393,35 @@ def test_compact_carries_block_blooms(spark, tmp_path):
     assert got == [3, 57, 399]
 
 
+def test_sidecar_cache_serves_fresh_meta(spark, tmp_path):
+    """The parsed-sidecar cache is keyed on (sidecar size, mtime_ns,
+    data size): re-ANALYZE after a data change must never serve the old
+    zone map from cache."""
+    import time as _time
+
+    from pyspark.sql.datasource import CaseInsensitiveDict, EqualTo
+
+    from fourmc_spark.format.writer import write_file
+    from fourmc_spark.operators.maintenance import analyze_stats
+
+    d = str(tmp_path / "cache")
+    os.makedirs(d)
+    f = os.path.join(d, "a.4mz")
+    write_file(f, b'{"k": 1, "name": "x"}\n', codec="zstd")
+    analyze_stats(spark, d, _DDL)
+    assert _planned(d, [EqualTo(("k",), 500)]) == set()  # pruned, cached
+    # rewrite the data and re-ANALYZE: the new sidecar (new mtime) must
+    # be loaded, and k=500 now matches
+    _time.sleep(0.01)  # ensure a distinct mtime_ns tick
+    write_file(f, b'{"k": 500, "name": "y"}\n{"k": 501, "name": "z"}\n',
+               codec="zstd")
+    analyze_stats(spark, d, _DDL)
+    assert _planned(d, [EqualTo(("k",), 500)]) == {"a.4mz"}
+    got = (spark.read.format("fourmc").option("jsonschema", _DDL).load(d)
+           .filter(F.col("k") == 500).count())
+    assert got == 1
+
+
 def test_bloom_never_false_negative_property():
     """Hypothesis pin on the pure contract (no Spark): any value sealed
     into a bitmap via the shared derivation ALWAYS probes as present,
