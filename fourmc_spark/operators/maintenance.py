@@ -107,37 +107,32 @@ def sidecar_health(path: str) -> dict:
     operator needs to decide when to re-ANALYZE (or whether write-time
     ``statsschema``/``bloomcolumns`` is doing its job). Metadata-only:
     one os.stat + one small JSON read per file, no data bytes."""
-    import json as _json
-
     from fourmc_spark.sources.datasource import STATS_SUFFIX
 
     files = [p for p in _list_files(path) if not p.endswith(STATS_SUFFIX)]
     out = {
         "n_files": len(files),
         "with_sidecar": 0,
-        "stale": 0,        # sidecar exists but size mismatches (rewritten)
-        "missing": 0,
+        "stale": 0,        # sidecar exists but is unusable (the planner
+        "missing": 0,      # ignores it: size mismatch or unreadable)
         "zone_files": 0,   # file-tier min/max present
         "zone_blocks": 0,  # per-block min/max present
         "bloom_files": 0,  # file-tier blooms present
         "bloom_blocks": 0,
         "zone_columns": set(),
         "bloom_columns": set(),
-        "orphan_sidecars": 0,  # sidecar with no data file
+        # sidecars with no data file; counted only for a plain-directory
+        # path (glob/multi/single-file inputs have no well-defined tree
+        # to sweep) — None means "not checked"
+        "orphan_sidecars": 0 if os.path.isdir(path) else None,
     }
-    present = set(files)
     for f in files:
-        sc = f + STATS_SUFFIX
-        if not os.path.exists(sc):
+        if not os.path.exists(f + STATS_SUFFIX):
             out["missing"] += 1
             continue
-        try:
-            with open(sc) as fh:
-                meta = _json.load(fh)
-        except (OSError, ValueError):
-            out["stale"] += 1
-            continue
-        if meta.get("size") != os.path.getsize(f):
+        # ONE validity contract: exactly what the planner would load
+        meta = _load_zone_sidecar(f)
+        if meta is None:
             out["stale"] += 1
             continue
         out["with_sidecar"] += 1
@@ -153,12 +148,17 @@ def sidecar_health(path: str) -> dict:
             out["bloom_columns"] |= set(bloom)
         if isinstance(meta.get("bloom_blocks"), dict):
             out["bloom_blocks"] += 1
-    root = path if os.path.isdir(path) else os.path.dirname(path)
-    for dirpath, _dirs, names in os.walk(root):
-        for n in names:
-            if n.endswith(STATS_SUFFIX):
-                data = os.path.join(dirpath, n[: -len(STATS_SUFFIX)])
-                if data not in present and not os.path.exists(data):
+    if out["orphan_sidecars"] is not None:
+        for dirpath, dirs, names in os.walk(path):
+            # match _list_files' visibility rule: hidden/underscore
+            # directories are outside the dataset
+            dirs[:] = [
+                x for x in dirs if not x.startswith((".", "_"))
+            ]
+            for n in names:
+                if n.endswith(STATS_SUFFIX) and not os.path.exists(
+                    os.path.join(dirpath, n[: -len(STATS_SUFFIX)])
+                ):
                     out["orphan_sidecars"] += 1
     out["zone_columns"] = sorted(out["zone_columns"])
     out["bloom_columns"] = sorted(out["bloom_columns"])

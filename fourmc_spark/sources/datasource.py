@@ -1168,17 +1168,31 @@ def _zone_pair(stat, bv):
     return None
 
 
-#: parsed-sidecar cache, keyed (path, sidecar size, sidecar mtime_ns,
-#: data size) — the same freshness contract as the footer-index cache in
-#: format/reader.scan_file_info. Bloom-fattened sidecars cost ~200 µs to
-#: parse (measured, scripts/measure_bloom_planning.py: the 175 KB base64
-#: string dominates json.loads); repeat queries over the same tree
-#: re-plan per relation, so caching the PARSED dict turns the per-file
-#: cost into two os.stats. Bounded: evicts oldest half when full (a fat
-#: bloom sidecar parses to ~200 KB, so 2048 entries tops out ~400 MB on
-#: the driver — small next to the O(files) split plan itself).
-_SIDECAR_CACHE: dict[tuple, dict] = {}
+#: parsed-sidecar cache — the SAME freshness contract as the
+#: footer-index cache in format/reader.scan_file_info: keyed on
+#: (sidecar size, sidecar mtime_ns, data size), and every hit ALSO
+#: re-reads a small content fingerprint (first+last bytes of the
+#: sidecar), because stat() alone is spoofable (cp -p / rsync -t /
+#: same-tick rewrites) and serving a stale parsed zone map could
+#: falsely prune files. Bloom-fattened sidecars cost ~300 µs to parse
+#: (measured, scripts/measure_bloom_planning.py: the 175 KB base64
+#: string dominates json.loads); the fingerprint pread is ~10 µs.
+#: Stale/invalid sidecars negative-cache (the _STALE sentinel) so a
+#: rewritten-but-not-re-ANALYZEd tree doesn't re-parse every fat
+#: sidecar on every plan. Bounded with the sibling cache's atomic
+#: clear (a fat sidecar parses to ~200 KB, so 2048 entries tops out
+#: ~400 MB on the driver — small next to the O(files) split plan).
+_SIDECAR_CACHE: dict[str, tuple[tuple, bytes, object]] = {}
 _SIDECAR_CACHE_MAX = 2048
+_SIDECAR_FP_BYTES = 32
+_STALE = object()  # negative-cache sentinel: sidecar present but unusable
+
+
+def _sidecar_fingerprint(f, size: int) -> bytes:
+    f.seek(0)
+    head = f.read(_SIDECAR_FP_BYTES)
+    f.seek(max(0, size - _SIDECAR_FP_BYTES))
+    return head + f.read(_SIDECAR_FP_BYTES)
 
 
 def _load_zone_sidecar(path: str):
@@ -1187,26 +1201,38 @@ def _load_zone_sidecar(path: str):
     rewritten after ANALYZE)."""
     import json
 
+    sc = path + STATS_SUFFIX
     try:
-        st = os.stat(path + STATS_SUFFIX)
-        key = (path, st.st_size, st.st_mtime_ns, os.path.getsize(path))
+        st = os.stat(sc)
+        data_size = os.path.getsize(path)
     except OSError:
         return None
-    hit = _SIDECAR_CACHE.get(key)
-    if hit is not None:
-        return hit
-    try:
-        with open(path + STATS_SUFFIX) as f:
-            meta = json.load(f)
-        if meta.get("size") != os.path.getsize(path):
+    key = (st.st_size, st.st_mtime_ns, data_size)
+    hit = _SIDECAR_CACHE.get(path)
+    if hit is not None and hit[0] == key:
+        try:
+            with open(sc, "rb") as f:
+                if _sidecar_fingerprint(f, st.st_size) == hit[1]:
+                    meta = hit[2]
+                    return None if meta is _STALE else meta
+        except OSError:
             return None
+    try:
+        with open(sc, "rb") as f:
+            raw = f.read()
+        meta = json.loads(raw)
+        if meta.get("size") != data_size:
+            meta = _STALE
     except (OSError, ValueError):
         return None
+    fp = (
+        raw[:_SIDECAR_FP_BYTES]
+        + raw[max(0, len(raw) - _SIDECAR_FP_BYTES):]
+    )
     if len(_SIDECAR_CACHE) >= _SIDECAR_CACHE_MAX:
-        for k in list(_SIDECAR_CACHE)[: _SIDECAR_CACHE_MAX // 2]:
-            del _SIDECAR_CACHE[k]
-    _SIDECAR_CACHE[key] = meta
-    return meta
+        _SIDECAR_CACHE.clear()  # atomic under concurrent planners
+    _SIDECAR_CACHE[path] = (key, fp, meta)
+    return None if meta is _STALE else meta
 
 
 def _range_excluded(mn, mx, bound) -> bool:
