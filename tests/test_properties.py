@@ -271,3 +271,58 @@ def test_zone_range_exclusion_is_sound(vals, lo, lo_inc, hi, hi_inc):
 
     if _range_excluded(mn, mx, bound):
         assert not any(matches(v) for v in vals)
+
+
+@given(
+    sets=st.lists(
+        st.lists(st.integers(0, 10**6), min_size=0, max_size=15),
+        min_size=2,
+        max_size=4,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_bloom_carry_or_merge_preserves_membership(sets):
+    """Compaction's bloom carry is the bitwise OR of the input bitmaps:
+    every value sealed into ANY input must still probe as present in
+    the merged output (a lost bit would silently drop rows after
+    compaction)."""
+    import base64
+
+    from fourmc_spark.format.native import xxh64
+    from fourmc_spark.operators.maintenance import _merge_carried_blooms
+    from fourmc_spark.sources.datasource import (
+        BLOOM_SEED, _bloom_file_pruned, bloom_positions, seal_bloom_spec,
+    )
+
+    bits, k = 1 << 10, 3
+    metas = []
+    for vals in sets:
+        bm = bytearray(bits // 8)
+        for v in vals:
+            h = xxh64(str(v).encode(), BLOOM_SEED)
+            for p in bloom_positions(h, k, bits):
+                bm[p >> 3] |= 1 << (p & 7)
+        metas.append(
+            {"bloom": {"c": seal_bloom_spec(bytes(bm), bits, k, "int")}}
+        )
+    merged = _merge_carried_blooms(metas)
+    meta = {"bloom": merged}
+    for vals in sets:
+        for v in vals:
+            assert not _bloom_file_pruned(meta, {"c": {v}}, {"c": "int"})
+
+
+@given(v=st.text(min_size=1, max_size=12))
+@settings(max_examples=300, deadline=None)
+def test_next_prefix_is_exclusive_upper_bound(v):
+    """next_prefix(v), when it exists, is strictly greater than every
+    string that starts with v — the soundness of the StartsWith zone
+    relaxation (a too-small bound would prune matching files)."""
+    from fourmc_spark.sources.datasource import _next_prefix
+
+    hi = _next_prefix(v)
+    if hi is None:
+        return
+    for suffix in ("", "a", "\x00", "\U0010ffff" * 2, v):
+        assert v + suffix < hi
+    assert v < hi
