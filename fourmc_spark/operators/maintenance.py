@@ -1316,12 +1316,14 @@ def analyze_bloom(
     semantics on those are hazard-prone; ranges already have zone
     maps).
 
-    100 TB shape: one distributed scan; the shuffle carries per-file
-    DISTINCT (column, block, bit-position) rows — capped at files ×
-    columns × (``bits`` + blocks × ``block_bits``) regardless of row
-    count (map-side partial dedup) — and sidecars are amended
-    EXECUTOR-SIDE (applyInPandas per file); the driver sees one summary
-    row per file. Sizing: false-positive rate ≈ (1 - e^(-k·n/bits))^k
+    100 TB shape: one distributed scan and ONE exchange; each scan
+    partition folds its rows into per-(file, column, block) partial
+    bitmaps locally (bitmaps are OR-mergeable), so the shuffle carries
+    files-touched × columns × (1 + blocks) bitmap rows — ``bits``/8
+    bytes each for the file tier, ``block_bits``/8 for the block tier —
+    regardless of row count, and sidecars are amended EXECUTOR-SIDE
+    (applyInPandas per file, OR-merging the partials); the driver sees
+    one summary row per file. Sizing: false-positive rate ≈ (1 - e^(-k·n/bits))^k
     for n distinct values per span; the 2^20-bit file default (128 KiB
     bitmap) holds ~100k NDV per file at ~1%; size ``block_bits`` for
     the ~4 MiB-block NDV (the 2^13 suggestion = 1 KiB per (block, col)
@@ -1431,7 +1433,62 @@ def analyze_bloom(
             F.col("e.block").alias("block"),
             F.col("e.pos").alias("pos"),
         )
-        .dropDuplicates(["_file", "col_name", "block", "pos"])
+    )
+
+    # PARTIAL BITMAP AGGREGATION before the pass's only exchange (r10
+    # optimization, guide §2.3/§2.4): bloom bitmaps are mergeable by
+    # bitwise OR, so each scan partition folds its position rows into
+    # per-(file, column, block) bitmaps locally and ships THOSE — the
+    # shuffle carries files-touched × columns × (1 + blocks) bitmap
+    # rows (``bits``/8-byte file tier, ``block_bits``/8-byte block tier)
+    # instead of up to files × columns × bits distinct position rows.
+    # This replaces the former exact ``dropDuplicates``, whose
+    # reduce-side Exchange + final aggregate only removed duplicates the
+    # bitmap OR makes redundant anyway (a duplicate position sets the
+    # same bit). Seed rows (``col_name`` NULL) survive as bitmap-less
+    # rows so every (file, block) the scan saw still reaches its group
+    # even when its bloom columns are all NULL there.
+    from typing import Iterator as _Iterator
+
+    def _partial(
+        it: "_Iterator[pd.DataFrame]",
+    ) -> "_Iterator[pd.DataFrame]":
+        acc: dict[tuple, "np.ndarray"] = {}
+        seeds: set[tuple] = set()
+        for pdf in it:
+            seed_mask = pdf["col_name"].isna()
+            for fp, blk in zip(
+                pdf["_file"][seed_mask], pdf["block"][seed_mask]
+            ):
+                seeds.add((fp, int(blk)))
+            data = pdf[~seed_mask]
+            for (fp, cname, blk), sub in data.groupby(
+                ["_file", "col_name", "block"], sort=False
+            ):
+                n_bits = bits if blk == -1 else block_bits
+                key = (fp, cname, int(blk))
+                bm = acc.get(key)
+                if bm is None:
+                    bm = acc[key] = np.zeros(n_bits // 8, dtype=np.uint8)
+                p = sub["pos"].to_numpy(dtype=np.int64)
+                np.bitwise_or.at(
+                    bm, p >> 3, np.left_shift(1, p & 7).astype(np.uint8)
+                )
+        files = [k[0] for k in acc] + [s[0] for s in seeds]
+        names = [k[1] for k in acc] + [None] * len(seeds)
+        blks = [k[2] for k in acc] + [s[1] for s in seeds]
+        bms = [bm.tobytes() for bm in acc.values()] + [None] * len(seeds)
+        yield pd.DataFrame(
+            {
+                "_file": pd.Series(files, dtype="object"),
+                "col_name": pd.Series(names, dtype="object"),
+                "block": pd.Series(blks, dtype="int64"),
+                "bm": pd.Series(bms, dtype="object"),
+            }
+        )
+
+    partials = all_rows.mapInPandas(
+        _partial, "_file string, col_name string, block long, bm binary"
     )
 
     def _amend(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -1448,23 +1505,21 @@ def analyze_bloom(
             meta = {"version": 2, "size": os.path.getsize(fpath)}
         import base64 as _b64
 
-        def _bitmap(p: "np.ndarray", n_bits: int) -> bytes:
+        def _merge(series, n_bits: int) -> "np.ndarray":
             bm = np.zeros(n_bits // 8, dtype=np.uint8)
-            if len(p):
-                np.bitwise_or.at(
-                    bm, p >> 3, np.left_shift(1, p & 7).astype(np.uint8)
-                )
-            return bm.tobytes()
+            for part in series:
+                if part is not None:
+                    bm |= np.frombuffer(part, dtype=np.uint8)
+            return bm
 
         blooms = meta.setdefault("bloom", {})
         set_bits = 0
-        ftier = pdf[pdf["block"] == -1]
+        data = pdf[pdf["col_name"].notna()]
+        ftier = data[data["block"] == -1]
         for c in cols:
-            p = ftier.loc[ftier["col_name"] == c, "pos"].to_numpy(
-                dtype=np.int64
-            )
-            blooms[c] = seal_bloom_spec(_bitmap(p, bits), bits, k, fams[c])
-            set_bits += int(len(np.unique(p)))
+            bm = _merge(ftier.loc[ftier["col_name"] == c, "bm"], bits)
+            blooms[c] = seal_bloom_spec(bm.tobytes(), bits, k, fams[c])
+            set_bits += int(np.unpackbits(bm).sum())
         if block_bits is not None:
             from fourmc_spark.sources.datasource import (
                 seal_bloom_blocks_header,
@@ -1476,26 +1531,21 @@ def analyze_bloom(
             # target shape)
             btier = pdf[pdf["block"] != -1]
             grouped: dict[int, dict[str, "np.ndarray"]] = {}
-            for (off, cname), sub in btier.groupby(
-                ["block", "col_name"], sort=False
-            ):
-                if cname is None:
-                    continue  # seed rows carry no positions
-                grouped.setdefault(int(off), {})[cname] = sub[
-                    "pos"
-                ].to_numpy(dtype=np.int64)
+            for (off, cname), sub in btier[
+                btier["col_name"].notna()
+            ].groupby(["block", "col_name"], sort=False):
+                grouped.setdefault(int(off), {})[cname] = _merge(
+                    sub["bm"], block_bits
+                )
             # seed rows guarantee every block offset appears in pdf
             all_offs = sorted(int(o) for o in btier["block"].unique())
-            empty = np.empty(0, dtype=np.int64)
+            zero = np.zeros(block_bits // 8, dtype=np.uint8)
             entries = [
                 {
                     "o": off,
                     "c": {
                         c: _b64.b64encode(
-                            _bitmap(
-                                grouped.get(off, {}).get(c, empty),
-                                block_bits,
-                            )
+                            grouped.get(off, {}).get(c, zero).tobytes()
                         ).decode("ascii")
                         for c in cols
                     },
@@ -1512,7 +1562,7 @@ def analyze_bloom(
         return pd.DataFrame({"file": [fpath], "set_bits": [set_bits]})
 
     summaries = (
-        all_rows.groupBy("_file")
+        partials.groupBy("_file")
         .applyInPandas(_amend, "file string, set_bits long")
         .collect()
     )

@@ -2326,15 +2326,22 @@ _DETACH_MAX_ROWS = 2_000_000
 
 
 def _detach(out: DataFrame) -> DataFrame:
-    n = out.limit(_DETACH_MAX_ROWS + 1).count()
-    if n > _DETACH_MAX_ROWS:
+    # ONE action, not a count + a separate toPandas: every _detach caller
+    # is a lifecycle query whose plan re-runs a Python-datasource scan per
+    # action, and each such action costs a fixed ~0.4-1 s of planner
+    # round-trips before any data moves (measured, r10 optimization).
+    # limit(N+1).toPandas() bounds the driver transfer exactly like the
+    # old count-first guard (at most N+1 rows ever materialize) and is
+    # row-identical to the unlimited collect whenever the guard passes.
+    pdf = out.limit(_DETACH_MAX_ROWS + 1).toPandas()
+    if len(pdf) > _DETACH_MAX_ROWS:
         raise ValueError(
             f"streaming query result exceeds the {_DETACH_MAX_ROWS}-row "
             "driver detach bound; run at a smaller SF or persist the "
             "state dir instead"
         )
     spark = out.sparkSession
-    return spark.createDataFrame(out.toPandas(), out.schema)
+    return spark.createDataFrame(pdf, out.schema)
 
 
 @query(
@@ -3702,20 +3709,39 @@ def stream_heavy_hitters_q(spark, sf):
             .select(F.from_json("value", ddl).alias("r")).select("r.*")
         )
         name = f"qhh_{_uuid.uuid4().hex[:12]}"
-        q = (
-            heavy_hitters_sketch_stream(sdf, phi=0.002)
-            .writeStream.format("memory").queryName(name)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt).start()
+        # Streaming stateful shuffles get no AQE coalescing, so the state
+        # op runs spark.sql.shuffle.partitions full tasks (python round
+        # trip + state-store commit each) EVERY trigger regardless of
+        # batch volume (guide §2.2: size reduce partitions to the data).
+        # This query drains a known ~2 MB, 5-trigger fixture whose state
+        # key domain is HH_STREAM_BUCKETS buckets, so pin the stream's
+        # shuffle width to a volume-matched value (env-overridable for
+        # bigger deployments; production sizing note in
+        # OPTIMIZATION_r10.md — at real volume raise it toward the
+        # bucket count, beyond which extra partitions are provably
+        # empty). Interleaved min-of-3 at sf0.1: 7.9 -> 5.8 s.
+        prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            _os.environ.get("FOURMC_HH_STATE_PARTITIONS", "8"),
         )
         try:
-            q.processAllAvailable()  # batch 0: the seed file
-            for f in files[1:]:  # one micro-batch per late arrival
-                _os.rename(f, f"{live}/{_os.path.basename(f)}")
-            q.processAllAvailable()
+            q = (
+                heavy_hitters_sketch_stream(sdf, phi=0.002)
+                .writeStream.format("memory").queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt).start()
+            )
+            try:
+                q.processAllAvailable()  # batch 0: the seed file
+                for f in files[1:]:  # one micro-batch per late arrival
+                    _os.rename(f, f"{live}/{_os.path.basename(f)}")
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                q.awaitTermination()
         finally:
-            q.stop()
-            q.awaitTermination()
+            spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         corpus = (
             spark.read.format("fourmc").load(live)
             .select(F.from_json("value", ddl).alias("r")).select("r.*")

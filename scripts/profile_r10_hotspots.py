@@ -42,7 +42,7 @@ def profile_fixed_overhead(spark) -> None:
 
     d = tempfile.mkdtemp(prefix="fourmc-prof-fixed-")
     try:
-        df = spark.range(100).select(F.concat(F.lit("row"), "id").alias("value"))
+        df = spark.range(100).select(F.to_json(F.struct("id")).alias("value"))
         # warm
         df.write.format("fourmc").mode("overwrite").save(d)
         spark.read.format("fourmc").load(d).count()

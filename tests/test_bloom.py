@@ -718,3 +718,57 @@ def test_compact_blocks_carries_blooms(spark, tmp_path):
     )
     assert got == [3, 57, 399]
     assert _planned(out, [EqualTo(("k",), 10_000)]) == set()
+
+
+def test_partial_bitmap_merge_is_partitioning_invariant(spark, tmp_path):
+    """r10 optimization pin: analyze_bloom's one-exchange partial-bitmap
+    aggregation (per-scan-partition OR folds merged per file) seals
+    byte-identical sidecars no matter how the scan splits the file —
+    forcing many tiny splits must change nothing, because bitmap OR is
+    associative/commutative and duplicate positions set the same bit."""
+    from fourmc_spark.operators.maintenance import analyze_bloom
+
+    d = str(tmp_path / "pinv")
+    _write_unclustered(spark, d, n_files=2, rows=600)
+
+    def _seal_and_read(maxpb):
+        import fourmc_spark.operators.maintenance as M
+
+        orig = M._analyze_src
+
+        def tiny_src(spark_, path, ddl, fmt):
+            return (
+                spark_.read.format("fourmc")
+                .option("withfilename", "true")
+                .option("maxpartitionbytes", str(maxpb))
+                .option("maxblockspersplit", "1")
+                .load(path)
+                .select(
+                    "_file", "offset",
+                    F.from_json("value", ddl).alias("_r"),
+                )
+            )
+
+        if maxpb:
+            M._analyze_src = tiny_src
+        try:
+            analyze_bloom(
+                spark, d, _DDL, ["k", "name"],
+                bits=1 << 12, k=4, block_bits=1 << 10,
+            )
+        finally:
+            M._analyze_src = orig
+        out = {}
+        for sc in sorted(_glob.glob(f"{d}/*.stats.json")):
+            with open(sc) as f:
+                meta = _json.load(f)
+            out[os.path.basename(sc)] = (
+                meta["bloom"], meta.get("bloom_blocks"),
+            )
+            os.remove(sc)
+        return out
+
+    whole = _seal_and_read(None)       # one split per file
+    split = _seal_and_read(1)          # one block per split
+    assert whole == split
+    assert whole  # sanity: something was sealed
