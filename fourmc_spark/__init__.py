@@ -18,11 +18,3 @@ Layout:
 
 __version__ = "0.1.0"
 
-
-# TRACE-IMPORT (temporary)
-import os as _os
-_tl = _os.environ.get("FOURMC_TRACE_IMPORT")
-if _tl:
-    import json as _j, sys as _s, time as _t
-    with open(_tl, "a") as _f:
-        _f.write(_j.dumps({"pid": _os.getpid(), "t": _t.time(), "argv": _s.argv[:3]}) + "\n")
