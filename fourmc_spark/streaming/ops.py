@@ -413,15 +413,35 @@ def run_to_memory(
     Drains under Trigger.AvailableNow; a caller that must honor source
     rate limits or interleave work between drains (stream_4mc_multibatch)
     runs its own start/processAllAvailable/stop sequence instead —
-    Python stream sources fall back to a single batch under AvailableNow."""
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+    Python stream sources fall back to a single batch under AvailableNow.
+
+    Shuffle width: streaming gets no AQE partition coalescing, so every
+    stateful trigger runs ``spark.sql.shuffle.partitions`` full tasks
+    regardless of batch volume (guide §2.2). This harness drains small
+    bounded fixtures, so it pins a volume-matched width for the drain
+    (``FOURMC_STREAM_SHUFFLE_PARTITIONS``, default 8) and restores the
+    caller's conf after — results are width-independent; only the
+    per-trigger task fan-out changes. Production streams should size
+    this to sustained per-trigger volume, not to this harness default."""
+    import os as _os
+
+    spark = sdf.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        _os.environ.get("FOURMC_STREAM_SHUFFLE_PARTITIONS", "8"),
     )
-    q.awaitTermination()
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return sdf.sparkSession.table(name)
 
 
