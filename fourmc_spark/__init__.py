@@ -17,4 +17,3 @@ Layout:
 """
 
 __version__ = "0.1.0"
-

@@ -1317,13 +1317,16 @@ def analyze_bloom(
     maps).
 
     100 TB shape: one distributed scan and ONE exchange; each scan
-    partition folds its rows into per-(file, column, block) partial
-    bitmaps locally (bitmaps are OR-mergeable), so the shuffle carries
-    files-touched × columns × (1 + blocks) bitmap rows — ``bits``/8
-    bytes each for the file tier, ``block_bits``/8 for the block tier —
-    regardless of row count, and sidecars are amended EXECUTOR-SIDE
-    (applyInPandas per file, OR-merging the partials); the driver sees
-    one summary row per file. Sizing: false-positive rate ≈ (1 - e^(-k·n/bits))^k
+    partition folds its rows into per-(file, column, block) partials
+    locally (bitmaps are OR-mergeable) and ships each in whichever
+    encoding is smaller — dense bitmap or sparse sorted set-position
+    list — so the shuffle carries, per scan SPLIT, columns × (1 +
+    blocks-in-split) rows of min(``bits``/8, 4 × distinct-positions)
+    bytes, regardless of row count: never more than the deduplicated
+    position rows a low-NDV split would have shipped, and capped at
+    the bitmap size for high-NDV splits. Sidecars are amended
+    EXECUTOR-SIDE (applyInPandas per file, OR-merging the partials);
+    the driver sees one summary row per file. Sizing: false-positive rate ≈ (1 - e^(-k·n/bits))^k
     for n distinct values per span; the 2^20-bit file default (128 KiB
     bitmap) holds ~100k NDV per file at ~1%; size ``block_bits`` for
     the ~4 MiB-block NDV (the 2^13 suggestion = 1 KiB per (block, col)
@@ -1438,16 +1441,20 @@ def analyze_bloom(
     # PARTIAL BITMAP AGGREGATION before the pass's only exchange (r10
     # optimization, guide §2.3/§2.4): bloom bitmaps are mergeable by
     # bitwise OR, so each scan partition folds its position rows into
-    # per-(file, column, block) bitmaps locally and ships THOSE — the
-    # shuffle carries files-touched × columns × (1 + blocks) bitmap
-    # rows (``bits``/8-byte file tier, ``block_bits``/8-byte block tier)
-    # instead of up to files × columns × bits distinct position rows.
-    # This replaces the former exact ``dropDuplicates``, whose
-    # reduce-side Exchange + final aggregate only removed duplicates the
-    # bitmap OR makes redundant anyway (a duplicate position sets the
-    # same bit). Seed rows (``col_name`` NULL) survive as bitmap-less
-    # rows so every (file, block) the scan saw still reaches its group
-    # even when its bloom columns are all NULL there.
+    # per-(file, column, block) partials locally and ships THOSE. Each
+    # partial is emitted in whichever encoding is smaller — the DENSE
+    # ``n_bits``/8-byte bitmap, or the SPARSE sorted uint32 list of its
+    # set positions — so the shuffle carries, per scan split, at most
+    # splits-in-file × columns × (1 + blocks) rows of
+    # min(n_bits/8, 4 × set-positions) bytes: never worse than the old
+    # deduplicated position rows (sparse = exactly those, binary-packed)
+    # AND capped at the bitmap size for high-NDV splits. This replaces
+    # the former exact ``dropDuplicates``, whose reduce-side Exchange +
+    # final aggregate only removed duplicates the bitmap OR makes
+    # redundant anyway (a duplicate position sets the same bit). Seed
+    # rows (``col_name`` NULL) survive as payload-less rows so every
+    # (file, block) the scan saw still reaches its group even when its
+    # bloom columns are all NULL there.
     from typing import Iterator as _Iterator
 
     def _partial(
@@ -1474,21 +1481,37 @@ def analyze_bloom(
                 np.bitwise_or.at(
                     bm, p >> 3, np.left_shift(1, p & 7).astype(np.uint8)
                 )
-        files = [k[0] for k in acc] + [s[0] for s in seeds]
-        names = [k[1] for k in acc] + [None] * len(seeds)
-        blks = [k[2] for k in acc] + [s[1] for s in seeds]
-        bms = [bm.tobytes() for bm in acc.values()] + [None] * len(seeds)
+        files, names, blks, bms, dense = [], [], [], [], []
+        for (fp, cname, blk), bm in acc.items():
+            set_pos = np.flatnonzero(np.unpackbits(bm, bitorder="little"))
+            files.append(fp)
+            names.append(cname)
+            blks.append(blk)
+            if 4 * len(set_pos) < len(bm):
+                bms.append(set_pos.astype("<u4").tobytes())
+                dense.append(False)
+            else:
+                bms.append(bm.tobytes())
+                dense.append(True)
+        for fp, blk in seeds:
+            files.append(fp)
+            names.append(None)
+            blks.append(blk)
+            bms.append(None)
+            dense.append(True)
         yield pd.DataFrame(
             {
                 "_file": pd.Series(files, dtype="object"),
                 "col_name": pd.Series(names, dtype="object"),
                 "block": pd.Series(blks, dtype="int64"),
                 "bm": pd.Series(bms, dtype="object"),
+                "dense": pd.Series(dense, dtype="bool"),
             }
         )
 
     partials = all_rows.mapInPandas(
-        _partial, "_file string, col_name string, block long, bm binary"
+        _partial,
+        "_file string, col_name string, block long, bm binary, dense boolean",
     )
 
     def _amend(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -1505,11 +1528,19 @@ def analyze_bloom(
             meta = {"version": 2, "size": os.path.getsize(fpath)}
         import base64 as _b64
 
-        def _merge(series, n_bits: int) -> "np.ndarray":
+        def _merge(sub: "pd.DataFrame", n_bits: int) -> "np.ndarray":
             bm = np.zeros(n_bits // 8, dtype=np.uint8)
-            for part in series:
-                if part is not None:
+            for part, is_dense in zip(sub["bm"], sub["dense"]):
+                if part is None:
+                    continue
+                if is_dense:
                     bm |= np.frombuffer(part, dtype=np.uint8)
+                else:
+                    p = np.frombuffer(part, dtype="<u4").astype(np.int64)
+                    np.bitwise_or.at(
+                        bm, p >> 3,
+                        np.left_shift(1, p & 7).astype(np.uint8),
+                    )
             return bm
 
         blooms = meta.setdefault("bloom", {})
@@ -1517,7 +1548,7 @@ def analyze_bloom(
         data = pdf[pdf["col_name"].notna()]
         ftier = data[data["block"] == -1]
         for c in cols:
-            bm = _merge(ftier.loc[ftier["col_name"] == c, "bm"], bits)
+            bm = _merge(ftier[ftier["col_name"] == c], bits)
             blooms[c] = seal_bloom_spec(bm.tobytes(), bits, k, fams[c])
             set_bits += int(np.unpackbits(bm).sum())
         if block_bits is not None:
@@ -1535,7 +1566,7 @@ def analyze_bloom(
                 btier["col_name"].notna()
             ].groupby(["block", "col_name"], sort=False):
                 grouped.setdefault(int(off), {})[cname] = _merge(
-                    sub["bm"], block_bits
+                    sub, block_bits
                 )
             # seed rows guarantee every block offset appears in pdf
             all_offs = sorted(int(o) for o in btier["block"].unique())

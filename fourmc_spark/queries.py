@@ -3686,6 +3686,7 @@ def stream_heavy_hitters_q(spark, sf):
     from fourmc_spark.session import register_fourmc
     from fourmc_spark.streaming import (
         heavy_hitters_finalize, heavy_hitters_sketch_stream,
+        pinned_shuffle_width,
     )
 
     register_fourmc(spark)
@@ -3701,6 +3702,7 @@ def stream_heavy_hitters_q(spark, sf):
             .mode("overwrite").save(staged)
         )
         files = sorted(_glob.glob(f"{staged}/part-*.4mz"))
+        total_staged = sum(_os.path.getsize(f) for f in files)
         _os.makedirs(live)
         _os.rename(files[0], f"{live}/{_os.path.basename(files[0])}")
         sdf = (
@@ -3713,19 +3715,16 @@ def stream_heavy_hitters_q(spark, sf):
         # op runs spark.sql.shuffle.partitions full tasks (python round
         # trip + state-store commit each) EVERY trigger regardless of
         # batch volume (guide §2.2: size reduce partitions to the data).
-        # This query drains a known ~2 MB, 5-trigger fixture whose state
-        # key domain is HH_STREAM_BUCKETS buckets, so pin the stream's
-        # shuffle width to a volume-matched value (env-overridable for
-        # bigger deployments; production sizing note in
-        # OPTIMIZATION_r10.md — at real volume raise it toward the
-        # bucket count, beyond which extra partitions are provably
-        # empty). Interleaved min-of-3 at sf0.1: 7.9 -> 5.8 s.
-        prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            _os.environ.get("FOURMC_HH_STATE_PARTITIONS", "8"),
+        # Derive the stream's width from the STAGED BYTES it will drain
+        # (~4 MiB/partition, floor 4) clamped to the session width, so
+        # the pin scales with the fixture instead of silently capping a
+        # big-sf run; FOURMC_HH_STATE_PARTITIONS overrides. Interleaved
+        # min-of-3 at sf0.1 (width 4-8 vs 32): 7.9 -> 5.8 s.
+        width = _os.environ.get("FOURMC_HH_STATE_PARTITIONS") or min(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            max(4, total_staged // (4 << 20) + 1),
         )
-        try:
+        with pinned_shuffle_width(spark, width):
             q = (
                 heavy_hitters_sketch_stream(sdf, phi=0.002)
                 .writeStream.format("memory").queryName(name)
@@ -3740,8 +3739,6 @@ def stream_heavy_hitters_q(spark, sf):
             finally:
                 q.stop()
                 q.awaitTermination()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         corpus = (
             spark.read.format("fourmc").load(live)
             .select(F.from_json("value", ddl).alias("r")).select("r.*")

@@ -403,6 +403,34 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 15) -> DataFrame:
     )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def pinned_shuffle_width(spark: SparkSession, width):
+    """Pin ``spark.sql.shuffle.partitions`` for the duration of a
+    bounded streaming drain, restoring the caller's conf after.
+
+    The one shared implementation of the save/set/restore pattern
+    (run_to_memory and the stream_heavy_hitters gate query both use it)
+    so the restore semantics cannot diverge between sites.
+
+    .. warning:: NOT re-entrant and NOT thread-safe — the knob is
+       session-global, so any query planned concurrently on the same
+       SparkSession observes the pinned width, and two overlapping
+       pins restore correctly only when perfectly nested. The
+       gate/bench harness runs its drains sequentially on a dedicated
+       session; production streams should size the session conf
+       directly rather than wrap concurrent work in this.
+    """
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def run_to_memory(
     sdf: DataFrame,
     name: str,
@@ -425,13 +453,10 @@ def run_to_memory(
     this to sustained per-trigger volume, not to this harness default."""
     import os as _os
 
-    spark = sdf.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
+    with pinned_shuffle_width(
+        sdf.sparkSession,
         _os.environ.get("FOURMC_STREAM_SHUFFLE_PARTITIONS", "8"),
-    )
-    try:
+    ):
         q = (
             sdf.writeStream.format("memory")
             .queryName(name)
@@ -440,8 +465,6 @@ def run_to_memory(
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return sdf.sparkSession.table(name)
 
 
