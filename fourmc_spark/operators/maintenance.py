@@ -444,6 +444,23 @@ def compact_group(
     }
 
 
+def _or_bit_positions(bm, positions) -> None:
+    """OR bit ``positions`` into little-bit-order bitmap ``bm`` in place.
+
+    The ONE definition of the within-byte bit layout shared by the
+    partial-bitmap encoder and the sparse-wire decoder in
+    :func:`analyze_bloom` (and matched by the ``unpackbits``
+    ``bitorder="little"`` extraction): byte ``p >> 3``, bit ``p & 7``.
+    Encoder and decoder drifting apart here would silently corrupt
+    every merged bloom sidecar, so neither site may inline its own
+    copy."""
+    import numpy as np
+
+    np.bitwise_or.at(
+        bm, positions >> 3, np.left_shift(1, positions & 7).astype(np.uint8)
+    )
+
+
 def _drop_stale_sidecar(out_path: str) -> None:
     """A rerun into the same out_dir writes deterministic compact-NNNNNN
     names: when the new output carries no stats, a sidecar left by an
@@ -1455,11 +1472,10 @@ def analyze_bloom(
     # rows (``col_name`` NULL) survive as payload-less rows so every
     # (file, block) the scan saw still reaches its group even when its
     # bloom columns are all NULL there.
-    from typing import Iterator as _Iterator
 
     def _partial(
-        it: "_Iterator[pd.DataFrame]",
-    ) -> "_Iterator[pd.DataFrame]":
+        it: "Iterator[pd.DataFrame]",
+    ) -> "Iterator[pd.DataFrame]":
         acc: dict[tuple, "np.ndarray"] = {}
         seeds: set[tuple] = set()
         for pdf in it:
@@ -1478,9 +1494,7 @@ def analyze_bloom(
                 if bm is None:
                     bm = acc[key] = np.zeros(n_bits // 8, dtype=np.uint8)
                 p = sub["pos"].to_numpy(dtype=np.int64)
-                np.bitwise_or.at(
-                    bm, p >> 3, np.left_shift(1, p & 7).astype(np.uint8)
-                )
+                _or_bit_positions(bm, p)
         files, names, blks, bms, dense = [], [], [], [], []
         for (fp, cname, blk), bm in acc.items():
             set_pos = np.flatnonzero(np.unpackbits(bm, bitorder="little"))
@@ -1537,10 +1551,7 @@ def analyze_bloom(
                     bm |= np.frombuffer(part, dtype=np.uint8)
                 else:
                     p = np.frombuffer(part, dtype="<u4").astype(np.int64)
-                    np.bitwise_or.at(
-                        bm, p >> 3,
-                        np.left_shift(1, p & 7).astype(np.uint8),
-                    )
+                    _or_bit_positions(bm, p)
             return bm
 
         blooms = meta.setdefault("bloom", {})

@@ -2333,7 +2333,22 @@ def _detach(out: DataFrame) -> DataFrame:
     # limit(N+1).toPandas() bounds the driver transfer exactly like the
     # old count-first guard (at most N+1 rows ever materialize) and is
     # row-identical to the unlimited collect whenever the guard passes.
-    pdf = out.limit(_DETACH_MAX_ROWS + 1).toPandas()
+    # Unlike the old count-first probe, the failure path does transfer
+    # rows before raising — the BYTE bound on that transfer is
+    # spark.driver.maxResultSize (1g stock), which aborts the collect
+    # long before the driver heap is at risk; translate that abort into
+    # the same loud detach-bound error the count guard used to raise.
+    try:
+        pdf = out.limit(_DETACH_MAX_ROWS + 1).toPandas()
+    except Exception as exc:
+        if "maxResultSize" in str(exc):
+            raise ValueError(
+                "streaming query result exceeds "
+                "spark.driver.maxResultSize before the "
+                f"{_DETACH_MAX_ROWS}-row driver detach bound; run at a "
+                "smaller SF or persist the state dir instead"
+            ) from exc
+        raise
     if len(pdf) > _DETACH_MAX_ROWS:
         raise ValueError(
             f"streaming query result exceeds the {_DETACH_MAX_ROWS}-row "

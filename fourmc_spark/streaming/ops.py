@@ -423,8 +423,22 @@ def pinned_shuffle_width(spark: SparkSession, width):
        session; production streams should size the session conf
        directly rather than wrap concurrent work in this.
     """
+    try:
+        w = int(width)
+    except (TypeError, ValueError):
+        w = 0
+    if w < 1:
+        # loud and early: env overrides (FOURMC_STREAM_SHUFFLE_PARTITIONS,
+        # FOURMC_HH_STATE_PARTITIONS) flow here as raw strings — writing
+        # "" / "8x" / "0" into the conf would kill the drain mid-stream
+        # with an opaque JVM IllegalArgumentException instead
+        raise ValueError(
+            f"pinned_shuffle_width: width {width!r} is not a positive "
+            "integer (check FOURMC_STREAM_SHUFFLE_PARTITIONS / "
+            "FOURMC_HH_STATE_PARTITIONS overrides)"
+        )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    spark.conf.set("spark.sql.shuffle.partitions", str(w))
     try:
         yield
     finally:

@@ -9,7 +9,7 @@ optimization targets are measured, not guessed (guide §1).
 
     python scripts/profile_r10_hotspots.py [segment ...]
 
-Segments: fixed, bloom, stream_hh, stream_sink
+Segments: fixed, bloom, stream_hh
 """
 from __future__ import annotations
 
@@ -192,7 +192,12 @@ def profile_stream_hh(spark) -> None:
 def main() -> None:
     from fourmc_spark.session import get_spark
 
-    which = set(sys.argv[1:]) or {"fixed", "bloom", "stream_hh"}
+    known = {"fixed", "bloom", "stream_hh"}
+    which = set(sys.argv[1:]) or known
+    if which - known:
+        # a typo'd segment must not "succeed" having measured nothing
+        sys.exit(f"unknown segment(s) {sorted(which - known)}; "
+                 f"choose from {sorted(known)}")
     spark = get_spark("profile-r10", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
     # warm the session the way bench does: one query through the engine

@@ -1469,3 +1469,24 @@ def test_typed_stream_source(spark, tmp_path):
         got = sorted((r["name"], r["s"]) for r in spark.table(name).collect())
         assert got == [("n0", 950), ("n1", 970), ("n2", 990),
                        ("n3", 1010), ("n4", 1030)]
+
+
+def test_pinned_shuffle_width_validates_and_restores(spark):
+    """The drain-width pin (r10) takes raw env-string overrides
+    (FOURMC_STREAM_SHUFFLE_PARTITIONS / FOURMC_HH_STATE_PARTITIONS), so
+    it must reject non-positive-integer widths loudly BEFORE touching
+    the session conf — "" / "8x" / "0" written into
+    spark.sql.shuffle.partitions would otherwise kill the drain
+    mid-stream with an opaque JVM error — and must restore the caller's
+    width on exit."""
+    from fourmc_spark.streaming import pinned_shuffle_width
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    for bad in ("", "8x", "0", 0, -2, None):
+        with pytest.raises(ValueError, match="positive integer"):
+            with pinned_shuffle_width(spark, bad):
+                pass  # pragma: no cover - must not be reached
+        assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    with pinned_shuffle_width(spark, "6"):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "6"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
