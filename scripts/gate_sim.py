@@ -51,6 +51,12 @@ def main() -> int:
     ap.add_argument("--window", type=int, default=50)
     ap.add_argument("--master", default="local[32]")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query-name substrings: run only matching "
+        "queries from the window (targeted re-verification)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -67,6 +73,9 @@ def main() -> int:
 
     qs, osql = e.queries(), e.oracle_sql()
     window = list(qs)[: args.window]
+    if args.only:
+        pats = [p for p in args.only.split(",") if p]
+        window = [n for n in window if any(p in n for p in pats)]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
