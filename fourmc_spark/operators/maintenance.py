@@ -1476,6 +1476,13 @@ def analyze_bloom(
     def _partial(
         it: "Iterator[pd.DataFrame]",
     ) -> "Iterator[pd.DataFrame]":
+        # per-byte popcount table (built once per task, 256 entries):
+        # lets the flush below count set bits without unpacking bitmaps
+        _POPCNT8 = (
+            np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1)
+            .sum(axis=1)
+            .astype(np.uint16)
+        )
         acc: dict[tuple, "np.ndarray"] = {}
         seeds: set[tuple] = set()
         for pdf in it:
@@ -1497,11 +1504,18 @@ def analyze_bloom(
                 _or_bit_positions(bm, p)
         files, names, blks, bms, dense = [], [], [], [], []
         for (fp, cname, blk), bm in acc.items():
-            set_pos = np.flatnonzero(np.unpackbits(bm, bitorder="little"))
+            # popcount FIRST (256-entry table) to pick the encoding:
+            # unpackbits materializes 8x the bitmap (a transient ~128 MB
+            # at the max 2^27-bit geometry) and is only needed when the
+            # sparse branch actually wins (ADVICE r10)
+            n_set = int(_POPCNT8[bm].sum())
             files.append(fp)
             names.append(cname)
             blks.append(blk)
-            if 4 * len(set_pos) < len(bm):
+            if 4 * n_set < len(bm):
+                set_pos = np.flatnonzero(
+                    np.unpackbits(bm, bitorder="little")
+                )
                 bms.append(set_pos.astype("<u4").tobytes())
                 dense.append(False)
             else:
