@@ -2310,12 +2310,30 @@ def q35_session_window_batch_q(spark, sf):
 # =========================================================================
 
 
-def _run_stream(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
+def _run_stream(
+    sdf: DataFrame, output_mode: str = "complete", src: str | None = None
+) -> DataFrame:
+    """Drain ``sdf`` to a memory sink. ``src`` is the stream's source
+    path (file or directory); its on-disk size feeds run_to_memory's
+    volume-derived drain width so the pin scales with the fixture
+    instead of defaulting to the bounded-fixture constant."""
+    import os as _os
     import uuid
 
     from fourmc_spark.streaming import run_to_memory
 
-    return run_to_memory(sdf, f"qstream_{uuid.uuid4().hex[:12]}", output_mode)
+    input_bytes = None
+    if src is not None:
+        if _os.path.isdir(src):
+            input_bytes = sum(
+                e.stat().st_size for e in _os.scandir(src) if e.is_file()
+            )
+        else:
+            input_bytes = _os.path.getsize(src)
+    return run_to_memory(
+        sdf, f"qstream_{uuid.uuid4().hex[:12]}", output_mode,
+        input_bytes=input_bytes,
+    )
 
 
 # Detach bound for streaming queries whose state dir is deleted on return:
@@ -2323,6 +2341,28 @@ def _run_stream(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
 # but a misconfigured SF must fail loudly rather than pull an unbounded
 # result onto the driver.
 _DETACH_MAX_ROWS = 2_000_000
+
+
+def _is_result_size_abort(exc: Exception) -> bool:
+    """True when the driver collect died on spark.driver.maxResultSize.
+
+    The JVM raises a legacy SparkException here with NO error
+    class/condition (verified against the 4.1 error-conditions registry),
+    so the detection has to be textual — but match the full conf key the
+    message interpolates from config.MAX_RESULT_SIZE.key rather than the
+    bare word "maxResultSize" (ADVICE r10), and consult
+    getCondition()/getErrorClass() first so a future Spark that assigns a
+    condition is matched structurally."""
+    for probe in ("getCondition", "getErrorClass"):
+        fn = getattr(exc, probe, None)
+        if callable(fn):
+            try:
+                cond = fn()
+            except Exception:
+                cond = None
+            if cond and "RESULT_SIZE" in str(cond).upper():
+                return True
+    return "spark.driver.maxResultSize" in str(exc)
 
 
 def _detach(out: DataFrame) -> DataFrame:
@@ -2341,7 +2381,7 @@ def _detach(out: DataFrame) -> DataFrame:
     try:
         pdf = out.limit(_DETACH_MAX_ROWS + 1).toPandas()
     except Exception as exc:
-        if "maxResultSize" in str(exc):
+        if _is_result_size_abort(exc):
             raise ValueError(
                 "streaming query result exceeds "
                 "spark.driver.maxResultSize before the "
@@ -2359,6 +2399,155 @@ def _detach(out: DataFrame) -> DataFrame:
     return spark.createDataFrame(pdf, out.schema)
 
 
+# ---------------------------------------------------------------------
+# Deterministic range partitioning for lifecycle fixture writes (r11,
+# guide §1.2 step 1 / VERDICT r10 next-round #1): ``repartitionByRange``
+# runs a RangePartitioner SAMPLING job over the input inside every
+# fixture-write action — an extra Spark job per lifecycle query whose
+# only purpose is discovering bounds the parquet footer already records.
+# These helpers read the bounds DRIVER-SIDE from the footer statistics
+# (a sub-millisecond pread, no job), cut the key domain into n
+# equal-width buckets, and route bucket i to its own shuffle partition
+# by repartitioning on a PROBE VALUE chosen so its Murmur3 hash lands in
+# a distinct pmod class (hash-repartitioning on the raw bucket id would
+# collide buckets per guide §2.5). Same range-disjoint n-file layout,
+# deterministic instead of sampled, one fewer job per query. Falls back
+# to repartitionByRange when footer stats are unavailable. Layout-only:
+# query RESULTS are partitioning-invariant (pinned by the oracle gate).
+# ---------------------------------------------------------------------
+
+
+def _murmur3_hash_long(v: int, seed: int = 42) -> int:
+    """Spark's ``Murmur3Hash`` of a LongType value (Murmur3_x86_32
+    ``hashLong``, seed 42) — the hash behind ``repartition(n, col)``'s
+    HashPartitioning. Pinned equal to ``F.hash(lit(v).cast("long"))``
+    by tests/test_queries_lifecycle.py, so silent drift against a
+    future Spark is caught loudly (a mismatch would only degrade
+    fixture layout, never results)."""
+    M = 0xFFFFFFFF
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & M
+
+    def mixk1(k1: int) -> int:
+        k1 = (k1 * 0xCC9E2D51) & M
+        k1 = rotl(k1, 15)
+        return (k1 * 0x1B873593) & M
+
+    def mixh1(h1: int, k1: int) -> int:
+        h1 = (h1 ^ k1) & M
+        h1 = rotl(h1, 13)
+        return (h1 * 5 + 0xE6546B64) & M
+
+    v &= 0xFFFFFFFFFFFFFFFF  # two's complement view of negative longs
+    h1 = mixh1(seed & M, mixk1(v & M))
+    h1 = mixh1(h1, mixk1((v >> 32) & M))
+    h1 ^= 8
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & M
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & M
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _partition_probe_values(n: int) -> list[int]:
+    """First n non-negative longs whose Murmur3 pmod classes cover
+    0..n-1, indexed by bucket: probe_values[b] hashes into partition
+    class b under ``pmod(hash, n)``. Which class a bucket lands in is
+    irrelevant (any bijection yields n range-disjoint files); the
+    search is deterministic, so the layout is too."""
+    found: dict[int, int] = {}
+    v = 0
+    while len(found) < n:
+        p = _murmur3_hash_long(v) % n
+        if p not in found:
+            found[p] = v
+        v += 1
+    return [found[p] for p in range(n)]
+
+
+def _parquet_col_minmax(path: str, col: str):
+    """(lo, hi) of ``col`` from the parquet footer statistics, as ints
+    (timestamp columns in epoch MICROS), or None when any row group
+    lacks min/max or the type is out of scope — callers then fall back
+    to the sampling repartitionByRange. Driver-side footer pread only;
+    no Spark job."""
+    import datetime as _dt
+
+    try:
+        import pyarrow.parquet as _pq
+
+        md = _pq.ParquetFile(path).metadata
+        names = [md.schema.column(j).name for j in range(md.num_columns)]
+        j = names.index(col)
+        los, his = [], []
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(j).statistics
+            if st is None or not st.has_min_max:
+                return None
+            los.append(st.min)
+            his.append(st.max)
+    except Exception:
+        return None
+
+    def _as_int(x):
+        if isinstance(x, bool) or not isinstance(
+            x, (int, _dt.datetime)
+        ):
+            return None
+        if isinstance(x, _dt.datetime):
+            if x.tzinfo is not None:
+                x = x.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            td = x - _dt.datetime(1970, 1, 1)
+            return (
+                td.days * 86_400_000_000
+                + td.seconds * 1_000_000
+                + td.microseconds
+            )
+        return x
+    lo, hi = min(map(_as_int, los), default=None), max(
+        map(_as_int, his), default=None
+    )
+    if lo is None or hi is None or any(
+        _as_int(x) is None for x in los + his
+    ):
+        return None
+    return lo, hi
+
+
+def _det_range_shuffle(df, n: int, key, lo: int, hi: int):
+    """Shuffle ``df`` into n range-disjoint partitions of the integer
+    expression ``key`` (known span [lo, hi]) without a sampling job:
+    equal-width bucket, then repartition on the bucket's probe value
+    (distinct Murmur3 pmod class per bucket). Integer arithmetic
+    throughout — exact, ANSI-safe for any epoch-micros span."""
+    span = hi - lo + 1
+    b = F.floor(((key - F.lit(lo)) * F.lit(n)) / F.lit(span)).cast("int")
+    b = F.least(F.lit(n - 1), F.greatest(F.lit(0), b))
+    probes = _partition_probe_values(n)
+    probe = F.element_at(
+        F.array(*[F.lit(p).cast("long") for p in probes]), b + 1
+    )
+    return df.repartition(n, probe)
+
+
+def _range_partition_fixture(
+    df, n: int, col: str, src_path: str, key=None, stat_col: str | None = None
+):
+    """Range-partition a lifecycle fixture frame into n files without
+    the RangePartitioner sampling job, using footer-derived bounds.
+    ``key`` overrides the bucket expression (e.g. unix_micros of a
+    formatted string column); ``stat_col`` the footer column name.
+    Falls back to the sampled ``repartitionByRange(n, col)`` when the
+    footer carries no usable statistics."""
+    mm = _parquet_col_minmax(src_path, stat_col or col)
+    if mm is None or mm[1] < mm[0]:
+        return df.repartitionByRange(n, col)
+    return _det_range_shuffle(df, n, key if key is not None else F.col(col),
+                              mm[0], mm[1])
+
+
 @query(
     "stream_tumbling_hourly",
     """SELECT date_trunc('hour', ts) AS win_start, event_type,
@@ -2371,7 +2560,9 @@ def stream_tumbling_q(spark, sf):
     sdf = tumbling_counts(
         read_events_stream(spark, f"{sf}/events.parquet"), window="1 hour"
     )
-    return _run_stream(sdf).orderBy("win_start", "event_type")
+    return _run_stream(sdf, src=f"{sf}/events.parquet").orderBy(
+        "win_start", "event_type"
+    )
 
 
 @query(
@@ -2399,7 +2590,9 @@ def stream_session_q(spark, sf):
 
     sdf = session_counts(read_events_stream(spark, f"{sf}/events.parquet"),
                          gap="15 minutes")
-    return _run_stream(sdf).orderBy("user_id", "session_start")
+    return _run_stream(sdf, src=f"{sf}/events.parquet").orderBy(
+        "user_id", "session_start"
+    )
 
 
 @query(
@@ -2423,7 +2616,7 @@ def stream_sliding_q(spark, sf):
         window="1 hour", slide="30 minutes",
     )
     return (
-        _run_stream(sdf)
+        _run_stream(sdf, src=f"{sf}/events.parquet")
         .select("win_start", "event_type", F.col("cnt").cast("long").alias("cnt"))
         .orderBy("win_start", "event_type")
     )
@@ -2440,7 +2633,8 @@ def stream_dedup_q(spark, sf):
         read_events_stream(spark, f"{sf}/events.parquet"),
         keys=["user_id", "event_type"],
     )
-    out = _run_stream(sdf.select("user_id", "event_type"), output_mode="append")
+    out = _run_stream(sdf.select("user_id", "event_type"),
+                      output_mode="append", src=f"{sf}/events.parquet")
     return out.distinct().orderBy("user_id", "event_type")
 
 
@@ -2513,7 +2707,9 @@ def stream_interval_join_q(spark, sf):
         read_events_stream(spark, f"{sf}/events.parquet"),
         max_delay="30 minutes",
     )
-    return _run_stream(sdf, output_mode="append").orderBy("a_id", "b_id")
+    return _run_stream(
+        sdf, output_mode="append", src=f"{sf}/events.parquet"
+    ).orderBy("a_id", "b_id")
 
 
 @query(
@@ -2537,7 +2733,7 @@ def stream_static_join_q(spark, sf):
         window="1 hour",
     )
     return (
-        _run_stream(sdf)
+        _run_stream(sdf, src=f"{sf}/events.parquet")
         .select(
             "win_start",
             "segment",
@@ -2605,7 +2801,9 @@ def stream_sessionize_q(spark, sf):
         sdf = sessionize_stateful(
             read_events_stream(spark, f"{sf}/events.parquet"), gap_minutes=15
         )
-        out = _run_stream(sdf, output_mode="append").select(
+        out = _run_stream(
+            sdf, output_mode="append", src=f"{sf}/events.parquet"
+        ).select(
             "user_id",
             F.unix_micros("session_start").alias("session_start_us"),
             F.unix_micros("session_end").alias("session_end_us"),
@@ -2737,7 +2935,9 @@ def proto_4mc_zonemap_scan_q(spark, sf):
     d = tempfile.mkdtemp(prefix="fourmc-proto-zm-")
     try:
         (
-            ev.repartitionByRange(6, "event_id")
+            _range_partition_fixture(
+                ev, 6, "event_id", f"{sf}/events.parquet"
+            )
             .write.format("fourmcproto")
             .option("fields", fields)
             .option("codec", "zstd").option("level", "medium")
@@ -2928,7 +3128,9 @@ def proto_4mc_zonemap_blocks_scan_q(spark, sf):
     d = tempfile.mkdtemp(prefix="fourmc-proto-zmb-")
     try:
         (
-            ev.repartitionByRange(2, "event_id")
+            _range_partition_fixture(
+                ev, 2, "event_id", f"{sf}/events.parquet"
+            )
             .sortWithinPartitions("event_id")
             .write.format("fourmcproto")
             .option("fields", fields)
@@ -3273,7 +3475,9 @@ def sql_4mc_zonemap_scan_q(spark, sf):
     d = tempfile.mkdtemp(prefix="fourmc-zonemap-")
     try:
         (
-            ev.repartitionByRange(6, "event_id")
+            _range_partition_fixture(
+                ev, 6, "event_id", f"{sf}/events.parquet"
+            )
             .select(F.to_json(F.struct(*ev.columns)).alias("value"))
             .write.format("fourmc")
             .option("codec", "zstd").option("level", "medium")
@@ -3356,7 +3560,9 @@ def sql_4mc_zonemap_blocks_scan_q(spark, sf):
     d = tempfile.mkdtemp(prefix="fourmc-zonemap-blk-")
     try:
         (
-            ev.repartitionByRange(2, "event_id")
+            _range_partition_fixture(
+                ev, 2, "event_id", f"{sf}/events.parquet"
+            )
             .sortWithinPartitions("event_id")
             .select(F.to_json(F.struct(*ev.columns)).alias("value"))
             .write.format("fourmc")
@@ -3682,16 +3888,22 @@ def stream_heavy_hitters_q(spark, sf):
     # micro-batches, so it lives as applyInPandasWithState keyed state
     # (token-hash buckets, one capacity-m summary each) updated per
     # trigger; every trigger re-emits the touched buckets' sketches.
-    # Documents arrive across FIVE micro-batches (one seed file drains
-    # first, four more trickle in under maxfilespertrigger=1 — the
-    # stream_4mc_multibatch technique), then heavy_hitters_finalize
-    # takes each bucket's latest sketch as the candidate superset and
-    # exact-recounts over the accumulated corpus. Equality with the
-    # batch GROUP BY/HAVING oracle proves the state carried the
-    # superset guarantee across commits — a candidate lost anywhere in
-    # the chain (state dropped, version mixed, trailer miscounted)
-    # would lose a heavy token and break the hash. Same phi as
-    # text_heavy_hitters, the batch twin.
+    # Documents arrive across THREE micro-batches (one seed file drains
+    # first, two more trickle in under maxfilespertrigger=1 — the
+    # stream_4mc_multibatch technique; r11 trimmed five batches to
+    # three per guide §1.2/VERDICT r10 #4: each stateful trigger costs
+    # a fixed ~0.9 s of addBatch scaffolding regardless of batch size,
+    # and the late-arrival semantics — state merged across a seed batch
+    # plus MULTIPLE later arrivals — need only >=2 late batches; the MG
+    # superset guarantee is batching-independent by the mergeability
+    # argument in heavy_hitters_sketch_stream's docstring), then
+    # heavy_hitters_finalize takes each bucket's latest sketch as the
+    # candidate superset and exact-recounts over the accumulated
+    # corpus. Equality with the batch GROUP BY/HAVING oracle proves the
+    # state carried the superset guarantee across commits — a candidate
+    # lost anywhere in the chain (state dropped, version mixed, trailer
+    # miscounted) would lose a heavy token and break the hash. Same phi
+    # as text_heavy_hitters, the batch twin.
     import glob as _glob
     import os as _os
     import shutil
@@ -3711,7 +3923,7 @@ def stream_heavy_hitters_q(spark, sf):
     try:
         (
             _t(spark, sf, "documents").select("doc_id", "text")
-            .repartition(5)
+            .repartition(3)
             .select(F.to_json(F.struct("doc_id", "text")).alias("value"))
             .write.format("fourmc").option("codec", "zstd")
             .mode("overwrite").save(staged)
@@ -3730,14 +3942,21 @@ def stream_heavy_hitters_q(spark, sf):
         # op runs spark.sql.shuffle.partitions full tasks (python round
         # trip + state-store commit each) EVERY trigger regardless of
         # batch volume (guide §2.2: size reduce partitions to the data).
-        # Derive the stream's width from the STAGED BYTES it will drain
-        # (~4 MiB/partition, floor 4) clamped to the session width, so
-        # the pin scales with the fixture instead of silently capping a
-        # big-sf run; FOURMC_HH_STATE_PARTITIONS overrides. Interleaved
-        # min-of-3 at sf0.1 (width 4-8 vs 32): 7.9 -> 5.8 s.
-        width = _os.environ.get("FOURMC_HH_STATE_PARTITIONS") or min(
-            int(spark.conf.get("spark.sql.shuffle.partitions")),
-            max(4, total_staged // (4 << 20) + 1),
+        # Width derives from the STAGED BYTES via the shared drain_width
+        # formula (~4 MiB/partition, floor 4, clamped to the session
+        # width), so the pin scales with the fixture instead of silently
+        # capping a big-sf run; FOURMC_HH_STATE_PARTITIONS overrides.
+        # Interleaved min-of-3 at sf0.1 (width 4-8 vs 32): 7.9 -> 5.8 s.
+        # `is not None`, not `or`: an explicitly-set empty override must
+        # hit pinned_shuffle_width's loud validation exactly like the
+        # FOURMC_STREAM_SHUFFLE_PARTITIONS path, not silently fall
+        # through to the computed width (ADVICE r10)
+        from fourmc_spark.streaming import drain_width
+
+        env_width = _os.environ.get("FOURMC_HH_STATE_PARTITIONS")
+        width = (
+            env_width if env_width is not None
+            else drain_width(spark, total_staged)
         )
         with pinned_shuffle_width(spark, width):
             q = (
@@ -4883,9 +5102,9 @@ def stream_4mc_tumbling_q(spark, sf):
     try:
         _stage_events_4mz(spark, sf, d, n_files=3)
         sdf = _events_json_stream(spark, d)
-        out = _run_stream(tumbling_counts(sdf, window="1 hour")).orderBy(
-            "win_start", "event_type"
-        )
+        out = _run_stream(
+            tumbling_counts(sdf, window="1 hour"), src=d
+        ).orderBy("win_start", "event_type")
         return _detach(out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -4929,7 +5148,9 @@ def sql_4mc_sinkstats_scan_q(spark, sf):
     d = tempfile.mkdtemp(prefix="fourmc-sinkstats-")
     try:
         (
-            ev.repartitionByRange(6, "event_id")
+            _range_partition_fixture(
+                ev, 6, "event_id", f"{sf}/events.parquet"
+            )
             .select(F.to_json(F.struct(*ev.columns)).alias("value"))
             .write.format("fourmc")
             .option("codec", "zstd").option("level", "medium")
@@ -5024,7 +5245,14 @@ def sql_4mc_zonemap_ts_scan_q(spark, sf):
     d = tempfile.mkdtemp(prefix="fourmc-zonemap-ts-")
     try:
         (
-            ev.repartitionByRange(6, "ts")
+            _range_partition_fixture(
+                ev, 6, "ts", f"{sf}/events.parquet",
+                # the frame carries ts as a FORMATTED STRING; bucket on
+                # its instant micros (exact integer math), bounds from
+                # the footer's timestamp stats. Non-UTC parse would
+                # only shift bucket edges, never results.
+                key=F.unix_micros(F.to_timestamp("ts")),
+            )
             .select(F.to_json(F.struct(*ev.columns)).alias("value"))
             .write.format("fourmc")
             .option("codec", "zstd").option("level", "medium")
@@ -5117,7 +5345,9 @@ def maintenance_compact_zonemap_q(spark, sf):
     staged, out = f"{root}/staged", f"{root}/compact"
     try:
         (
-            ev.repartitionByRange(6, "event_id")
+            _range_partition_fixture(
+                ev, 6, "event_id", f"{sf}/events.parquet"
+            )
             .sortWithinPartitions("event_id")
             .select(F.to_json(F.struct(*ev.columns)).alias("value"))
             .write.format("fourmc")
@@ -5297,7 +5527,9 @@ def sql_4mc_csv_zonemap_scan_q(spark, sf):
     d = tempfile.mkdtemp(prefix="fourmc-csv-zm-")
     try:
         (
-            ev.repartitionByRange(6, "event_id")
+            _range_partition_fixture(
+                ev, 6, "event_id", f"{sf}/events.parquet"
+            )
             .select(F.to_csv(F.struct(*ev.columns)).alias("value"))
             .write.format("fourmc")
             .option("codec", "zstd").option("level", "medium")

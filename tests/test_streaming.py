@@ -1490,3 +1490,25 @@ def test_pinned_shuffle_width_validates_and_restores(spark):
     with pinned_shuffle_width(spark, "6"):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "6"
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_drain_width_scales_with_volume_and_clamps(spark):
+    """drain_width (r11) replaces run_to_memory's fixture-tuned constant
+    8: ~4 MiB of source bytes per reduce partition, floor 4, clamped to
+    the session width — so the memory-sink drain is right-sized for the
+    gate fixtures AND scale-correct for a big-sf run (VERDICT r10 #3).
+    stream_heavy_hitters shares the same formula."""
+    from fourmc_spark.streaming import DRAIN_BYTES_PER_PARTITION, drain_width
+
+    session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # tiny fixtures hit the parallelism floor
+    assert drain_width(spark, 0) == min(session_width, 4)
+    assert drain_width(spark, 2 << 20) == min(session_width, 4)
+    # volume-proportional in the middle band
+    mid = 20 * DRAIN_BYTES_PER_PARTITION
+    expect = min(session_width, mid // DRAIN_BYTES_PER_PARTITION + 1)
+    assert drain_width(spark, mid) == expect
+    # never widens the caller's session conf
+    assert drain_width(spark, 10 ** 15) == session_width
+    with pytest.raises(ValueError, match=">= 0"):
+        drain_width(spark, -1)
