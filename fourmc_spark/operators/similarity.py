@@ -247,6 +247,14 @@ def _ivf_probe(embeddings: DataFrame, queries: DataFrame,
         # smallest cell id — same rule as the oracle's (sim DESC, cell ASC)
         return pd.Series(cell_ids[np.argmax(sims, axis=1)])
 
+    # the probe join on "cell" pushes an isnotnull(cell) filter below the
+    # projection, and the optimizer then evaluates the UDF twice — once
+    # under the pushed filter, once in the projection (guide §4.4; the
+    # r11 plan capture showed two ArrowEvalPython nodes on this branch).
+    # The function is pure, so blocking the duplication cannot change a
+    # value — it halves the candidate-side Python matmul round trips.
+    nearest_cell = nearest_cell.asNondeterministic()
+
     assigned = with_norm(embeddings, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
@@ -503,6 +511,11 @@ def ivf_kmeans_int_topk(embeddings: DataFrame, queries: DataFrame,
         m = np.array(qvecs.tolist(), dtype=np.int64)
         sims = (m @ S.T).astype(np.float64) / ssn
         return pd.Series(cell_ids[np.argmax(sims, axis=1)])
+
+    # same §4.4 dedup as _ivf_probe's nearest_cell: the probe join pushes
+    # isnotnull(cell) under the projection and doubles the ArrowEvalPython
+    # node; the assignment is pure, so this is plan-only
+    nearest_cell_q = nearest_cell_q.asNondeterministic()
 
     assigned = with_norm(embeddings, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
